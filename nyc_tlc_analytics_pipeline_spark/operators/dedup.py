@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard,
+MinHash + LSH, and SimHash.
+
+Design for 100 TB:
+
+- Exact / fingerprint dedup is a hash ``groupBy`` on a digest column —
+  one shuffle on a high-cardinality key, no skew (md5 is uniform).
+- Near-dup candidate generation never compares all pairs: candidates come
+  from an equi-join on a bucket key (shared shingle, MinHash band, or
+  SimHash prefix), so Spark executes it as a shuffled hash join keyed on
+  the bucket — the classic LSH trick that keeps the join linear-ish.
+- All hashing is expression-level (md5 / xxhash64 built-ins) — no Python.
+
+``minhash`` uses ``xxhash64(shingle, seed)`` per hash function: one shuffle
+of (doc, shingle) pairs, then ``min_by``-style aggregation per seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from .text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct ``cols`` combination — the row with the
+    smallest ``id_col`` (deterministic, unlike dropDuplicates).
+    Reference semantics: INSERT OR IGNORE keeps the first row per PK
+    (reference: src/transformations/standardize.py:24,90)."""
+    w_min = F.min(id_col).over(Window.partitionBy(*cols))
+    return df.withColumn("__keep_id", w_min).filter(col(id_col) == col("__keep_id")).drop("__keep_id")
+
+
+def fingerprint_dedup_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group exact-duplicate statistics over the normalized-text
+    fingerprint: rows, distinct docs, duplicate rows removed."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_duplicates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + exact Jaccard over bucket-join candidates
+# ---------------------------------------------------------------------------
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lower-cased text (array<string>).
+    Documents shorter than n tokens produce their full token join as the
+    single shingle.  Built as a SQL expression (sequence + slice +
+    concat_ws) so the whole thing stays in whole-stage codegen."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs — the join key for candidate generation."""
+    return df.select(col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Plan shape: explode → self-equi-join on shingle (shuffled hash join)
+    → groupBy pair counting the intersection → broadcast-join per-doc
+    shingle counts → |∪| = |A|+|B|−|∩|.  Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b and jaccard ≥ threshold.
+
+    At 100 TB the only scale hazard is a stop-shingle appearing in a huge
+    fraction of docs (quadratic bucket). Standard mitigation (not needed at
+    test scale, noted for ops): drop shingles with document-frequency above
+    a cap before the self-join.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(col("doc").alias("doc_a"), "shingle")
+    b = sh.select(col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(col("doc").alias("doc_a"), col("n_shingles").alias("size_a"))
+    sb = sizes.select(col("doc").alias("doc_b"), col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            col("n_common") / (col("size_a") + col("size_b") - col("n_common")),
+        )
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed k, min over shingles of
+    ``xxhash64(shingle, k)``.  One explode + one groupBy; the signature is
+    an array<long> column ordered by seed."""
+    sh = shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(col("shingle"), lit(k))).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[col(f"h{k}") for k in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and emit pairs sharing any band bucket.
+
+    Bucket key = (band index, md5 of the band slice) → equi-join on the
+    bucket key; distinct pairs. Probability a pair with Jaccard s collides:
+    1 − (1 − s^rows)^bands (the standard S-curve)."""
+    banded = signatures.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(lit(0), lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", col("bb.band").alias("band"), col("bb.bucket").alias("bucket"))
+    a = banded.select(col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col: str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit b of the hash is the sign of
+    Σ_tokens (±1 depending on bit b of xxhash64(token)).  Pure array
+    expressions — aggregate + zip_with — stay inside codegen."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    bit_contrib = (
+        f"transform(sequence(0, {bits - 1}), "
+        f"b -> CASE WHEN (shiftright(xxhash64(t), CAST(b AS INT)) & 1) = 1 "
+        f"THEN 1L ELSE -1L END)"
+    )
+    sums = (
+        f"aggregate({toks}, array_repeat(0L, {bits}), "
+        f"(acc, t) -> zip_with(acc, {bit_contrib}, (x, y) -> x + y))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({sums}, sequence(0, {bits - 1}), "
+        f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    prefix_bits: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (cheap LSH — near-identical docs share the prefix with high
+    probability), equi-join within buckets, filter on Hamming distance."""
+    hashed = df.select(
+        col(id_col).alias("doc"), simhash(text_col, bits).alias("sh")
+    ).withColumn("bucket", F.shiftrightunsigned(col("sh"), bits - prefix_bits))
+    a = hashed.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"), "bucket")
+    b = hashed.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", hamming_distance(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,159 @@
+"""Embedding similarity search: brute-force cosine top-k and an
+LSH-bucketed approximate variant.
+
+Vectors are plain ``array<float>`` columns; all math is done with
+``zip_with``/``aggregate`` array expressions (JVM-side, codegen) after an
+explicit cast to double — no Python UDFs, so the scan parallelizes like
+any other projection.
+
+Scale path: brute-force top-k against one query is a single pass (cheap at
+any scale — it's a map + TakeOrdered).  The expensive case is k-NN *join*
+(every row against every row); for that, ``lsh_bucket`` assigns each vector
+a random-hyperplane sign bucket so candidate generation becomes an
+equi-join on the bucket key, same shape as the MinHash LSH in dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..functions.scalar import rnd
+
+
+def as_double_array(vec: Column | str) -> Column:
+    c = col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Plans as scan → project → TakeOrderedAndProject: no shuffle of the
+    full table, only the per-partition top-k merge.
+    """
+    q = F.array(*[lit(float(x)) for x in query_vec])
+    out = df.withColumn("cos_sim", rnd(cosine(as_double_array(vec_col), q), 6))
+    if exclude_ids:
+        out = out.filter(~col(id_col).isin(*exclude_ids))
+    return out.orderBy(F.desc("cos_sim"), id_col).limit(k).drop(vec_col)
+
+
+def _plane_component(seed: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-gaussian hyperplane component from md5 —
+    reproducible across runs without Date/random (sum of 4 uniforms − 2)."""
+    h = hashlib.md5(f"{seed}:{plane}:{dim}".encode()).digest()
+    u = [x / 2**32 for x in struct.unpack(">4I", h)]
+    return sum(u) - 2.0
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    return [[_plane_component(seed, p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p)."""
+    v = as_double_array(vec)
+    acc = lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pcol = F.array(*[lit(x) for x in plane])
+        bit = F.when(dot(v, pcol) > 0, F.shiftleft(lit(1).cast("long"), p)).otherwise(
+            lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: only score vectors whose LSH bucket is within
+    ``multiprobe_bits`` Hamming distance of the query's bucket.  At scale
+    the bucket column is precomputed and partitioned on, so the probe is a
+    partition-pruned scan instead of a full pass."""
+    import itertools
+
+    n = len(planes)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if sum(q * w for q, w in zip(query_vec, plane)) > 0:
+            qbits |= 1 << p
+    probe = {qbits}
+    for r in range(1, multiprobe_bits + 1):
+        for flips in itertools.combinations(range(n), r):
+            b = qbits
+            for f in flips:
+                b ^= 1 << f
+            probe.add(b)
+    bucketed = df.withColumn("bucket", lsh_bucket(vec_col, planes))
+    return cosine_topk(
+        bucketed.filter(col("bucket").isin(*[int(b) for b in probe])),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """Approximate k-NN self-join: bucket both sides on the hyperplane
+    signature, equi-join on bucket, score within bucket, keep per-row
+    top-k by window rank.  The equi-join keeps the candidate set linear in
+    practice (vs the quadratic exact join)."""
+    from pyspark.sql import Window
+
+    bucketed = df.select(
+        col(id_col).alias("doc"), as_double_array(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(col("v"), planes))
+    a = bucketed.select(col("doc").alias("id_a"), col("v").alias("v_a"), "bucket")
+    b = bucketed.select(col("doc").alias("id_b"), col("v").alias("v_b"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .filter(col("id_a") != col("id_b"))
+        .withColumn("cos_sim", rnd(cosine(col("v_a"), col("v_b")), 6))
+        .filter(col("cos_sim") >= min_cosine)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("id_a", "id_b", "cos_sim", "rank")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure column expressions (JVM-side, whole-stage-codegen) —
+no Python UDFs — so they scale linearly with partitions and survive a
+100 TB corpus.  Tokenization is a simple whitespace/regex split; language ID
+is an n-gram/stopword heuristic (deterministic, oracle-replicable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit, when
+
+# Tiny per-language stopword profiles for the heuristic language ID.
+# Deterministic and SQL-replicable; real pipelines would swap in fastText —
+# the Spark plumbing (column-expression scoring, argmax CASE) is the point.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "de", "et", "est", "un"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    c = col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Share of characters that are not alphanumeric/whitespace."""
+    c = col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(F.lower(c), r"[a-z0-9\s]", "")
+    return F.length(stripped) / F.nullif(F.length(c), lit(0))
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Number of tokens that appear in ``words``."""
+    toks = tokens(text)
+    arr = F.array(*[lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column | str, words: tuple[str, ...]) -> Column:
+    return stopword_hits(text, words) / F.nullif(token_count(text), lit(0))
+
+
+def quality_score(text: Column | str, stop_langs: tuple[str, ...] = ("en",)) -> Column:
+    """Heuristic document quality in [0, 1]:
+    length component (saturating at 200 tokens), low punctuation noise, and
+    stopword presence — the standard cheap pre-filter for LLM training data.
+    """
+    n_tok = token_count(text)
+    length_component = F.least(n_tok / lit(200.0), lit(1.0))
+    punct_component = lit(1.0) - F.least(punct_ratio(text) * 5.0, lit(1.0))
+    all_stops: tuple[str, ...] = tuple(w for lang in stop_langs for w in LANG_STOPWORDS[lang])
+    stop_component = F.least(stopword_ratio(text, all_stops) * 4.0, lit(1.0))
+    return (length_component + punct_component + stop_component) / lit(3.0)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """Argmax of per-language stopword hits; ties break by language-code
+    order; no hits at all → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = scores[langs[0]]
+    best_lang: Column = lit(langs[0])
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        best_lang = when(is_better, lit(lang)).otherwise(best_lang)
+        best = when(is_better, scores[lang]).otherwise(best)
+    return when(best > 0, best_lang).otherwise(lit("und"))
+
+
+def fingerprint(text: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lower-cased, whitespace collapsed), truncated to ``length`` hex chars.
+    Identical output in the DuckDB oracle (md5 hex matches)."""
+    c = col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.substring(F.md5(normalized), 1, length)
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document text metrics."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_chars_actual": char_count(text_col),
+            "punct_ratio": punct_ratio(text_col),
+            "quality": quality_score(text_col),
+            "pred_lang": predicted_lang(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

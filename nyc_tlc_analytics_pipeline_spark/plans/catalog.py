@@ -1,0 +1,1122 @@
+"""Conformance query catalog.
+
+Every operator family from SURVEY §2 (and the data-pipeline extensions) is
+exercised by at least one named query over the driver testdata tables
+(``region nation customer supplier part orders lineitem events documents
+embeddings``).  Each entry pairs a Spark-first DataFrame builder with the
+equivalent DuckDB oracle SQL; the driver hash-compares the two at sf0.01.
+
+Conventions (required for the oracle value-hash to match):
+
+- every computed/aggregate column is aliased identically in both forms;
+- double aggregates are rounded (``round(x, n)``) in BOTH forms so
+  distributed summation order cannot flip the hash;
+- no raw nanosecond timestamps are returned (events.ts is TIMESTAMP(NANOS)
+  in parquet — Spark truncates to micros); queries return truncated
+  buckets, dates, or extracted integers instead;
+- every ORDER BY ends in a unique key so LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, expr, lit, when
+
+from ..functions.scalar import rnd
+from ..sources.testdata import load_table, register_views
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+    operators: tuple[str, ...] = field(default_factory=tuple)
+    headline: bool = False  # included in bench.py's timed set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    description: str,
+    operators: tuple[str, ...] = (),
+    headline: bool = False,
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(
+            name=name,
+            build=fn,
+            oracle=oracle,
+            description=description,
+            operators=operators,
+            headline=headline,
+        )
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: fact ⋈ broadcast dims, conditional agg, top-k
+# Reference shape: sql/analytics/01_top_zones_by_revenue.sql (J1,A1,A3,A4,O1)
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT n_name,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l_quantity > 0
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+
+@register(
+    "q01_top_nations_by_revenue",
+    _Q01_ORACLE,
+    "Top supplier nations by discounted revenue (broadcast dim joins, "
+    "conditional agg, top-k). Reference: 01_top_zones_by_revenue.sql.",
+    operators=("S1", "J1", "A1", "A3", "A4", "O1", "P7"),
+    headline=True,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(col("l_quantity") > 0)
+        .join(broadcast(sup), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.sum(when(col("l_returnflag") == "R", 1).otherwise(0)).alias("returned_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — hourly demand pattern over the events table
+# Reference shape: sql/analytics/02_hourly_demand_patterns.sql (A1,A2,A3)
+# ---------------------------------------------------------------------------
+
+_Q02_ORACLE = """
+SELECT extract(hour FROM ts) AS hour_of_day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value) + 1e-9, 4) AS avg_value,
+       round(sum(value) + 1e-9, 2) AS total_value
+FROM events
+GROUP BY hour_of_day
+ORDER BY hour_of_day
+"""
+
+
+@register(
+    "q02_hourly_event_patterns",
+    _Q02_ORACLE,
+    "Event volume/value by hour of day (time extraction, countDistinct). "
+    "Reference: 02_hourly_demand_patterns.sql.",
+    operators=("A1", "A2", "A3", "O3"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — monthly market-share trends (pivot-style conditional aggregation)
+# Reference shape: sql/analytics/03_market_share_trends.sql (A4,A10)
+# ---------------------------------------------------------------------------
+
+_Q03_ORACLE = """
+SELECT extract(year FROM o_orderdate) AS order_year,
+       extract(month FROM o_orderdate) AS order_month,
+       count(*) AS n_orders,
+       round(100.0 * sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) / count(*) + 1e-9, 2) AS urgent_share_pct,
+       round(100.0 * sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) / count(*) + 1e-9, 2) AS low_share_pct,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_value,
+       round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) + 1e-9, 4) AS avg_urgent_value
+FROM orders
+GROUP BY order_year, order_month
+ORDER BY order_year, order_month
+"""
+
+
+@register(
+    "q03_market_share_trends",
+    _Q03_ORACLE,
+    "Monthly priority mix of orders: conditional-agg shares and masked AVG. "
+    "Reference: 03_market_share_trends.sql.",
+    operators=("A4", "A10", "O3"),
+    headline=True,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count("*")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            n.alias("n_orders"),
+            rnd(
+                100.0 * F.sum(when(col("o_orderpriority") == "1-URGENT", 1).otherwise(0)) / n, 2
+            ).alias("urgent_share_pct"),
+            rnd(
+                100.0 * F.sum(when(col("o_orderpriority") == "5-LOW", 1).otherwise(0)) / n, 2
+            ).alias("low_share_pct"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_value"),
+            rnd(F.avg(when(col("o_orderpriority") == "1-URGENT", col("o_totalprice"))), 4).alias(
+                "avg_urgent_value"
+            ),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — exact interpolated percentiles + stddev per group
+# Reference shape: sql/analytics/04_hvfhv_platform_economics.sql (A5,A6)
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n_items,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) + 1e-9, 4) AS price_p25,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) + 1e-9, 4) AS price_p50,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) + 1e-9, 4) AS price_p75,
+       round(stddev_samp(l_extendedprice) + 1e-9, 4) AS price_stddev,
+       round(avg(l_discount) + 1e-9, 6) AS avg_discount
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q04_price_percentiles",
+    _Q04_ORACLE,
+    "Exact interpolated quartiles + sample stddev of price per "
+    "returnflag/linestatus. Reference: 04_hvfhv_platform_economics.sql.",
+    operators=("A5", "A6", "A8"),
+    headline=True,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.percentile("l_extendedprice", lit(0.25)), 4).alias("price_p25"),
+            rnd(F.percentile("l_extendedprice", lit(0.5)), 4).alias("price_p50"),
+            rnd(F.percentile("l_extendedprice", lit(0.75)), 4).alias("price_p75"),
+            rnd(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            rnd(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — dim join + range/LIKE predicates + HAVING
+# Reference shape: sql/analytics/05_pricing_comparison.sql (P3,P6,A7)
+# ---------------------------------------------------------------------------
+
+_Q05_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       round(avg(l_extendedprice / nullif(l_quantity, 0)) + 1e-9, 4) AS avg_unit_price
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 40
+  AND p_type LIKE '%A%'
+GROUP BY p_brand
+HAVING count(*) >= 20
+ORDER BY revenue DESC, p_brand
+"""
+
+
+@register(
+    "q05_brand_pricing",
+    _Q05_ORACLE,
+    "Per-brand pricing over parts in a size band with LIKE filter and "
+    "HAVING. Reference: 05_pricing_comparison.sql.",
+    operators=("P3", "P6", "A7", "A10", "J1"),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(p), col("l_partkey") == col("p_partkey"))
+        .filter(col("p_size").between(10, 40) & col("p_type").like("%A%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"),
+            rnd(F.avg(col("l_extendedprice") / F.nullif(col("l_quantity"), lit(0))), 4).alias(
+                "avg_unit_price"
+            ),
+        )
+        .filter(col("n_items") >= 20)
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — one dim in two roles (customer nation AND supplier nation)
+# Reference shape: sql/analytics/06_airport_trips_analysis.sql (J5)
+# ---------------------------------------------------------------------------
+
+_Q06_ORACLE = """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       CASE WHEN cn.n_regionkey = sn.n_regionkey THEN 'intra-region' ELSE 'inter-region' END AS flow_type
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY cust_nation, supp_nation, flow_type
+HAVING count(*) >= 5
+ORDER BY revenue DESC, cust_nation, supp_nation
+LIMIT 50
+"""
+
+
+@register(
+    "q06_nation_pair_flows",
+    _Q06_ORACLE,
+    "Trade flows between customer nation and supplier nation — the same "
+    "dim joined in two roles. Reference: 06_airport_trips_analysis.sql.",
+    operators=("J5", "A8", "A7", "O1"),
+    headline=True,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = nat.select(
+        col("n_nationkey").alias("cn_key"),
+        col("n_name").alias("cust_nation"),
+        col("n_regionkey").alias("cn_region"),
+    )
+    sn = nat.select(
+        col("n_nationkey").alias("sn_key"),
+        col("n_name").alias("supp_nation"),
+        col("n_regionkey").alias("sn_region"),
+    )
+    return (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") == col("cn_key"))
+        .join(broadcast(s), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") == col("sn_key"))
+        .withColumn(
+            "flow_type",
+            when(col("cn_region") == col("sn_region"), "intra-region").otherwise("inter-region"),
+        )
+        .groupBy("cust_nation", "supp_nation", "flow_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"),
+        )
+        .filter(col("n_items") >= 5)
+        .select("cust_nation", "supp_nation", "n_items", "revenue", "flow_type")
+        .orderBy(F.desc("revenue"), "cust_nation", "supp_nation")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — weekend vs weekday (CASE group key + DOW convention)
+# Reference shape: sql/analytics/07_weekend_vs_weekday.sql
+# ---------------------------------------------------------------------------
+
+_Q07_ORACLE = """
+SELECT CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+       o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice) + 1e-9, 4) AS avg_value,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_value
+FROM orders
+GROUP BY day_type, o_orderpriority
+ORDER BY day_type, o_orderpriority
+"""
+
+
+@register(
+    "q07_weekend_vs_weekday",
+    _Q07_ORACLE,
+    "Order economics split weekend/weekday — DOW convention Sun=0 like the "
+    "reference engine. Reference: 07_weekend_vs_weekday.sql.",
+    operators=("A8", "A3", "scalar-date"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import day_of_week
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "day_type",
+            when(day_of_week("o_orderdate").isin(0, 6), "Weekend").otherwise("Weekday"),
+        )
+        .groupBy("day_type", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rnd(F.avg("o_totalprice"), 4).alias("avg_value"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy("day_type", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — percentage-of-total via unpartitioned window (W1)
+# Reference shape: sql/analytics/08_shared_rides_analysis.sql:11
+# ---------------------------------------------------------------------------
+
+_Q08_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(100.0 * count(*) / sum(count(*)) OVER () + 1e-9, 4) AS pct_of_total,
+       round(sum(value) + 1e-9, 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q08_event_type_share",
+    _Q08_ORACLE,
+    "Share of each event type of the grand total — SUM(COUNT(*)) OVER (). "
+    "Reference: 08_shared_rides_analysis.sql.",
+    operators=("W1", "A1"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), rnd(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "pct_of_total", rnd(100.0 * col("n_events") / F.sum("n_events").over(w), 4)
+        )
+        .select("event_type", "n_events", "pct_of_total", "total_value")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — left-semi join via IN-subquery (P5/J8)
+# Reference shape: sql/analytics/12_cbd_congestion_fee_impact.sql:44
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice) + 1e-9, 2) AS total_price
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 3000.0)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q09_semi_join_suppliers",
+    _Q09_ORACLE,
+    "Lineitems from well-capitalized suppliers — IN-subquery as left-semi "
+    "join. Reference: 12_cbd_congestion_fee_impact.sql:44.",
+    operators=("P5", "J8"),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(col("s_acctbal") > 3000.0)
+    return (
+        li.join(broadcast(s), col("l_suppkey") == col("s_suppkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — anti join (idempotent-load guard shape, S7)
+# Reference shape: src/database/schema_drift.py:213-215 (NOT IN source_file)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_value
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "q10_orders_without_items",
+    _Q10_ORACLE,
+    "Orders with no lineitems — left-anti join, the idempotent-load guard "
+    "shape. Reference: schema_drift.py:213-215.",
+    operators=("S7", "J8"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, col("o_orderkey") == col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — per-hour conditional metrics with two-condition HAVING, ORDER BY expr
+# Reference shape: sql/analytics/11_uber_lyft_vs_taxi_pricing_by_zone_hour.sql
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT extract(hour FROM ts) AS hour_of_day,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS avg_purchase_value,
+       round(avg(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS avg_click_value
+FROM events
+GROUP BY hour_of_day
+HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 3
+   AND count(CASE WHEN event_type = 'click' THEN 1 END) >= 3
+ORDER BY (n_purchases + n_clicks) DESC, hour_of_day
+"""
+
+
+@register(
+    "q11_type_metrics_by_hour",
+    _Q11_ORACLE,
+    "Purchase-vs-click economics per hour: COUNT(CASE) masked metrics, "
+    "two-condition HAVING, ORDER BY expression. "
+    "Reference: 11_uber_lyft_vs_taxi_pricing_by_zone_hour.sql.",
+    operators=("A4", "A7", "O2"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count(when(col("event_type") == "purchase", 1)).alias("n_purchases"),
+            F.count(when(col("event_type") == "click", 1)).alias("n_clicks"),
+            rnd(F.avg(when(col("event_type") == "purchase", col("value"))), 4).alias(
+                "avg_purchase_value"
+            ),
+            rnd(F.avg(when(col("event_type") == "click", col("value"))), 4).alias(
+                "avg_click_value"
+            ),
+        )
+        .filter((col("n_purchases") >= 3) & (col("n_clicks") >= 3))
+        .orderBy(F.desc(col("n_purchases") + col("n_clicks")), "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — before/after epoch comparison via self-join of a grouped CTE (J6)
+# Reference shape: sql/analytics/12_cbd_congestion_fee_impact.sql:94-99
+# ---------------------------------------------------------------------------
+
+_Q12_SPLIT = "1998-01-01"
+
+_Q12_ORACLE = f"""
+WITH period_pricing AS (
+    SELECT o_orderpriority,
+           CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_Q12_SPLIT}' THEN 'before' ELSE 'after' END AS period,
+           count(*) AS n_orders,
+           avg(o_totalprice) AS avg_value
+    FROM orders
+    GROUP BY o_orderpriority, period
+)
+SELECT b.o_orderpriority,
+       b.n_orders AS n_before,
+       a.n_orders AS n_after,
+       round(b.avg_value + 1e-9, 4) AS avg_before,
+       round(a.avg_value + 1e-9, 4) AS avg_after,
+       round(100.0 * (a.avg_value - b.avg_value) / nullif(b.avg_value, 0) + 1e-9, 4) AS pct_change
+FROM period_pricing b
+LEFT JOIN period_pricing a
+       ON b.o_orderpriority = a.o_orderpriority AND a.period = 'after'
+WHERE b.period = 'before'
+ORDER BY b.o_orderpriority
+"""
+
+
+@register(
+    "q12_before_after_pricing",
+    _Q12_ORACLE,
+    "Average order value before/after a fixed epoch split — grouped-CTE "
+    "self-left-join pivot. Reference: 12_cbd_congestion_fee_impact.sql.",
+    operators=("J6", "A4", "A10", "P3"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    period = when(col("o_orderdate").cast("date") < lit(_Q12_SPLIT).cast("date"), "before").otherwise(
+        "after"
+    )
+    pricing = (
+        o.withColumn("period", period)
+        .groupBy("o_orderpriority", "period")
+        .agg(F.count("*").alias("n_orders"), F.avg("o_totalprice").alias("avg_value"))
+    )
+    b = pricing.filter(col("period") == "before").select(
+        "o_orderpriority",
+        col("n_orders").alias("n_before"),
+        col("avg_value").alias("avg_b"),
+    )
+    a = pricing.filter(col("period") == "after").select(
+        col("o_orderpriority").alias("prio_a"),
+        col("n_orders").alias("n_after"),
+        col("avg_value").alias("avg_a"),
+    )
+    return (
+        b.join(a, b.o_orderpriority == a.prio_a, "left")
+        .select(
+            "o_orderpriority",
+            "n_before",
+            "n_after",
+            rnd(col("avg_b"), 4).alias("avg_before"),
+            rnd(col("avg_a"), 4).alias("avg_after"),
+            rnd(
+                100.0 * (col("avg_a") - col("avg_b")) / F.nullif(col("avg_b"), lit(0)), 4
+            ).alias("pct_change"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — multi-CTE dispersion profile: agg ⋈ agg on a composite key (J7)
+# Reference shape: sql/analytics/13_*.sql + 14:56-58
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH nation_orders AS (
+    SELECT n_name,
+           extract(year FROM o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS total_value,
+           avg(o_totalprice) AS avg_value,
+           stddev_samp(o_totalprice) AS value_stddev,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, order_year
+),
+year_totals AS (
+    SELECT order_year, sum(n_orders) AS year_orders, sum(total_value) AS year_value
+    FROM nation_orders
+    GROUP BY order_year
+)
+SELECT m.n_name,
+       m.order_year,
+       m.n_orders,
+       round(m.avg_value + 1e-9, 4) AS avg_value,
+       round(m.value_stddev + 1e-9, 4) AS value_stddev,
+       round(m.median_value + 1e-9, 4) AS median_value,
+       round(100.0 * m.n_orders / t.year_orders + 1e-9, 4) AS order_share_pct,
+       round(100.0 * m.total_value / t.year_value + 1e-9, 4) AS value_share_pct
+FROM nation_orders m
+JOIN year_totals t ON m.order_year = t.order_year
+WHERE m.n_orders >= 3
+ORDER BY m.order_year, m.n_name
+"""
+
+
+@register(
+    "q13_nation_year_dispersion",
+    _Q13_ORACLE,
+    "Per-nation-per-year order dispersion joined against year totals — "
+    "agg-on-agg composite-key join. Reference: 13/14 analytics CTEs.",
+    operators=("J7", "A5", "A6", "A8", "A10"),
+    headline=True,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    nation_orders = (
+        o.join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_value"),
+            F.avg("o_totalprice").alias("avg_value"),
+            F.stddev_samp("o_totalprice").alias("value_stddev"),
+            F.percentile("o_totalprice", lit(0.5)).alias("median_value"),
+        )
+    )
+    year_totals = nation_orders.groupBy("order_year").agg(
+        F.sum("n_orders").alias("year_orders"), F.sum("total_value").alias("year_value")
+    )
+    m = nation_orders.alias("m")
+    t = year_totals.alias("t")
+    return (
+        m.join(t, "order_year")
+        .filter(col("n_orders") >= 3)
+        .select(
+            "n_name",
+            "order_year",
+            "n_orders",
+            rnd(col("avg_value"), 4).alias("avg_value"),
+            rnd(col("value_stddev"), 4).alias("value_stddev"),
+            rnd(col("median_value"), 4).alias("median_value"),
+            rnd(100.0 * col("n_orders") / col("year_orders"), 4).alias("order_share_pct"),
+            rnd(100.0 * col("total_value") / col("year_value"), 4).alias("value_share_pct"),
+        )
+        .orderBy("order_year", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — daily share + scalar agg subquery (A9) — kept in SQL form
+# Reference shape: sql/analytics/14_market_share_shift_vs_pricing.sql:70-79
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           n_name,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS day_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY order_date, n_name
+),
+day_totals AS (
+    SELECT order_date, sum(n_orders) AS day_orders
+    FROM daily
+    GROUP BY order_date
+),
+share AS (
+    SELECT d.order_date,
+           d.n_name,
+           d.n_orders,
+           100.0 * d.n_orders / t.day_orders AS share_pct
+    FROM daily d
+    JOIN day_totals t ON d.order_date = t.order_date
+)
+SELECT n_name,
+       count(*) AS n_days,
+       round(avg(share_pct) + 1e-9, 4) AS avg_share_pct,
+       sum(CASE WHEN share_pct > (SELECT avg(share_pct) FROM share) THEN 1 ELSE 0 END) AS days_above_global_avg
+FROM share
+GROUP BY n_name
+HAVING count(*) >= 5
+ORDER BY avg_share_pct DESC, n_name
+"""
+
+
+@register(
+    "q14_nation_share_vs_global",
+    _Q14_SQL,
+    "Daily nation share of orders vs the global average share — "
+    "uncorrelated scalar agg subquery inside an outer aggregate. "
+    "Reference: 14_market_share_shift_vs_pricing.sql.",
+    operators=("A9", "J7", "A7"),
+    headline=True,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_Q14_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q15 — COUNT(DISTINCT) + HAVING on it (A2)
+# Reference shape: sql/analytics/14:84-89
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+SELECT extract(year FROM o_orderdate) AS order_year,
+       extract(month FROM o_orderdate) AS order_month,
+       count(DISTINCT o_custkey) AS active_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) / count(DISTINCT o_custkey) + 1e-9, 4) AS value_per_customer
+FROM orders
+GROUP BY order_year, order_month
+HAVING count(DISTINCT o_custkey) >= 10
+ORDER BY order_year, order_month
+"""
+
+
+@register(
+    "q15_active_customers_monthly",
+    _Q15_ORACLE,
+    "Monthly distinct active customers with HAVING COUNT(DISTINCT). "
+    "Reference: 14_market_share_shift_vs_pricing.sql:84-89.",
+    operators=("A2", "A7", "A10"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count("*").alias("n_orders"),
+            rnd(F.sum("o_totalprice") / F.countDistinct("o_custkey"), 4).alias(
+                "value_per_customer"
+            ),
+        )
+        .filter(col("active_customers") >= 10)
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — UNION ALL of two differently-shaped sources into one fact (J9)
+# Reference shape: src/transformations/standardize.py:244-261
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+WITH unified AS (
+    SELECT 'lineitem' AS record_type,
+           extract(year FROM l_shipdate) AS record_year,
+           l_extendedprice * (1 - l_discount) AS amount
+    FROM lineitem
+    UNION ALL
+    SELECT 'order' AS record_type,
+           extract(year FROM o_orderdate) AS record_year,
+           o_totalprice AS amount
+    FROM orders
+)
+SELECT record_type,
+       record_year,
+       count(*) AS n_records,
+       round(sum(amount) + 1e-9, 2) AS total_amount,
+       round(avg(amount) + 1e-9, 4) AS avg_amount
+FROM unified
+GROUP BY record_type, record_year
+ORDER BY record_type, record_year
+"""
+
+
+@register(
+    "q16_unified_fact_union",
+    _Q16_ORACLE,
+    "Two differently-shaped sources unified by unionByName then aggregated "
+    "— the multi-service fact build. Reference: standardize.py:244-261.",
+    operators=("J9", "A3", "A8"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        lit("lineitem").alias("record_type"),
+        F.year("l_shipdate").alias("record_year"),
+        (col("l_extendedprice") * (1 - col("l_discount"))).alias("amount"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        lit("order").alias("record_type"),
+        F.year("o_orderdate").alias("record_year"),
+        col("o_totalprice").alias("amount"),
+    )
+    return (
+        li.unionByName(o)
+        .groupBy("record_type", "record_year")
+        .agg(
+            F.count("*").alias("n_records"),
+            rnd(F.sum("amount"), 2).alias("total_amount"),
+            rnd(F.avg("amount"), 4).alias("avg_amount"),
+        )
+        .orderBy("record_type", "record_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — date-spine generator + zero-fill left join (S14)
+# Reference shape: sql/ddl/02_dimension_tables.sql:84-88 (generate_series)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH spine AS (
+    SELECT CAST(d AS DATE) AS spine_date
+    FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL '1' DAY) t(d)
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders
+    FROM orders
+    GROUP BY order_date
+)
+SELECT extract(year FROM spine_date) AS spine_year,
+       extract(month FROM spine_date) AS spine_month,
+       count(*) AS n_days,
+       sum(CASE WHEN daily.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS days_with_orders,
+       sum(coalesce(daily.n_orders, 0)) AS n_orders
+FROM spine
+LEFT JOIN daily ON spine.spine_date = daily.order_date
+GROUP BY spine_year, spine_month
+ORDER BY spine_year, spine_month
+"""
+
+
+@register(
+    "q17_date_spine_coverage",
+    _Q17_ORACLE,
+    "Generated date spine left-joined to daily order counts (zero-fill) — "
+    "the dim_date generator. Reference: 02_dimension_tables.sql:84-88.",
+    operators=("S14", "J3", "A4"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.sql(
+        "SELECT explode(sequence(to_date('1995-01-01'), to_date('1996-12-31'), "
+        "interval 1 day)) AS spine_date"
+    )
+    daily = o.groupBy(col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("*").alias("daily_orders")
+    )
+    return (
+        spine.join(daily, spine.spine_date == daily.order_date, "left")
+        .groupBy(
+            F.year("spine_date").alias("spine_year"),
+            F.month("spine_date").alias("spine_month"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(when(col("daily_orders").isNotNull(), 1).otherwise(0)).alias("days_with_orders"),
+            F.sum(F.coalesce(col("daily_orders"), lit(0))).alias("n_orders"),
+        )
+        .orderBy("spine_year", "spine_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — per-partition window average vs row (W2)
+# Reference shape: sql/analytics/14:105-116
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH w AS (
+    SELECT user_id,
+           value,
+           avg(value) OVER (PARTITION BY user_id) AS user_avg
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN value > user_avg THEN 1 ELSE 0 END) AS n_above_avg,
+       round(max(user_avg) + 1e-9, 4) AS user_avg_value
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "q18_user_value_vs_avg",
+    _Q18_ORACLE,
+    "Each event compared to its user's window average — "
+    "AVG() OVER (PARTITION BY). Reference: 14:105-116.",
+    operators=("W2",),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("user_avg", F.avg("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(when(col("value") > col("user_avg"), 1).otherwise(0)).alias("n_above_avg"),
+            rnd(F.max("user_avg"), 4).alias("user_avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — gap-based sessionization (lag + running sum) — beyond-reference
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SECONDS = 1800
+
+_Q19_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+)
+SELECT user_id,
+       count(DISTINCT session_seq) AS n_sessions,
+       count(*) AS n_events,
+       round(1.0 * count(*) / count(DISTINCT session_seq) + 1e-9, 4) AS events_per_session
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "q19_sessionization",
+    _Q19_ORACLE,
+    "Gap-based sessionization (30-min inactivity) via lag + running sum — "
+    "batch form of the streaming session-window operator.",
+    operators=("W2", "W-lag", "streaming-session-batch"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = col("ts").cast("long") - col("prev_ts").cast("long")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(order_w))
+        .withColumn(
+            "new_session",
+            when(col("prev_ts").isNull() | (gap > _SESSION_GAP_SECONDS), 1).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(run_w))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_seq").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            rnd(F.count("*") / F.countDistinct("session_seq"), 4).alias("events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — tumbling time-window aggregation (batch form of streaming windows)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT date_trunc('day', ts)::DATE AS window_day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 2) AS total_value
+FROM events
+GROUP BY window_day, event_type
+ORDER BY window_day, event_type
+"""
+
+
+@register(
+    "q20_daily_tumbling_windows",
+    _Q20_ORACLE,
+    "Tumbling 1-day windows over the event stream (batch form; the "
+    "streaming module runs the same plan with a watermark).",
+    operators=("streaming-tumbling-batch", "A8"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").getField("start").cast("date").alias("window_day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), rnd(F.sum("value"), 2).alias("total_value"))
+        .orderBy("window_day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — semi-structured JSON extraction from the props column
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS n_high_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q21_json_props_metrics",
+    _Q21_ORACLE,
+    "JSON field extraction from the props column aggregated per type "
+    "(get_json_object / json_extract_string parity).",
+    operators=("scalar-json", "A4"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.sum(when(k > 50, 1).otherwise(0)).alias("n_high_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Data-pipeline extension queries (dedup / text / similarity) register
+# themselves into the same QUERIES dict on import.
+from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

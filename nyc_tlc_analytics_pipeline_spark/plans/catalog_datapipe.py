@@ -1,0 +1,352 @@
+"""Data-pipeline extension queries: text analysis, dedup, similarity.
+
+These go beyond the reference's own operator surface (SURVEY §7.1 step 9):
+the operations a large-scale LLM-training-data pipeline needs, each
+designed partition-parallel.  Implementations live in ``operators.text``,
+``operators.dedup`` and ``operators.similarity``; this module registers
+oracle-checked conformance queries over the ``documents`` and
+``embeddings`` testdata tables.
+
+MinHash/SimHash/ANN entries have no DuckDB oracle (engine-specific hash
+functions) — the driver records a rows-only check and the pytest suite
+verifies them against exact Jaccard / exact cosine instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators import dedup, similarity, text
+from ..sources.testdata import load_table
+from ..functions.scalar import rnd
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# q22 — per-language token/char/punct/stopword statistics
+# ---------------------------------------------------------------------------
+
+_EN = "'the', 'a', 'of', 'and', 'to', 'in'"
+
+_Q22_ORACLE = f"""
+WITH t AS (
+    SELECT lang,
+           string_split_regex(lower(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(len(toks)) + 1e-9, 4) AS avg_tokens,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+       round(avg(1.0 * n_punct / nullif(n_chars, 0)) + 1e-9, 6) AS avg_punct_ratio,
+       round(avg(1.0 * len(list_filter(toks, x -> list_contains([{_EN}], x)))
+                 / nullif(len(toks), 0)) + 1e-9, 6) AS avg_stopword_ratio
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q22_doc_token_stats",
+    _Q22_ORACLE,
+    "Token counting + punctuation/stopword ratios per language over the "
+    "document corpus — all JVM-side column expressions.",
+    operators=("text-tokens", "text-quality", "A3"),
+    headline=True,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = text.LANG_STOPWORDS["en"]
+    return (
+        docs.select(
+            "lang",
+            text.token_count("text").alias("n_tokens"),
+            text.char_count("text").alias("n_chars_actual"),
+            text.punct_ratio("text").alias("p_ratio"),
+            text.stopword_ratio("text", en).alias("s_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            rnd(F.avg("n_chars_actual"), 4).alias("avg_chars"),
+            rnd(F.avg("p_ratio"), 6).alias("avg_punct_ratio"),
+            rnd(F.avg("s_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — heuristic language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> list_contains([{quoted}], x)))"
+
+
+def _q23_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    hits = ",\n           ".join(
+        f"{_hits_sql(text.LANG_STOPWORDS[lang])} AS h_{lang}" for lang in langs
+    )
+    best = ", ".join(f"h_{lang}" for lang in langs)
+    pred_cases = "\n                ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+    SELECT lang, string_split_regex(lower(text), '\\s+') AS toks
+    FROM documents
+),
+scored AS (
+    SELECT lang,
+           {hits},
+           greatest({best}) AS best
+    FROM t
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN best = 0 THEN 'und'
+                {pred_cases}
+           END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+@register(
+    "q23_lang_id",
+    _q23_oracle(),
+    "Heuristic n-gram/stopword language ID: confusion matrix of labeled "
+    "vs predicted language.",
+    operators=("text-langid", "A8"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.predicted_lang("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact dedup via normalized-text fingerprint (md5)
+# ---------------------------------------------------------------------------
+
+_Q24_ORACLE = """
+WITH fp AS (
+    SELECT source,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT fp) AS n_unique,
+       count(*) - count(DISTINCT fp) AS n_duplicates
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q24_fingerprint_dedup",
+    _Q24_ORACLE,
+    "Exact document dedup on the md5 fingerprint of normalized text, "
+    "reported per source — hash-groupBy dedup (reference INSERT OR IGNORE "
+    "semantics: standardize.py:24,90).",
+    operators=("S9", "dedup-exact", "text-fingerprint"),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup_stats(docs, "text", ["source"]).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q25 — exact n-gram Jaccard near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_Q25_THRESHOLD = 0.5
+
+_Q25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a,
+       doc_b,
+       n_common,
+       sa.n_shingles AS size_a,
+       sb.n_shingles AS size_b,
+       round(1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common) + 1e-9, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {_Q25_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q25_ngram_jaccard_pairs",
+    _Q25_ORACLE,
+    "Exact word-3-gram Jaccard near-dup pairs (threshold 0.5): shingle "
+    "explode → bucket self-join → intersection/union counting.",
+    operators=("dedup-jaccard", "J7"),
+    headline=True,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD)
+    return pairs.withColumn("jaccard", rnd("jaccard", 6)).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q26 — brute-force cosine top-k against a query vector
+# ---------------------------------------------------------------------------
+
+_Q26_ORACLE = """
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) + 1e-9, 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "q26_cosine_topk",
+    _Q26_ORACLE,
+    "Brute-force cosine top-10 neighbors of vector 0 over the embedding "
+    "column — zip_with/aggregate dot products, TakeOrderedAndProject plan.",
+    operators=("sim-cosine-topk", "O1"),
+    headline=True,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).select(
+        "vec_id", "label", "cos_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — per-label embedding norm profile (vector math parity check)
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = """
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))) + 1e-9, 6) AS avg_norm,
+       round(avg(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding)) + 1e-9, 6) AS avg_component_mean
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "q27_embedding_norms",
+    _Q27_ORACLE,
+    "Per-label embedding norm and component-mean profile — array math "
+    "entirely in codegen expressions.",
+    operators=("sim-vector-math", "A3"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    comp_mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding")
+    return (
+        emb.select("label", similarity.norm(v).alias("nrm"), comp_mean.alias("cm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            rnd(F.avg("nrm"), 6).alias("avg_norm"),
+            rnd(F.avg("cm"), 6).alias("avg_component_mean"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (engine-specific hashing — no SQL oracle; verified in
+# pytest against exact Jaccard / exact cosine instead)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_minhash_lsh_pairs",
+    None,
+    "MinHash(16 hashes)+LSH(4 bands) candidate pairs verified by exact "
+    "Jaccard ≥ 0.5. Rows-only check (xxhash64 is Spark-specific); recall "
+    "vs exact Jaccard is pytest-verified.",
+    operators=("dedup-minhash-lsh",),
+    headline=True,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD)
+    return pairs.withColumn("jaccard", rnd("jaccard", 6)).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q29_simhash_near_pairs",
+    None,
+    "SimHash(32-bit) near-dup pairs bucketed on an 8-bit prefix, Hamming "
+    "distance ≤ 6. Rows-only check; overlap with exact Jaccard pairs is "
+    "pytest-verified.",
+    operators=("dedup-simhash",),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q30_ann_lsh_topk",
+    None,
+    "Approximate top-10 neighbors of vector 0 via random-hyperplane LSH "
+    "(8 planes, multiprobe 1). Rows-only check; recall vs brute force is "
+    "pytest-verified.",
+    operators=("sim-ann-lsh",),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
+    planes = similarity.random_hyperplanes(8, len(qvec))
+    return similarity.ann_topk(
+        emb.filter(col("vec_id") != 0), qvec, planes, k=10
+    ).select("vec_id", "label", "cos_sim")

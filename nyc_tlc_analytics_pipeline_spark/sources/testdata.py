@@ -1,0 +1,87 @@
+"""Loaders for the driver-generated synthetic testdata.
+
+``/root/testdata/sf*/`` holds one parquet file per table (TESTDATA.md):
+TPC-H-ish ``region nation customer supplier part orders lineitem`` plus
+``events`` (stream-shaped), ``documents`` (text corpus) and ``embeddings``
+(vector column).  The conformance catalog in ``plans.catalog`` runs against
+these tables; the same loader is used by ``__spark_entry__`` and bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """The conformance queries must produce identical results no matter who
+    built the SparkSession (the driver harness builds a vanilla one), so the
+    two semantics-critical confs are (re)applied here:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: hour()/window() on the (LTZ) event timestamps
+      must match the DuckDB oracle's naive-UTC interpretation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark surfaces it as LongType
+    nanos-since-epoch.  Convert to a proper TimestampType (microsecond
+    precision, truncating — matching DuckDB's ns→us cast semantics).
+    Queries must not return raw ``ts`` values to the oracle differ anyway;
+    they return truncated buckets or extracted fields.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view (for spark.sql)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
