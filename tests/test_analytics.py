@@ -1,0 +1,162 @@
+"""Differential tests of the 14 analytics queries: our Spark DataFrame
+builders vs the REFERENCE'S OWN SQL executed by DuckDB over the identical
+fact/dim data (the reference SQL files are the conformance spec —
+SURVEY §3.2).  Columns compared by name, rows order-insensitively, floats
+with tolerance (cross-engine FP drift is expected here; the driver-grade
+exact check lives in test_catalog_parity.py)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from nyc_tlc_analytics_pipeline_spark.operators.aggregations import build_all
+from nyc_tlc_analytics_pipeline_spark.operators.dimensions import build_all_dims
+from nyc_tlc_analytics_pipeline_spark.operators.standardize import build_fact_trips
+from nyc_tlc_analytics_pipeline_spark.plans.analytics import ANALYTICS
+
+from .tlc_synth import synth_green, synth_hvfhv, synth_yellow, synth_zones
+
+REF_SQL_DIR = "/root/reference/sql/analytics"
+
+
+@pytest.fixture(scope="module")
+def tlc(spark):
+    """Fact + dims + aggs built once from the synthetic raw data."""
+    fact = build_fact_trips(
+        yellow=spark.createDataFrame(synth_yellow()),
+        green=spark.createDataFrame(synth_green()),
+        hvfhv=spark.createDataFrame(synth_hvfhv()),
+    ).cache()
+    dims = build_all_dims(spark, raw_zones=spark.createDataFrame(synth_zones()))
+    # narrow the date dim to the synthetic window (covers 2024-11..2025-01)
+    from nyc_tlc_analytics_pipeline_spark.operators.dimensions import build_dim_date
+
+    dims["dim_date"] = build_dim_date(spark, "2024-01-01", "2025-12-31")
+    aggs = build_all(fact)
+    tables = {"fact_trips": fact, **dims, **aggs}
+    return tables
+
+
+@pytest.fixture(scope="module")
+def duck_tlc(tlc):
+    """The same tables registered in DuckDB (via pandas interchange)."""
+    con = duckdb.connect()
+    for name in (
+        "fact_trips",
+        "dim_zones",
+        "dim_date",
+        "dim_time",
+        "dim_service",
+        "dim_hvfhs_company",
+        "agg_market_share",
+    ):
+        con.register(f"_{name}", tlc[name].toPandas())
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM _{name}")
+    yield con
+    con.close()
+
+
+def _close(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-6, abs_tol=1e-6)
+    return a == b
+
+
+def assert_frames_match(spark_df, duck_res, name):
+    scols = [c.lower() for c in spark_df.columns]
+    dcols = [d[0].lower() for d in duck_res.description]
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    srows = [tuple(r) for r in spark_df.collect()]
+    drows = duck_res.fetchall()
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+    sidx = [scols.index(c) for c in sorted(scols)]
+    didx = [dcols.index(c) for c in sorted(dcols)]
+
+    def norm(rows, idx):
+        return sorted(
+            (tuple(r[i] for i in idx) for r in rows),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+
+    for sr, dr in zip(norm(srows, sidx), norm(drows, didx)):
+        for sv, dv in zip(sr, dr):
+            assert _close(sv, dv), f"{name}: {sr} vs {dr}"
+
+
+def _ref_sql(num: str) -> str:
+    fname = next(f for f in sorted(os.listdir(REF_SQL_DIR)) if f.startswith(num))
+    with open(os.path.join(REF_SQL_DIR, fname)) as fh:
+        return fh.read().rstrip().rstrip(";")
+
+
+# q01..q10 + q13A: our builder vs the reference's own SQL in DuckDB
+_REF_CHECKED = {
+    "a01_top_zones_by_revenue": "01",
+    "a02_hourly_demand_patterns": "02",
+    "a03_market_share_trends": "03",
+    "a04_hvfhv_platform_economics": "04",
+    "a05_pricing_comparison": "05",
+    "a06_airport_trips_analysis": "06",
+    "a07_weekend_vs_weekday": "07",
+    "a08_shared_rides_analysis": "08",
+    "a09_borough_comparison": "09",
+    "a10_data_quality_summary": "10",
+    "a13_hvfhv_take_rate_variance": "13",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_REF_CHECKED))
+def test_analytics_match_reference_sql(tlc, duck_tlc, name):
+    ours = ANALYTICS[name](tlc)
+    res = duck_tlc.execute(_ref_sql(_REF_CHECKED[name]))
+    assert_frames_match(ours, res, name)
+
+
+def test_a11_runs_and_respects_having(tlc):
+    df = ANALYTICS["a11_hvfhv_vs_taxi_pricing_by_zone_hour"](tlc)
+    rows = df.collect()
+    assert all(r.taxi_trip_count >= 10 and r.hvfhv_trip_count >= 10 for r in rows)
+    assert len(rows) <= 50
+
+
+def test_a12_before_after_pivot(tlc):
+    df = ANALYTICS["a12_cbd_congestion_fee_impact"](tlc)
+    rows = {r.service_type: r for r in df.collect()}
+    assert set(rows) == {"yellow", "green", "hvfhv"}
+    for r in rows.values():
+        assert r.trips_before > 0 and r.trips_after > 0
+    assert rows["yellow"].fee_absorption_pattern == "N/A - Traditional Taxi"
+
+
+def test_a13b_trip_length_buckets(tlc):
+    df = ANALYTICS["a13b_take_rate_by_trip_length"](tlc)
+    cats = {r.trip_length_category for r in df.collect()}
+    assert cats <= {
+        "1. Short (<2 mi)",
+        "2. Medium (2-5 mi)",
+        "3. Long (5-10 mi)",
+        "4. Very Long (>10 mi)",
+    }
+    assert len(cats) >= 3
+
+
+def test_a14_share_shift(tlc):
+    df = ANALYTICS["a14_market_share_shift_vs_pricing"](tlc)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.days_active >= 10 for r in rows)
+    assert all(
+        r.share_trend in ("Gaining Share", "Losing Share", "Stable") for r in rows
+    )
