@@ -126,6 +126,80 @@ def ann_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF 'training': the k vectors with the smallest
+    ``xxhash64(id)`` act as centroids (a deterministic pseudo-random
+    sample — real deployments would run k-means; the partition/probe
+    plumbing downstream is identical).  k rows to the driver only."""
+    rows = (
+        df.select(col(id_col).alias("cid"), as_double_array(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(col("cid")))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(r.v)) for i, r in enumerate(rows)]
+
+
+def assign_ivf_bucket(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid (by cosine) bucket id: an array of K cosine
+    expressions + array_position(argmax) — linear expression size.
+    (A nested when()-chain here duplicates subtrees exponentially in K and
+    stalls Catalyst; the array form keeps each dot product exactly once.)
+    Ties break to the first (lowest) centroid index."""
+    v = as_double_array(vec)
+    sims = F.array(
+        *[cosine(v, F.array(*[lit(x) for x in cvec])) for _, cvec in centroids]
+    )
+    # array_position is 1-based; centroids are enumerated 0..K-1
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the
+    ``n_probe`` centroids nearest the query.  With
+    ``n_probe == len(centroids)`` this is EXACTLY brute force (the
+    correctness contract tests rely on); at scale the bucket column is
+    precomputed + partitioned on, so a probe reads n_probe/k of the data.
+    """
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: cos_py(query_vec, c[1]), reverse=True
+        )[:n_probe]
+    ]
+    bucketed = df.withColumn("ivf_bucket", assign_ivf_bucket(vec_col, centroids))
+    return cosine_topk(
+        bucketed.filter(col("ivf_bucket").isin(probe)),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def knn_join_lsh(
     df: DataFrame,
     planes: list[list[float]],

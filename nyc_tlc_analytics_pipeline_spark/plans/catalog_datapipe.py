@@ -325,14 +325,34 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q29_simhash_near_pairs",
     None,
-    "SimHash(32-bit) near-dup pairs bucketed on an 8-bit prefix, Hamming "
-    "distance ≤ 6. Rows-only check; overlap with exact Jaccard pairs is "
-    "pytest-verified.",
+    "SimHash(64-bit) near-dup pairs bucketed on a 12-bit prefix, Hamming "
+    "distance ≤ 6. Rows-only check; separation of near-dup vs random "
+    "pairs is pytest-verified (SimHash targets ~0.9+ similarity).",
     operators=("dedup-simhash",),
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", bits=64, prefix_bits=12, max_hamming=6
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q31_ivf_ann_topk",
+    None,
+    "IVF approximate top-10 neighbors of vector 0 (16 deterministic "
+    "centroids, probe 4). Rows-only check; full-probe == brute-force is "
+    "pytest-verified.",
+    operators=("sim-ann-ivf",),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rest = emb.filter(col("vec_id") != 0)
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(rest, k=16)
+    return similarity.ivf_topk(rest, qvec, cents, k=10, n_probe=4).select(
+        "vec_id", "label", "cos_sim"
+    )
 
 
 @register(

@@ -1,0 +1,91 @@
+"""Structured Streaming tests: each streaming plan must drain the bounded
+events directory (availableNow) and agree with its batch-equivalent
+aggregation on the same data — the batch/streaming unification contract."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+    hourly_type_counts_stream,
+    read_event_stream,
+    run_to_memory_sink,
+    session_windows_stream,
+    sliding_value_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """events parquet re-written as a multi-file directory (micro-batches),
+    with ts already normalized to TimestampType."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_hourly_tumbling_matches_batch(spark, stream_dir):
+    stream = hourly_type_counts_stream(read_event_stream(spark, stream_dir))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "hourly_counts", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("hourly_counts").collect()
+    }
+    from pyspark.sql import functions as F
+
+    expected = {
+        (r.ws, r.event_type): (r.n, round(r.v, 6))
+        for r in _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sliding_windows_cover_each_event_four_times(spark, stream_dir):
+    stream = sliding_value_stream(read_event_stream(spark, stream_dir))
+    run_to_memory_sink(stream, "sliding_value", output_mode="complete")
+    rows = spark.table("sliding_value").collect()
+    n_events_total = _batch_events(spark).count()
+    # 1h window / 15min slide → every event in exactly 4 windows
+    assert sum(r.n_events for r in rows) == 4 * n_events_total
+
+
+def test_session_windows_match_batch_sessionization(spark, stream_dir):
+    stream = session_windows_stream(read_event_stream(spark, stream_dir))
+    run_to_memory_sink(stream, "sessions", output_mode="complete")
+    streamed = (
+        spark.table("sessions")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+    )
+    got = {r.user_id: r.n_sessions for r in streamed.collect()}
+    # batch q19 computes sessions-per-user with the same 30-min gap
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    expected = {
+        r.user_id: r.n_sessions
+        for r in QUERIES["q19_sessionization"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_watermark_present_in_plans(spark, stream_dir):
+    ev = read_event_stream(spark, stream_dir)
+    for builder in (hourly_type_counts_stream, sliding_value_stream, session_windows_stream):
+        plan = builder(ev)._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" in plan
