@@ -1,0 +1,100 @@
+"""Command-line interface — the reference's Click verbs
+(reference: src/cli.py:30-297) on argparse (stdlib-only):
+
+    python -m nyc_tlc_analytics_pipeline_spark.cli init-db
+    python -m nyc_tlc_analytics_pipeline_spark.cli download --start 2024-01 --end 2024-03
+    python -m nyc_tlc_analytics_pipeline_spark.cli load --landing-dir data/raw
+    python -m nyc_tlc_analytics_pipeline_spark.cli quality
+    python -m nyc_tlc_analytics_pipeline_spark.cli transform
+    python -m nyc_tlc_analytics_pipeline_spark.cli aggregates
+    python -m nyc_tlc_analytics_pipeline_spark.cli analytics a01_top_zones_by_revenue
+    python -m nyc_tlc_analytics_pipeline_spark.cli run-e2e --landing-dir data/raw
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .core.config import PipelineConfig
+from .core.session import build_session
+from .pipeline import TlcPipeline
+
+
+def _pipeline(args) -> TlcPipeline:
+    spark = build_session(app_name=f"tlc-{args.command}")
+    cfg = PipelineConfig(warehouse_dir=args.warehouse_dir)
+    return TlcPipeline(spark, cfg)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nyc-tlc-analytics-spark")
+    p.add_argument("--warehouse-dir", default="data/warehouse")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("init-db", help="build + materialize dimension tables").add_argument(
+        "--zones-csv", default=None
+    )
+
+    d = sub.add_parser("download", help="download monthly TLC files (driver-side)")
+    d.add_argument("--start", required=True)
+    d.add_argument("--end", required=True)
+    d.add_argument("--landing-dir", default="data/raw")
+    d.add_argument("--services", default="yellow,green,hvfhv")
+
+    ld = sub.add_parser("load", help="load landing dir into bronze")
+    ld.add_argument("--landing-dir", default="data/raw")
+
+    sub.add_parser("quality", help="run quality checks on bronze tables")
+    sub.add_parser("transform", help="build the silver fact_trips table")
+    sub.add_parser("aggregates", help="build the gold aggregate tables")
+
+    an = sub.add_parser("analytics", help="run one analytics query")
+    an.add_argument("name")
+    an.add_argument("--limit", type=int, default=50)
+
+    e2e = sub.add_parser("run-e2e", help="init + load + quality + transform + aggregates")
+    e2e.add_argument("--landing-dir", default="data/raw")
+    e2e.add_argument("--zones-csv", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.command == "download":
+        from .sources.downloader import download_months, generate_month_range
+
+        months = generate_month_range(args.start, args.end)
+        results = download_months(
+            months, args.landing_dir, tuple(args.services.split(","))
+        )
+        print(json.dumps([r.__dict__ for r in results], indent=2))
+        return 0 if all(r.status != "failed" for r in results) else 1
+
+    pl = _pipeline(args)
+    if args.command == "init-db":
+        print(json.dumps(pl.init_dims(args.zones_csv)))
+    elif args.command == "load":
+        print(json.dumps(pl.load_landing_dir(args.landing_dir), indent=2))
+    elif args.command == "quality":
+        out = {
+            s: [r.__dict__ for r in rs] for s, rs in pl.run_quality_checks().items()
+        }
+        print(json.dumps(out, indent=2, default=str))
+    elif args.command == "transform":
+        print(json.dumps({"fact_rows": pl.build_fact()}))
+    elif args.command == "aggregates":
+        print(json.dumps(pl.build_aggregates()))
+    elif args.command == "analytics":
+        from .plans.analytics import ANALYTICS
+
+        if args.name not in ANALYTICS:
+            print(f"unknown query {args.name}; available: {sorted(ANALYTICS)}", file=sys.stderr)
+            return 2
+        pl.run_analytics(args.name).show(args.limit, truncate=False)
+    elif args.command == "run-e2e":
+        print(json.dumps(pl.run_e2e(args.landing_dir, args.zones_csv), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

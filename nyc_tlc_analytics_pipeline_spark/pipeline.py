@@ -1,0 +1,170 @@
+"""End-to-end pipeline orchestration: the reference's four Prefect stages
+(init → ingest → quality → transform; reference:
+src/orchestration/flows.py:228-294) as plain driver-side phases over a
+parquet warehouse.
+
+Warehouse layout (medallion, replacing the single DB file):
+
+    <warehouse>/bronze/raw_<service>/source_file=<file>/...
+    <warehouse>/silver/fact_trips/service_type=*/pickup_date=*/...
+    <warehouse>/gold/agg_*/
+    <warehouse>/meta/{ingestion_log,data_quality_metrics}/
+
+Each Spark stage boundary is a job; the bronze partition layout makes
+re-ingesting a month idempotent, and the silver partitioning serves the
+same access paths the reference indexed (SURVEY §4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .core.config import PipelineConfig
+from .operators import aggregations, dimensions, quality, standardize
+from .sources import sinks
+from .sources.readers import read_service_parquet, read_zones_csv
+from .sources.tlc_schemas import RAW_SCHEMAS
+
+
+@dataclass
+class TlcPipeline:
+    spark: SparkSession
+    config: PipelineConfig = field(default_factory=PipelineConfig)
+
+    # -- paths ------------------------------------------------------------
+    def bronze(self, service: str) -> str:
+        return os.path.join(self.config.warehouse_dir, "bronze", f"raw_{service}")
+
+    @property
+    def fact_path(self) -> str:
+        return os.path.join(self.config.warehouse_dir, "silver", "fact_trips")
+
+    def gold(self, name: str) -> str:
+        return os.path.join(self.config.warehouse_dir, "gold", name)
+
+    def dim(self, name: str) -> str:
+        return os.path.join(self.config.warehouse_dir, "silver", name)
+
+    def meta(self, name: str) -> str:
+        return os.path.join(self.config.warehouse_dir, "meta", name)
+
+    # -- stage 1: init (dims) ---------------------------------------------
+    def init_dims(self, zones_csv: str | None = None) -> dict[str, int]:
+        """Build + materialize the dimensions (reference stage 1: DDL init;
+        dims are fully derivable so overwrite-rebuild replaces upsert)."""
+        raw_zones = read_zones_csv(self.spark, zones_csv) if zones_csv else None
+        dims = dimensions.build_all_dims(self.spark, raw_zones=raw_zones)
+        counts = {}
+        for name, df in dims.items():
+            sinks.overwrite(df, self.dim(name))
+            counts[name] = self.spark.read.parquet(self.dim(name)).count()
+        return counts
+
+    # -- stage 2: ingest ---------------------------------------------------
+    def load_file(self, path: str, service: str) -> dict:
+        """Validate → align → idempotent bronze append (SURVEY §3.3)."""
+        df = read_service_parquet(self.spark, path, service)
+        fname = os.path.basename(path)
+        written = sinks.idempotent_append(df, self.bronze(service), fname)
+        rows = df.count() if written else 0
+        entry = {
+            "service_type": service,
+            "source_file": fname,
+            "rows_loaded": rows,
+            "file_size_bytes": os.path.getsize(path) if os.path.exists(path) else 0,
+            "status": "success" if written else "skipped_already_loaded",
+        }
+        sinks.append(sinks.ingestion_log_rows(self.spark, [entry]), self.meta("ingestion_log"))
+        return entry
+
+    def load_landing_dir(self, landing_dir: str) -> list[dict]:
+        """Glob the landing dir and load every recognized service file
+        (reference: DataLoader.load_all_downloaded_files)."""
+        results = []
+        for service, prefix in (
+            ("yellow", "yellow_tripdata"),
+            ("green", "green_tripdata"),
+            ("hvfhv", "fhvhv_tripdata"),
+        ):
+            for path in sorted(glob.glob(os.path.join(landing_dir, f"{prefix}*.parquet"))):
+                results.append(self.load_file(path, service))
+        return results
+
+    def raw(self, service: str) -> DataFrame:
+        return self.spark.read.parquet(self.bronze(service))
+
+    def _loaded_services(self) -> list[str]:
+        return [s for s in ("yellow", "green", "hvfhv") if os.path.isdir(self.bronze(s))]
+
+    # -- stage 3: quality --------------------------------------------------
+    def run_quality_checks(self) -> dict[str, list[quality.CheckResult]]:
+        out: dict[str, list[quality.CheckResult]] = {}
+        for service in self._loaded_services():
+            results = quality.run_all_checks(self.raw(service), service, self.config.quality)
+            sinks.append(quality.metrics_df(self.spark, results), self.meta("data_quality_metrics"))
+            out[service] = results
+        return out
+
+    # -- stage 4: transform + aggregates ----------------------------------
+    def build_fact(self) -> int:
+        loaded = {s: self.raw(s) for s in self._loaded_services()}
+        fact = standardize.build_fact_trips(
+            yellow=loaded.get("yellow"), green=loaded.get("green"), hvfhv=loaded.get("hvfhv")
+        )
+        standardize.write_fact_trips(fact, self.fact_path)
+        return self.spark.read.parquet(self.fact_path).count()
+
+    def build_aggregates(self) -> dict[str, int]:
+        fact = self.spark.read.parquet(self.fact_path)
+        counts = {}
+        for name, df in aggregations.build_all(
+            fact, approx=self.config.approx_percentiles
+        ).items():
+            sinks.overwrite(df, self.gold(name))
+            counts[name] = self.spark.read.parquet(self.gold(name)).count()
+        return counts
+
+    # -- analytics ---------------------------------------------------------
+    def tables(self) -> dict[str, DataFrame]:
+        t = {"fact_trips": self.spark.read.parquet(self.fact_path)}
+        for name in ("dim_zones", "dim_date", "dim_time", "dim_service", "dim_hvfhs_company"):
+            p = self.dim(name)
+            if os.path.isdir(p):
+                t[name] = self.spark.read.parquet(p)
+        for name in (
+            "agg_pricing_by_zone_hour",
+            "agg_hvfhv_take_rates",
+            "agg_market_share",
+            "agg_daily_summary",
+        ):
+            p = self.gold(name)
+            if os.path.isdir(p):
+                t[name] = self.spark.read.parquet(p)
+        return t
+
+    def run_analytics(self, name: str) -> DataFrame:
+        from .plans.analytics import ANALYTICS
+
+        return ANALYTICS[name](self.tables())
+
+    # -- end-to-end --------------------------------------------------------
+    def run_e2e(self, landing_dir: str, zones_csv: str | None = None) -> dict:
+        """The full pipeline (reference: cli.py run-e2e → full_pipeline_flow)."""
+        dims = self.init_dims(zones_csv)
+        loads = self.load_landing_dir(landing_dir)
+        qc = self.run_quality_checks()
+        fact_rows = self.build_fact()
+        aggs = self.build_aggregates()
+        return {
+            "dims": dims,
+            "files_loaded": len([r for r in loads if r["status"] == "success"]),
+            "files_skipped": len([r for r in loads if r["status"] != "success"]),
+            "quality_pct": {
+                s: round(quality.overall_quality_pct(rs), 2) for s, rs in qc.items()
+            },
+            "fact_rows": fact_rows,
+            "aggregates": aggs,
+        }

@@ -1,0 +1,56 @@
+"""Readers: service parquet (schema-aligned), zones CSV, file validation.
+
+SURVEY §2.1: S1 (parquet scan), S2 (schema-only read), S3 (CSV with
+inference), S5 (validation source), S17 (introspection helpers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .drift import DriftReport, align_to_schema, detect_drift
+from .tlc_schemas import RAW_SCHEMAS
+
+
+def read_parquet_schema(spark: SparkSession, path: str) -> StructType:
+    """Footer-only schema read (S2) — no data scan is triggered."""
+    return spark.read.parquet(path).schema
+
+
+def validate_parquet(spark: SparkSession, path: str, expected: StructType | None = None):
+    """File validation source (S5): row count, column list, drift report."""
+    df = spark.read.parquet(path)
+    report = detect_drift(df.schema, expected) if expected is not None else DriftReport()
+    return {
+        "path": path,
+        "row_count": df.count(),
+        "columns": df.columns,
+        "drift": report,
+        "valid": not report.is_breaking,
+    }
+
+
+def read_service_parquet(
+    spark: SparkSession, path: str, service: str, align: bool = True
+) -> DataFrame:
+    """Read one monthly service file, aligned to the registry schema
+    (missing cols → NULL, extras dropped, types cast — the Spark form of
+    the reference's drift-evolved load, SURVEY §3.3)."""
+    df = spark.read.parquet(path)
+    if align:
+        df = align_to_schema(df, RAW_SCHEMAS[service], strict_types=False)
+    return df
+
+
+def read_zones_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Taxi-zone lookup CSV with header + inference (S3; reference:
+    read_csv_auto, src/database/schema.py:63-66)."""
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)
+
+
+def table_info(df: DataFrame) -> dict:
+    """Catalog introspection (S17): schema + row count."""
+    return {
+        "columns": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        "row_count": df.count(),
+    }

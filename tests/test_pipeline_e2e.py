@@ -1,0 +1,94 @@
+"""End-to-end pipeline test: landing dir of service parquet + zones CSV →
+init-db → load → quality → transform → aggregates → analytics, through
+the TlcPipeline API and the CLI."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nyc_tlc_analytics_pipeline_spark.core.config import PipelineConfig
+from nyc_tlc_analytics_pipeline_spark.pipeline import TlcPipeline
+
+from .tlc_synth import synth_green, synth_hvfhv, synth_yellow, synth_zones
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    synth_yellow(400).drop(columns=["source_file"]).to_parquet(
+        d / "yellow_tripdata_2025-01.parquet"
+    )
+    synth_green(150).drop(columns=["source_file"]).to_parquet(
+        d / "green_tripdata_2025-01.parquet"
+    )
+    synth_hvfhv(800).drop(columns=["source_file"]).to_parquet(
+        d / "fhvhv_tripdata_2025-01.parquet"
+    )
+    synth_zones().to_csv(d / "taxi_zones.csv", index=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, landing, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    return TlcPipeline(spark, PipelineConfig(warehouse_dir=wh))
+
+
+def test_run_e2e(pipeline, landing):
+    summary = pipeline.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"))
+    assert summary["dims"]["dim_zones"] == 13
+    assert summary["dims"]["dim_time"] == 24
+    assert summary["dims"]["dim_date"] == 1826
+    assert summary["files_loaded"] == 3
+    assert summary["fact_rows"] == 400 + 150 + 800
+    assert set(summary["aggregates"]) == {
+        "agg_pricing_by_zone_hour",
+        "agg_hvfhv_take_rates",
+        "agg_market_share",
+        "agg_daily_summary",
+    }
+    assert all(95.0 < v <= 100.0 for v in summary["quality_pct"].values())
+
+
+def test_reload_is_idempotent(pipeline, landing):
+    results = pipeline.load_landing_dir(str(landing))
+    assert all(r["status"] == "skipped_already_loaded" for r in results)
+    assert pipeline.spark.read.parquet(pipeline.fact_path).count() == 1350
+
+
+def test_fact_partition_layout(pipeline):
+    base = pipeline.fact_path
+    assert os.path.isdir(os.path.join(base, "service_type=yellow"))
+    parts = os.listdir(os.path.join(base, "service_type=yellow"))
+    assert any(p.startswith("pickup_date=") for p in parts)
+
+
+def test_analytics_over_warehouse(pipeline):
+    df = pipeline.run_analytics("a01_top_zones_by_revenue")
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert rows[0].total_revenue >= rows[-1].total_revenue
+
+
+def test_ingestion_log_written(pipeline):
+    log = pipeline.spark.read.parquet(pipeline.meta("ingestion_log"))
+    # 3 loads + 3 skipped re-loads
+    assert log.count() == 6
+    assert set(r.status for r in log.collect()) == {"success", "skipped_already_loaded"}
+
+
+def test_quality_metrics_written(pipeline):
+    m = pipeline.spark.read.parquet(pipeline.meta("data_quality_metrics"))
+    assert m.count() == 12  # 4 checks x 3 services
+    assert {r.service_type for r in m.collect()} == {"yellow", "green", "hvfhv"}
+
+
+def test_cli_analytics_unknown_query(pipeline, capsys):
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    rc = main(["--warehouse-dir", pipeline.config.warehouse_dir, "analytics", "nope"])
+    assert rc == 2
+    assert "unknown query" in capsys.readouterr().err
