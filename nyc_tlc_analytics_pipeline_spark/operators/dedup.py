@@ -59,7 +59,12 @@ def shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lower-cased text (array<string>).
     Documents shorter than n tokens produce their full token join as the
     single shingle.  Built as a SQL expression (sequence + slice +
-    concat_ws) so the whole thing stays in whole-stage codegen."""
+    concat_ws) so the whole thing stays in whole-stage codegen.
+
+    NOTE: when the expression sits inside a ``transform`` lambda the regex
+    split would be re-evaluated per element; for bulk use prefer
+    ``doc_shingles`` below, which materializes the token array in its own
+    projection first."""
     toks = f"split(lower({text_col}), '\\\\s+')"
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
@@ -67,9 +72,28 @@ def shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, sh: array<string>) with the tokenization evaluated ONCE per
+    row: the split lands in its own projection (referenced twice, so
+    CollapseProject keeps it), and the shingle lambda only slices the
+    materialized token array.  Inlining the split into the lambda costs a
+    regex tokenization per shingle — ~100× per document."""
+    toks = df.select(
+        col(id_col).alias("doc"),
+        F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
+    )
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
+    )
+    return toks.select("doc", F.expr(expr).alias("sh"))
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Exploded (id, shingle) pairs — the join key for candidate generation."""
-    return df.select(col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
+    return doc_shingles(df, id_col, text_col, n).select(
+        "doc", F.explode("sh").alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -78,37 +102,103 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ threshold for all pairs — EXACT results via
+    prefix filtering (Bayardo et al. WWW'07 / Vernica et al. SIGMOD'10):
 
-    Plan shape: explode → self-equi-join on shingle (shuffled hash join)
-    → groupBy pair counting the intersection → broadcast-join per-doc
-    shingle counts → |∪| = |A|+|B|−|∩|.  Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b and jaccard ≥ threshold.
+    1. rank shingles globally by (document frequency, shingle) — a total
+       order putting rare shingles first;
+    2. each doc only emits its prefix — the first
+       ``|A| − ⌈t·|A|⌉ + 1`` shingles in that order — into the self-join
+       (any pair with J ≥ t MUST share a prefix shingle, since required
+       overlap is ≥ ⌈t·|A|⌉);
+    3. candidates pass a size-compatibility filter
+       (``t·|A| ≤ |B| ≤ |A|/t``), then are verified exactly with
+       ``array_intersect`` on the full shingle sets.
 
-    At 100 TB the only scale hazard is a stop-shingle appearing in a huge
-    fraction of docs (quadratic bucket). Standard mitigation (not needed at
-    test scale, noted for ops): drop shingles with document-frequency above
-    a cap before the self-join.
-    """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(col("doc").alias("doc_a"), "shingle")
-    b = sh.select(col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    This removes the quadratic blow-up of frequent shingles (a shingle in
+    k docs contributes k² join rows; frequent shingles land in nobody's
+    prefix).  ``prefix_filter=None`` (default) picks adaptively: below
+    ~50k docs the naive self-join wins (the pruning only pays for its two
+    extra shuffles + ranking pass once the df² candidate explosion is the
+    dominant cost); ``False`` forces the naive plan (differential
+    baseline in tests), ``True`` forces pruning."""
+    if prefix_filter is None:
+        prefix_filter = df.count() >= 50_000
+    sizes = doc_shingles(df, id_col, text_col, n).select(
+        "doc", F.size("sh").alias("n_shingles")
     )
-    sa = sizes.select(col("doc").alias("doc_a"), col("n_shingles").alias("size_a"))
-    sb = sizes.select(col("doc").alias("doc_b"), col("n_shingles").alias("size_b"))
+    if not prefix_filter:
+        sh = shingle_table(df, id_col, text_col, n)
+        a = sh.select(col("doc").alias("doc_a"), "shingle")
+        b = sh.select(col("doc").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(col("doc").alias("doc_a"), col("n_shingles").alias("size_a"))
+        sb = sizes.select(col("doc").alias("doc_b"), col("n_shingles").alias("size_b"))
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                col("n_common") / (col("size_a") + col("size_b") - col("n_common")),
+            )
+            .filter(col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+        )
+
+    sh = shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    # per-doc shingle array sorted by the global (df, shingle) order
+    sorted_sh = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_cnt", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh_sorted")
+        )
+        .withColumn("sz", F.size("sh_sorted"))
+    )
+    t = float(threshold)
+    prefix = sorted_sh.select(
+        "doc",
+        "sz",
+        F.explode(
+            F.expr(f"slice(sh_sorted, 1, sz - CAST(ceil({t} * sz) AS INT) + 1)")
+        ).alias("shingle"),
+    )
+    a = prefix.select(col("doc").alias("doc_a"), col("sz").alias("size_a"), "shingle")
+    b = prefix.select(col("doc").alias("doc_b"), col("sz").alias("size_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (col("doc_a") < col("doc_b"))
+            & (col("size_b") >= t * col("size_a"))
+            & (col("size_b") <= col("size_a") / t)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = sorted_sh.select(
+        col("doc").alias("doc_a"), col("sh_sorted").alias("sh_a"), col("sz").alias("size_a")
+    )
+    fb = sorted_sh.select(
+        col("doc").alias("doc_b"), col("sh_sorted").alias("sh_b"), col("sz").alias("size_b")
+    )
+    inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("n_common", inter)
         .withColumn(
-            "jaccard",
-            col("n_common") / (col("size_a") + col("size_b") - col("n_common")),
+            "jaccard", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
         )
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
@@ -188,14 +278,27 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+
+    The exact check runs ONLY on the candidate pairs (array_intersect on
+    the two docs' shingle sets) — never the full shingle self-join.  That
+    is the whole point of LSH: candidate generation is the banded
+    signature join; verification cost is |candidates|, not |corpus|²."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    per_doc = doc_shingles(df, id_col, text_col, n)
+    a = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
+    b = per_doc.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
+    union = F.size(col("sh_a")) + F.size(col("sh_b")) - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

@@ -234,15 +234,25 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # one percentile buffer for all three quantiles (array form), not three
+    pcts = F.percentile("l_extendedprice", F.array(lit(0.25), lit(0.5), lit(0.75)))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            rnd(F.percentile("l_extendedprice", lit(0.25)), 4).alias("price_p25"),
-            rnd(F.percentile("l_extendedprice", lit(0.5)), 4).alias("price_p50"),
-            rnd(F.percentile("l_extendedprice", lit(0.75)), 4).alias("price_p75"),
+            pcts.alias("pcts"),
             rnd(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
             rnd(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_items",
+            rnd(col("pcts")[0], 4).alias("price_p25"),
+            rnd(col("pcts")[1], 4).alias("price_p50"),
+            rnd(col("pcts")[2], 4).alias("price_p75"),
+            "price_stddev",
+            "avg_discount",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
