@@ -1127,6 +1127,173 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q32 — global (no GROUP BY) quality-check aggregation (A11)
+# Reference shape: quality_checks.py:27-36 single-pass checks
+# ---------------------------------------------------------------------------
+
+_Q32_ORACLE = """
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
+       sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_out_of_range,
+       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+       CAST(min(l_shipdate) AS DATE) AS earliest_ship,
+       CAST(max(l_shipdate) AS DATE) AS latest_ship,
+       round(avg(l_quantity) + 1e-9, 4) AS avg_qty
+FROM lineitem
+"""
+
+
+@register(
+    "q32_global_quality_checks",
+    _Q32_ORACLE,
+    "Single-pass global quality aggregation over the fact table — the "
+    "reference's quality-check shape (A11). Reference: quality_checks.py:27-36.",
+    operators=("A11", "A4"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        F.sum(when(col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpositive_qty"),
+        F.sum(when((col("l_discount") < 0) | (col("l_discount") > 0.1), 1).otherwise(0)).alias(
+            "discount_out_of_range"
+        ),
+        F.sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).alias("nonpositive_price"),
+        F.sum(when(col("l_shipdate").isNull(), 1).otherwise(0)).alias("null_shipdate"),
+        F.min(col("l_shipdate").cast("date")).alias("earliest_ship"),
+        F.max(col("l_shipdate").cast("date")).alias("latest_ship"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — relational pivot (groupBy().pivot()) — the dedicated pivot operator
+# beyond the reference's CASE-based pivoting (A4)
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+SELECT extract(year FROM o_orderdate) AS order_year,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
+       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+_Q33_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_Q33_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "q33_priority_pivot",
+    _Q33_ORACLE,
+    "Yearly order counts pivoted by priority — Spark's dedicated "
+    "groupBy().pivot() operator (explicit value list keeps the plan to one "
+    "pass, no value-discovery job).",
+    operators=("pivot", "A4"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    df = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", _Q33_PRIORITIES)
+        .count()
+    )
+    for src, dst in zip(_Q33_PRIORITIES, _Q33_ALIASES):
+        df = df.withColumnRenamed(src, dst)
+    # pivot yields NULL for empty cells; the CASE oracle yields 0
+    fills = {a: 0 for a in _Q33_ALIASES}
+    return df.fillna(fills).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# q34 — set operations (INTERSECT / EXCEPT) — beyond the reference (§2.7
+# records none used)
+# ---------------------------------------------------------------------------
+
+_Q34_ORACLE = """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996)
+SELECT 'both_years' AS cohort, count(*) AS n_customers FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+UNION ALL
+SELECT 'only_1995' AS cohort, count(*) AS n_customers FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+UNION ALL
+SELECT 'only_1996' AS cohort, count(*) AS n_customers FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c95)
+ORDER BY cohort
+"""
+
+
+@register(
+    "q34_customer_cohort_setops",
+    _Q34_ORACLE,
+    "Customer cohorts via INTERSECT / EXCEPT — distinct-set operators "
+    "(absent from the reference, §2.7; standard retention analysis).",
+    operators=("set-intersect", "set-except", "A2"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = c95.intersect(c96).agg(F.count("*").alias("n_customers")).select(
+        lit("both_years").alias("cohort"), "n_customers"
+    )
+    only95 = c95.exceptAll(c96).agg(F.count("*").alias("n_customers")).select(
+        lit("only_1995").alias("cohort"), "n_customers"
+    )
+    only96 = c96.exceptAll(c95).agg(F.count("*").alias("n_customers")).select(
+        lit("only_1996").alias("cohort"), "n_customers"
+    )
+    return both.unionByName(only95).unionByName(only96).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# q35 — keep-first dedup (INSERT OR IGNORE semantics, deterministic form)
+# Reference shape: standardize.py:24,90
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+WITH kept AS (
+    SELECT lang, source, min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang, source
+)
+SELECT lang,
+       count(*) AS n_groups,
+       sum(first_doc) AS first_doc_checksum
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q35_keep_first_dedup",
+    _Q35_ORACLE,
+    "Deterministic keep-first dedup per (lang, source) via window-min — "
+    "the engine's INSERT OR IGNORE equivalent with a defined survivor "
+    "(reference keeps an arbitrary one: standardize.py:24,90).",
+    operators=("S9", "W2", "dedup-exact"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, ["lang", "source"], "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("doc_id").alias("first_doc_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Data-pipeline extension queries (dedup / text / similarity) register
 # themselves into the same QUERIES dict on import.
 from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

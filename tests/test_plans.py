@@ -1,0 +1,99 @@
+"""Physical-plan audits: the optimizations the engine claims must be
+visible in explain output — filter pushdown to the parquet scan, broadcast
+joins for dims, TakeOrderedAndProject for top-k, column pruning
+(ReadSchema), and whole-stage codegen coverage (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_broadcasts_dims_and_takeordered(spark):
+    df = QUERIES["q01_top_nations_by_revenue"].build(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").filter("l_quantity > 30").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_returnflag")
+    plan = _plan(li)
+    # scan reads only the projected column
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
+
+
+def test_q09_semi_join_is_broadcast(spark):
+    plan = _plan(QUERIES["q09_semi_join_suppliers"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q10_anti_join_present(spark):
+    plan = _plan(QUERIES["q10_orders_without_items"].build(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_q26_topk_has_no_full_sort_shuffle(spark):
+    plan = _plan(QUERIES["q26_cosine_topk"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_everywhere_hot(spark):
+    for name in ("q01_top_nations_by_revenue", "q04_price_percentiles", "q22_doc_token_stats"):
+        df = QUERIES[name].build(spark, SF_SMOKE)
+        df.collect()  # finalize the AQE plan
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan, name
+        # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
+        assert "*(" in plan, name
+
+
+def test_no_cartesian_products_in_catalog(spark):
+    for name, spec in QUERIES.items():
+        plan = _optimized(spec.build(spark, SF_SMOKE))
+        # the only intentional 1-row cross join is q14's scalar quartiles
+        if name == "q14_nation_share_vs_global":
+            continue
+        assert "Join Cross" not in plan, name
+
+
+def test_fact_scan_prunes_partitions(spark, tmp_path):
+    from nyc_tlc_analytics_pipeline_spark.operators.standardize import (
+        build_fact_trips,
+        write_fact_trips,
+    )
+
+    from .tlc_synth import synth_yellow
+
+    fact = build_fact_trips(yellow=spark.createDataFrame(synth_yellow(300)))
+    path = str(tmp_path / "fact")
+    write_fact_trips(fact, path)
+    rb = spark.read.parquet(path).filter(
+        "service_type = 'yellow' AND pickup_date = DATE'2025-01-10'"
+    )
+    plan = _plan(rb)
+    # partition filters handled at planning: no data-filter on the two
+    # partition columns remains in the scan
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(service_type" in plan or "service_type#" in plan.split("PartitionFilters")[1][:300]
