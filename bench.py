@@ -42,6 +42,48 @@ def main() -> None:
         QUERIES[name].build(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ingest/standardize throughput: generate yellow-shaped rows with pure
+    # Spark expressions, run the full standardize+dedup transform, count.
+    # Comparable to the reference's raw-load throughput (BASELINE.md:
+    # ~49M rows in ≤2 min ≈ 400k+ rows/s single node).
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators.standardize import build_fact_trips
+
+    n_rows = int(os.environ.get("BENCH_INGEST_ROWS", "2000000"))
+    base_ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
+    raw = spark.range(n_rows).select(
+        (F.col("id") % 2 + 1).cast("int").alias("VendorID"),
+        (base_ts + F.make_interval(secs=(F.col("id") % 2592000).cast("double"))).alias(
+            "tpep_pickup_datetime"
+        ),
+        (
+            base_ts
+            + F.make_interval(secs=((F.col("id") % 2592000) + 300 + F.col("id") % 3600).cast("double"))
+        ).alias("tpep_dropoff_datetime"),
+        F.lit(1.0).alias("passenger_count"),
+        ((F.col("id") % 1800) / 100.0 + 0.3).alias("trip_distance"),
+        F.lit(1.0).alias("RatecodeID"),
+        F.lit("N").alias("store_and_fwd_flag"),
+        (F.col("id") % 260 + 1).cast("int").alias("PULocationID"),
+        (F.col("id") % 259 + 1).cast("int").alias("DOLocationID"),
+        F.lit(1).alias("payment_type"),
+        ((F.col("id") % 4000) / 100.0 + 3.0).alias("fare_amount"),
+        F.lit(0.5).alias("extra"),
+        F.lit(0.5).alias("mta_tax"),
+        ((F.col("id") % 700) / 100.0).alias("tip_amount"),
+        F.lit(0.0).alias("tolls_amount"),
+        F.lit(0.3).alias("improvement_surcharge"),
+        ((F.col("id") % 4000) / 100.0 + 6.8).alias("total_amount"),
+        F.lit(2.5).alias("congestion_surcharge"),
+        F.lit(0.0).alias("Airport_fee"),
+        F.lit("bench.parquet").alias("source_file"),
+    )
+    t0 = time.perf_counter()
+    fact_rows = build_fact_trips(yellow=raw).count()
+    ingest_secs = time.perf_counter() - t0
+    ingest_rows_per_sec = int(fact_rows / ingest_secs)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline-query wall-clock (sum)",
@@ -51,6 +93,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_queries": len(timings),
+        "ingest_rows": fact_rows,
+        "ingest_secs": round(ingest_secs, 3),
+        "ingest_rows_per_sec": ingest_rows_per_sec,
     }
     print(json.dumps(result))
     spark.stop()
