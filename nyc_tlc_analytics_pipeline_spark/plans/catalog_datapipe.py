@@ -302,6 +302,101 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q36 — heuristic document quality score (length/punct/stopword components)
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = f"""
+WITH t AS (
+    SELECT source,
+           string_split_regex(lower(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           (least(1.0 * len(toks) / 200.0, 1.0)
+            + (1.0 - least(5.0 * n_punct / nullif(n_chars, 0), 1.0))
+            + least(4.0 * len(list_filter(toks, x -> list_contains([{_EN}], x)))
+                    / nullif(len(toks), 0), 1.0)) / 3.0 AS quality
+    FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(quality) + 1e-9, 6) AS avg_quality,
+       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q36_doc_quality_scores",
+    _Q36_ORACLE,
+    "Heuristic quality score per document (length + punctuation noise + "
+    "stopword presence, the cheap LLM-data pre-filter), rolled up per "
+    "source with a keep-threshold count.",
+    operators=("text-quality", "A4"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score("text")
+    return (
+        docs.select("source", q.alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            rnd(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.when(col("quality") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — sliding windows in batch form (each event lands in 4 overlapping
+# 1h/15min windows; oracle enumerates the 4 aligned starts)
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+WITH expanded AS (
+    SELECT to_timestamp(cast(floor(epoch(ts::TIMESTAMP) / 900) AS BIGINT) * 900 - k * 900)
+               AS window_start,
+           value
+    FROM events, unnest([0, 1, 2, 3]) AS u(k)
+)
+SELECT window_start::TIMESTAMP AS window_start,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 2) AS total_value
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "q37_sliding_windows",
+    _Q37_ORACLE,
+    "1-hour windows sliding every 15 minutes (batch form of the streaming "
+    "sliding aggregation; every event contributes to 4 windows).",
+    operators=("streaming-sliding-batch", "A8"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").getField("start").alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only entries (engine-specific hashing — no SQL oracle; verified in
 # pytest against exact Jaccard / exact cosine instead)
 # ---------------------------------------------------------------------------
