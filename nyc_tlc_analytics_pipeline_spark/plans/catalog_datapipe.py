@@ -27,7 +27,9 @@ from .catalog import register
 # q22 — per-language token/char/punct/stopword statistics
 # ---------------------------------------------------------------------------
 
-_EN = "'the', 'a', 'of', 'and', 'to', 'in'"
+# derived from the single source of truth so editing LANG_STOPWORDS can
+# never silently desync the oracle SQL from the Spark side
+_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
 
 _Q22_ORACLE = f"""
 WITH t AS (
@@ -314,11 +316,14 @@ WITH t AS (
     FROM documents
 ),
 scored AS (
+    -- quality rounded with the nudge BEFORE thresholding: the two engines
+    -- may differ by 1 ulp in association order, and the keep-threshold
+    -- comparison must not flip on that
     SELECT source,
-           (least(1.0 * len(toks) / 200.0, 1.0)
+           round((least(1.0 * len(toks) / 200.0, 1.0)
             + (1.0 - least(5.0 * n_punct / nullif(n_chars, 0), 1.0))
             + least(4.0 * len(list_filter(toks, x -> list_contains([{_EN}], x)))
-                    / nullif(len(toks), 0), 1.0)) / 3.0 AS quality
+                    / nullif(len(toks), 0), 1.0)) / 3.0 + 1e-9, 6) AS quality
     FROM t
 )
 SELECT source,
@@ -341,7 +346,7 @@ ORDER BY source
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    q = text.quality_score("text")
+    q = rnd(text.quality_score("text"), 6)  # nudged round before threshold
     return (
         docs.select("source", q.alias("quality"))
         .groupBy("source")
@@ -361,12 +366,16 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q37_ORACLE = """
 WITH expanded AS (
-    SELECT to_timestamp(cast(floor(epoch(ts::TIMESTAMP) / 900) AS BIGINT) * 900 - k * 900)
-               AS window_start,
+    -- make_timestamp(epoch_micros) is timezone-neutral (naive UTC), unlike
+    -- to_timestamp(...)::TIMESTAMP which converts via the session TimeZone
+    SELECT make_timestamp(
+               (cast(floor(epoch(ts::TIMESTAMP) / 900) AS BIGINT) * 900 - k * 900) * 1000000
+           ) AS window_start,
            value
     FROM events, unnest([0, 1, 2, 3]) AS u(k)
+    WHERE ts IS NOT NULL
 )
-SELECT window_start::TIMESTAMP AS window_start,
+SELECT window_start,
        count(*) AS n_events,
        round(sum(value) + 1e-9, 2) AS total_value
 FROM expanded
@@ -383,7 +392,7 @@ ORDER BY window_start
     operators=("streaming-sliding-batch", "A8"),
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window("ts", "1 hour", "15 minutes").getField("start").alias("window_start")
