@@ -1,0 +1,103 @@
+"""Temporal join operators Spark lacks as primitives: as-of join and
+range (interval) join — expressed as compositions of existing DataFrame
+ops (SURVEY §7 extension; the conformance oracles use DuckDB's native
+ASOF JOIN / inequality joins).
+
+Scale design:
+
+- **as-of join** uses the union-and-carry-forward plan: tag both sides,
+  union, one shuffle+sort per key by (ts, side), then a window
+  ``last(value, ignorenulls)`` carries the most recent right-side row
+  onto each left row.  One shuffle total — no range explosion, no
+  per-row binary search, skew bounded by the key partitioning (same
+  shape Flink/kdb use for temporal joins).
+- **range join** buckets both sides to ``window`` granularity and joins
+  each left bucket to its two adjacent right buckets before the exact
+  interval filter — turning an inequality join (cartesian per key) into
+  an equi-join with ≤2× duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right row
+    with ``right_ts <= left_ts`` (direction='backward'; the classic
+    trades/quotes as-of).  Ties on equal timestamps prefer the right row
+    (it 'happened' at or before the left event).
+
+    Returns all left columns + the as-of value columns (NULL when no
+    prior right row exists).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    lt = left.withColumn("__ts", col(left_ts)).withColumn("__side", lit(1))
+    rt = (
+        right.select(
+            col(on),
+            col(right_ts).alias("__ts"),
+            *[col(c).alias(f"__v_{c}") for c in value_cols],
+        )
+        .withColumn("__side", lit(0))
+    )
+    lt_aligned = lt
+    for c in value_cols:
+        lt_aligned = lt_aligned.withColumn(f"__v_{c}", lit(None).cast(rt.schema[f"__v_{c}"].dataType))
+    unioned = lt_aligned.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at the same __ts (side 0 < 1) so an
+    # exactly-simultaneous quote is visible to the trade
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same key whose timestamps are
+    within ``window_seconds`` of each other (|l.ts − r.ts| ≤ w), as an
+    equi-join on (key, time bucket) probing each left row's own and two
+    adjacent buckets — never a per-key cross product."""
+    bucket_l = F.floor(col(left_ts).cast("double") / window_seconds)
+    bucket_r = F.floor(col(right_ts).cast("double") / window_seconds)
+    lt = left.withColumn("__bl", bucket_l).withColumn(
+        "__probe", F.explode(F.array(lit(-1), lit(0), lit(1)))
+    ).withColumn("__bucket", col("__bl") + col("__probe"))
+    rt = right.withColumn("__bucket", bucket_r)
+    joined = lt.join(rt, [on, "__bucket"])
+    keep = (
+        F.abs(col(left_ts).cast("double") - col(right_ts).cast("double"))
+        <= window_seconds
+    )
+    return joined.filter(keep).drop("__bl", "__probe", "__bucket")

@@ -1294,6 +1294,157 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q38 — as-of join (nearest prior event; union + carry-forward plan)
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id,
+       count(*) AS n_purchases,
+       count(c.value) AS n_with_prior_click,
+       round(sum(c.value) + 1e-9, 2) AS total_prior_click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+@register(
+    "q38_asof_join",
+    _Q38_ORACLE,
+    "As-of join: each purchase picks up the user's latest prior click "
+    "(union + per-key sort + last(ignorenulls) carry-forward — one "
+    "shuffle, no range explosion). Oracle: DuckDB native ASOF JOIN.",
+    operators=("join-asof", "W2"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "ts", col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("asof_value").alias("n_with_prior_click"),
+            rnd(F.sum("asof_value"), 2).alias("total_prior_click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — range (interval) join via bucketed equi-join
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, ts::TIMESTAMP AS ts_err, value AS err_value
+    FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id,
+       count(*) AS n_pairs,
+       round(avg(abs(epoch(p.ts - e.ts_err))) + 1e-9, 2) AS avg_gap_secs,
+       round(sum(e.err_value) + 1e-9, 2) AS total_err_value
+FROM p
+JOIN e ON p.user_id = e.user_id AND abs(epoch(p.ts - e.ts_err)) <= 3600
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+@register(
+    "q39_range_join",
+    _Q39_ORACLE,
+    "Range join: purchase/error pairs within 1 hour per user — bucketed "
+    "equi-join probing adjacent buckets instead of a per-key cross "
+    "product. Oracle: DuckDB inequality join.",
+    operators=("join-range",),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", col("ts").alias("p_ts")
+    )
+    errors = ev.filter(col("event_type") == "error").select(
+        "user_id", col("ts").alias("e_ts"), col("value").alias("err_value")
+    )
+    pairs = range_join(purchases, errors, "user_id", "p_ts", "e_ts", 3600)
+    gap = F.abs(col("p_ts").cast("double") - col("e_ts").cast("double"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            rnd(F.avg(gap), 2).alias("avg_gap_secs"),
+            rnd(F.sum("err_value"), 2).alias("total_err_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — ROLLUP hierarchy totals (beyond the reference: §2.4 notes none)
+# ---------------------------------------------------------------------------
+
+_Q40_ORACLE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, l_returnflag)
+ORDER BY nation, returnflag
+"""
+
+
+@register(
+    "q40_rollup_revenue",
+    _Q40_ORACLE,
+    "Revenue with ROLLUP subtotals per nation and grand total — grouping "
+    "sets (absent from the reference, SURVEY §2.4).",
+    operators=("rollup", "A3", "J1"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(broadcast(sup), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .rollup("n_name", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            rnd(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(col("n_name"), lit("ALL")).alias("nation"),
+            F.coalesce(col("l_returnflag"), lit("ALL")).alias("returnflag"),
+            "n_items",
+            "revenue",
+        )
+        .orderBy("nation", "returnflag")
+    )
+
+
 # Data-pipeline extension queries (dedup / text / similarity) register
 # themselves into the same QUERIES dict on import.
 from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

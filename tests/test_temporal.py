@@ -1,0 +1,109 @@
+"""As-of and range join operators: hand-built truth tables + a naive
+inequality-join differential."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_tlc_analytics_pipeline_spark.operators.temporal import asof_join, range_join
+
+T = datetime
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, T(2024, 1, 1, 10, 0, 0), 100.0),
+        (1, T(2024, 1, 1, 10, 5, 0), 101.0),
+        (1, T(2024, 1, 1, 9, 0, 0), 99.0),  # before any quote
+        (2, T(2024, 1, 1, 10, 0, 0), 200.0),  # user with no quotes at all
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, price double")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        (1, T(2024, 1, 1, 9, 30, 0), 10.0),
+        (1, T(2024, 1, 1, 10, 0, 0), 20.0),  # simultaneous with first trade
+        (1, T(2024, 1, 1, 10, 4, 59), 30.0),
+        (1, T(2024, 1, 1, 10, 6, 0), 40.0),  # after everything
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, quote double")
+
+
+def test_asof_backward_semantics(trades, quotes):
+    out = {
+        (r.user_id, r.ts): r.asof_quote
+        for r in asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts", value_cols=["quote"]
+        ).collect()
+    }
+    assert out[(1, T(2024, 1, 1, 9, 0, 0))] is None  # no prior quote
+    assert out[(1, T(2024, 1, 1, 10, 0, 0))] == 20.0  # equal ts counts
+    assert out[(1, T(2024, 1, 1, 10, 5, 0))] == 30.0  # latest prior, not later
+    assert out[(2, T(2024, 1, 1, 10, 0, 0))] is None  # key with no right rows
+
+
+def test_asof_matches_duckdb_native(spark, trades, quotes):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    duck = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """
+            SELECT t.user_id, t.ts, q.quote
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.user_id = q.user_id AND t.ts >= q.ts
+            """
+        ).fetchall()
+    }
+    ours = {
+        (r.user_id, r.ts): r.asof_quote
+        for r in asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts", value_cols=["quote"]
+        ).collect()
+    }
+    assert ours == duck
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(11)
+    base = T(2024, 1, 1).timestamp()
+    left = spark.createDataFrame(
+        [(rng.randint(1, 5), T.fromtimestamp(base + rng.randint(0, 86400))) for _ in range(300)],
+        "k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(rng.randint(1, 5), T.fromtimestamp(base + rng.randint(0, 86400))) for _ in range(300)],
+        "k int, rts timestamp",
+    )
+    fast = range_join(left, right, "k", "lts", "rts", 1800)
+    naive = left.join(right, "k").filter(
+        F.abs(F.col("lts").cast("double") - F.col("rts").cast("double")) <= 1800
+    )
+    assert fast.count() == naive.count()
+    fs = sorted((r.k, r.lts, r.rts) for r in fast.collect())
+    ns = sorted((r.k, r.lts, r.rts) for r in naive.collect())
+    assert fs == ns
+
+
+def test_range_join_boundary_inclusive(spark):
+    left = spark.createDataFrame([(1, T(2024, 1, 1, 12, 0, 0))], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 11, 0, 0)),  # exactly 3600s before
+            (1, T(2024, 1, 1, 13, 0, 1)),  # 3601s after
+        ],
+        "k int, rts timestamp",
+    )
+    got = range_join(left, right, "k", "lts", "rts", 3600).collect()
+    assert len(got) == 1 and got[0].rts == T(2024, 1, 1, 11, 0, 0)
