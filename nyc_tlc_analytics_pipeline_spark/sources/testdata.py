@@ -55,6 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like load_table, but guarantees enough input splits to use the
+    cluster.  Small single-row-group parquet files arrive as ONE split
+    (row-group granularity caps splitting below maxPartitionBytes), which
+    serializes every expression-heavy map stage onto one core; a cheap
+    round-robin repartition unlocks the other N−1.  No-op when the source
+    is already split (the 100 TB case)."""
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
+
+
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` Spark surfaces it as LongType

@@ -116,6 +116,27 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert set(partial) <= all_ids
 
 
+def test_embedding_near_dup_finds_planted_duplicates(spark):
+    """Plant near-identical copies (tiny perturbation) of real vectors;
+    the LSH-bucketed operator must recover every planted pair and nothing
+    from the random background (cos ≥ 0.98)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    copies = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x * 1.0001 AS FLOAT))").alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    pairs = dedup.embedding_near_dup_pairs(corpus, threshold=0.98)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    expected = {(i, i + 100000) for i in range(20)}
+    assert expected <= got
+    # uniformly random background produces no 0.98-cosine pairs
+    assert got == expected
+
+
 def test_knn_join_lsh_shape(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     planes = similarity.random_hyperplanes(6, 64)
