@@ -404,6 +404,8 @@ ba AS (
            percentile(f.total_fare, 0.5) AS median_total_fare,
            avg(f.price_per_mile) AS avg_ppm,
            avg(f.surcharges) AS avg_surcharges,
+           avg(f.base_fare) AS avg_base_fare,
+           avg(coalesce(f.airport_fee, 0)) AS avg_airport_fee,
            avg(CASE WHEN f.service_type = 'hvfhv' THEN f.driver_pay END) AS avg_driver_pay,
            avg(CASE WHEN f.service_type = 'hvfhv' THEN f.take_rate END) * 100 AS avg_take_rate_pct
     FROM fact_trips f
@@ -417,13 +419,21 @@ SELECT b.service_type,
        round(b.median_total_fare, 2) AS median_fare_before,
        round(b.avg_ppm, 2) AS price_per_mile_before,
        round(b.avg_surcharges, 2) AS avg_surcharges_before,
+       round(b.avg_driver_pay, 2) AS driver_pay_before,
+       round(b.avg_take_rate_pct, 1) AS take_rate_pct_before,
        a.trip_count AS trips_after,
        round(a.median_total_fare, 2) AS median_fare_after,
        round(a.avg_ppm, 2) AS price_per_mile_after,
        round(a.avg_surcharges, 2) AS avg_surcharges_after,
+       round(a.avg_driver_pay, 2) AS driver_pay_after,
+       round(a.avg_take_rate_pct, 1) AS take_rate_pct_after,
        round(a.median_total_fare - b.median_total_fare, 2) AS fare_change_dollars,
-       round((a.median_total_fare - b.median_total_fare) / nullif(b.median_total_fare, 0) * 100, 1) AS fare_change_pct,
+       round(a.avg_ppm - b.avg_ppm, 2) AS price_per_mile_change,
        round(a.avg_surcharges - b.avg_surcharges, 2) AS surcharge_change,
+       round(a.avg_driver_pay - b.avg_driver_pay, 2) AS driver_pay_change,
+       round(a.avg_take_rate_pct - b.avg_take_rate_pct, 1) AS take_rate_change_pct,
+       round((a.median_total_fare - b.median_total_fare) / nullif(b.median_total_fare, 0) * 100, 1) AS fare_change_pct,
+       round((a.avg_surcharges - b.avg_surcharges) / nullif(b.avg_surcharges, 0) * 100, 1) AS surcharge_change_pct,
        CASE WHEN b.service_type = 'hvfhv' THEN
               CASE WHEN (a.avg_take_rate_pct - b.avg_take_rate_pct) > 1 THEN 'Platform kept more (driver absorbed fee)'
                    WHEN (a.avg_take_rate_pct - b.avg_take_rate_pct) < -1 THEN 'Driver got more (platform absorbed fee)'

@@ -26,6 +26,9 @@ def spark():
 
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # pin the oracle's session tz so tz-sensitive casts can never depend on
+    # the host (Spark side is pinned to UTC by sources.testdata)
+    con.execute("SET TimeZone='UTC'")
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

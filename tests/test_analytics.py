@@ -113,8 +113,13 @@ _REF_CHECKED = {
     "a08_shared_rides_analysis": "08",
     "a09_borough_comparison": "09",
     "a10_data_quality_summary": "10",
+    "a12_cbd_congestion_fee_impact": "12",
     "a13_hvfhv_take_rate_variance": "13",
 }
+# a11/a14 are excluded from the reference-SQL differential on purpose:
+# both LIMIT at an ORDER BY with plausible ties (rounded price diffs /
+# abs share changes), so the cut row-SET is engine-dependent even when
+# every retained row is correct.  They are structurally tested below.
 
 
 @pytest.mark.parametrize("name", sorted(_REF_CHECKED))
