@@ -28,11 +28,13 @@ from pyspark.sql.functions import col, lit
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
-    """Uniform random-ish salt derived from a hash of the whole row's
-    partition+offset — deterministic per run via spark_partition_id +
-    monotonically_increasing_id, no RNG."""
+    """Uniform salt derived by hashing monotonically_increasing_id (which
+    embeds partition id + in-partition offset) — deterministic layout per
+    run, no RNG.  pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows
+    negative and a negative salt would silently match nothing."""
     return df.withColumn(
-        salt_col, (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts).cast("int")
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
     )
 
 
@@ -95,11 +97,18 @@ def salted_join(
     (key, salt): every build row is exploded n_salts ways so the hot
     key's probe rows spread across n_salts reducers.  Build side grows
     n_salts× — use only when it's too big to broadcast outright but small
-    enough to replicate."""
+    enough to replicate.
+
+    Only probe-preserving join types are sound: replicating the build
+    side means right/full outer joins would emit one phantom row per
+    unmatched salt copy."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r} "
+            "(build-side replication breaks right/full outer semantics)"
+        )
     probe = with_salt(skewed, n_salts, "__salt")
-    build = small.withColumn(
-        "__salt", F.explode(F.sequence(lit(0), lit(n_salts - 1)).cast("array<int>"))
-    )
+    build = small.withColumn("__salt", F.explode(F.sequence(lit(0), lit(n_salts - 1))))
     out = probe.join(build, [key, "__salt"], how)
     return out.drop("__salt")
 

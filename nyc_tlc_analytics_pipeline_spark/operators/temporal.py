@@ -44,17 +44,22 @@ def asof_join(
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
     lt = left.withColumn("__ts", col(left_ts)).withColumn("__side", lit(1))
+    # SQL as-of semantics: a right row with a NULL key or NULL timestamp can
+    # never match (ON l.k = r.k AND l.ts >= r.ts is NULL-rejecting) — drop
+    # them up front so they cannot be carried forward
     rt = (
-        right.select(
+        right.filter(col(on).isNotNull() & col(right_ts).isNotNull())
+        .select(
             col(on),
             col(right_ts).alias("__ts"),
-            *[col(c).alias(f"__v_{c}") for c in value_cols],
+            # ONE struct per right row so all value columns always come from
+            # the SAME matched row (per-column carry would mix rows when a
+            # value column contains NULLs)
+            F.struct(*[col(c).alias(c) for c in value_cols]).alias("__vals"),
         )
         .withColumn("__side", lit(0))
     )
-    lt_aligned = lt
-    for c in value_cols:
-        lt_aligned = lt_aligned.withColumn(f"__v_{c}", lit(None).cast(rt.schema[f"__v_{c}"].dataType))
+    lt_aligned = lt.withColumn("__vals", lit(None).cast(rt.schema["__vals"].dataType))
     unioned = lt_aligned.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at the same __ts (side 0 < 1) so an
     # exactly-simultaneous quote is visible to the trade
@@ -63,16 +68,10 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-    )
+    carried = unioned.withColumn("__asof", F.last("__vals", ignorenulls=True).over(w))
     out = carried.filter(col("__side") == 1).select(
         *[c for c in left.columns],
-        *[col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[col("__asof").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
     return out
 
@@ -88,16 +87,20 @@ def range_join(
     """All (left, right) pairs with the same key whose timestamps are
     within ``window_seconds`` of each other (|l.ts − r.ts| ≤ w), as an
     equi-join on (key, time bucket) probing each left row's own and two
-    adjacent buckets — never a per-key cross product."""
-    bucket_l = F.floor(col(left_ts).cast("double") / window_seconds)
-    bucket_r = F.floor(col(right_ts).cast("double") / window_seconds)
-    lt = left.withColumn("__bl", bucket_l).withColumn(
-        "__probe", F.explode(F.array(lit(-1), lit(0), lit(1)))
-    ).withColumn("__bucket", col("__bl") + col("__probe"))
-    rt = right.withColumn("__bucket", bucket_r)
-    joined = lt.join(rt, [on, "__bucket"])
-    keep = (
-        F.abs(col(left_ts).cast("double") - col(right_ts).cast("double"))
-        <= window_seconds
+    adjacent buckets — never a per-key cross product.
+
+    The timestamp comparison uses internally aliased columns, so
+    ``left_ts`` and ``right_ts`` may share a name; any OTHER shared
+    column names surface as duplicate output columns (rename first)."""
+    lt = (
+        left.withColumn("__lts", col(left_ts).cast("double"))
+        .withColumn("__bl", F.floor(col("__lts") / window_seconds))
+        .withColumn("__probe", F.explode(F.array(lit(-1), lit(0), lit(1))))
+        .withColumn("__bucket", col("__bl") + col("__probe"))
     )
-    return joined.filter(keep).drop("__bl", "__probe", "__bucket")
+    rt = right.withColumn("__rts", col(right_ts).cast("double")).withColumn(
+        "__bucket", F.floor(col("__rts") / window_seconds)
+    )
+    joined = lt.join(rt, [on, "__bucket"])
+    keep = F.abs(col("__lts") - col("__rts")) <= window_seconds
+    return joined.filter(keep).drop("__bl", "__probe", "__bucket", "__lts", "__rts")

@@ -96,6 +96,70 @@ def test_range_join_matches_naive(spark):
     assert fs == ns
 
 
+def test_asof_null_semantics_match_duckdb(spark):
+    """NULL right timestamps/keys never match; multi-column values come
+    from ONE right row even when some columns are NULL."""
+    import duckdb
+
+    trades = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 11, 0, 0)), (None, T(2024, 1, 1, 11, 0, 0))],
+        "user_id int, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 9, 0, 0), 10.0, None),  # bid only
+            (1, T(2024, 1, 1, 10, 0, 0), None, 3.0),  # ask only (later)
+            (1, None, 99.0, 99.0),  # NULL ts: must never match
+            (None, T(2024, 1, 1, 8, 0, 0), 7.0, 7.0),  # NULL key: never match
+        ],
+        "user_id int, ts timestamp, bid double, ask double",
+    )
+    ours = {
+        r.user_id: (r.asof_bid, r.asof_ask)
+        for r in asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["bid", "ask"],
+        ).collect()
+    }
+    # latest right row verbatim (bid NULL, ask 3.0) — never a mix of rows
+    assert ours[1] == (None, 3.0)
+    assert ours[None] == (None, None)
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT t.user_id, q.bid, q.ask
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.user_id = q.user_id AND t.ts >= q.ts
+            """
+        ).fetchall()
+    }
+    import math
+
+    def norm(p):
+        return tuple(None if v is None or (isinstance(v, float) and math.isnan(v)) else v for v in p)
+
+    assert {k: norm(v) for k, v in ours.items()} == {k: norm(v) for k, v in duck.items()}
+
+
+def test_range_join_same_ts_column_name(spark):
+    left = spark.createDataFrame([(1, T(2024, 1, 1, 12, 0, 0))], "k int, ts timestamp")
+    right = spark.createDataFrame([(1, T(2024, 1, 1, 12, 10, 0))], "k int, rts timestamp")
+    got = range_join(left, right, "k", "ts", "rts", 3600).collect()
+    assert len(got) == 1
+
+
+def test_salted_join_rejects_outer(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", how="full")
+
+
 def test_range_join_boundary_inclusive(spark):
     left = spark.createDataFrame([(1, T(2024, 1, 1, 12, 0, 0))], "k int, lts timestamp")
     right = spark.createDataFrame(
