@@ -374,7 +374,9 @@ SELECT pickup_zone, borough, hour, hour_label, is_peak_hour,
        round(hvfhv_med_ppmin, 2) AS hvfhv_price_per_minute,
        hvfhv_trip_count,
        round(hvfhv_med_ppm - taxi_med_ppm, 2) AS price_diff_per_mile,
+       round(hvfhv_med_ppmin - taxi_med_ppmin, 2) AS price_diff_per_minute,
        round((hvfhv_med_ppm - taxi_med_ppm) / nullif(taxi_med_ppm, 0) * 100, 1) AS price_diff_pct_per_mile,
+       round((hvfhv_med_ppmin - taxi_med_ppmin) / nullif(taxi_med_ppmin, 0) * 100, 1) AS price_diff_pct_per_minute,
        CASE WHEN (hvfhv_med_ppm - taxi_med_ppm) / nullif(taxi_med_ppm, 0) > 0.10 THEN 'YES - HVFHV Higher'
             WHEN (hvfhv_med_ppm - taxi_med_ppm) / nullif(taxi_med_ppm, 0) < -0.10 THEN 'NO - Taxi Higher'
             ELSE 'Similar' END AS pricing_verdict

@@ -136,6 +136,17 @@ def test_a11_runs_and_respects_having(tlc):
     assert len(rows) <= 50
 
 
+def test_a11_matches_reference_sql_without_limit(tlc, duck_tlc):
+    """Full-set comparison with the tie-sensitive LIMIT stripped from
+    both sides (the cut row-set is engine-dependent; the full set isn't)."""
+    from nyc_tlc_analytics_pipeline_spark.plans.analytics import _A11_SQL, _run_sql
+
+    ours = _run_sql(tlc, ("fact_trips", "dim_zones", "dim_time"),
+                    _A11_SQL.replace("LIMIT 50", ""))
+    ref = _ref_sql("11").replace("LIMIT 50", "")
+    assert_frames_match(ours, duck_tlc.execute(ref), "a11_nolimit")
+
+
 def test_a12_before_after_pivot(tlc):
     df = ANALYTICS["a12_cbd_congestion_fee_impact"](tlc)
     rows = {r.service_type: r for r in df.collect()}

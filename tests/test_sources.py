@@ -117,6 +117,16 @@ def test_validate_parquet_and_zones_csv(spark, tmp_path):
     assert dict(z.dtypes)["LocationID"] in ("int", "bigint")
 
 
+def test_csv_export_and_pandas_sinks(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    out = str(tmp_path / "export")
+    sinks.export_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2 and set(back.columns) == {"id", "name"}
+    pdf = sinks.to_pandas(df)
+    assert list(pdf.columns) == ["id", "name"] and len(pdf) == 2
+
+
 def test_generate_month_range():
     assert generate_month_range("2024-11", "2025-02") == [
         "2024-11",
