@@ -46,6 +46,24 @@ def test_minhash_lsh_perfect_recall_at_high_similarity(docs, exact_pairs):
     assert high <= set(got)  # recall 1.0 on strong near-dups
 
 
+def test_prefix_filtered_jaccard_equals_naive(docs):
+    """The prefix-filtered exact plan must return byte-identical results
+    to the naive self-join (it is an optimization, not an approximation)."""
+    fast = {
+        (r.doc_a, r.doc_b): (r.n_common, r.size_a, r.size_b, round(r.jaccard, 9))
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=True
+        ).collect()
+    }
+    naive = {
+        (r.doc_a, r.doc_b): (r.n_common, r.size_a, r.size_b, round(r.jaccard, 9))
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=False
+        ).collect()
+    }
+    assert fast == naive and len(fast) > 0
+
+
 def test_minhash_signatures_shape(docs):
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16)
     row = sigs.head()
