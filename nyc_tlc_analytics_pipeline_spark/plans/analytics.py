@@ -529,7 +529,10 @@ zone_day_totals AS (
 share AS (
     SELECT m.pickup_date, m.zone, m.borough, m.service_type,
            m.trip_count, t.total_trips,
-           round(m.trip_count * 100.0 / nullif(t.total_trips, 0), 2) AS market_share_pct,
+           -- 100e0: a 100.0 literal is DECIMAL in Spark SQL and would make
+           -- every downstream share column DecimalType (the reference SQL
+           -- runs in an engine where it is DOUBLE)
+           round(m.trip_count * 100e0 / nullif(t.total_trips, 0), 2) AS market_share_pct,
            round(m.avg_price_per_mile, 2) AS price_per_mile
     FROM daily_zone_metrics m
     JOIN zone_day_totals t ON m.pickup_date = t.pickup_date AND m.zone = t.zone
@@ -537,12 +540,16 @@ share AS (
 ),
 quartile_dates AS (
     -- interpolated percentile over dates via day-number (Spark's percentile
-    -- rejects DATE; the reference's PERCENTILE_CONT over dates is the same
-    -- day-number interpolation, truncated back to a DATE)
+    -- rejects DATE).  The reference's PERCENTILE_CONT over dates yields an
+    -- interpolated TIMESTAMP; for a DATE column d (midnight-valued):
+    --   d <= interp_ts  ⟺  d <= floor_day(interp_ts)
+    --   d >= interp_ts  ⟺  d >= ceil_day(interp_ts)
+    -- so floor for the early cut and ceil for the late cut reproduce the
+    -- reference comparisons exactly.
     SELECT date_add(DATE '1970-01-01',
-                    CAST(percentile(datediff(pickup_date, DATE '1970-01-01'), 0.25) AS INT)) AS q1,
+                    CAST(floor(percentile(datediff(pickup_date, DATE '1970-01-01'), 0.25)) AS INT)) AS q1,
            date_add(DATE '1970-01-01',
-                    CAST(percentile(datediff(pickup_date, DATE '1970-01-01'), 0.75) AS INT)) AS q3
+                    CAST(ceil(percentile(datediff(pickup_date, DATE '1970-01-01'), 0.75)) AS INT)) AS q3
     FROM share
 ),
 share_q AS (
@@ -564,20 +571,46 @@ changes AS (
     FROM share_q
     GROUP BY zone, borough, service_type
     HAVING count(DISTINCT pickup_date) >= 10
+),
+relative AS (
+    SELECT c.*,
+           round(late_market_share - early_market_share, 2) AS share_change_pct,
+           round(late_price - early_price, 2) AS price_change_dollars,
+           round((late_price - early_price) / nullif(early_price, 0) * 100e0, 1) AS price_change_pct,
+           round(avg_price - avg(avg_price) OVER (PARTITION BY zone), 2) AS price_premium_vs_zone,
+           CASE WHEN late_market_share - early_market_share > 5 THEN 'Gaining Share'
+                WHEN late_market_share - early_market_share < -5 THEN 'Losing Share'
+                ELSE 'Stable' END AS share_trend,
+           CASE WHEN avg_price > avg(avg_price) OVER (PARTITION BY zone) * 1.1 THEN 'Premium Priced'
+                WHEN avg_price < avg(avg_price) OVER (PARTITION BY zone) * 0.9 THEN 'Discount Priced'
+                ELSE 'Market Priced' END AS pricing_position
+    FROM changes c
 )
 SELECT zone, borough, service_type,
        round(early_market_share, 1) AS early_share_pct,
        round(late_market_share, 1) AS late_share_pct,
-       round(late_market_share - early_market_share, 2) AS share_change_pct,
-       CASE WHEN late_market_share - early_market_share > 5 THEN 'Gaining Share'
-            WHEN late_market_share - early_market_share < -5 THEN 'Losing Share'
-            ELSE 'Stable' END AS share_trend,
+       share_change_pct,
+       share_trend,
        round(early_price, 2) AS early_price_per_mile,
        round(late_price, 2) AS late_price_per_mile,
-       round(avg_price - avg(avg_price) OVER (PARTITION BY zone), 2) AS price_premium_vs_zone,
-       days_active, total_trips
-FROM changes
-ORDER BY abs(late_market_share - early_market_share) DESC, zone, service_type
+       price_change_dollars,
+       price_change_pct,
+       pricing_position,
+       price_premium_vs_zone,
+       total_trips,
+       days_active,
+       CASE WHEN share_trend = 'Gaining Share' AND pricing_position = 'Discount Priced'
+                THEN '✓ Gaining via Lower Price'
+            WHEN share_trend = 'Gaining Share' AND pricing_position = 'Premium Priced'
+                THEN '✓ Gaining Despite Higher Price (Quality/Service)'
+            WHEN share_trend = 'Losing Share' AND pricing_position = 'Premium Priced'
+                THEN '✗ Losing due to High Price'
+            WHEN share_trend = 'Losing Share' AND pricing_position = 'Discount Priced'
+                THEN '✗ Losing Despite Low Price (Quality Issues?)'
+            ELSE 'Stable Market' END AS competitive_insight
+FROM relative
+WHERE total_trips >= 500
+ORDER BY abs(share_change_pct) DESC, zone, service_type
 LIMIT 100
 """
 

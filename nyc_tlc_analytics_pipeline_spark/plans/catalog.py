@@ -1445,6 +1445,59 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q44 — ranking window functions (rank / dense_rank / ntile — beyond the
+# reference: §2.5 records none)
+# ---------------------------------------------------------------------------
+
+_Q44_ORACLE = """
+WITH cust AS (
+    SELECT c_nationkey,
+           o_custkey,
+           round(sum(o_totalprice) + 1e-9, 2) AS cust_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, o_custkey
+),
+ranked AS (
+    SELECT c_nationkey, o_custkey, cust_value,
+           rank() OVER (PARTITION BY c_nationkey ORDER BY cust_value DESC, o_custkey) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY cust_value DESC, o_custkey) AS drnk,
+           ntile(4) OVER (PARTITION BY c_nationkey ORDER BY cust_value DESC, o_custkey) AS quartile
+    FROM cust
+)
+SELECT c_nationkey, o_custkey, cust_value, rnk, drnk, quartile
+FROM ranked
+WHERE rnk <= 3
+ORDER BY c_nationkey, rnk, o_custkey
+"""
+
+
+@register(
+    "q44_customer_rank_per_nation",
+    _Q44_ORACLE,
+    "Top-3 customers by lifetime value per nation — rank/dense_rank/ntile "
+    "window functions (absent from the reference, SURVEY §2.5).",
+    operators=("W-rank", "W-dense-rank", "W-ntile"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("cust_value"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cust_value"), "o_custkey")
+    return (
+        cust.withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk", "o_custkey")
+    )
+
+
 # Data-pipeline extension queries (dedup / text / similarity) register
 # themselves into the same QUERIES dict on import.
 from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

@@ -124,6 +124,27 @@ def session_windows_stream(
     )
 
 
+def run_to_parquet_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Fault-tolerant file sink: append-mode parquet with a checkpoint dir.
+    The checkpoint's offset log + the sink's file manifest give
+    end-to-end exactly-once for file sources → file sinks: re-running
+    after completion (or a crash) replays nothing and duplicates
+    nothing."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:
