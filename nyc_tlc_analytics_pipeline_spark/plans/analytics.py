@@ -480,6 +480,54 @@ def a13(t: Tables) -> DataFrame:
     return _run_sql(t, ("fact_trips", "dim_date", "dim_hvfhs_company"), _A13_SQL)
 
 
+@register_analytics("a13c_take_rate_by_zone")
+def a13c(t: Tables) -> DataFrame:
+    """Take-rate variance by zone (reference: 13 Part B — geographic
+    factors; HAVING count >= 100, Unknown borough excluded)."""
+    f, z, c = _valid(t["fact_trips"]), t["dim_zones"], t["dim_hvfhs_company"]
+    return (
+        f.filter((col("service_type") == "hvfhv") & col("take_rate").between(0, 1))
+        .join(broadcast(z), f.pickup_zone_id == z.location_id)
+        .filter(col("borough") != "Unknown")
+        .join(broadcast(c), "hvfhs_license_num")
+        .groupBy("zone", "borough", "service_zone", "company_name")
+        .agg(
+            F.count("*").alias("trip_count"),
+            (F.percentile("take_rate", lit(0.5)) * 100).alias("median_take_rate"),
+            (F.stddev("take_rate") * 100).alias("stddev_take_rate"),
+            F.avg("trip_distance_miles").alias("avg_trip_distance"),
+            F.avg("total_fare").alias("avg_total_fare"),
+        )
+        .filter(col("trip_count") >= 100)
+        .orderBy(F.desc("stddev_take_rate"))
+        .limit(30)
+    )
+
+
+@register_analytics("a13d_take_rate_by_hour")
+def a13d(t: Tables) -> DataFrame:
+    """Take-rate variance by hour (reference: 13 Part C — temporal
+    factors)."""
+    f, dt, c = _valid(t["fact_trips"]), t["dim_time"], t["dim_hvfhs_company"]
+    return (
+        f.filter((col("service_type") == "hvfhv") & col("take_rate").between(0, 1))
+        .join(broadcast(dt), f.pickup_hour == dt.hour)
+        .join(broadcast(c), "hvfhs_license_num")
+        .groupBy(
+            "hour",
+            col("hour_12").alias("hour_label"),
+            col("is_rush_hour").alias("is_peak_hour"),
+            "company_name",
+        )
+        .agg(
+            F.count("*").alias("trip_count"),
+            (F.percentile("take_rate", lit(0.5)) * 100).alias("median_take_rate"),
+            (F.stddev("take_rate") * 100).alias("stddev_take_rate"),
+        )
+        .orderBy("hour", "company_name")
+    )
+
+
 @register_analytics("a13b_take_rate_by_trip_length")
 def a13b(t: Tables) -> DataFrame:
     """Take-rate by trip-length bucket (reference: 13 Part D — the

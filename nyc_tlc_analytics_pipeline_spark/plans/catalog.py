@@ -1446,6 +1446,43 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q45 — CUBE over two dimensions (all four grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+_Q45_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity) + 1e-9, 2) AS total_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register(
+    "q45_cube_qty",
+    _Q45_ORACLE,
+    "Quantity totals over CUBE(returnflag, linestatus) — all four "
+    "grouping-set combinations in one pass.",
+    operators=("cube", "A3"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), rnd(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            F.coalesce(col("l_returnflag"), lit("ALL")).alias("returnflag"),
+            F.coalesce(col("l_linestatus"), lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q44 — ranking window functions (rank / dense_rank / ntile — beyond the
 # reference: §2.5 records none)
 # ---------------------------------------------------------------------------

@@ -182,6 +182,19 @@ def test_a13b_trip_length_buckets(tlc):
     assert len(cats) >= 3
 
 
+def test_a13_zone_and_hour_variants(tlc):
+    """Reference q13 Parts B (zone) and C (hour) — the commented-out
+    alternate SELECTs of 13_hvfhv_take_rate_variance_analysis.sql."""
+    zone = ANALYTICS["a13c_take_rate_by_zone"](tlc).collect()
+    assert 0 < len(zone) <= 30
+    assert all(r.trip_count >= 100 and r.borough != "Unknown" for r in zone)
+    stds = [r.stddev_take_rate for r in zone]
+    assert stds == sorted(stds, reverse=True)
+    hour = ANALYTICS["a13d_take_rate_by_hour"](tlc).collect()
+    assert len(hour) > 0
+    assert all(0 <= r.median_take_rate <= 100 for r in hour)
+
+
 def test_a14_share_shift(tlc):
     df = ANALYTICS["a14_market_share_shift_vs_pricing"](tlc)
     rows = df.collect()
