@@ -75,7 +75,7 @@ SELECT n_name,
        count(*) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
        round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -765,7 +765,7 @@ share AS (
 SELECT n_name,
        count(*) AS n_days,
        round(avg(share_pct) + 1e-9, 4) AS avg_share_pct,
-       sum(CASE WHEN share_pct > (SELECT avg(share_pct) FROM share) THEN 1 ELSE 0 END) AS days_above_global_avg
+       CAST(sum(CASE WHEN share_pct > (SELECT avg(share_pct) FROM share) THEN 1 ELSE 0 END) AS BIGINT) AS days_above_global_avg
 FROM share
 GROUP BY n_name
 HAVING count(*) >= 5
@@ -907,8 +907,8 @@ daily AS (
 SELECT extract(year FROM spine_date) AS spine_year,
        extract(month FROM spine_date) AS spine_month,
        count(*) AS n_days,
-       sum(CASE WHEN daily.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS days_with_orders,
-       sum(coalesce(daily.n_orders, 0)) AS n_orders
+       CAST(sum(CASE WHEN daily.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS days_with_orders,
+       CAST(sum(coalesce(daily.n_orders, 0)) AS BIGINT) AS n_orders
 FROM spine
 LEFT JOIN daily ON spine.spine_date = daily.order_date
 GROUP BY spine_year, spine_month
@@ -961,7 +961,7 @@ WITH w AS (
 )
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN value > user_avg THEN 1 ELSE 0 END) AS n_above_avg,
+       CAST(sum(CASE WHEN value > user_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
        round(max(user_avg) + 1e-9, 4) AS user_avg_value
 FROM w
 GROUP BY user_id
@@ -1098,7 +1098,7 @@ SELECT event_type,
        count(*) AS n_events,
        round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS n_high_k
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1134,10 +1134,10 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q32_ORACLE = """
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
-       sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_out_of_range,
-       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
        CAST(min(l_shipdate) AS DATE) AS earliest_ship,
        CAST(max(l_shipdate) AS DATE) AS latest_ship,
        round(avg(l_quantity) + 1e-9, 4) AS avg_qty
@@ -1175,11 +1175,11 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q33_ORACLE = """
 SELECT extract(year FROM o_orderdate) AS order_year,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
-       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
 FROM orders
 GROUP BY order_year
 ORDER BY order_year
@@ -1264,7 +1264,7 @@ WITH kept AS (
 )
 SELECT lang,
        count(*) AS n_groups,
-       sum(first_doc) AS first_doc_checksum
+       CAST(sum(first_doc) AS BIGINT) AS first_doc_checksum
 FROM kept
 GROUP BY lang
 ORDER BY lang

@@ -329,7 +329,7 @@ scored AS (
 SELECT source,
        count(*) AS n_docs,
        round(avg(quality) + 1e-9, 6) AS avg_quality,
-       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+       CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM scored
 GROUP BY source
 ORDER BY source
@@ -418,8 +418,8 @@ WITH t AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(ws_tokens) AS total_ws_tokens,
-       sum(bpe_tokens) AS total_bpe_tokens,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        round(avg(1.0 * bpe_tokens / nullif(ws_tokens, 0)) + 1e-9, 6) AS avg_fertility
 FROM t
 GROUP BY lang
@@ -473,7 +473,7 @@ WITH fp AS (
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT rh) AS n_distinct_fingerprints,
-       sum(rh) AS fingerprint_checksum
+       CAST(sum(rh) AS BIGINT) AS fingerprint_checksum
 FROM fp
 GROUP BY source
 ORDER BY source

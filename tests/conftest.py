@@ -43,40 +43,71 @@ def duck_smoke():
     con.close()
 
 
-def _normalize_cell(v):
+def _strict_cell(v):
+    """Dtype-tagged canonical cell value.
+
+    Replicates the driver's dtype-sensitive value hash: both sides are
+    fetched through pandas, and an int64 5 must NOT equal a float64 5.0
+    (the round-1 HUGEINT bug class — DuckDB types bare integer sum() as
+    HUGEINT, which fetchdf renders float64, silently mismatching Spark's
+    bigint).  Floats are still rounded to 9 places WITHIN the float tag
+    to absorb FP dust; everything else is exact.
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, bool):
+        return f"B:{v}"
+    if isinstance(v, int):
+        return f"I:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 and FP dust; queries already round explicitly, so
-        # this is belt-and-braces for the comparator itself
-        return round(v + 0.0, 9)
-    if hasattr(v, "item"):  # numpy scalars from duckdb fetch
-        return _normalize_cell(v.item())
-    if isinstance(v, int):
-        return v
-    return v
+            return "NULL"
+        return f"F:{round(v + 0.0, 9)!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"DEC:{v}"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return f"T:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, datetime.date):
+        # dates normalize to midnight timestamps: both engines round-trip
+        # DATE columns through pandas differently (object-of-date vs
+        # datetime64), and that packaging difference is not a result bug
+        return f"T:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "L:[" + ",".join(_strict_cell(x) for x in v) + "]"
+    return f"S:{v}"
 
 
-def rows_key(rows, columns):
+def _frame_key(pdf):
     """Order-insensitive canonical form: sort columns by name, then rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_normalize_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [
+        tuple(_strict_cell(v) for v in row)
+        for row in pdf.astype(object).itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    spark_cols = spark_df.columns
-    res = duck_con.execute(oracle_sql_text)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck_con.execute(oracle_sql_text).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+        f"duck={sorted(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    sk = rows_key(spark_rows, spark_cols)
-    dk = rows_key(duck_rows, duck_cols)
+    sk = _frame_key(spark_pdf)
+    dk = _frame_key(duck_pdf)
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
