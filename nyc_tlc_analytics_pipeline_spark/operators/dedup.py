@@ -233,14 +233,32 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 16,
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed k, min over shingles of
-    ``xxhash64(shingle, k)``.  One explode + one groupBy; the signature is
-    an array<long> column ordered by seed."""
+    """Per-doc MinHash signature: for seed k, min over shingles of a
+    seeded uniform hash.  One explode + one groupBy; the signature is an
+    array column ordered by seed.
+
+    ``hash_mode="md5"`` (default) hashes ``md5(k || ':' || shingle)`` and
+    takes the min of the hex STRING — lexicographic order over uniform
+    hex digests is itself a uniform order, and both Spark and DuckDB
+    produce byte-identical md5 hex, so the whole signature (and the LSH
+    bands derived from it) is oracle-checkable end-to-end.
+    ``hash_mode="xxhash64"`` is the cheaper JVM-only path (array<long>)
+    when cross-engine verification isn't needed."""
     sh = shingle_table(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(col("shingle"), lit(k))).alias(f"h{k}") for k in range(num_hashes)
-    ]
+    if hash_mode == "md5":
+        mins = [
+            F.min(F.md5(F.concat(lit(f"{k}:"), col("shingle")))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    elif hash_mode == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(col("shingle"), lit(k))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     sig = sh.groupBy("doc").agg(*mins)
     return sig.select(
         "doc", F.array(*[col(f"h{k}") for k in range(num_hashes)]).alias("signature")
@@ -295,6 +313,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
 
@@ -303,7 +322,7 @@ def minhash_dedup_pairs(
     is the whole point of LSH: candidate generation is the banded
     signature join; verification cost is |candidates|, not |corpus|²."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     per_doc = doc_shingles(df, id_col, text_col, n)
     a = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
@@ -331,17 +350,21 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: cosine ≥ threshold over an embedding
     column, candidates from random-hyperplane LSH buckets (truly
     near-identical vectors agree on every hyperplane sign with
     probability ≈ (1 − θ/π)^planes → recall ≈ 1 for dedup-grade
-    thresholds).  Same equi-join-on-bucket shape as the MinHash path."""
+    thresholds).  Same equi-join-on-bucket shape as the MinHash path.
+    Pass ``planes`` explicitly to share the exact hyperplanes with an
+    external verifier (they are deterministic md5-derived literals)."""
     from . import similarity
 
-    if dim is None:
-        dim = len(df.select(vec_col).head()[0])
-    planes = similarity.random_hyperplanes(n_planes, dim, seed)
+    if planes is None:
+        if dim is None:
+            dim = len(df.select(vec_col).head()[0])
+        planes = similarity.random_hyperplanes(n_planes, dim, seed)
     bucketed = df.select(
         col(id_col).alias("doc"), similarity.as_double_array(vec_col).alias("v")
     ).withColumn("bucket", similarity.lsh_bucket(col("v"), planes))
@@ -382,6 +405,40 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     )
 
 
+def simhash_md5(text_col: str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens using md5-derived token-hash bits
+    (``bits`` ≤ 32: bit b comes from hex digit b//4 of md5(token), so both
+    Spark and DuckDB — which share md5 byte-exactly — compute the
+    identical hash; xxhash64 in :func:`simhash` is JVM-only).
+
+    Structure: md5 is evaluated ONCE per token (materialized in its own
+    ``transform``), then each token's 8-hex-char prefix becomes a digit
+    array, per-bit ±1 contributions are folded with ``zip_with``, and the
+    sign vector packs into one long.  Everything is codegen'd array
+    expressions — no Python, no explode."""
+    if not 1 <= bits <= 32:
+        raise ValueError("simhash_md5 supports 1..32 bits (8 hex chars)")
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    digit = (
+        "instr('0123456789abcdef', substr(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1"
+    )
+    bit_contrib = (
+        f"transform(sequence(0, {bits - 1}), "
+        f"b -> CASE WHEN (({digit}) >> CAST(b % 4 AS INT)) & 1 = 1 "
+        f"THEN 1L ELSE -1L END)"
+    )
+    sums = (
+        f"aggregate(transform({toks}, t -> substr(md5(t), 1, 8)), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, {bit_contrib}, (x, y) -> x + y))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({sums}, sequence(0, {bits - 1}), "
+        f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -393,12 +450,20 @@ def simhash_near_pairs(
     bits: int = 32,
     prefix_bits: int = 8,
     max_hamming: int = 6,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (cheap LSH — near-identical docs share the prefix with high
-    probability), equi-join within buckets, filter on Hamming distance."""
+    probability), equi-join within buckets, filter on Hamming distance.
+
+    ``hash_mode="md5"`` uses :func:`simhash_md5` (bits ≤ 32) so a DuckDB
+    oracle can recompute the identical hashes; default xxhash64 is the
+    cheaper JVM-only path."""
+    hash_col = (
+        simhash_md5(text_col, bits) if hash_mode == "md5" else simhash(text_col, bits)
+    )
     hashed = parallelize_input(df).select(
-        col(id_col).alias("doc"), simhash(text_col, bits).alias("sh")
+        col(id_col).alias("doc"), hash_col.alias("sh")
     ).withColumn("bucket", F.shiftrightunsigned(col("sh"), bits - prefix_bits))
     a = hashed.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"), "bucket")
     b = hashed.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"), "bucket")

@@ -133,12 +133,15 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic IVF 'training': the k vectors with the smallest
-    ``xxhash64(id)`` act as centroids (a deterministic pseudo-random
-    sample — real deployments would run k-means; the partition/probe
-    plumbing downstream is identical).  k rows to the driver only."""
+    ``md5(cast(id as string))`` act as centroids (a deterministic
+    pseudo-random sample — real deployments would run k-means; the
+    partition/probe plumbing downstream is identical).  md5 rather than
+    xxhash64 so a DuckDB oracle can recompute the exact same centroid set
+    (both engines produce byte-identical md5 hex).  k rows to the driver
+    only."""
     rows = (
         df.select(col(id_col).alias("cid"), as_double_array(vec_col).alias("v"))
-        .withColumn("h", F.xxhash64(col("cid")))
+        .withColumn("h", F.md5(col("cid").cast("string")))
         .orderBy("h")
         .limit(k)
         .collect()
@@ -184,10 +187,12 @@ def ivf_topk(
         nb = sum(x * x for x in b) ** 0.5
         return dot_ / (na * nb) if na and nb else 0.0
 
+    # tie-break on centroid id so the probe set is deterministic (and
+    # reproducible by the SQL oracle's ORDER BY cos DESC, cid)
     probe = [
         cid
         for cid, _ in sorted(
-            centroids, key=lambda c: cos_py(query_vec, c[1]), reverse=True
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
         )[:n_probe]
     ]
     bucketed = df.withColumn("ivf_bucket", assign_ivf_bucket(vec_col, centroids))

@@ -183,17 +183,24 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q25_THRESHOLD = 0.5
 
-_Q25_ORACLE = f"""
-WITH toks AS (
+# shared shingle CTE (q25 + q28): word-3-grams via list_slice so documents
+# shorter than 3 tokens yield their full-token join — mirroring Spark's
+# concat_ws(slice(...)) exactly (t[i+1] out of range would NULL-propagate
+# through || and silently drop the shingle)
+_SHINGLE_CTES = """
+toks AS (
     SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
     FROM documents
 ),
 sh AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
     FROM toks
-),
+)"""
+
+_Q25_ORACLE = f"""
+WITH {_SHINGLE_CTES},
 sizes AS (
     SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
 ),
@@ -502,47 +509,225 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only entries (engine-specific hashing — no SQL oracle; verified in
-# pytest against exact Jaccard / exact cosine instead)
+# q28–q31, q43 — approximate operators with EXACT oracles: every hash these
+# queries use (md5 signature mins, md5 band buckets, md5-derived simhash
+# bits, hyperplane sign buckets from deterministic literal planes, md5-
+# ordered IVF centroids) is reproducible in DuckDB, so the driver can
+# hash-check the approximate paths end-to-end, not just count rows.
 # ---------------------------------------------------------------------------
+
+_Q28_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (
+    SELECT doc_id, k, min(md5(k || ':' || shingle)) AS h
+    FROM sh CROSS JOIN range(16) r(k)
+    GROUP BY doc_id, k
+),
+sig AS (
+    SELECT doc_id, list(h ORDER BY k) AS signature FROM mh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, b,
+           md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
+    FROM sig CROSS JOIN range(4) rb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+docsh AS (
+    SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shset, sb.shset)) AS n_common,
+           len(sa.shset) AS size_a,
+           len(sb.shset) AS size_b
+    FROM cand
+    JOIN docsh sa ON doc_a = sa.doc_id
+    JOIN docsh sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b,
+       round(1.0 * n_common / (size_a + size_b - n_common) + 1e-9, 6) AS jaccard
+FROM scored
+WHERE 1.0 * n_common / (size_a + size_b - n_common) >= {_Q25_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "q28_minhash_lsh_pairs",
-    None,
+    _Q28_ORACLE,
     "MinHash(16 hashes)+LSH(4 bands) candidate pairs verified by exact "
-    "Jaccard ≥ 0.5. Rows-only check (xxhash64 is Spark-specific); recall "
-    "vs exact Jaccard is pytest-verified.",
+    "Jaccard ≥ 0.5.  md5-hex signature mins (shared byte-exactly with the "
+    "oracle engine) make the whole LSH pipeline hash-checkable; recall vs "
+    "exact Jaccard is additionally pytest-verified.",
     operators=("dedup-minhash-lsh",),
     headline=True,
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD, hash_mode="md5"
+    )
     return pairs.withColumn("jaccard", rnd("jaccard", 6)).orderBy("doc_a", "doc_b")
+
+
+_Q29_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(t) AS tk FROM toks
+),
+th AS (
+    SELECT doc_id, substr(md5(tk), 1, 8) AS h FROM tok
+),
+bitsum AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                          >> CAST(b % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN range(32) rb(b)
+    GROUP BY doc_id, b
+),
+sh2 AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+    FROM bitsum
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b2.sh)) AS INT) AS hamming
+FROM sh2 a
+JOIN sh2 b2 ON (a.sh >> 20) = (b2.sh >> 20) AND a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.sh, b2.sh)) <= 6
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "q29_simhash_near_pairs",
-    None,
-    "SimHash(64-bit) near-dup pairs bucketed on a 12-bit prefix, Hamming "
-    "distance ≤ 6. Rows-only check; separation of near-dup vs random "
-    "pairs is pytest-verified (SimHash targets ~0.9+ similarity).",
+    _Q29_ORACLE,
+    "SimHash(32-bit, md5-derived bit hashes) near-dup pairs bucketed on a "
+    "12-bit prefix, Hamming distance ≤ 6.  Hash-checked end-to-end "
+    "against the oracle recomputing identical md5 token-hash bits; "
+    "near-dup/random separation is additionally pytest-verified.",
     operators=("dedup-simhash",),
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(
-        docs, "doc_id", "text", bits=64, prefix_bits=12, max_hamming=6
+        docs, "doc_id", "text", bits=32, prefix_bits=12, max_hamming=6,
+        hash_mode="md5",
     ).orderBy("doc_a", "doc_b")
+
+
+# hyperplane literals shared by q30/q43's Spark builders AND their oracles:
+# deterministic md5-derived components (similarity.random_hyperplanes), so
+# the exact same 8×64 doubles can be embedded in the SQL text
+_PLANES_8x64 = similarity.random_hyperplanes(8, 64, seed=42)
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vexpr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vexpr}, {_plane_sql(p)}) > 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(_PLANES_8x64)
+    )
+    return f"({terms})"
+
+
+_Q30_ORACLE = f"""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id <> 0
+),
+b AS (
+    SELECT vec_id, label, v, {_bucket_sql("v")} AS bucket FROM e
+),
+qb AS (
+    SELECT {_bucket_sql("qv")} AS qbucket FROM q
+)
+SELECT vec_id, label,
+       round(list_cosine_similarity(v, qv) + 1e-9, 6) AS cos_sim
+FROM b, q, qb
+WHERE bit_count(xor(bucket, qbucket)) <= 1
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "q30_ann_lsh_topk",
+    _Q30_ORACLE,
+    "Approximate top-10 neighbors of vector 0 via random-hyperplane LSH "
+    "(8 deterministic planes, multiprobe Hamming ≤ 1).  The oracle "
+    "recomputes the sign buckets from the same plane literals, so the "
+    "probe set — not just the scoring — is hash-checked; recall vs brute "
+    "force is additionally pytest-verified.",
+    operators=("sim-ann-lsh",),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ann_topk(
+        emb.filter(col("vec_id") != 0), qvec, _PLANES_8x64, k=10
+    ).select("vec_id", "label", "cos_sim")
+
+
+_Q31_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id <> 0
+),
+q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           v AS cv
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR))
+    LIMIT 16
+),
+probe AS (
+    SELECT cid FROM cents, q
+    ORDER BY list_cosine_similarity(cv, qv) DESC, cid
+    LIMIT 4
+),
+assigned AS (
+    SELECT e.vec_id, e.label, e.v, cents.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(cents.cv, e.v) DESC, cents.cid
+           ) AS rn
+    FROM e CROSS JOIN cents
+)
+SELECT vec_id, label,
+       round(list_cosine_similarity(v, qv) + 1e-9, 6) AS cos_sim
+FROM assigned, q
+WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
 
 
 @register(
     "q31_ivf_ann_topk",
-    None,
+    _Q31_ORACLE,
     "IVF approximate top-10 neighbors of vector 0 (16 deterministic "
-    "centroids, probe 4). Rows-only check; full-probe == brute-force is "
-    "pytest-verified.",
+    "md5-ordered centroids, probe 4).  The oracle re-derives the same "
+    "centroid set, nearest-centroid assignment and probe list in SQL; "
+    "full-probe == brute-force is additionally pytest-verified.",
     operators=("sim-ann-ivf",),
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,32 +740,36 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q43_THRESHOLD = 0.3
+
+_Q43_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+    SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e
+)
+SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) AS cos_sim
+FROM b a
+JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= {_Q43_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 @register(
     "q43_embedding_near_dups",
-    None,
-    "Embedding-cosine near-dup pairs (cos ≥ 0.9) via hyperplane-LSH "
-    "bucketed candidate join. Rows-only check (empty on this uniformly "
-    "random corpus — the operator's recall on planted near-dups is "
-    "pytest-verified).",
+    _Q43_ORACLE,
+    "Embedding-cosine near-dup pairs (cos ≥ 0.3 — a threshold with "
+    "non-empty answers on this corpus, so the gate checks real rows) via "
+    "hyperplane-LSH bucketed candidate join; the oracle recomputes the "
+    "identical buckets from the shared plane literals.  Recall on planted "
+    "near-dups is additionally pytest-verified.",
     operators=("dedup-embedding-cosine",),
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb).orderBy("doc_a", "doc_b")
-
-
-@register(
-    "q30_ann_lsh_topk",
-    None,
-    "Approximate top-10 neighbors of vector 0 via random-hyperplane LSH "
-    "(8 planes, multiprobe 1). Rows-only check; recall vs brute force is "
-    "pytest-verified.",
-    operators=("sim-ann-lsh",),
-)
-def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
-    planes = similarity.random_hyperplanes(8, len(qvec))
-    return similarity.ann_topk(
-        emb.filter(col("vec_id") != 0), qvec, planes, k=10
-    ).select("vec_id", "label", "cos_sim")
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=_Q43_THRESHOLD, planes=_PLANES_8x64
+    ).orderBy("doc_a", "doc_b")
