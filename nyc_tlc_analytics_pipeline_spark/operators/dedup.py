@@ -114,6 +114,17 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def _estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer estimate of the plan's output size — derived
+    from parquet file statistics, computed without running a job.  Falls
+    back to 'large' (prefix filtering on) if the estimate is unavailable:
+    the pruned plan is the safe default at scale."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 60
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -137,13 +148,15 @@ def jaccard_pairs(
 
     This removes the quadratic blow-up of frequent shingles (a shingle in
     k docs contributes k² join rows; frequent shingles land in nobody's
-    prefix).  ``prefix_filter=None`` (default) picks adaptively: below
-    ~50k docs the naive self-join wins (the pruning only pays for its two
-    extra shuffles + ranking pass once the df² candidate explosion is the
-    dominant cost); ``False`` forces the naive plan (differential
-    baseline in tests), ``True`` forces pruning."""
+    prefix).  ``prefix_filter=None`` (default) picks adaptively from
+    Catalyst's plan statistics — file-size based, NO Spark job (an extra
+    count() here would be a full scan just to pick a strategy at 100 TB):
+    below ~64 MB of input the naive self-join wins (the pruning only pays
+    for its two extra shuffles + ranking pass once the df² candidate
+    explosion is the dominant cost); ``False`` forces the naive plan
+    (differential baseline in tests), ``True`` forces pruning."""
     if prefix_filter is None:
-        prefix_filter = df.count() >= 50_000
+        prefix_filter = _estimated_size_bytes(df) >= 64 * 1024 * 1024
     sizes = doc_shingles(df, id_col, text_col, n).select(
         "doc", F.size("sh").alias("n_shingles")
     )
@@ -351,6 +364,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     seed: int = 42,
     planes: list[list[float]] | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: cosine ≥ threshold over an embedding
     column, candidates from random-hyperplane LSH buckets (truly
@@ -358,13 +372,36 @@ def embedding_near_dup_pairs(
     probability ≈ (1 − θ/π)^planes → recall ≈ 1 for dedup-grade
     thresholds).  Same equi-join-on-bucket shape as the MinHash path.
     Pass ``planes`` explicitly to share the exact hyperplanes with an
-    external verifier (they are deterministic md5-derived literals)."""
+    external verifier (they are deterministic md5-derived literals).
+
+    ``bands > 1`` uses banded multi-table LSH
+    (:func:`similarity.banded_candidate_pairs`): a single table of p
+    planes has only 2^p buckets — quadratic blow-up returns once
+    N ≫ 2^p — whereas bands of log2(N)-ish planes each hold candidate
+    volume linear at any corpus size, with S-curve recall
+    ``1 − (1 − p₁^r)^bands``."""
     from . import similarity
 
     if planes is None:
         if dim is None:
             dim = len(df.select(vec_col).head()[0])
         planes = similarity.random_hyperplanes(n_planes, dim, seed)
+    if bands > 1:
+        vecs = df.select(
+            col(id_col).alias("doc"), similarity.as_double_array(vec_col).alias("v")
+        )
+        cands = similarity.banded_candidate_pairs(df, planes, bands, id_col, vec_col)
+        return (
+            cands.join(
+                vecs.select(col("doc").alias("doc_a"), col("v").alias("v_a")), "doc_a"
+            )
+            .join(vecs.select(col("doc").alias("doc_b"), col("v").alias("v_b")), "doc_b")
+            .withColumn("cos_sim", similarity.cosine(col("v_a"), col("v_b")))
+            .filter(col("cos_sim") >= threshold)
+            .select(
+                "doc_a", "doc_b", F.round(col("cos_sim") + lit(1e-9), 6).alias("cos_sim")
+            )
+        )
     bucketed = df.select(
         col(id_col).alias("doc"), similarity.as_double_array(vec_col).alias("v")
     ).withColumn("bucket", similarity.lsh_bucket(col("v"), planes))

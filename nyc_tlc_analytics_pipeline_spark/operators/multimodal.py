@@ -162,12 +162,23 @@ def sample_video_frames_stub(every_ms: int = 1000, fake: bool = False):
 
 def media_stats_by_kind(df: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches the binary column, so the
-    parquet reader prunes it (verify via ReadSchema in explain)."""
+    parquet reader prunes it (verify via ReadSchema in explain).
+
+    Byte totals come from the ``content_bytes`` metadata column
+    (:func:`attach_content_metadata` writes it at ingest); if the input
+    predates that column it is aggregated as NULL rather than silently
+    forcing a full payload read — reading ``length(content)`` here would
+    break the pruning guarantee this operator exists for."""
+    size_col = (
+        F.sum("content_bytes")
+        if "content_bytes" in df.columns
+        else F.lit(None).cast("bigint")
+    )
     return (
         df.groupBy("kind", "format")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.length("content")).alias("total_bytes"),
+            size_col.alias("total_bytes"),
             F.avg("width").alias("avg_width"),
             F.avg("height").alias("avg_height"),
             F.avg("duration_ms").alias("avg_duration_ms"),

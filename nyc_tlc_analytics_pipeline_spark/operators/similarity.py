@@ -205,6 +205,62 @@ def ivf_topk(
     )
 
 
+def banded_lsh_buckets(
+    vec: Column | str, planes: list[list[float]], bands: int
+) -> Column:
+    """``array<struct<band:int, bucket:long>>`` — one sign-bucket per band,
+    each band using its own slice of ``planes``.
+
+    This is the scale-out fix for single-table hyperplane LSH: one table
+    of ``p`` planes has exactly ``2^p`` buckets, so within-bucket
+    candidate joins degrade to O(N²/2^p) — quadratic again once N ≫ 2^p.
+    With ``bands`` independent tables of ``r = len(planes)/bands`` planes
+    each, collision probability follows the standard S-curve
+    ``1 − (1 − p₁^r)^bands`` (same machinery as the MinHash bands in
+    ``dedup.lsh_candidate_pairs``), and ``r`` can grow with ``log2(N)``
+    to keep expected bucket occupancy — and therefore candidate count —
+    linear in the corpus."""
+    r = len(planes) // bands
+    if r == 0:
+        raise ValueError(f"need at least {bands} planes for {bands} bands")
+    entries = []
+    for t in range(bands):
+        b = lsh_bucket(vec, planes[t * r : (t + 1) * r])
+        entries.append(
+            F.struct(lit(t).cast("int").alias("band"), b.alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def banded_candidate_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one band bucket —
+    the candidate-generation half of banded hyperplane LSH, exposed
+    separately so tests can measure candidate volume directly.  Shape:
+    explode (band, bucket) → shuffled equi-join on the composite key →
+    distinct.  No vectors travel through the join; they are re-attached
+    by the verifier."""
+    banded = df.select(
+        col(id_col).alias("doc"),
+        F.explode_outer(  # outer: skip InferFiltersFromGenerate re-evaluation
+            banded_lsh_buckets(vec_col, planes, bands)
+        ).alias("bb"),
+    ).select("doc", col("bb.band").alias("band"), col("bb.bucket").alias("bucket"))
+    a = banded.select(col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def knn_join_lsh(
     df: DataFrame,
     planes: list[list[float]],
@@ -212,24 +268,49 @@ def knn_join_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.0,
+    bands: int = 1,
 ) -> DataFrame:
     """Approximate k-NN self-join: bucket both sides on the hyperplane
     signature, equi-join on bucket, score within bucket, keep per-row
     top-k by window rank.  The equi-join keeps the candidate set linear in
-    practice (vs the quadratic exact join)."""
+    practice (vs the quadratic exact join).
+
+    ``bands > 1`` switches candidate generation to banded multi-table LSH
+    (see :func:`banded_lsh_buckets`): pass more planes and more bands to
+    hold bucket occupancy constant as the corpus grows — the single-table
+    form caps out at ``2^len(planes)`` buckets."""
     from pyspark.sql import Window
 
-    bucketed = df.select(
-        col(id_col).alias("doc"), as_double_array(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket(col("v"), planes))
-    a = bucketed.select(col("doc").alias("id_a"), col("v").alias("v_a"), "bucket")
-    b = bucketed.select(col("doc").alias("id_b"), col("v").alias("v_b"), "bucket")
-    scored = (
-        a.join(b, "bucket")
-        .filter(col("id_a") != col("id_b"))
-        .withColumn("cos_sim", rnd(cosine(col("v_a"), col("v_b")), 6))
-        .filter(col("cos_sim") >= min_cosine)
-    )
+    if bands > 1:
+        vecs = df.select(col(id_col).alias("doc"), as_double_array(vec_col).alias("v"))
+        cands = banded_candidate_pairs(df, planes, bands, id_col, vec_col)
+        # k-NN needs both directions; candidates are canonical a < b
+        sym = cands.union(
+            cands.select(col("doc_b").alias("doc_a"), col("doc_a").alias("doc_b"))
+        )
+        scored = (
+            sym.join(vecs.select(col("doc").alias("doc_a"), col("v").alias("v_a")), "doc_a")
+            .join(vecs.select(col("doc").alias("doc_b"), col("v").alias("v_b")), "doc_b")
+            .select(
+                col("doc_a").alias("id_a"),
+                col("doc_b").alias("id_b"),
+                rnd(cosine(col("v_a"), col("v_b")), 6).alias("cos_sim"),
+            )
+            .filter(col("cos_sim") >= min_cosine)
+        )
+    else:
+        bucketed = df.select(
+            col(id_col).alias("doc"), as_double_array(vec_col).alias("v")
+        ).withColumn("bucket", lsh_bucket(col("v"), planes))
+        a = bucketed.select(col("doc").alias("id_a"), col("v").alias("v_a"), "bucket")
+        b = bucketed.select(col("doc").alias("id_b"), col("v").alias("v_b"), "bucket")
+        scored = (
+            a.join(b, "bucket")
+            .filter(col("id_a") != col("id_b"))
+            .withColumn("cos_sim", rnd(cosine(col("v_a"), col("v_b")), 6))
+            .filter(col("cos_sim") >= min_cosine)
+            .select("id_a", "id_b", "cos_sim")
+        )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
     return (
         scored.withColumn("rank", F.row_number().over(w))

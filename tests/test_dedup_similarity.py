@@ -64,6 +64,21 @@ def test_prefix_filtered_jaccard_equals_naive(docs):
     assert fast == naive and len(fast) > 0
 
 
+def test_jaccard_strategy_probe_runs_no_spark_job(spark, docs):
+    """The adaptive prefix-filter decision reads Catalyst's plan-size
+    statistic — building the pair plan must not launch any Spark job (at
+    100 TB a count() probe would be a full scan before the query even
+    starts)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("jaccard-plan-build", "strategy probe must not run jobs")
+    try:
+        df = dedup.jaccard_pairs(docs, "doc_id", "text")  # plan only, no action
+        assert df is not None
+        assert sc.statusTracker().getJobIdsForGroup("jaccard-plan-build") == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_minhash_signatures_shape(docs):
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16)
     row = sigs.head()
@@ -153,6 +168,79 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
     assert expected <= got
     # uniformly random background produces no 0.98-cosine pairs
     assert got == expected
+
+
+def _synthetic_vectors(spark, n, dim=16, seed=0, n_planted=10):
+    """n random gaussian vectors + n_planted near-identical copies
+    (additive 1e-4 noise → cosine ≈ 0.9999) with ids 100000+i."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    noise = rng.standard_normal((n_planted, dim)) * 1e-4
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(n)]
+    rows += [
+        (100000 + i, [float(x) for x in base[i] + noise[i]], 0)
+        for i in range(n_planted)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_banded_lsh_candidate_count_stays_linear(spark):
+    """The single-table form has a hard 2^p bucket ceiling (candidates go
+    quadratic once N >> 2^p).  With planes-per-band scaled ~log2(N), the
+    banded form must NOT quadruple its candidate volume when the corpus
+    doubles — that's the 100-TB scale property."""
+    from math import ceil, log2
+
+    counts = {}
+    for n in (400, 800):
+        df = _synthetic_vectors(spark, n, dim=32, seed=1)
+        r = ceil(log2(n)) + 2  # planes per band grow with the corpus
+        bands = 4
+        planes = similarity.random_hyperplanes(bands * r, 32, seed=7)
+        counts[n] = similarity.banded_candidate_pairs(
+            df, planes, bands, id_col="vec_id", vec_col="embedding"
+        ).count()
+    assert counts[800] <= 2.6 * max(counts[400], 1) + 30, counts
+
+
+def test_banded_near_dup_recall_on_planted_pairs(spark):
+    """bands=4 of 10 planes each: P(planted pair collides) =
+    1-(1-p1^10)^4 ≈ 1 for cos≈0.9999 — every planted pair must surface,
+    and exact cosine verification keeps precision 1.0 by construction."""
+    df = _synthetic_vectors(spark, 300, dim=16, seed=3)
+    planes = similarity.random_hyperplanes(40, 16, seed=11)
+    pairs = dedup.embedding_near_dup_pairs(
+        df, threshold=0.99, planes=planes, bands=4
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    expected = {(i, 100000 + i) for i in range(10)}
+    assert expected <= got
+    # random gaussian background in 16-dim produces no 0.99-cosine pairs
+    assert got == expected
+
+
+def test_banded_knn_join_matches_contract(spark):
+    """bands>1 path of knn_join_lsh: per-row ≤ k neighbors, ranks dense,
+    and every planted near-dup appears as its copy's top neighbor."""
+    df = _synthetic_vectors(spark, 200, dim=16, seed=5)
+    planes = similarity.random_hyperplanes(36, 16, seed=13)
+    knn = similarity.knn_join_lsh(
+        df, planes, k=3, id_col="vec_id", vec_col="embedding", bands=4
+    )
+    rows = knn.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.id_a, []).append(r)
+    for rid, rs in per.items():
+        assert len(rs) <= 3
+        assert [r.rank for r in sorted(rs, key=lambda x: x.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+    top = {r.id_a: r.id_b for r in rows if r.rank == 1}
+    for i in range(10):
+        assert top.get(100000 + i) == i  # copy's nearest neighbor is its original
 
 
 def test_knn_join_lsh_shape(spark):

@@ -74,15 +74,25 @@ def test_frame_sampling_fanout(media):
 
 
 def test_metadata_rollup_prunes_content(media, tmp_path):
+    """media_stats_by_kind must NOT read the binary payload: its scan's
+    ReadSchema excludes content, with byte totals coming from the
+    content_bytes metadata column written at ingest."""
     path = str(tmp_path / "media")
-    media.write.parquet(path)
+    attach_content_metadata(media).write.parquet(path)
     df = media.sparkSession.read.parquet(path)
-    agg = media_stats_by_kind(df.select("kind", "format", "width", "height", "duration_ms",
-                                        "content"))
-    # content is only used via length(); a pure-metadata projection prunes it
-    meta_only = (
-        df.groupBy("kind").count()
-    )
-    plan = meta_only._jdf.queryExecution().executedPlan().toString()
-    assert "content" not in plan  # ReadSchema excludes the binary column
-    assert agg.count() == 4
+    agg = media_stats_by_kind(df)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "content:binary" not in plan  # the payload column is pruned
+    assert "content_bytes" in plan  # totals come from the metadata column
+    got = {(r.kind, r.format): r for r in agg.collect()}
+    assert got[("image", "png")].total_bytes == len(b"\x89PNG-fake-payload-1") * 2
+    assert got[("audio", "wav")].total_bytes == len(b"RIFF-fake-audio")
+
+
+def test_metadata_rollup_without_content_bytes_stays_metadata_only(media):
+    """Inputs that predate attach_content_metadata get NULL totals instead
+    of a silent full payload read."""
+    agg = media_stats_by_kind(media)
+    rows = {(r.kind, r.format): r for r in agg.collect()}
+    assert all(r.total_bytes is None for r in rows.values())
+    assert rows[("image", "png")].n_items == 3
