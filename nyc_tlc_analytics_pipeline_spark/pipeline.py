@@ -17,10 +17,22 @@ same access paths the reference indexed (SURVEY §4)."""
 from __future__ import annotations
 
 import glob
+import json
 import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class StageFailed(RuntimeError):
+    """A pipeline stage exhausted its retries; the run state on disk marks
+    every earlier stage complete, so a re-run resumes at this stage."""
+
+    def __init__(self, stage: str, attempts: int, cause: Exception):
+        super().__init__(f"stage {stage!r} failed after {attempts} attempt(s): {cause}")
+        self.stage = stage
+        self.attempts = attempts
+        self.cause = cause
 
 from .core.config import PipelineConfig
 from .operators import aggregations, dimensions, quality, standardize
@@ -151,20 +163,93 @@ class TlcPipeline:
         return ANALYTICS[name](self.tables())
 
     # -- end-to-end --------------------------------------------------------
-    def run_e2e(self, landing_dir: str, zones_csv: str | None = None) -> dict:
-        """The full pipeline (reference: cli.py run-e2e → full_pipeline_flow)."""
-        dims = self.init_dims(zones_csv)
-        loads = self.load_landing_dir(landing_dir)
-        qc = self.run_quality_checks()
-        fact_rows = self.build_fact()
-        aggs = self.build_aggregates()
+    @property
+    def _state_path(self) -> str:
+        return self.meta("e2e_state.json")
+
+    def _load_state(self) -> dict:
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"stages": {}}
+
+    def _save_state(self, state: dict) -> None:
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)  # atomic: a crash never half-writes
+
+    def _run_stage(self, state: dict, name: str, fn, retries: int):
+        """Run one stage with retries and durable completion state —
+        the Spark-side equivalent of the reference's per-task
+        ``@task(retries=2)`` wiring (reference:
+        src/orchestration/flows.py:34,58,76,89,104).  Completed stages are
+        skipped on re-entry; every stage body is idempotent (overwrite
+        dims/fact/aggs, idempotent-append bronze), so a retry after a
+        partial failure converges to the same state."""
+        done = state["stages"].get(name)
+        if done and done.get("status") == "success":
+            return done["result"]
+        last: Exception | None = None
+        for attempt in range(1, retries + 2):
+            try:
+                result = fn()
+            except Exception as e:  # noqa: BLE001 — stage isolation boundary
+                last = e
+                continue
+            state["stages"][name] = {
+                "status": "success",
+                "attempts": attempt,
+                "result": result,
+            }
+            self._save_state(state)
+            return result
+        state["stages"][name] = {"status": "failed", "attempts": retries + 1}
+        self._save_state(state)
+        raise StageFailed(name, retries + 1, last)
+
+    def run_e2e(
+        self,
+        landing_dir: str,
+        zones_csv: str | None = None,
+        retries: int = 2,
+        resume: bool = True,
+    ) -> dict:
+        """The full pipeline (reference: cli.py run-e2e → full_pipeline_flow)
+        with per-stage retry + resume: each stage retries ``retries`` times
+        (reference default, flows.py:34), completion is journaled to
+        ``meta/e2e_state.json``, and a re-run after a failure skips the
+        already-completed stages (their idempotent writes are not repeated,
+        so e.g. ingestion_log gets no duplicate entries).  ``resume=False``
+        discards prior state and runs everything."""
+        state = self._load_state() if resume else {"stages": {}}
+        if all(
+            state["stages"].get(s, {}).get("status") == "success"
+            for s in ("init_dims", "ingest", "quality", "build_fact", "build_aggregates")
+        ):
+            state = {"stages": {}}  # previous run finished — start fresh
+        dims = self._run_stage(state, "init_dims", lambda: self.init_dims(zones_csv), retries)
+        loads = self._run_stage(
+            state, "ingest", lambda: self.load_landing_dir(landing_dir), retries
+        )
+        qc_pct = self._run_stage(
+            state,
+            "quality",
+            lambda: {
+                s: round(quality.overall_quality_pct(rs), 2)
+                for s, rs in self.run_quality_checks().items()
+            },
+            retries,
+        )
+        fact_rows = self._run_stage(state, "build_fact", self.build_fact, retries)
+        aggs = self._run_stage(state, "build_aggregates", self.build_aggregates, retries)
         return {
             "dims": dims,
             "files_loaded": len([r for r in loads if r["status"] == "success"]),
             "files_skipped": len([r for r in loads if r["status"] != "success"]),
-            "quality_pct": {
-                s: round(quality.overall_quality_pct(rs), 2) for s, rs in qc.items()
-            },
+            "quality_pct": qc_pct,
             "fact_rows": fact_rows,
             "aggregates": aggs,
         }

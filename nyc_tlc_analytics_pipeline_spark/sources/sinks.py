@@ -5,8 +5,10 @@ Idempotency model (reference: the ``source_file NOT IN (...)`` anti-join,
 src/database/schema_drift.py:213-215 + pre-check loader.py:147-165):
 bronze tables are laid out as ``path/source_file=<name>/`` partition
 directories, so "is this file already loaded" is an O(1) directory check
-and re-loading is partition-overwrite — race-free under concurrent
-writers, unlike a read-modify-write anti-join (SURVEY §7.3 item 3)."""
+and re-loading is a DYNAMIC partition overwrite of that one partition —
+replays and check-race losers converge to a single clean copy (last
+writer wins) instead of double-appending, unlike a read-modify-write
+anti-join (SURVEY §7.3 item 3)."""
 
 from __future__ import annotations
 
@@ -44,13 +46,25 @@ def is_file_loaded(bronze_path: str, source_file: str) -> bool:
 
 def idempotent_append(df: DataFrame, bronze_path: str, source_file: str) -> bool:
     """Load one source file into the bronze table unless already present.
-    Returns True if written, False if skipped (already loaded)."""
+    Returns True if written, False if skipped (already loaded).
+
+    The write is a DYNAMIC partition overwrite of the single
+    ``source_file=<name>/`` partition, not an append: if two loaders race
+    past the directory pre-check (or a crashed load is re-run), the
+    partition ends up with exactly one clean copy of the file's rows —
+    last writer wins — instead of double-appended duplicates.  The
+    pre-check stays as a cheap skip for the common already-loaded case."""
     if is_file_loaded(bronze_path, source_file):
         return False
     out = df.withColumn("source_file", F.lit(_partition_value(source_file))).withColumn(
         "ingestion_timestamp", F.current_timestamp()
     )
-    out.write.mode("append").partitionBy("source_file").parquet(bronze_path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source_file")
+        .parquet(bronze_path)
+    )
     return True
 
 

@@ -86,6 +86,58 @@ def test_quality_metrics_written(pipeline):
     assert {r.service_type for r in m.collect()} == {"yellow", "green", "hvfhv"}
 
 
+def test_stage_retry_recovers_transient_failure(spark, landing, tmp_path):
+    """A stage that fails once and then succeeds must be retried in-run
+    (reference parity: Prefect @task(retries=2), flows.py:34) — and the
+    journal records the attempt count."""
+    p = TlcPipeline(spark, PipelineConfig(warehouse_dir=str(tmp_path / "wh")))
+    real = p.build_fact
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient executor loss")
+        return real()
+
+    p.build_fact = flaky
+    summary = p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"), retries=1)
+    assert summary["fact_rows"] == 1350
+    state = json.load(open(p._state_path))
+    assert state["stages"]["build_fact"] == {
+        "status": "success",
+        "attempts": 2,
+        "result": 1350,
+    }
+
+
+def test_killed_stage_resumes_without_rerunning_earlier_stages(spark, landing, tmp_path):
+    """Kill the pipeline mid-run (build_fact dies beyond retries), then
+    re-run: the resume must skip the completed stages — the ingestion log
+    gains NO duplicate rows — and finish to the correct final state."""
+    from nyc_tlc_analytics_pipeline_spark.pipeline import StageFailed
+
+    p = TlcPipeline(spark, PipelineConfig(warehouse_dir=str(tmp_path / "wh")))
+    real = p.build_fact
+
+    def dead():
+        raise RuntimeError("stage killed")
+
+    p.build_fact = dead
+    with pytest.raises(StageFailed) as ei:
+        p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"), retries=0)
+    assert ei.value.stage == "build_fact"
+    log_rows = p.spark.read.parquet(p.meta("ingestion_log")).count()
+    assert log_rows == 3  # ingest completed before the kill
+
+    p.build_fact = real  # "fix the bug", re-run
+    summary = p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"))
+    assert summary["fact_rows"] == 1350
+    assert summary["files_loaded"] == 3  # journaled result, stage not re-executed
+    assert p.spark.read.parquet(p.meta("ingestion_log")).count() == 3  # no dup entries
+    assert p.spark.read.parquet(p.fact_path).count() == 1350
+
+
 def test_cli_analytics_unknown_query(pipeline, capsys):
     from nyc_tlc_analytics_pipeline_spark.cli import main
 
