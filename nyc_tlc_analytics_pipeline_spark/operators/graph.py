@@ -1,0 +1,135 @@
+"""Connected components over near-duplicate pair graphs → dedup clusters.
+
+A dedup pipeline's pair finders (``dedup.jaccard_pairs``, MinHash/SimHash/
+embedding LSH) emit EDGES; what the pipeline actually needs is the
+transitive closure — "these 7 docs are all one duplicate group, keep the
+canonical one".  The reference has no graph operator (its dedup is
+row-level INSERT OR IGNORE, src/transformations/standardize.py:24), so
+this is a beyond-reference operator in the LLM-data-pipeline family.
+
+Design for 100 TB:
+
+- **Alternating large-star / small-star contraction** (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  shuffle-native CC algorithm: each round is two groupBy/join passes over
+  the edge list, and the edge graph contracts toward component-min stars
+  in O(log² n) rounds WORST case (naive min-label propagation needs
+  O(graph diameter) rounds — a 10⁶-long chain of near-dup docs would need
+  10⁶ shuffles; here ~40).
+- Each round ends in ``localCheckpoint`` — iterative self-referencing
+  plans otherwise grow Catalyst lineage exponentially and re-execute the
+  whole history every round.
+- Convergence is detected from a one-row aggregate (edge count + an
+  order-independent ``bit_xor(xxhash64)`` checksum — XOR, not SUM, which
+  would long-overflow under ANSI mode on big edge sets), not a full plan
+  comparison.
+- No driver-side data: edges never leave the cluster; the driver sees
+  only the per-round checksum row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (u, v), self-loops dropped."""
+    return (
+        edges.select(col(src).alias("u"), col(dst).alias("v"))
+        .filter(col("u") != col("v"))
+        .distinct()
+    )
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node's strictly-larger neighbors are
+    re-linked to the minimum of its neighborhood (including itself).
+    Output edges {(v, m(u)) : v ∈ Γ(u), v > u}, m(u) = min(Γ(u) ∪ {u})."""
+    nbrs = edges.union(edges.select(col("v").alias("u"), col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(col("u"), col("mn"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").alias("u"), m.alias("v"))
+        .filter(col("u") != col("v"))
+        .distinct()
+    )
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: direct each edge from its larger endpoint,
+    then link every smaller neighbor AND the center to the neighborhood
+    minimum.  Output {(v, m) : v ∈ Γ⁻(u) ∪ {u}, v ≠ m}."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = directed.join(mins, "u").select(col("v").alias("u"), col("m").alias("v"))
+    center = mins.select("u", col("m").alias("v"))
+    return to_min.union(center).filter(col("u") != col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    component = the smallest node id reachable from it.  Alternates
+    large-star/small-star until the edge set is stable; at the fixpoint
+    every non-root node carries exactly one edge to its component root.
+
+    ``max_iter=25`` covers > 2²⁵-node worst-case chains (rounds needed
+    grow with log² of the longest path); real near-dup graphs converge in
+    2–4 rounds.  Raises if the graph hasn't converged — returning a wrong
+    partial clustering silently would corrupt the dedup downstream."""
+    edges = _canonical(pairs, src, dst).localCheckpoint()
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        n, chk = edges.agg(
+            F.count("*"), F.expr("bit_xor(xxhash64(u, v))")
+        ).head()
+        if (n, chk) == prev:
+            break
+        prev = (n, chk)
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # converged star graph: every non-root u has edges only to its root;
+    # roots never appear on the left (they are each component's minimum)
+    assign = edges.groupBy("u").agg(F.min("v").alias("component"))
+    roots = assign.select(col("component").alias("u"), col("component")).distinct()
+    return assign.union(roots).select(col("u").alias("node"), "component")
+
+
+def cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Every row of ``df`` mapped to its duplicate-cluster id: the
+    component minimum for paired docs, itself for singletons.  Columns:
+    (<id_col>, cluster_id, cluster_size, is_canonical) — is_canonical
+    marks the one row per cluster a keep-canonical dedup retains."""
+    cc = connected_components(pairs, src, dst)
+    out = (
+        df.select(col(id_col))
+        .join(cc, df[id_col] == cc["node"], "left")
+        .select(
+            col(id_col),
+            F.coalesce(col("component"), col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (col(id_col) == col("cluster_id")).alias("is_canonical"),
+    )

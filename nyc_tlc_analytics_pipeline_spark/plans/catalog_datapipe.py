@@ -773,3 +773,80 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         emb, threshold=_Q43_THRESHOLD, planes=_PLANES_8x64
     ).orderBy("doc_a", "doc_b")
+
+# ---------------------------------------------------------------------------
+# q46 — near-dup pairs → duplicate CLUSTERS (connected components)
+# ---------------------------------------------------------------------------
+
+_Q46_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id,
+       cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "q46_dedup_clusters",
+    _Q46_ORACLE,
+    "Duplicate-cluster assignment: exact-Jaccard near-dup pairs closed "
+    "under transitivity via alternating large-star/small-star connected "
+    "components (O(log² n) shuffle rounds — not diameter-bound label "
+    "propagation), each doc tagged with its component-min cluster id and "
+    "the canonical keeper.  The oracle closes the same pair graph with a "
+    "recursive CTE.",
+    operators=("dedup-clusters", "graph-cc"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    cc = graph.connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(col("node").alias("doc_id"), col("component").alias("cluster_id"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.count("*").over(w).alias("cluster_size"),
+            (col("doc_id") == col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
