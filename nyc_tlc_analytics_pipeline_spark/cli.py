@@ -9,13 +9,16 @@
     python -m nyc_tlc_analytics_pipeline_spark.cli aggregates
     python -m nyc_tlc_analytics_pipeline_spark.cli analytics a01_top_zones_by_revenue
     python -m nyc_tlc_analytics_pipeline_spark.cli run-e2e --landing-dir data/raw
+    python -m nyc_tlc_analytics_pipeline_spark.cli explain q01_top_nations_by_revenue --run
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import time
 
 from .core.config import PipelineConfig
 from .core.session import build_session
@@ -58,6 +61,25 @@ def main(argv: list[str] | None = None) -> int:
     e2e.add_argument("--landing-dir", default="data/raw")
     e2e.add_argument("--zones-csv", default=None)
 
+    # profiling surface (reference: PRAGMA enable_profiling,
+    # docs/IMPLEMENTATION_GUIDE.md:835-843) — Spark-side: the optimized
+    # physical plan, optionally executed with wall-clock + row count
+    ex = sub.add_parser(
+        "explain", help="print a query's physical plan; --run also executes it"
+    )
+    ex.add_argument("name", help="catalog (qNN_*) or analytics (aNN_*) query name")
+    ex.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="parquet table dir for catalog queries",
+    )
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    ex.add_argument("--run", action="store_true", help="execute and report rows/secs")
+
     args = p.parse_args(argv)
 
     if args.command == "download":
@@ -93,6 +115,26 @@ def main(argv: list[str] | None = None) -> int:
         pl.run_analytics(args.name).show(args.limit, truncate=False)
     elif args.command == "run-e2e":
         print(json.dumps(pl.run_e2e(args.landing_dir, args.zones_csv), indent=2))
+    elif args.command == "explain":
+        from .plans.analytics import ANALYTICS
+        from .plans.catalog import QUERIES
+
+        if args.name in QUERIES:
+            df = QUERIES[args.name].build(pl.spark, args.sf_dir)
+        elif args.name in ANALYTICS:
+            df = pl.run_analytics(args.name)
+        else:
+            print(
+                f"unknown query {args.name}; available: "
+                f"{sorted(QUERIES) + sorted(ANALYTICS)}",
+                file=sys.stderr,
+            )
+            return 2
+        df.explain(args.mode)
+        if args.run:
+            t0 = time.perf_counter()
+            n = df.count()
+            print(json.dumps({"rows": n, "secs": round(time.perf_counter() - t0, 3)}))
     return 0
 
 

@@ -144,3 +144,44 @@ def test_cli_analytics_unknown_query(pipeline, capsys):
     rc = main(["--warehouse-dir", pipeline.config.warehouse_dir, "analytics", "nope"])
     assert rc == 2
     assert "unknown query" in capsys.readouterr().err
+
+def test_cli_explain_prints_physical_plan(pipeline, capsys):
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+    from .conftest import SF_SMOKE
+
+    rc = main(
+        [
+            "--warehouse-dir", pipeline.config.warehouse_dir,
+            "explain", "q01_top_nations_by_revenue", "--sf-dir", SF_SMOKE,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== Physical Plan ==" in out
+    assert "Scan parquet" in out
+
+
+def test_cli_explain_run_reports_rows(pipeline, capsys):
+    import json as _json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+    from .conftest import SF_SMOKE
+
+    rc = main(
+        [
+            "--warehouse-dir", pipeline.config.warehouse_dir,
+            "explain", "q08_event_type_share", "--sf-dir", SF_SMOKE, "--run",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    stats = _json.loads(out.strip().rsplit("\n", 1)[-1])
+    assert stats["rows"] == 5 and stats["secs"] >= 0
+
+
+def test_cli_explain_unknown_query(pipeline, capsys):
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    rc = main(["--warehouse-dir", pipeline.config.warehouse_dir, "explain", "nope"])
+    assert rc == 2
+    assert "unknown query" in capsys.readouterr().err
