@@ -7,7 +7,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 ``value`` is the total wall-clock of all timed queries (collect() forces
 execution). Set BENCH_ALL=1 to time every catalog query, not just the
-headline set."""
+headline set.
+
+Set BENCH_SCALE=N (N > 1) to bench at N× the source scale factor: the fact
+tables (customer/orders/lineitem/part/supplier/events/documents/embeddings)
+are materialized once to .bench_scaled/ as N key-shifted copies with
+foreign keys kept consistent (dims region/nation stay fixed, as in TPC-H
+scaling), and document text is token-salted per copy so the dedup/near-dup
+queries scale linearly instead of gaining N² cross-copy duplicate pairs.
+This is the cost-curve probe for the exact-percentile and shingle-heavy
+queries before real cluster runs."""
 
 from __future__ import annotations
 
@@ -15,6 +24,86 @@ import json
 import os
 import sys
 import time
+
+# entity key spaces: every column in one entity shifts by the same offset
+# per copy, so FK joins stay valid and join cardinality scales ~N×
+_SCALE_KEYMAP = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+_ENTITY_MAX_SRC = {
+    "cust": ("customer", "c_custkey"),
+    "order": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+
+def materialize_scaled(spark, src_dir: str, n_copies: int) -> str:
+    """Write an N× copy of the testdata into .bench_scaled/ (idempotent:
+    skipped if the marker file exists) and return the new sf dir."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_scaled",
+        f"{os.path.basename(src_dir.rstrip('/'))}x{n_copies}",
+    )
+    marker = os.path.join(out, "_ALL_TABLES_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    offsets = {
+        ent: load_table(spark, src_dir, tbl).agg(F.max(key)).head()[0] + 1
+        for ent, (tbl, key) in _ENTITY_MAX_SRC.items()
+    }
+    for name in TESTDATA_TABLES:
+        base = load_table(spark, src_dir, name)
+        keymap = _SCALE_KEYMAP.get(name)
+        if not keymap:  # region/nation: fixed dims, copied once
+            scaled = base
+        else:
+            parts = []
+            for i in range(n_copies):
+                c = base
+                for colname, ent in keymap.items():
+                    c = c.withColumn(colname, F.col(colname) + F.lit(i * offsets[ent]))
+                if name == "documents" and i > 0:
+                    # token-salt: within-copy similarity structure identical,
+                    # cross-copy shingle/minhash intersection exactly zero
+                    c = c.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda t: F.concat(t, F.lit(f"_{i}")),
+                            ),
+                            " ",
+                        ),
+                    )
+                parts.append(c)
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
 
 
 def main() -> None:
@@ -26,6 +115,10 @@ def main() -> None:
     from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
 
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
+
+    scale = int(os.environ.get("BENCH_SCALE", "1"))
+    if scale > 1:
+        sf_dir = materialize_scaled(spark, sf_dir, scale)
 
     names = [
         n
@@ -90,7 +183,12 @@ def main() -> None:
     ingest_secs = time.perf_counter() - t0
     ingest_rows_per_sec = int(fact_rows / ingest_secs)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1].split("x")[0]
+    if scale > 1:
+        try:
+            sf = str(float(sf) * scale)
+        except ValueError:
+            pass
     result = {
         "metric": "headline-query wall-clock (sum)",
         "value": round(sum(timings.values()), 3),
@@ -105,6 +203,8 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
     }
+    if scale > 1:
+        result["scale_copies"] = scale
     print(json.dumps(result))
     spark.stop()
 

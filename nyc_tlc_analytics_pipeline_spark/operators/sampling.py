@@ -1,0 +1,91 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+``df.sample()`` is the wrong tool for corpus curation at 100 TB: its RNG
+is seeded per-partition, so the sample CHANGES whenever partitioning,
+file layout, or cluster size changes — a re-run of the same pipeline
+selects different documents.  Every sampler here instead derives its
+decision from ``md5(salt || key)``, which gives:
+
+- **reproducibility**: same key + salt → same decision, on any cluster
+  layout, forever (and in any engine that shares md5 — the DuckDB
+  oracles recompute the identical samples);
+- **no data motion**: bernoulli sampling and splitting are pure map-side
+  filters — no shuffle, no sort, fully pushed into the scan stage;
+- **consistency across tables**: sampling two fact tables by the same
+  join key keeps them aligned (a sampled user keeps ALL their rows).
+
+The hash fraction is the first 8 hex chars of the digest read as a
+uniform 32-bit integer — u/2³² ~ U[0,1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def hash_fraction(key: Column | str, salt: str = "") -> Column:
+    """Deterministic U[0,1) from a key: first 32 bits of md5(salt || key)
+    over 2³².  Pure column expression — evaluated inside codegen."""
+    k = F.col(key) if isinstance(key, str) else key
+    digest = F.md5(F.concat(lit(salt), k.cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / lit(2.0**32)
+
+
+def bernoulli_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff hash_fraction(key) < rate — a map-side filter
+    with NO shuffle; the expected kept fraction is ``rate`` and the
+    decision is stable under any repartitioning or re-run."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_fraction(key, salt) < lit(float(rate)))
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment: the [0,1) hash
+    line is cut at the cumulative weights (insertion order of
+    ``weights``), so every row lands in exactly one split and membership
+    never changes as the corpus grows — new keys don't reshuffle old
+    ones (the property random split lacks)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = hash_fraction(key, salt)
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond_val = F.when(u < lit(edge), lit(name))
+        expr = cond_val if expr is None else expr.when(u < lit(edge), lit(name))
+    expr = (
+        lit(names[0]) if expr is None else expr.otherwise(lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame, group_cols: list[str], n_per_group: int, key: str, salt: str = ""
+) -> DataFrame:
+    """EXACTLY min(n, |group|) rows per group, chosen as the n smallest
+    hash fractions — deterministic, uniform within the group, and
+    one shuffle (the window partition).  This is the scale-safe form of
+    "give me 10k examples per language": no per-group count pass, no
+    driver-side loop, skew handled by AQE like any keyed window."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_fraction(key, salt), col(key)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

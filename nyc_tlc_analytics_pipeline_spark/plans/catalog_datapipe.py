@@ -850,3 +850,56 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# q47 — deterministic hash sampling: stratified per-language sample + split
+# ---------------------------------------------------------------------------
+
+_Q47_ORACLE = """
+WITH u AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS su,
+           ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS pu
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, pu,
+           row_number() OVER (PARTITION BY lang ORDER BY su, doc_id) AS rn
+    FROM u
+)
+SELECT doc_id, lang,
+       CASE WHEN pu < 0.8 THEN 'train'
+            WHEN pu < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
+@register(
+    "q47_deterministic_sampling",
+    _Q47_ORACLE,
+    "Training-corpus curation sampling: exactly 5 docs per language via "
+    "md5-hash-order stratified sampling, each tagged with a stable "
+    "80/10/10 train/val/test split.  Hash-derived decisions are layout- "
+    "and growth-independent (unlike df.sample's per-partition RNG) and "
+    "the oracle recomputes the identical md5 fractions.",
+    operators=("sampling-stratified", "sampling-split"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    strat = sampling.stratified_sample_exact(
+        docs, ["lang"], 5, "doc_id", salt="strat"
+    )
+    return (
+        sampling.assign_split(
+            strat, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+        )
+        .select("doc_id", "lang", "split")
+        .orderBy("lang", "doc_id")
+    )
