@@ -252,17 +252,27 @@ def minhash_signatures(
     seeded uniform hash.  One explode + one groupBy; the signature is an
     array column ordered by seed.
 
-    ``hash_mode="md5"`` (default) hashes ``md5(k || ':' || shingle)`` and
-    takes the min of the hex STRING — lexicographic order over uniform
-    hex digests is itself a uniform order, and both Spark and DuckDB
-    produce byte-identical md5 hex, so the whole signature (and the LSH
-    bands derived from it) is oracle-checkable end-to-end.
+    ``hash_mode="md5"`` (default) derives four independent 32-bit hash
+    values from each digest — hash k is the 8-hex-char chunk ``k % 4`` of
+    ``md5((k // 4) || ':' || shingle)`` — so 16 hash functions cost only
+    4 md5 evaluations per shingle (subexpression elimination shares each
+    digest across its 4 chunk-mins), a 4× cut in the dominant hashing
+    cost.  Mins are taken on the hex STRING: fixed-width lexicographic
+    order over uniform hex is itself a uniform order, and both Spark and
+    DuckDB produce byte-identical md5 hex, so the whole signature (and
+    the LSH bands derived from it) is oracle-checkable end-to-end.
     ``hash_mode="xxhash64"`` is the cheaper JVM-only path (array<long>)
     when cross-engine verification isn't needed."""
     sh = shingle_table(df, id_col, text_col, n)
     if hash_mode == "md5":
         mins = [
-            F.min(F.md5(F.concat(lit(f"{k}:"), col("shingle")))).alias(f"h{k}")
+            F.min(
+                F.substring(
+                    F.md5(F.concat(lit(f"{k // 4}:"), col("shingle"))),
+                    (k % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"h{k}")
             for k in range(num_hashes)
         ]
     elif hash_mode == "xxhash64":

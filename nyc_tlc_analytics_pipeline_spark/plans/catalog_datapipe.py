@@ -519,7 +519,10 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q28_ORACLE = f"""
 WITH {_SHINGLE_CTES},
 mh AS (
-    SELECT doc_id, k, min(md5(k || ':' || shingle)) AS h
+    -- hash k = 8-hex chunk (k % 4) of md5((k // 4) || ':' || shingle):
+    -- 16 hash functions from 4 digests, mirroring the Spark side
+    SELECT doc_id, k,
+           min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
     FROM sh CROSS JOIN range(16) r(k)
     GROUP BY doc_id, k
 ),
