@@ -7,19 +7,28 @@ metadata-only query never reads the bytes at all).
 
 The decode / feature-extraction kernels are the only places Python touches
 the data, so they run as Arrow-batched ``mapInPandas`` stages: one Python
-worker per partition, zero-copy Arrow transfer, linear scale-out.  The
-actual codec calls (PIL/librosa/ffmpeg) are NOT available in this
-container, so the kernel bodies are stubbed: ``decode_image_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (bytes → pseudo pixel stats) exercises the full
-Spark plumbing — schema, batching, partitioning — for real.
+worker per partition, zero-copy Arrow transfer, linear scale-out.
+
+Codec support is format-tiered:
+
+- **Real decoders, no external libs**: PPM/PGM images (pure numpy header
+  + raster parsing) and WAV audio (stdlib ``wave``) are decoded for real
+  — pixel means/sharpness, sample RMS/zero-crossings, nearest-neighbor
+  resize with PPM re-encode all operate on actual payload bytes.
+- **Stubbed codecs**: JPEG/PNG/MP4 need PIL/ffmpeg, which are NOT in this
+  container; those paths raise ``NotImplementedError`` unless
+  ``fake=True``, where a deterministic digest-derived fake exercises the
+  full Spark plumbing — schema, batching, partitioning — for real.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -66,6 +75,82 @@ def dedup_media_exact(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# real codecs: PPM/PGM (pure numpy) and WAV (stdlib wave)
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6, RGB) or PGM (P5, gray) payload into an
+    (h, w, 3) / (h, w) uint8 array.  Pure numpy — no codec library."""
+    if not payload[:2] in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {payload[:2]!r}")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM/PGM supported, maxval={maxval}")
+    channels = 3 if payload[:2] == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+    return raster.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 payload (inverse of :func:`decode_ppm`)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _image_stats(arr: np.ndarray) -> tuple[float, float, float, float]:
+    """Channel means + sharpness (mean absolute 4-neighbor Laplacian of the
+    gray plane — flat images score 0, edges/noise score high)."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    gray = arr.mean(axis=-1)
+    if gray.shape[0] < 3 or gray.shape[1] < 3:
+        sharp = 0.0
+    else:
+        lap = (
+            4 * gray[1:-1, 1:-1]
+            - gray[:-2, 1:-1]
+            - gray[2:, 1:-1]
+            - gray[1:-1, :-2]
+            - gray[1:-1, 2:]
+        )
+        sharp = float(np.abs(lap).mean() / 255.0)
+    return (float(means[0]), float(means[1]), float(means[2]), sharp)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV payload → (mono float32 samples in [-1, 1], sample_rate) via the
+    stdlib ``wave`` reader (PCM 8/16/32-bit)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate, nch, width = f.getframerate(), f.getnchannels(), f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    dtype, scale = {1: (np.uint8, 128.0), 2: (np.int16, 32768.0), 4: (np.int32, 2147483648.0)}[width]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if width == 1:
+        x -= 128.0
+    x /= scale
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+# --------------------------------------------------------------------------
 # decode / feature-extract kernels (mapInPandas)
 # --------------------------------------------------------------------------
 
@@ -86,25 +171,29 @@ def _fake_pixel_stats(payload: bytes) -> tuple[float, float, float, float]:
 def decode_image_stub(fake: bool = False):
     """Returns a mapInPandas kernel: (media rows) → per-image pixel stats.
 
-    With ``fake=False`` this raises NotImplementedError at first batch —
-    the real implementation drops PIL into `_decode`. Usage:
+    PPM/PGM payloads are decoded FOR REAL (pure numpy); other formats
+    need PIL/opencv, which are absent here — they raise
+    NotImplementedError unless ``fake=True`` (deterministic digest-derived
+    stats that exercise the identical batch/schema contract).  Usage:
 
         df.mapInPandas(decode_image_stub(fake=True), DECODED_IMAGE_SCHEMA)
     """
 
-    def _decode(payload: bytes) -> tuple[float, float, float, float]:
+    def _decode(payload: bytes, fmt: str) -> tuple[float, float, float, float]:
+        if fmt in ("ppm", "pgm"):
+            return _image_stats(decode_ppm(bytes(payload)))
         if fake:
             return _fake_pixel_stats(payload)
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
+            f"no codec for image format {fmt!r} in this environment; "
             "plug PIL/opencv into multimodal.decode_image_stub"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             stats = [
-                _decode(c) if c is not None else (None, None, None, None)
-                for c in pdf["content"]
+                _decode(c, f) if c is not None else (None, None, None, None)
+                for c, f in zip(pdf["content"], pdf["format"])
             ]
             yield pd.DataFrame(
                 {
@@ -118,6 +207,105 @@ def decode_image_stub(fake: bool = False):
                     "sharpness": [s[3] for s in stats],
                 }
             )
+
+    return kernel
+
+
+DECODED_AUDIO_SCHEMA = (
+    "media_id long, format string, sample_rate int, n_samples long, "
+    "duration_ms long, rms double, peak double, zero_crossing_rate double"
+)
+
+
+def decode_audio_kernel(fake: bool = False):
+    """mapInPandas kernel: (media rows) → per-clip audio features.  WAV is
+    decoded FOR REAL via the stdlib reader — duration, RMS loudness, peak,
+    zero-crossing rate from actual samples; compressed formats (mp3/ogg)
+    would need ffmpeg and follow the stub/fake contract."""
+
+    def _features(payload: bytes, fmt: str):
+        if fmt == "wav":
+            x, rate = decode_wav(bytes(payload))
+            n = int(x.size)
+            zcr = float(np.mean(np.diff(np.signbit(x)) != 0)) if n > 1 else 0.0
+            return (
+                rate,
+                n,
+                int(round(1000.0 * n / rate)) if rate else 0,
+                float(np.sqrt(np.mean(x**2))) if n else 0.0,
+                float(np.abs(x).max()) if n else 0.0,
+                zcr,
+            )
+        if fake:
+            d = hashlib.sha256(payload).digest()
+            return (16000, 16000, 1000, d[0] / 255.0, d[1] / 255.0, d[2] / 255.0)
+        raise NotImplementedError(
+            f"no codec for audio format {fmt!r} in this environment; "
+            "plug ffmpeg/librosa into multimodal.decode_audio_kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _features(c, f) if c is not None else (None,) * 6
+                for c, f in zip(pdf["content"], pdf["format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "sample_rate": [t[0] for t in feats],
+                    "n_samples": [t[1] for t in feats],
+                    "duration_ms": [t[2] for t in feats],
+                    "rms": [t[3] for t in feats],
+                    "peak": [t[4] for t in feats],
+                    "zero_crossing_rate": [t[5] for t in feats],
+                }
+            )
+
+    return kernel
+
+
+RESIZED_IMAGE_SCHEMA = "media_id long, format string, width int, height int, content binary"
+
+
+def resize_images_kernel(target_w: int, target_h: int):
+    """mapInPandas kernel: PPM/PGM rows → nearest-neighbor-resized P6
+    payloads — a REAL binary-in/binary-out media transform (the shape of
+    every production resize stage): decode, numpy index-grid resample,
+    re-encode.  Non-PPM rows pass through unchanged with their original
+    dimensions so a mixed corpus doesn't fail mid-batch."""
+
+    def _resize(arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        rows = (np.arange(target_h) * h) // target_h
+        cols = (np.arange(target_w) * w) // target_w
+        out = arr[rows][:, cols]
+        if out.ndim == 2:
+            out = np.stack([out] * 3, axis=-1)
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "format": [], "width": [], "height": [], "content": [],
+            }
+            for _, row in pdf.iterrows():
+                fmt, payload = row["format"], row["content"]
+                if payload is not None and fmt in ("ppm", "pgm"):
+                    resized = _resize(decode_ppm(bytes(payload)))
+                    out["media_id"].append(row["media_id"])
+                    out["format"].append("ppm")
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["content"].append(encode_ppm(resized))
+                else:
+                    out["media_id"].append(row["media_id"])
+                    out["format"].append(fmt)
+                    out["width"].append(row["width"])
+                    out["height"].append(row["height"])
+                    out["content"].append(payload)
+            yield pd.DataFrame(out)
 
     return kernel
 

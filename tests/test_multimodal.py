@@ -96,3 +96,137 @@ def test_metadata_rollup_without_content_bytes_stays_metadata_only(media):
     rows = {(r.kind, r.format): r for r in agg.collect()}
     assert all(r.total_bytes is None for r in rows.values())
     assert rows[("image", "png")].n_items == 3
+
+# --------------------------------------------------------------------------
+# REAL codecs: PPM/PGM images (pure numpy) and WAV audio (stdlib wave)
+# --------------------------------------------------------------------------
+
+def _make_ppm(w, h, rgb):
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import encode_ppm
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :] = rgb
+    return encode_ppm(arr), arr
+
+
+def _make_wav(freq_hz=440, rate=8000, secs=0.5, amp=0.5):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    x = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + arr.tobytes()
+    assert (decode_ppm(with_comment) == arr).all()
+
+
+def test_real_ppm_decode_through_spark(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        DECODED_IMAGE_SCHEMA,
+        MEDIA_SCHEMA,
+        decode_image_stub,
+    )
+
+    red, _ = _make_ppm(8, 6, (255, 0, 0))
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    noisy_arr = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import encode_ppm
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", "ppm", 8, 6, None, red),
+            (2, "image", "ppm", 8, 6, None, encode_ppm(noisy_arr)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    # fake=False: ppm MUST decode for real, no stub fallback involved
+    rows = {
+        r.media_id: r
+        for r in df.mapInPandas(decode_image_stub(), DECODED_IMAGE_SCHEMA).collect()
+    }
+    assert rows[1].mean_r == pytest.approx(1.0)
+    assert rows[1].mean_g == pytest.approx(0.0)
+    assert rows[1].sharpness == pytest.approx(0.0)  # flat image, no edges
+    exp = noisy_arr.reshape(-1, 3).mean(axis=0) / 255.0
+    assert rows[2].mean_r == pytest.approx(exp[0])
+    assert rows[2].sharpness > 0.05  # noise has strong Laplacian response
+
+
+def test_real_wav_decode_through_spark(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        DECODED_AUDIO_SCHEMA,
+        MEDIA_SCHEMA,
+        decode_audio_kernel,
+    )
+
+    wav = _make_wav(freq_hz=440, rate=8000, secs=0.5, amp=0.5)
+    df = spark.createDataFrame(
+        [(1, "audio", "wav", None, None, None, wav)], MEDIA_SCHEMA
+    )
+    r = df.mapInPandas(decode_audio_kernel(), DECODED_AUDIO_SCHEMA).head()
+    assert r.sample_rate == 8000
+    assert r.n_samples == 4000
+    assert r.duration_ms == 500
+    assert r.rms == pytest.approx(0.5 / 2**0.5, rel=1e-3)  # sine RMS = A/sqrt(2)
+    assert r.peak == pytest.approx(0.5, rel=1e-3)
+    # a 440 Hz sine crosses zero 2*440 times/sec
+    assert r.zero_crossing_rate == pytest.approx(2 * 440 / 8000, rel=0.02)
+
+
+def test_resize_kernel_real_end_to_end(spark):
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        RESIZED_IMAGE_SCHEMA,
+        decode_ppm,
+        resize_images_kernel,
+    )
+
+    # left half black, right half white → resize must preserve the split
+    arr = np.zeros((16, 16, 3), dtype=np.uint8)
+    arr[:, 8:] = 255
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import encode_ppm
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", "ppm", 16, 16, None, encode_ppm(arr)),
+            (2, "image", "jpeg", 64, 64, None, b"\xff\xd8not-a-real-jpeg"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r.media_id: r
+        for r in df.mapInPandas(resize_images_kernel(4, 4), RESIZED_IMAGE_SCHEMA).collect()
+    }
+    small = decode_ppm(bytes(rows[1].content))
+    assert small.shape == (4, 4, 3)
+    assert (small[:, :2] == 0).all() and (small[:, 2:] == 255).all()
+    # non-ppm passes through untouched
+    assert bytes(rows[2].content) == b"\xff\xd8not-a-real-jpeg"
+    assert rows[2].width == 64
