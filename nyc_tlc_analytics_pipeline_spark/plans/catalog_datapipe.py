@@ -906,3 +906,119 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "split")
         .orderBy("lang", "doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# q48 — the full curation funnel: quality gate → near-dup clusters →
+# keep canonical → stable split assignment (operators composing end-to-end)
+# ---------------------------------------------------------------------------
+
+_Q48_ORACLE = f"""
+WITH RECURSIVE q AS (
+    SELECT doc_id, lang,
+           string_split_regex(lower(text), '\\s+') AS t,
+           round((least(1.0 * len(string_split_regex(lower(text), '\\s+')) / 200.0, 1.0)
+            + (1.0 - least(5.0 * length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0), 1.0))
+            + least(4.0 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> list_contains([{_EN}], x)))
+                    / nullif(len(string_split_regex(lower(text), '\\s+')), 0), 1.0)) / 3.0
+            + 1e-9, 6) AS quality
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, lang, t, quality FROM q WHERE quality >= 0.5
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+    FROM kept
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common) >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (
+    SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+),
+canonical AS (
+    -- paired docs survive only as their cluster minimum; singletons survive
+    SELECT k.* FROM kept k
+    WHERE k.doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+),
+split_assigned AS (
+    SELECT lang, len(t) AS n_tokens, quality,
+           CASE WHEN ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.9 THEN 'train'
+                WHEN ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM canonical
+)
+SELECT lang, split,
+       count(*) AS n_docs,
+       round(avg(n_tokens) + 1e-9, 4) AS avg_tokens,
+       round(avg(quality) + 1e-9, 6) AS avg_quality
+FROM split_assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@register(
+    "q48_curation_funnel",
+    _Q48_ORACLE,
+    "End-to-end corpus curation: quality-gate the documents (score ≥ 0.5), "
+    "cluster the survivors' exact-Jaccard near-dups via connected "
+    "components, keep one canonical doc per cluster, assign stable "
+    "90/5/5 splits, and report the curated corpus per (lang, split).  "
+    "Exercises text-quality → dedup-jaccard → graph-cc → sampling-split "
+    "composing in one plan, hash-checked end-to-end.",
+    operators=("curation-funnel", "text-quality", "graph-cc", "sampling-split"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph, sampling
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    kept = docs.withColumn("quality", rnd(text.quality_score("text"), 6)).filter(
+        col("quality") >= 0.5
+    )
+    pairs = dedup.jaccard_pairs(
+        kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    assigned = graph.cluster_assignments(kept, pairs, "doc_id")
+    canonical = kept.join(
+        assigned.filter(col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+    )
+    out = sampling.assign_split(
+        canonical, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur"
+    )
+    return (
+        out.select("lang", "split", text.token_count("text").alias("n_tokens"), "quality")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            rnd(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "split")
+    )
