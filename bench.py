@@ -13,8 +13,9 @@ Set BENCH_SCALE=N (N > 1) to bench at N× the source scale factor: the fact
 tables (customer/orders/lineitem/part/supplier/events/documents/embeddings)
 are materialized once to .bench_scaled/ as N key-shifted copies with
 foreign keys kept consistent (dims region/nation stay fixed, as in TPC-H
-scaling), and document text is token-salted per copy so the dedup/near-dup
-queries scale linearly instead of gaining N² cross-copy duplicate pairs.
+scaling), document text is token-salted per copy, and embedding vectors get
+a per-copy orthogonal rotation, so the dedup/near-dup/ANN queries scale
+linearly instead of gaining N² cross-copy duplicate pairs.
 This is the cost-curve probe for the exact-percentile and shingle-heavy
 queries before real cluster runs."""
 
@@ -72,6 +73,9 @@ def materialize_scaled(spark, src_dir: str, n_copies: int) -> str:
         ent: load_table(spark, src_dir, tbl).agg(F.max(key)).head()[0] + 1
         for ent, (tbl, key) in _ENTITY_MAX_SRC.items()
     }
+    emb_dim = int(
+        load_table(spark, src_dir, "embeddings").select(F.size("embedding")).head()[0]
+    )
     for name in TESTDATA_TABLES:
         base = load_table(spark, src_dir, name)
         keymap = _SCALE_KEYMAP.get(name)
@@ -96,6 +100,22 @@ def materialize_scaled(spark, src_dir: str, n_copies: int) -> str:
                             " ",
                         ),
                     )
+                if name == "embeddings" and i > 0:
+                    # per-copy ORTHOGONAL transform (circular rotation by
+                    # i mod dim, plus whole-vector negation every dim
+                    # copies): within-copy pairwise cosines are preserved
+                    # exactly, but a vector and its cross-copy twin point
+                    # in unrelated directions — no artificial cos=1.0
+                    # duplicate pairs, so near-dup/ANN volume scales ~N,
+                    # mirroring the documents token-salt above
+                    shift = i % emb_dim
+                    rotated = F.concat(
+                        F.slice("embedding", shift + 1, emb_dim - shift),
+                        F.slice("embedding", 1, shift),
+                    ) if shift else F.col("embedding")
+                    if (i // emb_dim) % 2 == 1:
+                        rotated = F.transform(rotated, lambda x: -x)
+                    c = c.withColumn("embedding", rotated)
                 parts.append(c)
             scaled = parts[0]
             for p in parts[1:]:

@@ -132,9 +132,14 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df.explain(args.mode)
         if args.run:
+            # time the REAL plan that was just printed: the noop sink
+            # materializes every projected column (count() would let
+            # Catalyst prune projections and understate the cost);
+            # the row count is taken after, untimed
             t0 = time.perf_counter()
-            n = df.count()
-            print(json.dumps({"rows": n, "secs": round(time.perf_counter() - t0, 3)}))
+            df.write.format("noop").mode("overwrite").save()
+            secs = round(time.perf_counter() - t0, 3)
+            print(json.dumps({"rows": df.count(), "secs": secs}))
     return 0
 
 

@@ -222,8 +222,10 @@ class TlcPipeline:
         (reference default, flows.py:34), completion is journaled to
         ``meta/e2e_state.json``, and a re-run after a failure skips the
         already-completed stages (their idempotent writes are not repeated,
-        so e.g. ingestion_log gets no duplicate entries).  ``resume=False``
-        discards prior state and runs everything."""
+        so e.g. ingestion_log gets no duplicate entries).  A journaled
+        ingest stage does NOT freeze the file set: resume re-scans the
+        landing dir and loads any files that arrived after the failed run.
+        ``resume=False`` discards prior state and runs everything."""
         state = self._load_state() if resume else {"stages": {}}
         if all(
             state["stages"].get(s, {}).get("status") == "success"
@@ -231,9 +233,33 @@ class TlcPipeline:
         ):
             state = {"stages": {}}  # previous run finished — start fresh
         dims = self._run_stage(state, "init_dims", lambda: self.init_dims(zones_csv), retries)
+        ingest_was_journaled = state["stages"].get("ingest", {}).get("status") == "success"
         loads = self._run_stage(
             state, "ingest", lambda: self.load_landing_dir(landing_dir), retries
         )
+        if ingest_was_journaled:
+            # the journal froze the file set seen by the failed run; files
+            # landed SINCE then must still be loaded (the loads themselves
+            # are idempotent, so this is safe to repeat).  Only unjournaled
+            # filenames are touched — no duplicate ingestion_log rows for
+            # the already-loaded set.
+            journaled = {r["source_file"] for r in loads}
+            catchup = [
+                self.load_file(path, service)
+                for service, prefix in (
+                    ("yellow", "yellow_tripdata"),
+                    ("green", "green_tripdata"),
+                    ("hvfhv", "fhvhv_tripdata"),
+                )
+                for path in sorted(
+                    glob.glob(os.path.join(landing_dir, f"{prefix}*.parquet"))
+                )
+                if os.path.basename(path) not in journaled
+            ]
+            if catchup:
+                loads = loads + catchup
+                state["stages"]["ingest"]["result"] = loads
+                self._save_state(state)
         qc_pct = self._run_stage(
             state,
             "quality",

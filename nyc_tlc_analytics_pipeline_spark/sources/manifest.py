@@ -1,0 +1,197 @@
+"""Manifest-committed table: concurrent-writer-safe append/overwrite on
+plain parquet files, Delta/Iceberg-style but dependency-free.
+
+Why this exists: the bronze partition-overwrite sink (``sinks.py``) is
+replay-safe but NOT safe for two writers running at the same time — both
+Spark jobs stage through the same ``_temporary`` directory and can
+interleave each other's commit phases (reference analogue: the
+``INSERT ... WHERE source_file NOT IN (...)`` guard,
+src/database/schema_drift.py:213-215, which DuckDB serializes through
+its single-writer transaction lock; Spark has no such lock on a bare
+directory).  This module restores single-writer-equivalent semantics
+with an optimistic-concurrency commit log:
+
+- Every write lands in a fresh ``data/<uuid>/`` directory — writers
+  never touch each other's files, and uncommitted data is INVISIBLE
+  (readers only see directories referenced by a committed log entry, so
+  a crashed writer leaves garbage, never a torn table).
+- A commit is the creation of ``_log/<version>.json``.  The file is
+  materialized elsewhere and published with ``os.link`` — an atomic
+  no-clobber operation on POSIX: of two racing writers targeting the
+  same version, exactly one succeeds; the loser re-reads the log,
+  re-checks idempotency, and retries at the next version.  (On object
+  stores this maps to the usual put-if-absent primitive.)
+- The table state at version V is the replay of log entries 1..V
+  (``overwrite`` resets the file list, ``append`` extends it), so
+  readers get snapshot isolation for free: ``read(version=...)`` is
+  time travel, and a reader holding version V is unaffected by later
+  commits.
+
+Idempotency composes with it: ``append(df, tag=source_file)`` refuses a
+tag that any committed entry already carries — the check is re-run
+inside the commit retry loop, so even two concurrent loads of the SAME
+file resolve to exactly one commit (the race loser sees the winner's
+tag when it retries).
+
+Scale note: the log is O(#commits) tiny JSON files and each entry holds
+only paths — listing it is a metadata operation, and data I/O is
+unchanged parquet.  Checkpoint/compact (like Delta's _last_checkpoint)
+is deliberately omitted: at the commit rates of this pipeline (one per
+source file per day) the log stays small; compaction is a documented
+follow-up, not a correctness gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Raised when the optimistic commit loop exhausts its retries."""
+
+
+class ManifestTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- log plumbing ------------------------------------------------------
+    def _versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[: -len(".json")]) for n in names if n.endswith(".json")
+        )
+
+    def _read_entry(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
+            return json.load(f)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def snapshot(self, version: int | None = None) -> dict:
+        """Replay the log up to ``version`` (default: latest).  Returns
+        ``{"version": v, "dirs": [...], "tags": {tag: version}}``."""
+        dirs: list[str] = []
+        tags: dict[str, int] = {}
+        top = 0
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            e = self._read_entry(v)
+            if e["action"] == "overwrite":
+                dirs, tags = [], {}
+            dirs.extend(e["dirs"])
+            if e.get("tag") is not None:
+                tags[e["tag"]] = v
+            top = v
+        return {"version": top, "dirs": dirs, "tags": tags}
+
+    # -- commit protocol ---------------------------------------------------
+    def _publish(self, entry: dict, max_retries: int = 50) -> int | None:
+        """Publish ``entry`` at the next free version via atomic no-clobber
+        link.  Returns the committed version, or None if the entry's
+        idempotency tag turned out to be already committed (skip)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        try:
+            for _ in range(max_retries):
+                snap = self.snapshot()
+                tag = entry.get("tag")
+                if (
+                    entry["action"] == "append"
+                    and tag is not None
+                    and tag in snap["tags"]
+                ):
+                    return None  # someone (maybe a race winner) loaded it
+                version = snap["version"] + 1
+                entry_full = {"version": version, "parent": snap["version"], **entry}
+                with open(tmp, "w") as f:
+                    json.dump(entry_full, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                target = os.path.join(self.log_dir, f"{version:020d}.json")
+                try:
+                    os.link(tmp, target)  # atomic: fails iff version taken
+                    return version
+                except FileExistsError:
+                    continue  # lost the race — re-read log, retry
+            raise CommitConflict(
+                f"could not commit to {self.path} after {max_retries} attempts"
+            )
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _stage(self, df: DataFrame) -> str:
+        """Write df to a private uuid directory; invisible until committed."""
+        d = uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(os.path.join(self.data_dir, d))
+        return d
+
+    # -- public API --------------------------------------------------------
+    def append(self, df: DataFrame, tag: str | None = None) -> int | None:
+        """Concurrent-safe append.  ``tag`` is an idempotency key (e.g. the
+        source filename): if any committed entry already carries it, the
+        append is skipped and None is returned — including when the tag
+        was committed by a concurrent writer DURING our own attempt."""
+        snap = self.snapshot()
+        if tag is not None and tag in snap["tags"]:
+            return None  # cheap pre-check, same as sinks.is_file_loaded
+        staged = self._stage(df)
+        return self._publish({"action": "append", "dirs": [staged], "tag": tag})
+
+    def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
+        """Concurrent-safe truncate-rebuild: readers see either the old
+        snapshot or the new one, never a mix."""
+        staged = self._stage(df)
+        v = self._publish({"action": "overwrite", "dirs": [staged], "tag": tag})
+        assert v is not None  # overwrite never tag-skips
+        return v
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (optionally time-traveled to ``version``)."""
+        snap = self.snapshot(version)
+        if not snap["dirs"]:
+            raise FileNotFoundError(f"manifest table {self.path} is empty")
+        paths = [os.path.join(self.data_dir, d) for d in snap["dirs"]]
+        return self.spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """The committed log, oldest first (audit / debugging surface)."""
+        return [self._read_entry(v) for v in self._versions()]
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories no committed entry references (crashed
+        writers' leftovers).  Safe by construction: an uncommitted dir can
+        never become referenced later, because commits only reference dirs
+        staged by the committing writer itself."""
+        import shutil
+
+        live = set(self.snapshot()["dirs"])
+        # dirs referenced by ANY entry (incl. pre-overwrite history) stay,
+        # so time travel keeps working; only never-committed dirs go
+        for e in self.history():
+            live.update(e["dirs"])
+        removed = []
+        try:
+            present = os.listdir(self.data_dir)
+        except FileNotFoundError:
+            return removed
+        for d in present:
+            if d not in live:
+                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+                removed.append(d)
+        return removed

@@ -5,10 +5,17 @@ Idempotency model (reference: the ``source_file NOT IN (...)`` anti-join,
 src/database/schema_drift.py:213-215 + pre-check loader.py:147-165):
 bronze tables are laid out as ``path/source_file=<name>/`` partition
 directories, so "is this file already loaded" is an O(1) directory check
-and re-loading is a DYNAMIC partition overwrite of that one partition —
-replays and check-race losers converge to a single clean copy (last
-writer wins) instead of double-appending, unlike a read-modify-write
-anti-join (SURVEY §7.3 item 3)."""
+and re-loading is a DYNAMIC partition overwrite of that one partition.
+
+Safety model: REPLAY-safe, not concurrent-writer-safe.  Sequential
+re-runs of the same load (crash + retry, stale pre-check then re-run)
+converge to a single clean copy of the partition.  Two writers running
+AT THE SAME TIME against the same base path share the default
+FileOutputCommitter ``_temporary`` staging directory and can interleave
+each other's delete/commit phases, leaving duplicated or partial
+partition contents — that case needs a commit-coordinated format; use
+``sources.manifest`` (atomic manifest-swap commit log) or an external
+lock for genuinely concurrent writers (SURVEY §7.3 item 3)."""
 
 from __future__ import annotations
 
@@ -49,11 +56,14 @@ def idempotent_append(df: DataFrame, bronze_path: str, source_file: str) -> bool
     Returns True if written, False if skipped (already loaded).
 
     The write is a DYNAMIC partition overwrite of the single
-    ``source_file=<name>/`` partition, not an append: if two loaders race
-    past the directory pre-check (or a crashed load is re-run), the
-    partition ends up with exactly one clean copy of the file's rows —
-    last writer wins — instead of double-appended duplicates.  The
-    pre-check stays as a cheap skip for the common already-loaded case."""
+    ``source_file=<name>/`` partition, not an append: a crashed load
+    that is RE-RUN (sequential replay) ends up with exactly one clean
+    copy of the file's rows instead of double-appended duplicates.  The
+    pre-check stays as a cheap skip for the common already-loaded case.
+    This does NOT protect two loaders writing concurrently (shared
+    ``_temporary`` staging dir — see module docstring); for that, use
+    ``sources.manifest.ManifestTable.append`` which serializes commits
+    through an atomic manifest swap."""
     if is_file_loaded(bronze_path, source_file):
         return False
     out = df.withColumn("source_file", F.lit(_partition_value(source_file))).withColumn(

@@ -59,7 +59,7 @@ def _strict_cell(v):
     import numpy as np
     import pandas as pd
 
-    if v is None or v is pd.NaT:
+    if v is None or v is pd.NaT or v is pd.NA:
         return "NULL"
     if isinstance(v, np.generic):
         v = v.item()
@@ -69,7 +69,9 @@ def _strict_cell(v):
         return f"I:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NULL"
+            # distinct from NULL: a Spark NaN result cell must NOT compare
+            # equal to a DuckDB NULL — that's a real semantic divergence
+            return "F:nan"
         return f"F:{round(v + 0.0, 9)!r}"
     if isinstance(v, decimal.Decimal):
         return f"DEC:{v}"

@@ -1,0 +1,168 @@
+"""Manifest-committed table: snapshot isolation, idempotent tags, and the
+concurrent-writer races that the plain partition-overwrite sink cannot
+survive (ADVICE r2: shared FileOutputCommitter staging dir)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nyc_tlc_analytics_pipeline_spark.sources.manifest import (
+    CommitConflict,
+    ManifestTable,
+)
+
+
+def _df(spark, lo, hi, src):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("src", F.lit(src))
+    )
+
+
+def test_append_and_read(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    assert t.append(_df(spark, 0, 5, "a"), tag="a") == 1
+    assert t.append(_df(spark, 5, 8, "b"), tag="b") == 2
+    got = t.read()
+    assert got.count() == 8
+    assert {r["src"] for r in got.select("src").distinct().collect()} == {"a", "b"}
+
+
+def test_idempotent_tag_skips(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    assert t.append(_df(spark, 0, 5, "a"), tag="f1.parquet") == 1
+    assert t.append(_df(spark, 0, 5, "a"), tag="f1.parquet") is None
+    assert t.read().count() == 5
+    assert t.latest_version() == 1
+
+
+def test_overwrite_resets_snapshot(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "a"), tag="a")
+    t.overwrite(_df(spark, 100, 103, "rebuild"))
+    got = t.read()
+    assert got.count() == 3
+    assert {r["src"] for r in got.collect()} == {"rebuild"}
+
+
+def test_time_travel(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "a"), tag="a")
+    t.append(_df(spark, 5, 8, "b"), tag="b")
+    t.overwrite(_df(spark, 0, 1, "c"))
+    assert t.read(version=1).count() == 5
+    assert t.read(version=2).count() == 8
+    assert t.read().count() == 1
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """A crashed writer = staged dir with no log entry: readers never see
+    it, and vacuum removes it without touching live data."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "a"), tag="a")
+    # simulate a writer that died after staging, before commit
+    orphan = t._stage(_df(spark, 1000, 2000, "crashed"))
+    assert t.read().count() == 5  # invisible
+    removed = t.vacuum()
+    assert removed == [orphan]
+    assert t.read().count() == 5
+    assert not os.path.isdir(os.path.join(t.data_dir, orphan))
+
+
+def test_concurrent_append_race_both_commit(spark, tmp_path):
+    """Two writers race for the same version: the loser must retry at the
+    next version and BOTH rows sets end up committed — the exact scenario
+    that corrupts the bare partition-overwrite sink."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2, "base"), tag="base")
+
+    real_link = os.link
+    interleaved = {"done": False}
+
+    def racing_link(src, dst):
+        # writer B commits version 2 in the window after writer A read the
+        # log (deciding on version 2) and before A publishes
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            t2 = ManifestTable(spark, str(tmp_path / "t"))
+            assert t2.append(_df(spark, 100, 105, "writerB"), tag="B") == 2
+        return real_link(src, dst)
+
+    os.link = racing_link
+    try:
+        v = t.append(_df(spark, 200, 203, "writerA"), tag="A")
+    finally:
+        os.link = real_link
+    assert v == 3  # lost the race at 2, retried, won 3
+    got = t.read()
+    assert got.count() == 2 + 5 + 3
+    assert {r["src"] for r in got.select("src").distinct().collect()} == {
+        "base",
+        "writerB",
+        "writerA",
+    }
+
+
+def test_concurrent_same_tag_race_single_commit(spark, tmp_path):
+    """Two concurrent loads of the SAME source file: the race loser must
+    detect the winner's tag on retry and skip — exactly-once load without
+    any lock."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+
+    real_link = os.link
+    interleaved = {"done": False}
+
+    def racing_link(src, dst):
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            t2 = ManifestTable(spark, str(tmp_path / "t"))
+            assert t2.append(_df(spark, 0, 5, "winner"), tag="same.parquet") == 1
+        return real_link(src, dst)
+
+    os.link = racing_link
+    try:
+        v = t.append(_df(spark, 0, 5, "loser"), tag="same.parquet")
+    finally:
+        os.link = real_link
+    assert v is None  # skipped after losing the race
+    got = t.read()
+    assert got.count() == 5
+    assert {r["src"] for r in got.collect()} == {"winner"}
+    assert t.latest_version() == 1
+
+
+def test_commit_conflict_exhausts(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2, "a"), tag="a")
+
+    real_link = os.link
+
+    def always_lose(src, dst):
+        raise FileExistsError(dst)
+
+    os.link = always_lose
+    try:
+        with pytest.raises(CommitConflict):
+            t._publish({"action": "append", "dirs": ["x"], "tag": "b"}, max_retries=3)
+    finally:
+        os.link = real_link
+
+
+def test_log_entries_are_wellformed(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2, "a"), tag="a")
+    t.overwrite(_df(spark, 0, 1, "b"))
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 2]
+    assert [e["parent"] for e in h] == [0, 1]
+    assert h[0]["action"] == "append" and h[1]["action"] == "overwrite"
+    # every log file is valid standalone JSON (external tools can tail it)
+    for name in sorted(os.listdir(t.log_dir)):
+        with open(os.path.join(t.log_dir, name)) as f:
+            json.load(f)
