@@ -1,0 +1,90 @@
+"""Benchmark decontamination: flag training documents that share any
+word n-gram with an evaluation/benchmark set.
+
+This is the standard pre-training hygiene step (the n-gram-overlap
+decontamination used by GPT-3/PaLM/Llama data pipelines): an eval
+example "leaks" into training if a training document contains any of
+its n-grams, so those documents must be dropped (or the spans redacted)
+before training.
+
+Scale shape — the design constraint is that the CORPUS side is 100 TB
+while the BENCHMARK side is tiny (thousands of eval examples):
+
+- benchmark n-grams: explode → distinct — a small table (|bench| ×
+  grams/doc), eligible for auto-broadcast;
+- corpus side: explode its n-grams and LEFT SEMI join against the
+  benchmark grams on the gram string.  With the benchmark broadcast
+  this is a map-side hash probe: ONE pass over the corpus, no shuffle
+  of corpus data, and the semi join short-circuits per row;
+- contaminated doc ids come out of a distinct on (doc_id), which
+  shuffles only the (tiny) matching subset.
+
+Hashing the grams (md5/xxhash64) before the join would shrink the
+broadcast further at equal semantics; kept as plain strings here so the
+DuckDB oracle is a literal re-statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from . import text
+
+
+def word_ngrams(text_col: Column | str, n: int) -> Column:
+    """Distinct word n-grams ('tok tok tok') of lower-cased text.  Docs
+    shorter than n tokens yield their whole text as one gram (matching
+    the eval-leak intuition: a 3-token doc can still be a verbatim
+    benchmark answer)."""
+    toks = text.tokens(text_col)
+    k = F.size(toks)
+    n_grams = F.greatest(k - lit(n - 1), lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(lit(1), n_grams),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, lit(n))),
+        )
+    )
+
+
+def benchmark_grams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """The benchmark's distinct n-gram set (small; broadcast at the join)."""
+    return (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids of corpus documents sharing ≥ 1 word n-gram with the benchmark.
+
+    The corpus is exploded to (id, gram) and semi-joined against the
+    broadcast benchmark gram set — corpus rows never shuffle."""
+    grams = F.broadcast(benchmark_grams(bench, n, text_col))
+    return (
+        corpus.select(col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .join(grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation-gate form: corpus minus contaminated documents
+    (left-anti join on the flagged id set)."""
+    bad = flag_contaminated(corpus, bench, n, id_col, text_col)
+    return corpus.join(bad, id_col, "left_anti")

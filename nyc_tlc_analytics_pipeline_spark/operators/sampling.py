@@ -73,6 +73,59 @@ def assign_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample a multi-domain corpus to a TARGET MIXTURE: the largest
+    subcorpus whose domain proportions equal ``weights`` (the standard
+    "rebalance web/books/code to 60/20/20" curation step).
+
+    With per-domain counts c_d and target weights w_d, the feasible total
+    is T = min_d(c_d / w_d) and each domain keeps n_d = floor(w_d * T)
+    rows — the binding (scarcest-relative-to-weight) domain is kept
+    ~whole and every other domain is downsampled to match.  Rows kept are
+    the n_d smallest hash fractions, so membership is deterministic and
+    layout-independent, and a domain's sample only shrinks/grows at its
+    own boundary when the corpus changes.
+
+    Scale shape: one aggregate over (domain) — a handful of rows,
+    auto-broadcast back — plus one window per domain for the hash-order
+    rank.  No driver-side loop, no collect; domains with a weight of 0
+    (or absent from ``weights``) are dropped.
+    """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("at least one weight must be positive")
+    norm = {d: w / total_w for d, w in weights.items() if w > 0}
+
+    wmap = F.create_map(*[x for d, w in norm.items() for x in (lit(d), lit(w))])
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__c"))
+    feasible = (
+        counts.withColumn("__w", wmap[col(domain_col)])
+        .filter(col("__w").isNotNull())
+        .select(F.min(col("__c") / col("__w")).alias("__t"))
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(feasible))
+        .withColumn("__w", wmap[col(domain_col)])
+        .filter(col("__w").isNotNull())
+        .select(domain_col, F.floor(col("__w") * col("__t")).alias("__n"))
+    )
+    w = Window.partitionBy(domain_col).orderBy(hash_fraction(key, salt), col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quota), domain_col)
+        .filter(col("__rn") <= col("__n"))
+        .drop("__rn", "__n")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame, group_cols: list[str], n_per_group: int, key: str, salt: str = ""
 ) -> DataFrame:

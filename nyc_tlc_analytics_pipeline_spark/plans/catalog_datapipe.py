@@ -1022,3 +1022,282 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — Gopher/C4-style quality-rule battery (operators.rules)
+# ---------------------------------------------------------------------------
+
+def _q49_oracle() -> str:
+    from ..operators import rules as R
+
+    return f"""
+WITH t AS (
+    SELECT lang, text,
+           string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+m AS (
+    SELECT lang,
+           len(tk) AS n,
+           1.0 * list_sum(list_transform(tk, x -> length(x))) / nullif(len(tk), 0)
+               AS mean_len,
+           1.0 * len(list_filter(tk, x -> regexp_matches(x, '[^0-9\\s[:punct:]]')))
+               / nullif(len(tk), 0) AS alpha_frac,
+           1.0 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+               / nullif(length(text), 0) AS sym_ratio,
+           1.0 - 1.0 * len(list_distinct(tk)) / nullif(len(tk), 0) AS rep_frac,
+           2.0 * list_max(list_transform(list_distinct(
+                     list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])),
+                 g -> len(list_filter(
+                     list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]),
+                     x -> x = g)))) / nullif(len(tk), 0) AS top2
+    FROM t
+),
+f AS (
+    SELECT lang,
+           (n < {R.MIN_TOKENS} OR n > {R.MAX_TOKENS}) AS bad_length,
+           (mean_len < {R.MEAN_LEN_LO} OR mean_len > {R.MEAN_LEN_HI}) AS bad_mean_len,
+           alpha_frac < {R.ALPHA_MIN} AS bad_alpha,
+           coalesce(sym_ratio, 0) > {R.SYMBOL_MAX} AS bad_symbols,
+           rep_frac > {R.REPEAT_MAX} AS bad_repetition,
+           top2 > {R.TOP_BIGRAM_MAX} AS bad_top_bigram
+    FROM m
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT (bad_length OR bad_mean_len OR bad_alpha
+                               OR bad_symbols OR bad_repetition OR bad_top_bigram)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN bad_length THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_length,
+       CAST(sum(CASE WHEN bad_mean_len THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_mean_len,
+       CAST(sum(CASE WHEN bad_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_alpha,
+       CAST(sum(CASE WHEN bad_symbols THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_symbols,
+       CAST(sum(CASE WHEN bad_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_repetition,
+       CAST(sum(CASE WHEN bad_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_top_bigram
+FROM f
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q49_quality_rule_battery",
+    _q49_oracle(),
+    "Gopher/C4-style per-document curation rules (length, mean token "
+    "length, alpha fraction, symbol ratio, repeated-token fraction, "
+    "top-bigram coverage) as pure in-row column expressions — the whole "
+    "battery fuses into the scan, zero shuffles before the final tiny "
+    "per-language aggregate.",
+    operators=("rules-gopher", "text-tokens", "A4"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rules
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    flagged = rules.apply_rules(docs, "text")
+    agg = [F.count("*").cast("long").alias("n_docs"),
+           F.sum(col("rules_pass").cast("long")).alias("n_pass")]
+    for name in rules.rule_flags("text"):
+        agg.append(F.sum(col(name).cast("long")).alias(f"n_{name}"))
+    return flagged.groupBy("lang").agg(*agg).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q50 — benchmark decontamination (operators.decontam)
+# ---------------------------------------------------------------------------
+
+_Q50_N = 4
+
+_Q50_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, lang,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - {_Q50_N - 1}, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {_Q50_N - 1}), ' ')))) AS g
+    FROM t
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, lang FROM t WHERE doc_id % 50 <> 0),
+bad AS (
+    SELECT DISTINCT s.doc_id
+    FROM sh s
+    WHERE s.doc_id % 50 <> 0 AND s.g IN (SELECT g FROM bench)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       round(100.0 * sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END)
+             / count(*) + 1e-9, 4) AS contamination_pct
+FROM corpus
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q50_benchmark_decontamination",
+    _Q50_ORACLE,
+    f"Training-corpus decontamination: every 50th document stands in for "
+    f"a benchmark/eval set; corpus docs sharing any {_Q50_N}-gram with it "
+    "are flagged.  The benchmark gram set is broadcast, so the corpus "
+    "side is a map-side semi-probe — one pass, no corpus shuffle.",
+    operators=("decontam-ngram", "J8", "A4"),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bench = docs.filter(col("doc_id") % 50 == 0)
+    corpus = docs.filter(col("doc_id") % 50 != 0)
+    bad = decontam.flag_contaminated(corpus, bench, n=_Q50_N).withColumn(
+        "is_bad", F.lit(1)
+    )
+    return (
+        corpus.join(bad, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum(F.coalesce(col("is_bad"), F.lit(0)).cast("long")).alias(
+                "n_contaminated"
+            ),
+            rnd(
+                F.lit(100.0)
+                * F.sum(F.coalesce(col("is_bad"), F.lit(0)))
+                / F.count("*"),
+                4,
+            ).alias("contamination_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — greedy sequence packing (operators.packing, applyInPandas)
+# ---------------------------------------------------------------------------
+
+_Q51_BUDGET = 256
+
+_Q51_ORACLE = f"""
+WITH RECURSIVE t AS (
+    SELECT lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+),
+rec AS (
+    SELECT lang, rn, n, 0 AS pack_id, n AS fill FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.lang, t.rn, t.n,
+           CASE WHEN r.fill + t.n > {_Q51_BUDGET} THEN r.pack_id + 1
+                ELSE r.pack_id END,
+           CASE WHEN r.fill + t.n > {_Q51_BUDGET} THEN t.n
+                ELSE r.fill + t.n END
+    FROM rec r JOIN t ON t.lang = r.lang AND t.rn = r.rn + 1
+)
+SELECT lang,
+       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(1.0 * sum(n) / ((max(pack_id) + 1) * {_Q51_BUDGET}) + 1e-9, 6)
+           AS utilization
+FROM rec
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q51_sequence_packing",
+    _Q51_ORACLE,
+    f"Greedy no-split sequence packing into {_Q51_BUDGET}-token training "
+    "rows, per language stream in doc_id order — the inherently "
+    "sequential running-fill state runs as one Arrow-batched "
+    "applyInPandas pass per stream; the oracle replays the identical "
+    "greedy walk with a recursive CTE.",
+    operators=("packing-greedy", "pandas-udf-grouped"),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing, text as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", T.token_count("text").alias("n_tokens"))
+    )
+    packed = packing.pack_greedy(docs, "lang", "doc_id", "n_tokens", _Q51_BUDGET)
+    return (
+        packing.pack_summary(packed, "lang", "n_tokens", _Q51_BUDGET)
+        .select(
+            "lang",
+            col("n_packs").cast("long"),
+            col("n_docs").cast("long"),
+            col("n_tokens").cast("long"),
+            rnd(col("utilization"), 6).alias("utilization"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — weighted domain-mixture sampling (operators.sampling)
+# ---------------------------------------------------------------------------
+
+_Q52_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_Q52_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+w(lang, wt) AS (VALUES {", ".join(f"('{d}', {x})" for d, x in sorted(_Q52_WEIGHTS.items()))}),
+feas AS (SELECT min(cnt / wt) AS t FROM c JOIN w USING (lang)),
+quota AS (
+    SELECT c.lang, CAST(floor(w.wt * feas.t) AS BIGINT) AS n
+    FROM c JOIN w ON c.lang = w.lang CROSS JOIN feas
+),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0, doc_id) AS rn
+    FROM documents
+),
+kept AS (SELECT r.lang FROM ranked r JOIN quota q ON r.lang = q.lang AND r.rn <= q.n)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(1.0 * count(*) / sum(count(*)) OVER () + 1e-9, 6) AS kept_share
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q52_mixture_sampling",
+    _Q52_ORACLE,
+    "Domain-mixture rebalancing: downsample each language to the largest "
+    "subcorpus matching target weights (en 40%, others 15%), membership "
+    "decided by deterministic md5 hash order — one tiny counts aggregate "
+    "broadcast back, one window per domain, no driver loop.",
+    operators=("sampling-mixture", "sampling-stratified", "W2"),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = sampling.mixture_sample(docs, "lang", _Q52_WEIGHTS, "doc_id", salt="mix")
+    total = Window.partitionBy()
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .withColumn(
+            "kept_share",
+            rnd(col("n_kept") / F.sum("n_kept").over(total), 6),
+        )
+        .orderBy("lang")
+    )
