@@ -690,9 +690,13 @@ ORDER BY m.order_year, m.n_name
 @register(
     "q13_nation_year_dispersion",
     _Q13_ORACLE,
-    "Per-nation-per-year order dispersion joined against year totals — "
-    "agg-on-agg composite-key join. Reference: 13/14 analytics CTEs.",
-    operators=("J7", "A5", "A6", "A8", "A10"),
+    "Per-nation-per-year order dispersion vs year totals.  Year shares "
+    "come from window sums OVER the nation-year aggregate (one fact "
+    "scan) instead of the reference's agg-self-join CTE, which would "
+    "scan and re-aggregate the facts twice — the agg⋈agg join operator "
+    "itself stays exercised by q14's daily⋈day_totals form. "
+    "Reference: 13/14 analytics CTEs.",
+    operators=("W1", "A5", "A6", "A8", "A10"),
     headline=True,
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,13 +715,14 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("o_totalprice", lit(0.5)).alias("median_value"),
         )
     )
-    year_totals = nation_orders.groupBy("order_year").agg(
-        F.sum("n_orders").alias("year_orders"), F.sum("total_value").alias("year_value")
-    )
-    m = nation_orders.alias("m")
-    t = year_totals.alias("t")
+    # year totals as window sums over the aggregated rows (one per
+    # nation-year) — the agg-then-self-join form scans and re-aggregates
+    # the fact table twice (Catalyst does not dedupe common subplans);
+    # the window shuffles only the tiny aggregate instead
+    wy = Window.partitionBy("order_year")
     return (
-        m.join(t, "order_year")
+        nation_orders.withColumn("year_orders", F.sum("n_orders").over(wy))
+        .withColumn("year_value", F.sum("total_value").over(wy))
         .filter(col("n_orders") >= 3)
         .select(
             "n_name",
