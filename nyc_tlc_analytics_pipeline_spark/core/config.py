@@ -46,6 +46,10 @@ class PipelineConfig:
     # approximate for very large groups (breaks oracle equality, so the
     # conformance suite always runs exact).  See SURVEY §7.3.
     approx_percentiles: bool = False
+    # bronze table format: "partition" (source_file=... dirs, replay-safe)
+    # or "manifest" (commit-log ManifestTable — safe under CONCURRENT
+    # writers; see sources/manifest.py)
+    bronze_format: str = "partition"
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
@@ -60,4 +64,5 @@ class PipelineConfig:
             quality=QualityThresholds(**q),
             ingestion=IngestionConfig(**i),
             approx_percentiles=bool(d.get("approx_percentiles", False)),
+            bronze_format=d.get("bronze_format", cls.bronze_format),
         )

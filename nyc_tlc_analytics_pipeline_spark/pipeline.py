@@ -76,11 +76,29 @@ class TlcPipeline:
         return counts
 
     # -- stage 2: ingest ---------------------------------------------------
+    def _bronze_manifest(self, service: str):
+        from .sources.manifest import ManifestTable
+
+        return ManifestTable(self.spark, self.bronze(service))
+
     def load_file(self, path: str, service: str) -> dict:
-        """Validate → align → idempotent bronze append (SURVEY §3.3)."""
+        """Validate → align → idempotent bronze append (SURVEY §3.3).
+
+        ``config.bronze_format`` picks the table format: the partition
+        layout (replay-safe, zero metadata) or the manifest commit log
+        (safe under concurrent loaders, time travel) — same idempotency
+        key (the source filename) either way."""
         df = read_service_parquet(self.spark, path, service)
         fname = os.path.basename(path)
-        written = sinks.idempotent_append(df, self.bronze(service), fname)
+        if self.config.bronze_format == "manifest":
+            from pyspark.sql import functions as F
+
+            tagged = df.withColumn(
+                "source_file", F.lit(fname)
+            ).withColumn("ingestion_timestamp", F.current_timestamp())
+            written = self._bronze_manifest(service).append(tagged, tag=fname) is not None
+        else:
+            written = sinks.idempotent_append(df, self.bronze(service), fname)
         rows = df.count() if written else 0
         entry = {
             "service_type": service,
@@ -106,6 +124,8 @@ class TlcPipeline:
         return results
 
     def raw(self, service: str) -> DataFrame:
+        if self.config.bronze_format == "manifest":
+            return self._bronze_manifest(service).read()
         return self.spark.read.parquet(self.bronze(service))
 
     def _loaded_services(self) -> list[str]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import col, lit
 
 from ..operators import dedup, similarity, text
 from ..sources.testdata import load_table, load_table_parallel
@@ -1298,6 +1298,103 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "kept_share",
             rnd(col("n_kept") / F.sum("n_kept").over(total), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — PII scrub (operators.redact); PII is INJECTED deterministically so
+# the check is non-vacuous on the synthetic corpus
+# ---------------------------------------------------------------------------
+
+def _q53_oracle() -> str:
+    from ..operators.redact import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(t2, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    red = "t2"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '[PII:{k}]', 'g')"
+    sums = ",\n       ".join(
+        f"CAST(sum(n_{k}) AS BIGINT) AS total_{k}" for k in PII_PATTERNS
+    )
+    return f"""
+WITH injected AS (
+    SELECT lang,
+           text || CASE
+               WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN doc_id % 5 = 0 THEN ' call 212-555-0199'
+               WHEN doc_id % 3 = 0 THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN doc_id % 2 = 0 THEN ' from 192.168.0.1'
+               ELSE ''
+           END AS t2
+    FROM documents
+),
+m AS (
+    SELECT lang,
+           {counts},
+           length({red}) AS red_len
+    FROM injected
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_card + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       {sums},
+       CAST(sum(red_len) AS BIGINT) AS redacted_chars
+FROM m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q53_pii_scrub",
+    _q53_oracle(),
+    "PII detection + redaction (emails, card-shaped digit runs, phones, "
+    "IPv4) as map-only regexp expressions fused into the scan.  The "
+    "synthetic corpus carries no PII, so the query first INJECTS "
+    "deterministic PII derived from doc_id — identically in Spark and "
+    "the oracle — making the scrub verification non-vacuous.",
+    operators=("redact-pii", "scalar-regex", "A4"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import redact as R
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    did = col("doc_id")
+    injected = docs.select(
+        "lang",
+        F.concat(
+            col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(lit(" contact user"), did.cast("string"), lit("@example.com")),
+            )
+            .when(did % 5 == 0, lit(" call 212-555-0199"))
+            .when(
+                did % 3 == 0,
+                F.concat(
+                    lit(" card 4111 1111 1111 "),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .when(did % 2 == 0, lit(" from 192.168.0.1"))
+            .otherwise(lit("")),
+        ).alias("t2"),
+    )
+    scrubbed = R.scrub_documents(injected, "t2")
+    kinds = list(R.PII_PATTERNS)
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(col("has_pii").cast("long")).alias("docs_with_pii"),
+            *[F.sum(f"n_{k}").cast("long").alias(f"total_{k}") for k in kinds],
+            F.sum(F.length("t2")).cast("long").alias("redacted_chars"),
         )
         .orderBy("lang")
     )

@@ -185,3 +185,22 @@ def test_cli_explain_unknown_query(pipeline, capsys):
     rc = main(["--warehouse-dir", pipeline.config.warehouse_dir, "explain", "nope"])
     assert rc == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_manifest_bronze_e2e(spark, landing, tmp_path):
+    """Full pipeline with bronze_format='manifest': same results, plus
+    commit-log semantics (idempotent reload leaves one committed version
+    per file, raw() reads through the manifest snapshot)."""
+    wh = str(tmp_path / "wh_manifest")
+    p = TlcPipeline(
+        spark, PipelineConfig(warehouse_dir=wh, bronze_format="manifest")
+    )
+    summary = p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"))
+    assert summary["files_loaded"] == 3
+    assert summary["fact_rows"] == 1350
+    # reload skips via the manifest tag, not the partition dir
+    again = p.load_landing_dir(str(landing))
+    assert all(r["status"] == "skipped_already_loaded" for r in again)
+    assert p._bronze_manifest("yellow").latest_version() == 1
+    assert p.raw("yellow").count() == 400
+    assert "source_file" in p.raw("yellow").columns
