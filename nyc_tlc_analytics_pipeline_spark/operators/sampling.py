@@ -105,16 +105,16 @@ def mixture_sample(
     norm = {d: w / total_w for d, w in weights.items() if w > 0}
 
     wmap = F.create_map(*[x for d, w in norm.items() for x in (lit(d), lit(w))])
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("__c"))
-    feasible = (
-        counts.withColumn("__w", wmap[col(domain_col)])
-        .filter(col("__w").isNotNull())
-        .select(F.min(col("__c") / col("__w")).alias("__t"))
-    )
+    # counts is |domains| rows; the feasible total T = min(c_d / w_d) is a
+    # global window min over that tiny frame (no cross join, no collect)
     quota = (
-        counts.crossJoin(F.broadcast(feasible))
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("__c"))
         .withColumn("__w", wmap[col(domain_col)])
         .filter(col("__w").isNotNull())
+        .withColumn(
+            "__t", F.min(col("__c") / col("__w")).over(Window.partitionBy())
+        )
         .select(domain_col, F.floor(col("__w") * col("__t")).alias("__n"))
     )
     w = Window.partitionBy(domain_col).orderBy(hash_fraction(key, salt), col(key))

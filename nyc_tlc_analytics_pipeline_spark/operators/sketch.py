@@ -1,0 +1,119 @@
+"""Mergeable cardinality sketches: an expression-level HyperLogLog.
+
+``approx_count_distinct`` already gives Spark a native HLL, but its
+register layout is engine-private — no other system can verify or merge
+it.  This module builds the SAME sketch out of plain column expressions
+(md5 → bucket/rank, groupBy max) so that:
+
+- the sketch is **portable**: any engine with md5 can recompute it
+  bit-for-bit (the DuckDB oracle for q54 does exactly that, making this
+  the rare APPROXIMATE operator with an EXACT conformance gate);
+- partials are **mergeable data**, not opaque binary: a (group, bucket,
+  rho) table max-merges across days/shards — the standard incremental-
+  rollup pattern for 100 TB telemetry (union partials → groupBy max);
+- the cost shape is explicit: one shuffle of at most m rows per group
+  (m = 2^b buckets, default 512), then a tiny per-group fold.
+
+Flajolet et al.'s HLL with the 32-bit md5 prefix as the hash: bucket =
+top ``b`` bits, rho = 1-based position of the first 1-bit in the
+remaining ``32−b`` bits (0 → 33−b), estimate = α·m²/Σ2^−M_j with the
+linear-counting small-range correction.  The 2^−rho terms are dyadic
+rationals whose sums stay exactly representable in doubles, so the
+estimate is bit-stable under any partition/merge order.  (The classic
+large-range correction for cardinalities near 2^32 is omitted — at that
+scale switch to b ≥ 14 or the native sketch.)
+
+Determinism caveat shared with every md5-keyed operator here: keys are
+cast to string before hashing, so the sketch is stable across layouts,
+engines, and re-runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_partials(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    b: int = 9,
+    salt: str = "hll",
+) -> DataFrame:
+    """The mergeable sketch table: one (group, bucket, rho) row per
+    non-empty register.  Union partial tables from any number of shards
+    and re-run ``hll_merge`` — max is associative/commutative/idempotent,
+    so merging is exact."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    w_bits = 32 - b
+    h = F.conv(
+        F.substring(F.md5(F.concat(lit(salt), col(key).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.floor(h / lit(float(2**w_bits))).cast("long")
+    w = (h % lit(2**w_bits)).cast("long")
+    # rank of the first 1-bit of the w_bits-wide remainder (string form:
+    # identical in Spark and any oracle engine with bin/lpad/instr)
+    padded = F.lpad(F.bin(w), w_bits, "0")
+    rho = F.when(w == 0, lit(w_bits + 1)).otherwise(F.instr(padded, "1"))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Max-merge unioned partial sketch tables (exact, order-free)."""
+    return partials.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    partials: DataFrame, group_cols: list[str], b: int = 9
+) -> DataFrame:
+    """Per-group cardinality estimate from a (merged) sketch table.
+    Adds ``hll_distinct`` (double) and ``n_buckets_used``."""
+    m = 2**b
+    alpha = _alpha(m)
+    agg = partials.groupBy(*group_cols).agg(
+        F.count("*").alias("n_buckets_used"),
+        F.sum(F.pow(lit(2.0), -col("rho"))).alias("inv_sum"),
+    )
+    # empty registers contribute 2^0 = 1 each
+    raw = lit(alpha * m * m) / (
+        (lit(m) - col("n_buckets_used")).cast("double") + col("inv_sum")
+    )
+    small = (raw <= lit(2.5 * m)) & (col("n_buckets_used") < lit(m))
+    corrected = F.when(
+        small,
+        lit(float(m)) * F.log(lit(float(m)) / (lit(m) - col("n_buckets_used"))),
+    ).otherwise(raw)
+    return agg.withColumn("hll_distinct", corrected).drop("inv_sum")
+
+
+def approx_distinct(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    b: int = 9,
+    salt: str = "hll",
+) -> DataFrame:
+    """One-shot grouped approximate COUNT DISTINCT via the portable HLL."""
+    return hll_estimate(hll_partials(df, key, group_cols, b, salt), group_cols, b)
+
+
+def expected_rel_error(b: int) -> float:
+    """The sketch's standard error ≈ 1.04/√m — sizing guidance."""
+    return 1.04 / math.sqrt(2**b)

@@ -1398,3 +1398,104 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 — portable HyperLogLog (operators.sketch): an APPROXIMATE operator
+# with an EXACT oracle — both engines recompute the identical registers
+# ---------------------------------------------------------------------------
+
+_Q54_B = 9
+
+
+def _q54_oracle() -> str:
+    from ..operators.sketch import _alpha
+
+    m = 2**_Q54_B
+    w_bits = 32 - _Q54_B
+    alpha = _alpha(m)
+    fp = "substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)"
+    return f"""
+WITH keys AS (
+    SELECT source, {fp} AS fp FROM documents
+),
+h AS (
+    SELECT source, fp,
+           ('0x' || substr(md5('hll' || fp), 1, 8))::BIGINT AS hv
+    FROM keys
+),
+r AS (
+    SELECT source,
+           hv // {2**w_bits} AS bucket,
+           max(CASE WHEN hv % {2**w_bits} = 0 THEN {w_bits + 1}
+                    ELSE instr(lpad(bin(hv % {2**w_bits}), {w_bits}, '0'), '1')
+               END) AS rho
+    FROM h
+    GROUP BY source, bucket
+),
+est AS (
+    SELECT source,
+           count(*) AS used,
+           CAST({alpha * m * m!r} AS DOUBLE)
+               / (({m} - count(*)) + sum(pow(2.0, -rho))) AS raw
+    FROM r
+    GROUP BY source
+),
+corrected AS (
+    SELECT source, used,
+           CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND used < {m}
+                THEN CAST({float(m)!r} AS DOUBLE)
+                     * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - used))
+                ELSE raw END AS hll
+    FROM est
+),
+ex AS (
+    SELECT source, count(DISTINCT fp) AS exact_distinct FROM keys GROUP BY source
+)
+SELECT c.source,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       round(c.hll + 1e-9, 4) AS hll_distinct,
+       CAST(c.used AS BIGINT) AS n_buckets_used,
+       round(abs(c.hll - ex.exact_distinct) / ex.exact_distinct + 1e-9, 6)
+           AS rel_error
+FROM corrected c JOIN ex ON c.source = ex.source
+ORDER BY c.source
+"""
+
+
+@register(
+    "q54_hll_cardinality",
+    _q54_oracle(),
+    "Portable HyperLogLog: approximate distinct document fingerprints "
+    "per source, built from md5-derived registers as plain column "
+    "expressions — bit-identical in the DuckDB oracle (an approximate "
+    "operator with an exact conformance gate), shuffling at most "
+    f"{2**_Q54_B} register rows per group; exact distinct joined "
+    "alongside for the realized relative error.",
+    operators=("sketch-hll", "A2", "A11"),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "source", T.fingerprint("text").alias("fp")
+    )
+    est = sketch.approx_distinct(docs, "fp", ["source"], b=_Q54_B)
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("fp").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            col("exact_distinct").cast("long"),
+            rnd(col("hll_distinct"), 4).alias("hll_distinct"),
+            col("n_buckets_used").cast("long"),
+            rnd(
+                F.abs(col("hll_distinct") - col("exact_distinct"))
+                / col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
