@@ -124,6 +124,32 @@ def session_windows_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming deduplication on ``keys`` (default: event_id) — the
+    exactly-once ingest primitive for at-least-once sources (Kafka
+    redeliveries, file replays).
+
+    State shape is the 100 TB concern: plain ``dropDuplicates`` keeps one
+    state row PER KEY FOREVER unless the event-time column is part of the
+    key (it is here via the watermark column), which lets Spark expire
+    state older than the watermark.  ``within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark`` — duplicates are only suppressed if
+    they arrive within the watermark delay of the first sighting, which
+    drops state aggressively and matches the "redeliveries come seconds
+    apart, not days" reality of queue retries."""
+    keyed = events.withWatermark("ts", watermark)
+    cols = keys or ["event_id"]
+    if within_watermark:
+        return keyed.dropDuplicatesWithinWatermark(cols)
+    # include the event-time column so expired windows free their state
+    return keyed.dropDuplicates([*cols, "ts"])
+
+
 def run_to_parquet_sink(
     stream_df: DataFrame,
     out_path: str,

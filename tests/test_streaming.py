@@ -118,3 +118,35 @@ def test_watermark_present_in_plans(spark, stream_dir):
     for builder in (hourly_type_counts_stream, sliding_value_stream, session_windows_stream):
         plan = builder(ev)._jdf.queryExecution().analyzed().toString()
         assert "EventTimeWatermark" in plan
+
+
+def test_stream_dedup_removes_replayed_files(spark, stream_dir, tmp_path):
+    """A source directory containing every event TWICE (file replay, the
+    at-least-once failure mode) drains to exactly-once output through
+    dedup_stream; result equals batch distinct."""
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import dedup_stream
+
+    dup_dir = str(tmp_path / "dup_events")
+    base = _batch_events(spark)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)  # the replay
+    stream = dedup_stream(read_event_stream(spark, dup_dir))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "dedup_events", output_mode="append")
+    got = spark.table("dedup_events")
+    n_events = base.count()
+    assert spark.read.parquet(dup_dir).count() == 2 * n_events
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stream_dedup_within_watermark_variant(spark, stream_dir):
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import dedup_stream
+
+    stream = dedup_stream(
+        read_event_stream(spark, stream_dir), within_watermark=True
+    )
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "dedup_events_ww", output_mode="append")
+    got = spark.table("dedup_events_ww")
+    assert got.count() == _batch_events(spark).count()
