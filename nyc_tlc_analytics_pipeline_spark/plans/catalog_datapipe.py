@@ -1499,3 +1499,146 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — curation funnel v2: the round-3 operators composing end-to-end
+# (rule gate → decontaminate → mixture rebalance → greedy packing)
+# ---------------------------------------------------------------------------
+
+_Q55_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_Q55_BUDGET = 512
+
+
+def _q55_oracle() -> str:
+    from ..operators import rules as R
+
+    weights_values = ", ".join(
+        f"('{d}', {x})" for d, x in sorted(_Q55_WEIGHTS.items())
+    )
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT doc_id, lang, text,
+           string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+gated AS (
+    -- rule battery (same expressions as q49)
+    SELECT doc_id, lang, tk
+    FROM base
+    WHERE NOT (len(tk) < {R.MIN_TOKENS} OR len(tk) > {R.MAX_TOKENS})
+      AND 1.0 * list_sum(list_transform(tk, x -> length(x)))
+          / nullif(len(tk), 0) BETWEEN {R.MEAN_LEN_LO} AND {R.MEAN_LEN_HI}
+      AND 1.0 * len(list_filter(tk, x -> regexp_matches(x, '[^0-9\\s[:punct:]]')))
+          / nullif(len(tk), 0) >= {R.ALPHA_MIN}
+      AND coalesce(1.0 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+          / nullif(length(text), 0), 0) <= {R.SYMBOL_MAX}
+      AND 1.0 - 1.0 * len(list_distinct(tk)) / nullif(len(tk), 0) <= {R.REPEAT_MAX}
+      AND 2.0 * list_max(list_transform(list_distinct(
+                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])),
+            g -> len(list_filter(
+                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]),
+                x -> x = g)))) / nullif(len(tk), 0) <= {R.TOP_BIGRAM_MAX}
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+                  i -> array_to_string(list_slice(tk, i, i + 3), ' ')))) AS g
+    FROM base
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+clean AS (
+    -- decontaminate the gated, non-benchmark corpus
+    SELECT * FROM gated
+    WHERE doc_id % 50 <> 0
+      AND doc_id NOT IN (
+          SELECT DISTINCT s.doc_id FROM sh s
+          WHERE s.doc_id % 50 <> 0 AND s.g IN (SELECT g FROM bench))
+),
+counts AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY lang),
+w(lang, wt) AS (VALUES {weights_values}),
+quota AS (
+    SELECT c.lang,
+           CAST(floor(w.wt * min(c.cnt / w.wt) OVER ()) AS BIGINT) AS n
+    FROM counts c JOIN w ON c.lang = w.lang
+),
+ranked AS (
+    SELECT cl.doc_id, cl.lang, len(cl.tk) AS n_tokens,
+           row_number() OVER (
+               PARTITION BY cl.lang
+               ORDER BY ('0x' || substr(md5('mix' || CAST(cl.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0, cl.doc_id) AS srn
+    FROM clean cl
+),
+sampled AS (
+    SELECT r.doc_id, r.lang, r.n_tokens,
+           row_number() OVER (PARTITION BY r.lang ORDER BY r.doc_id) AS rn
+    FROM ranked r JOIN quota q ON r.lang = q.lang AND r.srn <= q.n
+),
+rec AS (
+    SELECT lang, rn, n_tokens AS n, 0 AS pack_id, n_tokens AS fill
+    FROM sampled WHERE rn = 1
+    UNION ALL
+    SELECT s.lang, s.rn, s.n_tokens,
+           CASE WHEN r.fill + s.n_tokens > {_Q55_BUDGET} THEN r.pack_id + 1
+                ELSE r.pack_id END,
+           CASE WHEN r.fill + s.n_tokens > {_Q55_BUDGET} THEN s.n_tokens
+                ELSE r.fill + s.n_tokens END
+    FROM rec r JOIN sampled s ON s.lang = r.lang AND s.rn = r.rn + 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_curated,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+       round(1.0 * sum(n) / ((max(pack_id) + 1) * {_Q55_BUDGET}) + 1e-9, 6)
+           AS utilization
+FROM rec
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q55_curation_funnel_v2",
+    _q55_oracle(),
+    "The round-3 curation operators composing end-to-end: Gopher-rule "
+    "gate -> benchmark decontamination (4-grams vs the doc_id%50 bench "
+    "set) -> mixture rebalance to target weights -> greedy "
+    f"{_Q55_BUDGET}-token packing; per-language curated counts, pack "
+    "counts and utilization, hash-checked through the whole funnel.",
+    operators=(
+        "curation-funnel",
+        "rules-gopher",
+        "decontam-ngram",
+        "sampling-mixture",
+        "packing-greedy",
+    ),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam, packing, rules, sampling, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    gated = rules.filter_by_rules(docs, "text")
+    bench = docs.filter(col("doc_id") % 50 == 0)
+    clean = decontam.decontaminate(
+        gated.filter(col("doc_id") % 50 != 0), bench, n=4
+    )
+    sampled = sampling.mixture_sample(
+        clean.select("doc_id", "lang", T.token_count("text").alias("n_tokens")),
+        "lang",
+        _Q55_WEIGHTS,
+        "doc_id",
+        salt="mix",
+    )
+    packed = packing.pack_greedy(sampled, "lang", "doc_id", "n_tokens", _Q55_BUDGET)
+    return (
+        packing.pack_summary(packed, "lang", "n_tokens", _Q55_BUDGET)
+        .select(
+            "lang",
+            col("n_docs").cast("long").alias("n_curated"),
+            col("n_tokens").cast("long"),
+            col("n_packs").cast("long"),
+            rnd(col("utilization"), 6).alias("utilization"),
+        )
+        .orderBy("lang")
+    )
