@@ -120,3 +120,34 @@ def ingestion_log_rows(
     return df.withColumn("log_id", F.monotonically_increasing_id()).withColumn(
         "ingestion_timestamp", F.current_timestamp()
     )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+    order_col: str = "doc_id",
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Training-shard writer: the layout a dataloader consumes.
+
+    - ``partitionBy(split, lang)`` so train/val/test and per-domain reads
+      are directory prunes, never filters over mixed files;
+    - ``repartition(partition_cols)`` FIRST — without it every upstream
+      task writes a file into every partition dir (tasks × partitions
+      small files, the classic 100 TB mistake); with it each partition's
+      rows land in one task (AQE splits oversized ones);
+    - ``sortWithinPartitions(order_col)`` for deterministic shard
+      content (resumable training needs shard k to be the same bytes on
+      re-run) and better parquet compression;
+    - ``maxRecordsPerFile`` bounds shard size so loader workers get
+      uniform units regardless of how big a (split, domain) is.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -166,3 +166,42 @@ def test_log_entries_are_wellformed(spark, tmp_path):
     for name in sorted(os.listdir(t.log_dir)):
         with open(os.path.join(t.log_dir, name)) as f:
             json.load(f)
+
+
+def test_write_corpus_shards_layout(spark, tmp_path):
+    """Shard writer: pruned directory layout, bounded shard files,
+    deterministic within-shard order."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.sources.sinks import write_corpus_shards
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 8, "train").otherwise("val").alias("split"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        )
+    )
+    out = str(tmp_path / "shards")
+    write_corpus_shards(df, out, max_records_per_file=100)
+    # layout: split=*/lang=* directories (ignore checksum/.crc files)
+    vis = lambda d: sorted(n for n in os.listdir(d) if not n.startswith("."))
+    assert vis(out) == ["_SUCCESS", "split=train", "split=val"]
+    assert vis(os.path.join(out, "split=train")) == ["lang=de", "lang=en"]
+    # every shard file respects the record bound
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    per_file = back.groupBy(F.input_file_name()).count().collect()
+    assert all(r["count"] <= 100 for r in per_file)
+    # within-shard order is ascending doc_id (deterministic content)
+    one = spark.read.parquet(
+        os.path.join(out, "split=train", "lang=en")
+    ).limit(100)
+    ids = [r["doc_id"] for r in one.collect()]
+    assert ids == sorted(ids)
+    # partition pruning works
+    assert spark.read.parquet(out).filter("split = 'val'").count() == 200
