@@ -1642,3 +1642,67 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — unigram-LM quality scoring (operators.lm): two-pass corpus stats
+# ---------------------------------------------------------------------------
+
+_Q56_LOW = -3.41  # compared on the 6-rounded score: deterministic cross-engine
+
+_Q56_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n,
+           unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+stats AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM stats),
+scored AS (
+    SELECT t.doc_id, t.lang,
+           round(sum(ln((s.cnt + 1.0) / (tot.N + 1.0 * tot.V))) / t.n + 1e-9, 6)
+               AS score
+    FROM toks t JOIN stats s ON t.token = s.token CROSS JOIN tot
+    GROUP BY t.doc_id, t.lang, t.n
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score) + 1e-9, 6) AS avg_logprob,
+       CAST(sum(CASE WHEN score < {_Q56_LOW} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_quality
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q56_unigram_lm_scoring",
+    _Q56_ORACLE,
+    "Unigram-LM quality scoring: pass 1 builds corpus token statistics "
+    "(one token-keyed shuffle, |vocab| rows), pass 2 broadcast-joins "
+    "them back and scores each document's add-1-smoothed mean log-"
+    "likelihood; per-language means and low-scoring counts (score "
+    f"< {_Q56_LOW} on the rounded value, so the threshold compare is "
+    "deterministic cross-engine).",
+    operators=("lm-unigram", "A3", "A4", "J1"),
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    scored = lm.doc_logprob_scores(docs, ["doc_id", "lang"]).withColumn(
+        "score", rnd(col("avg_logprob"), 6)
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("score"), 6).alias("avg_logprob"),
+            F.sum((col("score") < lit(_Q56_LOW)).cast("long")).alias(
+                "n_low_quality"
+            ),
+        )
+        .orderBy("lang")
+    )
