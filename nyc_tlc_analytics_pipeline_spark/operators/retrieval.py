@@ -1,0 +1,112 @@
+"""BM25 text retrieval over the document corpus — the lexical-ranking
+cousin of the embedding similarity operators (`operators/similarity`),
+used in data pipelines for query-based corpus mining ("find documents
+about X to upweight/inspect") and hard-negative mining.
+
+Scale shape (the reason this is not a naive tf-idf join):
+
+- the FIRST operation after tokenizing is ``token ∈ query_terms`` — a
+  literal IN-filter that Catalyst pushes into the explode projection,
+  so the (doc, token) stream entering any shuffle is |matches|, not
+  |corpus tokens|;
+- per-term document frequencies come from that same filtered stream —
+  a |Q|-row table, broadcast back;
+- corpus constants (N docs, average doc length) are a 1-row aggregate
+  attached via a constant-key BROADCAST equi-join (map-side, no
+  cartesian, no collect);
+- one real shuffle total: the (doc, token) tf aggregation.
+
+Scoring is standard Okapi BM25 (k1=1.2, b=0.75), with the
+``ln(1 + (N-df+0.5)/(df+0.5))`` IDF form that stays positive for
+high-df terms.  Every step is a column expression shared verbatim with
+the DuckDB oracle (q57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from . import text
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_cols: list[str],
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query.  Documents
+    matching no term are absent (score 0 by definition)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    lengths = df.select(
+        *id_cols, text.token_count(text_col).alias("dl")
+    )
+    # corpus constants: one 1-row aggregate, broadcast on a constant key
+    const = (
+        lengths.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).withColumn("__k", lit(1))
+    )
+
+    hits = (
+        df.select(*id_cols, F.explode(text.tokens(text_col)).alias("token"))
+        .filter(col("token").isin(terms))  # pushed into the generate
+        .groupBy(*id_cols, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = hits.groupBy("token").agg(
+        F.count_distinct(*[col(c) for c in id_cols]).alias("df_t")
+    )
+
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(lengths, id_cols)
+        .withColumn("__k", lit(1))
+        .join(F.broadcast(const), "__k")
+        .withColumn(
+            "idf",
+            F.log(
+                lit(1.0)
+                + (col("n_docs") - col("df_t") + lit(0.5))
+                / (col("df_t") + lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            col("idf")
+            * col("tf")
+            * lit(k1 + 1.0)
+            / (
+                col("tf")
+                + lit(k1)
+                * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(*id_cols).agg(
+        F.sum("term_score").alias("bm25"),
+        F.count("*").alias("n_terms_matched"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_cols: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for the query — orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-k, k×partitions merge)."""
+    scored = bm25_scores(df, query_terms, id_cols, text_col)
+    return scored.orderBy(col("bm25").desc(), *[col(c) for c in id_cols]).limit(k)

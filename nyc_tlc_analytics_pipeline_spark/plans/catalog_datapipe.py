@@ -1706,3 +1706,84 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — BM25 corpus retrieval (operators.retrieval)
+# ---------------------------------------------------------------------------
+
+_Q57_TERMS = ("table", "scan", "fast")
+_Q57_K = 10
+
+
+def _q57_oracle() -> str:
+    from ..operators.retrieval import B, K1
+
+    terms = ", ".join(f"'{t}'" for t in _Q57_TERMS)
+    return f"""
+WITH lengths AS (
+    SELECT doc_id, lang, len(string_split_regex(lower(text), '\\s+')) AS dl
+    FROM documents
+),
+const AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lengths
+),
+hits AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    )
+    WHERE token IN ({terms})
+    GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY token),
+scored AS (
+    SELECT h.doc_id,
+           sum(
+               ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * h.tf * {K1 + 1.0!r}
+               / (h.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / c.avgdl))
+           ) AS bm25,
+           count(*) AS n_terms_matched
+    FROM hits h
+    JOIN dfreq d ON h.token = d.token
+    JOIN lengths l ON h.doc_id = l.doc_id
+    CROSS JOIN const c
+    GROUP BY h.doc_id
+)
+SELECT s.doc_id, l.lang,
+       round(s.bm25 + 1e-9, 6) AS bm25,
+       CAST(s.n_terms_matched AS BIGINT) AS n_terms_matched
+FROM scored s JOIN lengths l ON s.doc_id = l.doc_id
+-- sort on the ROUNDED score (like the Spark side) so boundary ties at
+-- the k-th rank break identically in both engines
+ORDER BY round(s.bm25 + 1e-9, 6) DESC, s.doc_id
+LIMIT {_Q57_K}
+"""
+
+
+@register(
+    "q57_bm25_retrieval",
+    _q57_oracle(),
+    "Okapi BM25 corpus retrieval for a literal term query: the token "
+    "IN-filter lands inside the explode projection so only matching "
+    "(doc, term) rows shuffle; per-term document frequencies and the "
+    "corpus constants broadcast back; top-k via TakeOrderedAndProject.",
+    operators=("retrieval-bm25", "O1", "J1", "A3"),
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    scored = retrieval.bm25_scores(docs, list(_Q57_TERMS), ["doc_id", "lang"])
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            rnd(col("bm25"), 6).alias("bm25"),
+            col("n_terms_matched").cast("long"),
+        )
+        .orderBy(col("bm25").desc(), "doc_id")
+        .limit(_Q57_K)
+    )
