@@ -10,6 +10,10 @@
     python -m nyc_tlc_analytics_pipeline_spark.cli analytics a01_top_zones_by_revenue
     python -m nyc_tlc_analytics_pipeline_spark.cli run-e2e --landing-dir data/raw
     python -m nyc_tlc_analytics_pipeline_spark.cli explain q01_top_nations_by_revenue --run
+    python -m nyc_tlc_analytics_pipeline_spark.cli curate --out data/shards
+
+``curate`` is the training-data extension verb (no reference analogue):
+rule-gate → decontaminate → mixture-rebalance → split → shard-write.
 """
 
 from __future__ import annotations
@@ -80,6 +84,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("--run", action="store_true", help="execute and report rows/secs")
 
+    # training-data curation: the q55 funnel as a user verb, writing
+    # dataloader-ready shards
+    cu = sub.add_parser(
+        "curate",
+        help="rule-gate + decontaminate + rebalance + split a document "
+        "corpus and write training shards",
+    )
+    cu.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    cu.add_argument("--out", required=True, help="output shard directory")
+    cu.add_argument(
+        "--weights",
+        default="en=0.4,de=0.15,es=0.15,fr=0.15,zh=0.15",
+        help="domain=weight list for mixture rebalancing",
+    )
+    cu.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+    cu.add_argument("--max-records-per-file", type=int, default=100_000)
+
     args = p.parse_args(argv)
 
     if args.command == "download":
@@ -140,6 +165,41 @@ def main(argv: list[str] | None = None) -> int:
             df.write.format("noop").mode("overwrite").save()
             secs = round(time.perf_counter() - t0, 3)
             print(json.dumps({"rows": df.count(), "secs": secs}))
+    elif args.command == "curate":
+        from pyspark.sql import functions as F
+
+        from .operators import decontam, rules, sampling
+        from .sources.sinks import write_corpus_shards
+        from .sources.testdata import load_table_parallel
+
+        def parse_kv(s: str) -> dict[str, float]:
+            return {
+                k: float(v)
+                for k, v in (item.split("=", 1) for item in s.split(",") if item)
+            }
+
+        weights, splits = parse_kv(args.weights), parse_kv(args.splits)
+        docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
+        gated = rules.filter_by_rules(docs, "text")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        clean = decontam.decontaminate(
+            gated.filter(F.col("doc_id") % 50 != 0), bench, n=4
+        )
+        sampled = sampling.mixture_sample(clean, "lang", weights, "doc_id", salt="mix")
+        final = sampling.assign_split(sampled, "doc_id", splits, salt="cur").select(
+            "doc_id", "lang", "split", "text"
+        )
+        write_corpus_shards(
+            final, args.out, max_records_per_file=args.max_records_per_file
+        )
+        summary = {
+            r["split"] + "/" + r["lang"]: r["n"]
+            for r in pl.spark.read.parquet(args.out)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        print(json.dumps({"total": sum(summary.values()), "shards": summary}, indent=2, sort_keys=True))
     return 0
 
 

@@ -204,3 +204,25 @@ def test_manifest_bronze_e2e(spark, landing, tmp_path):
     assert p._bronze_manifest("yellow").latest_version() == 1
     assert p.raw("yellow").count() == 400
     assert "source_file" in p.raw("yellow").columns
+
+
+def test_cli_curate_writes_shards(pipeline, capsys, tmp_path):
+    import json as _json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+    from .conftest import SF_SMOKE
+
+    out_dir = str(tmp_path / "shards")
+    rc = main(
+        [
+            "--warehouse-dir", pipeline.config.warehouse_dir,
+            "curate", "--sf-dir", SF_SMOKE, "--out", out_dir,
+        ]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["total"] > 0
+    assert any(k.startswith("train/") for k in summary["shards"])
+    back = pipeline.spark.read.parquet(out_dir)
+    assert back.count() == summary["total"]
+    assert set(back.columns) == {"doc_id", "lang", "split", "text"}
