@@ -97,3 +97,34 @@ def test_fact_scan_prunes_partitions(spark, tmp_path):
     # partition columns remains in the scan
     assert "PartitionFilters: [" in plan
     assert "isnotnull(service_type" in plan or "service_type#" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_q49_rules_single_aggregation_exchange(spark):
+    """The rule battery must fuse into the scan: exactly one shuffle
+    (the per-language aggregate), nothing before it."""
+    plan = _optimized(QUERIES["q49_quality_rule_battery"].build(spark, SF_SMOKE))
+    # optimized logical plan: one Aggregate over a Project over the scan
+    assert plan.count("Aggregate") == 1
+    assert "Join" not in plan
+
+
+def test_q50_decontam_corpus_never_shuffles_before_probe(spark):
+    plan = _plan(QUERIES["q50_benchmark_decontamination"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q57_bm25_topk_and_broadcasts(spark):
+    plan = _plan(QUERIES["q57_bm25_retrieval"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus-constants attach (1-row aggregate on a folded constant
+    # key) plans as a broadcast nested loop — map-side, no shuffle, the
+    # canonical scalar-attach; anything more than that one is a bug
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q53_pii_scrub_is_map_side_until_aggregate(spark):
+    plan = _optimized(QUERIES["q53_pii_scrub"].build(spark, SF_SMOKE))
+    assert plan.count("Aggregate") == 1
+    assert "Join" not in plan
