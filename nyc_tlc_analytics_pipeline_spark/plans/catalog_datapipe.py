@@ -1184,7 +1184,9 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q51_BUDGET = 256
 
 _Q51_ORACLE = f"""
-WITH RECURSIVE t AS (
+WITH RECURSIVE t AS MATERIALIZED (
+    -- MATERIALIZED: each recursion step joins t; without it DuckDB
+    -- re-tokenizes the corpus per step (50x slower at sf0.1)
     SELECT lang,
            len(string_split_regex(lower(text), '\\s+')) AS n,
            row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
@@ -1570,7 +1572,10 @@ ranked AS (
                         / 4294967296.0, cl.doc_id) AS srn
     FROM clean cl
 ),
-sampled AS (
+sampled AS MATERIALIZED (
+    -- MATERIALIZED: the greedy recursion below joins this every step;
+    -- without it DuckDB re-runs the whole upstream funnel per step
+    -- (>200x slower at sf0.1)
     SELECT r.doc_id, r.lang, r.n_tokens,
            row_number() OVER (PARTITION BY r.lang ORDER BY r.doc_id) AS rn
     FROM ranked r JOIN quota q ON r.lang = q.lang AND r.srn <= q.n
