@@ -739,7 +739,8 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q14 — daily share + scalar agg subquery (A9) — kept in SQL form
+# q14 — daily share vs global average share (windowed single-scan plan;
+# the CTE SQL below is the oracle, whose scalar subquery Spark re-expands)
 # Reference shape: sql/analytics/14_market_share_shift_vs_pricing.sql:70-79
 # ---------------------------------------------------------------------------
 
@@ -783,13 +784,48 @@ ORDER BY avg_share_pct DESC, n_name
     _Q14_SQL,
     "Daily nation share of orders vs the global average share — "
     "uncorrelated scalar agg subquery inside an outer aggregate. "
-    "Reference: 14_market_share_shift_vs_pricing.sql.",
-    operators=("A9", "J7", "A7"),
+    "The Spark plan derives day totals AND the global average as windows "
+    "over the single daily aggregate (the SQL-CTE form re-expands `daily` "
+    "under every reference — 6 scans of orders, no exchange reuse); one "
+    "fact scan total. A9's scalar-subquery plan shape itself stays "
+    "exercised by a14's percentile subqueries. Reference: "
+    "14_market_share_shift_vs_pricing.sql.",
+    operators=("A9", "A7", "W1"),
     headline=True,
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("orders", "customer", "nation"))
-    return spark.sql(_Q14_SQL)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") == col("n_nationkey"))
+        .groupBy(
+            col("o_orderdate").cast("date").alias("order_date"),
+            col("n_name"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    # share-of-day via a window over the (date × nation)-sized aggregate;
+    # the global average via an unpartitioned window over the same rows —
+    # bounded by |dates| × |nations|, never fact-sized, so the single
+    # partition it implies is safe at any input scale
+    share = daily.withColumn(
+        "share_pct",
+        100.0 * col("n_orders") / F.sum("n_orders").over(Window.partitionBy("order_date")),
+    ).withColumn("global_avg", F.avg("share_pct").over(Window.partitionBy()))
+    return (
+        share.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_days"),
+            rnd(F.avg("share_pct"), 4).alias("avg_share_pct"),
+            F.sum(
+                F.when(col("share_pct") > col("global_avg"), 1).otherwise(0)
+            ).cast("long").alias("days_above_global_avg"),
+        )
+        .filter(col("n_days") >= 5)
+        .orderBy(col("avg_share_pct").desc(), "n_name")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,15 @@ def test_q57_bm25_topk_and_broadcasts(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_q14_single_fact_scan(spark):
+    """The windowed q14 must scan orders exactly once — the CTE-SQL form
+    re-expands `daily` under every reference (6 orders scans, no exchange
+    reuse), which is the regression this guards against."""
+    plan = _plan(QUERIES["q14_nation_share_vs_global"].build(spark, SF_SMOKE))
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+
+
 def test_q53_pii_scrub_is_map_side_until_aggregate(spark):
     plan = _optimized(QUERIES["q53_pii_scrub"].build(spark, SF_SMOKE))
     assert plan.count("Aggregate") == 1
