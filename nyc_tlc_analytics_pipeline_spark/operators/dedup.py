@@ -521,3 +521,51 @@ def simhash_near_pairs(
         .filter(col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (prefix-blocked, thresholded levenshtein)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 8,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Character-level near-dup pairs: normalized edit distance ≤
+    ``max_dist`` among docs sharing the first ``prefix_len`` normalized
+    chars.
+
+    The prefix block is the candidate scheme (same contract as the LSH
+    operators: recall is bounded by the blocking — an edit inside the
+    first ``prefix_len`` chars moves a pair out of its block — and the
+    tradeoff is documented rather than hidden); within a block the
+    length-difference prefilter |len_a−len_b| ≤ d is a free lower bound
+    on edit distance, and the verify step uses Spark's THRESHOLDED
+    levenshtein (O(d·len) banded DP, returns −1 when the distance
+    exceeds d) rather than the full O(len²) table.  Normalization
+    (lower, collapse whitespace) matches :func:`..operators.text.fingerprint`
+    so exact dups land at distance 0."""
+    normalized = F.trim(F.regexp_replace(F.lower(col(text_col)), r"\s+", " "))
+    d = parallelize_input(df).select(
+        col(id_col).alias("doc"),
+        normalized.alias("txt"),
+    ).withColumn("blk", F.substring("txt", 1, prefix_len)).withColumn(
+        "ln", F.length("txt")
+    )
+    a = d.select(col("doc").alias("doc_a"), col("txt").alias("txt_a"), "blk", col("ln").alias("ln_a"))
+    b = d.select(col("doc").alias("doc_b"), col("txt").alias("txt_b"), "blk", col("ln").alias("ln_b"))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (col("doc_a") < col("doc_b"))
+            & (F.abs(col("ln_a") - col("ln_b")) <= max_dist)
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(col("txt_a"), col("txt_b"), max_dist)
+        )
+        .filter(col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

@@ -124,6 +124,55 @@ def fingerprint(text: Column | str, length: int = 16) -> Column:
     return F.substring(F.md5(normalized), 1, length)
 
 
+def word_ngrams(text: Column | str, n: int = 2, sep: str = " ") -> Column:
+    """Array of word-level n-grams (space-joined token windows) over the
+    whitespace tokenization.  Empty array when the document has fewer
+    than ``n`` tokens (the bare ``sequence(1, size-n+1)`` would count
+    DOWN and fabricate grams)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_heavy_hitters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-wide top-``k`` most frequent word n-grams with total
+    occurrences and document frequency.
+
+    Scale shape: explode → two-level aggregate.  The first groupBy on
+    (ngram, doc) gets map-side partial aggregation (each doc's grams are
+    co-located in its input split, so the combiner collapses within-doc
+    repeats before the shuffle); the second groupBy on ngram alone then
+    moves one row per (ngram, doc).  Top-k plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    (occurrences DESC, ngram) is a total order, so the cut at ``k`` is
+    deterministic."""
+    grams = df.select(
+        col(id_col).alias("doc"),
+        F.explode(word_ngrams(text_col, n)).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", "doc").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("c").alias("occurrences"),
+            F.count("*").alias("doc_freq"),
+        )
+        .orderBy(col("occurrences").desc(), "ngram")
+        .limit(k)
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document text metrics."""
     return df.withColumns(

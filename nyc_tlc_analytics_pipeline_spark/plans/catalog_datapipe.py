@@ -1792,3 +1792,173 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("bm25").desc(), "doc_id")
         .limit(_Q57_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — corpus heavy hitters: top-k frequent word bigrams
+# ---------------------------------------------------------------------------
+
+_Q58_N = 2
+_Q58_K = 25
+
+_Q58_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {_Q58_N} + 2),
+                                 i -> array_to_string(t[i:i+{_Q58_N}-1], ' '))) AS ngram
+    FROM toks
+),
+per_doc AS (
+    SELECT ngram, doc_id, count(*) AS c
+    FROM bg
+    GROUP BY ngram, doc_id
+)
+SELECT ngram,
+       CAST(sum(c) AS BIGINT) AS occurrences,
+       count(*) AS doc_freq
+FROM per_doc
+GROUP BY ngram
+ORDER BY occurrences DESC, ngram
+LIMIT {_Q58_K}
+"""
+
+
+@register(
+    "q58_ngram_heavy_hitters",
+    _Q58_ORACLE,
+    "Corpus-wide top-25 most frequent word bigrams with occurrence and "
+    "document-frequency counts — the frequent-sequence diagnostic a "
+    "dedup/quality pipeline runs before choosing shingle widths.  "
+    "Two-level aggregate (map-side combine on (ngram, doc), then one "
+    "row per pair to the ngram reduce); top-k via TakeOrderedAndProject.",
+    operators=("text-heavy-hitters", "A1", "A8", "O1"),
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return text.ngram_heavy_hitters(docs, "doc_id", "text", n=_Q58_N, k=_Q58_K)
+
+
+# ---------------------------------------------------------------------------
+# q59 — incremental gold refresh: base partial + delta partial == full scan
+# ---------------------------------------------------------------------------
+
+_Q59_CUTOFF = "1999-01-01"
+
+_Q59_ORACLE = f"""
+SELECT n_name,
+       extract(year FROM o_orderdate) AS order_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 4) AS total_value,
+       round(sum(o_totalprice) / count(*) + 1e-9, 4) AS avg_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, order_year
+HAVING count(*) >= 5
+ORDER BY n_name, order_year
+"""
+
+
+@register(
+    "q59_incremental_gold_merge",
+    _Q59_ORACLE,
+    "Incremental gold maintenance: the nation×year revenue aggregate is "
+    "produced by merging a BASE partial (orders before the cutoff) with "
+    "a DELTA partial (orders after), and must equal the oracle's full "
+    "recompute exactly.  Partials carry only additive components "
+    "(count, sum); avg is re-derived after the merge.  The merge "
+    "shuffles |keys| rows, not fact rows — the refresh cost a 100 TB "
+    "gold pipeline pays is the delta scan alone.",
+    operators=("incremental-merge", "A3", "A8", "J1"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    enriched = o.join(F.broadcast(c), col("o_custkey") == col("c_custkey")).join(
+        F.broadcast(nat), col("c_nationkey") == col("n_nationkey")
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            "n_name", F.year("o_orderdate").alias("order_year")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_value"),
+        )
+
+    base = partial(enriched.filter(col("o_orderdate") < lit(_Q59_CUTOFF)))
+    delta = partial(enriched.filter(col("o_orderdate") >= lit(_Q59_CUTOFF)))
+    merged = incremental.merge_partials(
+        [base, delta],
+        keys=["n_name", "order_year"],
+        merge_spec={"n_orders": "count", "total_value": "sum"},
+    )
+    return (
+        merged.filter(col("n_orders") >= 5)
+        .select(
+            "n_name",
+            "order_year",
+            "n_orders",
+            rnd(col("total_value"), 4).alias("total_value"),
+            rnd(col("total_value") / col("n_orders"), 4).alias("avg_value"),
+        )
+        .orderBy("n_name", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — edit-distance near-dup pairs (prefix-blocked banded levenshtein)
+# ---------------------------------------------------------------------------
+
+_Q60_MAX_DIST = 8
+_Q60_PREFIX = 16
+
+_Q60_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+    FROM documents
+),
+b AS (
+    SELECT doc_id, txt,
+           substr(txt, 1, {_Q60_PREFIX}) AS blk,
+           length(txt) AS ln
+    FROM d
+)
+SELECT a.doc_id AS doc_a,
+       c.doc_id AS doc_b,
+       CAST(levenshtein(a.txt, c.txt) AS INT) AS edit_dist
+FROM b a
+JOIN b c ON a.blk = c.blk
+        AND a.doc_id < c.doc_id
+        AND abs(a.ln - c.ln) <= {_Q60_MAX_DIST}
+WHERE levenshtein(a.txt, c.txt) <= {_Q60_MAX_DIST}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q60_edit_distance_near_dups",
+    _Q60_ORACLE,
+    "Character-level near-dup pairs: edit distance ≤ 8 among docs "
+    "sharing a 16-char normalized prefix block.  Candidate generation "
+    "is the block equi-join (never all-pairs); the length-difference "
+    "prefilter is a free edit-distance lower bound; verification uses "
+    "the thresholded banded levenshtein (O(d·len), not O(len²)).",
+    operators=("dedup-edit-distance", "J1", "P7"),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = dedup.edit_distance_pairs(
+        docs, "doc_id", "text", max_dist=_Q60_MAX_DIST, prefix_len=_Q60_PREFIX
+    )
+    return pairs.withColumn("edit_dist", col("edit_dist").cast("int")).orderBy(
+        "doc_a", "doc_b"
+    )
