@@ -1,0 +1,108 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+Scale shape: each iteration is ONE scan of the vectors plus one k×dim
+aggregate — assignment is a pure map (distance to k broadcast centroid
+literals, argmin), the centroid update is posexplode → groupBy
+(cluster, dim) → avg, i.e. a shuffle of k·dim·partitions partial rows,
+never vector-count-sized.  The only driver traffic is the k×dim centroid
+matrix per iteration (bounded, like the IVF centroid collect in
+operators/similarity.py).  No .collect() of data rows anywhere.
+
+Cross-engine determinism: centroid coordinates AND the per-vector
+distances are rounded (nudged, 6 decimals — functions/scalar.rnd) at
+every step, with argmin ties broken by lowest cluster id.  Rounding
+freezes the float-association drift between engines, so an external SQL
+engine can replicate the full trajectory exactly — that is what makes
+an ITERATIVE algorithm oracle-checkable end-to-end (same trick as the
+rounded LM scores in q56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..functions.scalar import rnd
+
+ROUND_DECIMALS = 6
+
+
+def _dist2(v, cent: list[float]):
+    carr = F.array(*[lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+        lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    vecs: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Attach (cid, dist2) for the nearest centroid — a pure map over the
+    vectors; centroids travel as fold-able literals, so there is no join
+    and no shuffle.  Distances are rounded before the argmin; the
+    1-based first-position of the min implements the lowest-cid
+    tie-break."""
+    dists = F.array(*[rnd(_dist2(col("v"), c), ROUND_DECIMALS) for c in centroids])
+    return (
+        vecs.withColumn("dists", dists)
+        .withColumn("cid", F.array_position(col("dists"), F.array_min("dists")) - 1)
+        .withColumn("dist2", F.element_at("dists", col("cid").cast("int") + 1))
+        .drop("dists")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means with deterministic init (the vectors of the k
+    lowest ids, in id order).  Returns (final assignment DataFrame,
+    final centroid matrix).  ``iters`` centroid updates are performed;
+    the returned assignment is under the FINAL centroids."""
+    vecs = df.select(
+        col(id_col).alias("vid"), col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [list(r.v) for r in vecs.orderBy("vid").limit(k).collect()]
+    for _ in range(iters):
+        assigned = assign_clusters(vecs, cents)
+        new_rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(rnd(F.avg("x"), ROUND_DECIMALS).alias("m"))
+            .collect()  # k×dim rows — bounded by the model size, not the data
+        )
+        for r in new_rows:
+            cents[r.cid][r.pos] = r.m
+    return assign_clusters(vecs, cents), cents
+
+
+def kmeans_summary(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster fit summary: member count, mean (rounded) squared
+    distance, and the first centroid coordinate as a trajectory
+    witness."""
+    assigned, cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    first_coords = F.array(*[lit(float(c[0])) for c in cents])
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            rnd(F.avg("dist2"), ROUND_DECIMALS).alias("avg_dist2"),
+        )
+        .withColumn(
+            "centroid_c1", F.element_at(first_coords, col("cid").cast("int") + 1)
+        )
+        .select(col("cid").alias("cluster_id"), "n_members", "avg_dist2", "centroid_c1")
+        .orderBy("cluster_id")
+    )

@@ -1962,3 +1962,177 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("edit_dist", col("edit_dist").cast("int")).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — per-source corpus health dashboard (dup rate × lang-ID × tokens)
+# ---------------------------------------------------------------------------
+
+def _q61_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    hits = ",\n           ".join(
+        f"{_hits_sql(text.LANG_STOPWORDS[lang])} AS h_{lang}" for lang in langs
+    )
+    best = ", ".join(f"h_{lang}" for lang in langs)
+    pred_cases = "\n                ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+    SELECT source, lang,
+           string_split_regex(lower(text), '\\s+') AS toks,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+    FROM documents
+),
+scored AS (
+    SELECT source, lang, toks, fp,
+           {hits},
+           greatest({best}) AS best
+    FROM t
+),
+pred AS (
+    SELECT source, lang, toks, fp,
+           CASE WHEN best = 0 THEN 'und'
+                {pred_cases}
+           END AS pred_lang
+    FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT fp) AS n_unique,
+       round(100.0 * (1 - 1.0 * count(DISTINCT fp) / count(*)) + 1e-9, 4) AS dup_pct,
+       round(avg(len(toks)) + 1e-9, 4) AS avg_tokens,
+       round(100.0 * sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) / count(*) + 1e-9, 4) AS langid_agree_pct
+FROM pred
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q61_source_health_dashboard",
+    _q61_oracle(),
+    "Per-source corpus health: exact-dup rate (distinct fingerprints vs "
+    "docs), mean token count, and label-vs-predicted language agreement "
+    "— the triage view that decides which source gets recrawled, "
+    "re-cleaned, or dropped.  Single scan, one aggregate; every metric "
+    "is a column expression (fingerprint/lang-ID shared with q23/q24).",
+    operators=("text-dashboard", "A2", "A4"),
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "source",
+        "lang",
+        text.fingerprint("text").alias("fp"),
+        text.token_count("text").alias("n_toks"),
+        text.predicted_lang("text").alias("pred_lang"),
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            rnd(
+                100.0 * (1 - F.countDistinct("fp") / F.count("*")), 4
+            ).alias("dup_pct"),
+            rnd(F.avg("n_toks"), 4).alias("avg_tokens"),
+            rnd(
+                100.0
+                * F.sum(F.when(col("pred_lang") == col("lang"), 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("langid_agree_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — distributed k-means (Lloyd), oracle-checked iteration trajectory
+# ---------------------------------------------------------------------------
+
+_Q62_K = 4
+_Q62_ITERS = 2
+
+
+def _q62_oracle(k: int = _Q62_K, iters: int = _Q62_ITERS) -> str:
+    """Unrolls the Lloyd iterations as chained CTEs.  Both engines round
+    centroids and distances (nudged, 6 dp) at every step and break
+    argmin ties by lowest cluster id, so the full trajectory — not just
+    the final stats — is deterministic across engines."""
+
+    def assign(cent_cte: str, name: str) -> str:
+        return f"""{name}_d AS (
+    SELECT v.vec_id, v.v, c.cid,
+           round(list_sum(list_transform(range(1, len(v.v) + 1),
+                 i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) + 1e-9, 6) AS dist2
+    FROM v CROSS JOIN {cent_cte} c
+),
+{name} AS (
+    SELECT vec_id, v, cid, dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+          FROM {name}_d)
+    WHERE rn = 1
+)"""
+
+    def update(assign_cte: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT cid, list(m ORDER BY pos) AS c
+    FROM (
+        SELECT cid, u.pos AS pos, round(avg(u.x) + 1e-9, 6) AS m
+        FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+                     i -> {{'pos': i, 'x': v[i]}})) AS u
+              FROM {assign_cte}) q
+        GROUP BY cid, u.pos
+    ) m
+    GROUP BY cid
+)"""
+
+    parts = [
+        """v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""",
+        f"""c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+    FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}) seed
+)""",
+    ]
+    cent = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign(cent, f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it}"))
+        cent = f"c{it}"
+    parts.append(assign(cent, "af"))
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT af.cid AS cluster_id,
+       count(*) AS n_members,
+       round(avg(af.dist2) + 1e-9, 6) AS avg_dist2,
+       any_value(c.c[1]) AS centroid_c1
+FROM af JOIN {cent} c ON af.cid = c.cid
+GROUP BY af.cid
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "q62_kmeans_clusters",
+    _q62_oracle(),
+    "Distributed Lloyd k-means (k=4, 2 iterations, deterministic "
+    "first-k init) over the embedding corpus: assignment is a pure map "
+    "against broadcast centroid literals, the update a k×dim aggregate "
+    "— per-iteration cost is one scan, driver traffic is the centroid "
+    "matrix only.  Rounded centroids+distances at every step make the "
+    "whole iterative trajectory oracle-checkable (the usual k-means "
+    "float-association drift is frozen out).",
+    operators=("cluster-kmeans", "A3", "W2"),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster.kmeans_summary(
+        emb, "vec_id", "embedding", k=_Q62_K, iters=_Q62_ITERS
+    )

@@ -93,3 +93,35 @@ def test_edit_distance_pairs_planted(spark):
     # documented recall boundary: a prefix edit moves doc 5 out of the block
     assert not any(5 in pair for pair in got)
     assert not any(4 in pair for pair in got)
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster
+
+    # two tight blobs far apart; init picks one seed in each (ids 0, 1)
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    rows += [(i, [0.1 * (i % 3), 0.1]) for i in range(2, 12)]
+    rows += [(i, [10.0 + 0.1 * (i % 3), 9.9]) for i in range(12, 22)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cents = cluster.kmeans_fit(df, "vec_id", "embedding", k=2, iters=3)
+    got = {r.vid: r.cid for r in assigned.collect()}
+    lo = {vid for vid, cid in got.items() if cid == got[0]}
+    assert lo == {0} | set(range(2, 12))
+    assert len(cents) == 2 and len(cents[0]) == 2
+    # centroids converge into the blobs
+    assert abs(cents[0][0]) < 0.2 and abs(cents[1][0] - 10.0) < 0.2
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """Assignment must be a pure map: no join, no shuffle below the
+    final aggregate (centroids are literals)."""
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    vecs = df.selectExpr("vec_id AS vid", "CAST(embedding AS array<double>) AS v")
+    assigned = cluster.assign_clusters(vecs, [[0.0, 0.0], [9.0, 0.0]])
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
