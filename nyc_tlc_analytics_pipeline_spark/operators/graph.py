@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import col, lit
 
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -133,3 +133,79 @@ def cluster_assignments(
         F.count("*").over(w).alias("cluster_size"),
         (col(id_col) == col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (fixed-iteration, cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+    damping: float = 0.85,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution, run for a
+    fixed ``iters`` Lloyd-style sweeps.
+
+    Scale shape: ranks live as a node-keyed DataFrame (never collected);
+    each iteration joins edges⋈ranks on src (the one fact-sized shuffle
+    — at cluster scale pre-partition edges by src once and every
+    iteration reuses that partitioning), aggregates contributions by
+    dst, and folds in the teleport + dangling terms via a broadcast
+    1-row aggregate — no driver-side data motion at all.  The node
+    count is the single scalar the driver learns (needed as a literal
+    in the teleport term).  For tens of iterations, checkpoint ranks
+    every ~10 sweeps to cut lineage; at 3 iterations the plan stays
+    shallow.
+
+    Cross-engine determinism: ranks are rounded (nudged, 6 dp) after
+    every sweep — same trajectory-freezing trick as operators/cluster.py
+    — so an external SQL engine replicates the exact values."""
+    from ..functions.scalar import rnd
+
+    e = edges.select(
+        col(src).alias("e_src"), col(dst).alias("e_dst"), col(weight).alias("e_w")
+    )
+    nodes = (
+        e.select(col("e_src").alias("node"))
+        .union(e.select(col("e_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("ow"))
+    # weight-normalized edges: built once, reused every sweep
+    e_norm = e.join(outw, "e_src").select(
+        "e_src", "e_dst", (col("e_w") / col("ow")).alias("share")
+    )
+    ranks = nodes.select(
+        "node", rnd(lit(1.0) / lit(float(n_nodes)), round_decimals).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e_norm.join(ranks, e_norm["e_src"] == ranks["node"])
+            .select(col("e_dst").alias("node"), (col("rank") * col("share")).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").alias("c"))
+        )
+        dangling = (
+            ranks.join(outw, ranks["node"] == outw["e_src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                rnd(
+                    lit((1.0 - damping) / float(n_nodes))
+                    + lit(damping)
+                    * (F.coalesce(col("c"), lit(0.0)) + col("dm") / lit(float(n_nodes))),
+                    round_decimals,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -2136,3 +2136,111 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.kmeans_summary(
         emb, "vec_id", "embedding", k=_Q62_K, iters=_Q62_ITERS
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — weighted PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_Q63_ITERS = 3
+_Q63_D = 0.85
+
+
+def _q63_oracle(iters: int = _Q63_ITERS) -> str:
+    """Unrolled PageRank sweeps.  The edge list is the nation→nation
+    order-flow graph (customer nation → supplier nation, weight = item
+    count); both engines round ranks after every sweep and spell the
+    teleport arithmetic identically."""
+    parts = [
+        """edges AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+)""",
+        """nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ) u
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """outw AS (
+    SELECT src, sum(w) AS ow FROM edges GROUP BY src
+)""",
+        """e_norm AS (
+    SELECT e.src, e.dst, 1.0 * e.w / o.ow AS share
+    FROM edges e JOIN outw o ON e.src = o.src
+)""",
+        """r0 AS (
+    SELECT node, round(1.0 / nn.n + 1e-9, 6) AS rank
+    FROM nodes CROSS JOIN nn
+)""",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        parts.append(f"""contrib{it} AS (
+    SELECT e.dst AS node, sum(r.rank * e.share) AS c
+    FROM e_norm e JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst
+)""")
+        parts.append(f"""dang{it} AS (
+    SELECT coalesce(sum(r.rank), 0.0) AS dm
+    FROM {prev} r LEFT JOIN outw o ON r.node = o.src
+    WHERE o.src IS NULL
+)""")
+        parts.append(f"""r{it} AS (
+    SELECT n.node,
+           round((1.0 - {_Q63_D}) / nn.n
+                 + {_Q63_D} * (coalesce(c.c, 0.0) + d.dm / nn.n) + 1e-9, 6) AS rank
+    FROM nodes n
+    LEFT JOIN contrib{it} c ON n.node = c.node
+    CROSS JOIN nn CROSS JOIN dang{it} d
+)""")
+        prev = f"r{it}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT node AS n_name, rank AS pagerank
+FROM {prev}
+ORDER BY pagerank DESC, n_name
+"""
+
+
+@register(
+    "q63_nation_pagerank",
+    _q63_oracle(),
+    "Weighted PageRank (3 sweeps, damping 0.85, dangling redistribution) "
+    "over the nation→nation order-flow graph.  Ranks stay a distributed "
+    "node-keyed table; each sweep is one edges⋈ranks shuffle + a "
+    "dst aggregate + a broadcast 1-row dangling term.  Per-sweep rank "
+    "rounding freezes float-association drift, making the iterative "
+    "trajectory oracle-checkable — the graph companion to q62's k-means.",
+    operators=("graph-pagerank", "J1", "A3"),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = nat.select(col("n_nationkey").alias("cn_key"), col("n_name").alias("src"))
+    sn = nat.select(col("n_nationkey").alias("sn_key"), col("n_name").alias("dst"))
+    edges = (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(F.broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(F.broadcast(cn), col("c_nationkey") == col("cn_key"))
+        .join(F.broadcast(s), col("l_suppkey") == col("s_suppkey"))
+        .join(F.broadcast(sn), col("s_nationkey") == col("sn_key"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = graph.pagerank(edges, iters=_Q63_ITERS, damping=_Q63_D)
+    return ranks.select(col("node").alias("n_name"), col("rank").alias("pagerank")).orderBy(
+        col("pagerank").desc(), "n_name"
+    )

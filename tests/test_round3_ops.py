@@ -125,3 +125,31 @@ def test_kmeans_assignment_is_map_side(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], ["src", "dst", "w"]
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, iters=5).collect()}
+    # symmetric cycle: stationary uniform distribution, preserved exactly
+    assert ranks == {"a": pytest.approx(1 / 3, abs=1e-5),
+                     "b": pytest.approx(1 / 3, abs=1e-5),
+                     "c": pytest.approx(1 / 3, abs=1e-5)}
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import graph
+
+    # "sink" has no outgoing edges: its mass must be redistributed, and
+    # total rank stays ~1 instead of leaking
+    edges = spark.createDataFrame(
+        [("a", "sink", 2), ("b", "sink", 1), ("a", "b", 1)], ["src", "dst", "w"]
+    )
+    rows = graph.pagerank(edges, iters=4).collect()
+    total = sum(r.rank for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-4)
+    ranks = {r.node: r.rank for r in rows}
+    assert ranks["sink"] > ranks["b"] > 0
