@@ -106,3 +106,41 @@ def kmeans_summary(
         .select(col("cid").alias("cluster_id"), "n_members", "avg_dist2", "centroid_c1")
         .orderBy("cluster_id")
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
+    clustering the embedding space and comparing cosine similarity ONLY
+    within a cluster — the cluster assignment is the candidate-blocking
+    scheme (recall bounded by it, like every LSH operator here), so the
+    pair join is k × (N/k)² instead of N².  The convention downstream
+    dedup applies: in each qualifying pair the higher id (doc_b) is the
+    drop candidate, the lower id survives."""
+    from .similarity import cosine
+
+    assigned, _ = kmeans_fit(df, id_col, vec_col, k, iters)
+    a = assigned.select(
+        col("cid"), col("vid").alias("doc_a"), col("v").alias("va")
+    )
+    b = assigned.select(
+        col("cid"), col("vid").alias("doc_b"), col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= threshold)
+        .select(
+            col("cid").alias("cluster_id"),
+            "doc_a",
+            "doc_b",
+            rnd(col("cos"), ROUND_DECIMALS).alias("cos_sim"),
+        )
+    )

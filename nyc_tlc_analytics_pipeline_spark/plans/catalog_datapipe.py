@@ -2056,11 +2056,14 @@ _Q62_K = 4
 _Q62_ITERS = 2
 
 
-def _q62_oracle(k: int = _Q62_K, iters: int = _Q62_ITERS) -> str:
-    """Unrolls the Lloyd iterations as chained CTEs.  Both engines round
-    centroids and distances (nudged, 6 dp) at every step and break
-    argmin ties by lowest cluster id, so the full trajectory — not just
-    the final stats — is deterministic across engines."""
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Lloyd iterations unrolled as chained CTEs: returns (cte_block,
+    final_assignment_cte_name); the final assignment carries (vec_id, v,
+    cid, dist2) under the last centroids ``c{iters}``.  Both engines
+    round centroids and distances (nudged, 6 dp) at every step and
+    break argmin ties by lowest cluster id, so the full trajectory —
+    not just the final stats — is deterministic across engines.
+    Shared by q62 (cluster summary) and q64 (SemDeDup pair join)."""
 
     def assign(cent_cte: str, name: str) -> str:
         return f"""{name}_d AS (
@@ -2104,15 +2107,19 @@ def _q62_oracle(k: int = _Q62_K, iters: int = _Q62_ITERS) -> str:
         parts.append(update(f"a{it}", f"c{it}"))
         cent = f"c{it}"
     parts.append(assign(cent, "af"))
-    ctes = ",\n".join(parts)
+    return ",\n".join(parts), "af"
+
+
+def _q62_oracle(k: int = _Q62_K, iters: int = _Q62_ITERS) -> str:
+    ctes, af = _kmeans_ctes(k, iters)
     return f"""
 WITH {ctes}
-SELECT af.cid AS cluster_id,
+SELECT {af}.cid AS cluster_id,
        count(*) AS n_members,
-       round(avg(af.dist2) + 1e-9, 6) AS avg_dist2,
+       round(avg({af}.dist2) + 1e-9, 6) AS avg_dist2,
        any_value(c.c[1]) AS centroid_c1
-FROM af JOIN {cent} c ON af.cid = c.cid
-GROUP BY af.cid
+FROM {af} JOIN c{iters} c ON {af}.cid = c.cid
+GROUP BY {af}.cid
 ORDER BY cluster_id
 """
 
@@ -2244,3 +2251,47 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(col("node").alias("n_name"), col("rank").alias("pagerank")).orderBy(
         col("pagerank").desc(), "n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — SemDeDup: semantic near-dup pairs under k-means cluster blocking
+# ---------------------------------------------------------------------------
+
+_Q64_THRESHOLD = 0.25
+
+
+def _q64_oracle() -> str:
+    ctes, af = _kmeans_ctes(_Q62_K, _Q62_ITERS)
+    return f"""
+WITH {ctes}
+SELECT a.cid AS cluster_id,
+       a.vec_id AS doc_a,
+       b2.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) AS cos_sim
+FROM {af} a
+JOIN {af} b2 ON a.cid = b2.cid AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= {_Q64_THRESHOLD}
+ORDER BY cluster_id, doc_a, doc_b
+"""
+
+
+@register(
+    "q64_semdedup_pairs",
+    _q64_oracle(),
+    "SemDeDup (Abbas et al. 2023): semantic near-dup pairs compared "
+    "ONLY within a k-means cluster — the clustering is the candidate "
+    "blocker (k×(N/k)² pair work, never N²), sharing q62's "
+    "oracle-checkable rounded-trajectory assignment, so the whole "
+    "cluster-then-compare pipeline is verified end-to-end.  doc_b (the "
+    "higher id) is the drop candidate.",
+    operators=("dedup-semantic", "cluster-kmeans"),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cluster.semdedup_pairs(
+        emb, "vec_id", "embedding", k=_Q62_K, iters=_Q62_ITERS,
+        threshold=_Q64_THRESHOLD,
+    )
+    return pairs.orderBy("cluster_id", "doc_a", "doc_b")
