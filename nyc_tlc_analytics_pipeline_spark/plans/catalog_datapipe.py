@@ -7,9 +7,13 @@ designed partition-parallel.  Implementations live in ``operators.text``,
 oracle-checked conformance queries over the ``documents`` and
 ``embeddings`` testdata tables.
 
-MinHash/SimHash/ANN entries have no DuckDB oracle (engine-specific hash
-functions) — the driver records a rows-only check and the pytest suite
-verifies them against exact Jaccard / exact cosine instead.
+Every entry here is DuckDB-oracle-checked, including the approximate
+paths: MinHash/SimHash use md5-derived hashes both engines share
+byte-exactly, ANN/IVF embed their hyperplane/centroid literals in the
+SQL, and the iterative operators (k-means q62, SemDeDup q64, PageRank
+q63) round their per-iteration state so the full trajectory is
+cross-engine deterministic.  The pytest suite additionally verifies
+recall against exact Jaccard / exact cosine ground truth.
 """
 
 from __future__ import annotations
