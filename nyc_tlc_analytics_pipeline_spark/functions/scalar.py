@@ -35,11 +35,28 @@ def nullif_div(num: Column, den: Column) -> Column:
     return num / F.nullif(den, F.lit(0))
 
 
+def to_epoch(c: Column | str) -> Column:
+    """Seconds since epoch as BIGINT — NTZ-safe.
+
+    ``cast(TIMESTAMP_NTZ as long)`` is an AnalysisException in Spark 4;
+    routing through ``timestamp_ltz`` first is a no-op for TimestampType
+    and a wall-clock-preserving conversion for NTZ under the engine's UTC
+    session timezone — i.e. identical to DuckDB ``epoch(ts)`` on its
+    naive timestamps.  Use this EVERYWHERE a timestamp becomes a number.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp_ltz").cast("long")
+
+
+def to_epoch_seconds(c: Column | str) -> Column:
+    """Seconds since epoch as DOUBLE (fractional µs preserved) — NTZ-safe."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp_ltz").cast("double")
+
+
 def epoch_minutes(start: Column | str, end: Column | str) -> Column:
     """EXTRACT(EPOCH FROM (end - start)) / 60.0 as double minutes."""
-    s = F.col(start) if isinstance(start, str) else start
-    e = F.col(end) if isinstance(end, str) else end
-    return (e.cast("double") - s.cast("double")) / F.lit(60.0)
+    return (to_epoch_seconds(end) - to_epoch_seconds(start)) / F.lit(60.0)
 
 
 def rnd(c: Column | str, d: int) -> Column:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit, when
 
 from ..core.config import QualityThresholds
+from ..functions.scalar import to_epoch_seconds
 
 # per-service column mapping (quality_checks.py:22-26,66-77,106-121,157)
 _SERVICE_COLS = {
@@ -118,7 +119,7 @@ def check_realistic_speed(raw: DataFrame, service: str, q: QualityThresholds) ->
     (quality_checks.py:102-151; note the WHERE distance > 0 scope)."""
     cols = _SERVICE_COLS[service]
     pickup, dropoff, distance = col(cols["pickup"]), col(cols["dropoff"]), col(cols["distance"])
-    seconds = dropoff.cast("double") - pickup.cast("double")
+    seconds = to_epoch_seconds(dropoff) - to_epoch_seconds(pickup)
     speeding = (
         (distance > 0) & (seconds > 0) & (distance / (seconds / 3600.0) > q.max_speed_mph)
     )

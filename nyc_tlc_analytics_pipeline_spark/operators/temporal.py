@@ -22,6 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
+from pyspark.sql.types import TimestampNTZType
+
+
+def _ts_as_double(df: DataFrame, name: str):
+    """Epoch-seconds double for a timestamp column of either flavor.
+    TIMESTAMP_NTZ rejects direct numeric casts (Spark 4); route it through
+    LTZ — wall-clock-preserving under the engine's UTC session timezone.
+    Numeric columns (already epoch seconds) pass through unchanged."""
+    c = col(name)
+    if isinstance(df.schema[name].dataType, TimestampNTZType):
+        c = c.cast("timestamp_ltz")
+    return c.cast("double")
 
 
 def asof_join(
@@ -93,12 +105,12 @@ def range_join(
     ``left_ts`` and ``right_ts`` may share a name; any OTHER shared
     column names surface as duplicate output columns (rename first)."""
     lt = (
-        left.withColumn("__lts", col(left_ts).cast("double"))
+        left.withColumn("__lts", _ts_as_double(left, left_ts))
         .withColumn("__bl", F.floor(col("__lts") / window_seconds))
         .withColumn("__probe", F.explode(F.array(lit(-1), lit(0), lit(1))))
         .withColumn("__bucket", col("__bl") + col("__probe"))
     )
-    rt = right.withColumn("__rts", col(right_ts).cast("double")).withColumn(
+    rt = right.withColumn("__rts", _ts_as_double(right, right_ts)).withColumn(
         "__bucket", F.floor(col("__rts") / window_seconds)
     )
     joined = lt.join(rt, [on, "__bucket"])

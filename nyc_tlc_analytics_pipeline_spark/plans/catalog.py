@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, expr, lit, when
 
-from ..functions.scalar import rnd
+from ..functions.scalar import rnd, to_epoch, to_epoch_seconds
 from ..sources.testdata import load_table, register_views
 
 
@@ -1078,7 +1078,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = col("ts").cast("long") - col("prev_ts").cast("long")
+    gap = to_epoch("ts") - to_epoch("prev_ts")
     return (
         ev.withColumn("prev_ts", F.lag("ts").over(order_w))
         .withColumn(
@@ -1428,7 +1428,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", col("ts").alias("e_ts"), col("value").alias("err_value")
     )
     pairs = range_join(purchases, errors, "user_id", "p_ts", "e_ts", 3600)
-    gap = F.abs(col("p_ts").cast("double") - col("e_ts").cast("double"))
+    gap = F.abs(to_epoch_seconds("p_ts") - to_epoch_seconds("e_ts"))
     return (
         pairs.groupBy("user_id")
         .agg(

@@ -41,10 +41,17 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which Spark
       otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
     - UTC session timezone: hour()/window() on the (LTZ) event timestamps
-      must match the DuckDB oracle's naive-UTC interpretation.
+      must match the DuckDB oracle's naive-UTC interpretation;
+    - ``inferTimestampNTZ`` off: parquet TIMESTAMP(isAdjustedToUTC=false)
+      otherwise surfaces as TIMESTAMP_NTZ in Spark 4, which rejects
+      numeric casts and breaks schema parity with the streaming payload
+      schemas (TimestampType).  The engine-wide policy is ONE timestamp
+      type — TimestampType (LTZ) under a UTC session, which is
+      value-identical to the oracle's naive-UTC reading.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,18 +77,25 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark surfaces it as LongType
-    nanos-since-epoch.  Convert to a proper TimestampType (microsecond
-    precision, truncating — matching DuckDB's ns→us cast semantics).
-    Queries must not return raw ``ts`` values to the oracle differ anyway;
-    they return truncated buckets or extracted fields.
+    """Normalize ``ts`` to TimestampType (the engine-wide policy) whatever
+    the parquet writer produced:
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong`` → LongType nanos-since-epoch:
+      convert via ``timestamp_micros`` (truncating, matching DuckDB's
+      ns→us cast semantics);
+    - TIMESTAMP(isAdjustedToUTC=false) read by a session built before
+      ``_ensure_session_conf`` applied → TIMESTAMP_NTZ: cast to LTZ —
+      wall-clock-preserving under the UTC session timezone, matching the
+      oracle's naive-UTC interpretation.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

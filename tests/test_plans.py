@@ -70,10 +70,13 @@ def test_whole_stage_codegen_everywhere_hot(spark):
 
 
 def test_no_cartesian_products_in_catalog(spark):
+    # intentional 1-row broadcast cross joins (scalar-aggregate folding):
+    # q14 global quartiles, q63 PageRank dangling-mass term — both sides
+    # provably 1 row, so the "cross" join is a broadcast of one scalar.
+    scalar_cross_ok = {"q14_nation_share_vs_global", "q63_nation_pagerank"}
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
-        # the only intentional 1-row cross join is q14's scalar quartiles
-        if name == "q14_nation_share_vs_global":
+        if name in scalar_cross_ok:
             continue
         assert "Join Cross" not in plan, name
 
