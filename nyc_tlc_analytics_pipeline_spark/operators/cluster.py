@@ -108,13 +108,24 @@ def kmeans_summary(
     )
 
 
+#: auto-k ceiling: kmeans assignment folds k centroid literal arrays into
+#: the plan, which stops being reasonable somewhere in the thousands; past
+#: this, the in-cluster LSH sub-bucket (max_cluster_size) carries the
+#: scale burden instead.
+_AUTO_K_CAP = 4096
+
+
 def semdedup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 4,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.25,
+    target_cluster_size: int = 1000,
+    max_cluster_size: int | None = None,
+    n_planes: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
     clustering the embedding space and comparing cosine similarity ONLY
@@ -122,18 +133,65 @@ def semdedup_pairs(
     scheme (recall bounded by it, like every LSH operator here), so the
     pair join is k × (N/k)² instead of N².  The convention downstream
     dedup applies: in each qualifying pair the higher id (doc_b) is the
-    drop candidate, the lower id survives."""
-    from .similarity import cosine
+    drop candidate, the lower id survives.
 
-    assigned, _ = kmeans_fit(df, id_col, vec_col, k, iters)
+    Scale shape (the paper runs k ∝ corpus size — tens of thousands of
+    clusters on billions of embeddings — precisely so clusters stay
+    small):
+
+    - ``k=None`` (default) sizes k as ceil(N / target_cluster_size)
+      (one count job), capped at ``_AUTO_K_CAP``; a FIXED small k would
+      make the within-cluster join O(N²/k) — quadratic at any fixed k.
+    - ``max_cluster_size`` bounds the worst case regardless of how
+      skewed the clustering comes out: clusters larger than the cap are
+      subdivided by deterministic random-hyperplane sign bits
+      (:func:`similarity.lsh_bucket` — the same md5-derived planes as
+      the embedding near-dup operator), taking ceil(log2(size/cap))
+      bits, so expected sub-bucket size ≤ cap and per-cluster pair work
+      is O(size · cap) instead of O(size²).  The bucket-size stats are a
+      k-row aggregate broadcast back — never a data-sized collect.
+      Pairs split across sub-buckets of an oversized cluster are
+      missed; that is the standard LSH recall trade, documented here
+      because SemDeDup's blocking is already recall-bounded by k-means.
+    """
+    from .similarity import cosine, lsh_bucket, random_hyperplanes
+
+    if k is None:
+        n = df.count()
+        k = max(2, min(_AUTO_K_CAP, -(-n // max(1, target_cluster_size))))
+    assigned, cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    if max_cluster_size is not None and max_cluster_size > 0:
+        planes = random_hyperplanes(n_planes, len(cents[0]), seed)
+        # per-cluster subdivision depth: k rows, broadcast back
+        depth = F.ceil(F.log2(col("count") / lit(float(max_cluster_size))))
+        depths = (
+            assigned.groupBy("cid")
+            .count()
+            .select(
+                "cid",
+                F.least(
+                    F.greatest(depth, lit(0)).cast("int"), lit(n_planes)
+                ).alias("__depth"),
+            )
+        )
+        # shiftleft() takes only a literal bit count — expr form for the
+        # per-row depth column
+        mask = F.expr("shiftleft(CAST(1 AS BIGINT), __depth) - 1")
+        assigned = (
+            assigned.join(F.broadcast(depths), "cid")
+            .withColumn("__sub", lsh_bucket(col("v"), planes).bitwiseAND(mask))
+            .drop("__depth")
+        )
+    else:
+        assigned = assigned.withColumn("__sub", lit(0).cast("long"))
     a = assigned.select(
-        col("cid"), col("vid").alias("doc_a"), col("v").alias("va")
+        col("cid"), col("__sub"), col("vid").alias("doc_a"), col("v").alias("va")
     )
     b = assigned.select(
-        col("cid"), col("vid").alias("doc_b"), col("v").alias("vb")
+        col("cid"), col("__sub"), col("vid").alias("doc_b"), col("v").alias("vb")
     )
     return (
-        a.join(b, "cid")
+        a.join(b, ["cid", "__sub"])
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("cos", cosine(col("va"), col("vb")))
         .filter(col("cos") >= threshold)

@@ -153,3 +153,73 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert total == pytest.approx(1.0, abs=1e-4)
     ranks = {r.node: r.rank for r in rows}
     assert ranks["sink"] > ranks["b"] > 0
+
+
+def _gaussian_vectors(spark, n, dim=16, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_candidate_volume_linear_with_cap(spark):
+    """Adversarially small k (one fat cluster) + max_cluster_size: the
+    in-cluster LSH subdivision must keep candidate volume ~linear when
+    the corpus doubles (without the cap it would quadruple) — the 100-TB
+    property SemDeDup's fixed-k form lacks."""
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster
+
+    counts = {}
+    for n in (400, 800):
+        df = _gaussian_vectors(spark, n, dim=16, seed=2)
+        # threshold=-1 keeps every candidate pair → measures join volume
+        counts[n] = cluster.semdedup_pairs(
+            df, "vec_id", "embedding", k=2, iters=1, threshold=-1.0,
+            max_cluster_size=50,
+        ).count()
+    assert counts[800] <= 2.6 * max(counts[400], 1) + 30, counts
+
+
+def test_semdedup_planted_recall_with_cap(spark):
+    """Near-identical copies agree on every hyperplane sign, so the
+    oversized-cluster subdivision must NOT split planted near-dup pairs:
+    recall on 0.99-cosine pairs stays 100% with the cap on."""
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 16))
+    noise = rng.standard_normal((10, 16)) * 1e-4
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    rows += [
+        (100000 + i, [float(x) for x in base[i] + noise[i]]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = cluster.semdedup_pairs(
+        df, "vec_id", "embedding", k=2, iters=1, threshold=0.99,
+        max_cluster_size=40,
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(i, 100000 + i) for i in range(10)} <= got
+    # random gaussian background in 16-dim has no 0.99-cosine pairs
+    assert got == {(i, 100000 + i) for i in range(10)}
+
+
+def test_semdedup_auto_k_scales_with_corpus(spark):
+    """k=None derives k = ceil(N / target_cluster_size) — the paper's
+    k ∝ N regime — so mean cluster size stays at the target as the
+    corpus grows."""
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster
+
+    df = _gaussian_vectors(spark, 300, dim=8, seed=3)
+    pairs = cluster.semdedup_pairs(
+        df, "vec_id", "embedding", iters=1, threshold=-1.0,
+        target_cluster_size=50,
+    )
+    # k = ceil(300/50) = 6 clusters; every pair joins within one of them
+    assert pairs.select("cluster_id").distinct().count() <= 6
+    # no cluster contributes more than ~(N/k)² pairs → well under N²/2
+    assert pairs.count() < 300 * 300 / 4
