@@ -533,6 +533,7 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 8,
     prefix_len: int = 16,
+    second_block_len: int | None = None,
 ) -> DataFrame:
     """Character-level near-dup pairs: normalized edit distance ≤
     ``max_dist`` among docs sharing the first ``prefix_len`` normalized
@@ -541,24 +542,58 @@ def edit_distance_pairs(
     The prefix block is the candidate scheme (same contract as the LSH
     operators: recall is bounded by the blocking — an edit inside the
     first ``prefix_len`` chars moves a pair out of its block — and the
-    tradeoff is documented rather than hidden); within a block the
-    length-difference prefilter |len_a−len_b| ≤ d is a free lower bound
-    on edit distance, and the verify step uses Spark's THRESHOLDED
-    levenshtein (O(d·len) banded DP, returns −1 when the distance
-    exceeds d) rather than the full O(len²) table.  Normalization
-    (lower, collapse whitespace) matches :func:`..operators.text.fingerprint`
-    so exact dups land at distance 0."""
+    tradeoff is documented rather than hidden).  The verify step uses
+    Spark's THRESHOLDED levenshtein (O(d·len) banded DP, returns −1 when
+    the distance exceeds d) rather than the full O(len²) table.
+    Normalization (lower, collapse whitespace) matches
+    :func:`..operators.text.fingerprint` so exact dups land at distance 0.
+
+    Skew bound: a boilerplate-heavy corpus ("From:", license headers)
+    can put a large fraction of documents behind ONE prefix, making the
+    within-block join quadratic on the hot block.  The join key is
+    therefore (prefix, length band) with band width ``max_dist + 1``:
+    the |len_a − len_b| ≤ d prefilter is promoted from an in-block
+    filter to the blocking itself, with the left side probing its own
+    and both adjacent bands so every length-admissible pair still meets
+    (exactly one probe matches → no duplicate pairs, recall identical
+    to the unbanded form).  A hot block is then quadratic only in
+    docs-per-(prefix, ~d chars of length) — the set that genuinely must
+    be compared under the operator's semantics.  For corpora where even
+    that set is hot (identical boilerplate AND identical lengths),
+    ``second_block_len`` composes an md5 of the next
+    ``second_block_len`` normalized chars into the key — a stronger,
+    recall-reducing signal (an edit inside that span now also moves a
+    pair out of its block), opt-in for exactly that reason."""
+    band_w = max_dist + 1
     normalized = F.trim(F.regexp_replace(F.lower(col(text_col)), r"\s+", " "))
     d = parallelize_input(df).select(
         col(id_col).alias("doc"),
         normalized.alias("txt"),
     ).withColumn("blk", F.substring("txt", 1, prefix_len)).withColumn(
         "ln", F.length("txt")
+    ).withColumn("band", F.floor(col("ln") / band_w))
+    if second_block_len:
+        d = d.withColumn(
+            "blk",
+            F.concat(
+                "blk", F.md5(F.substring("txt", prefix_len + 1, second_block_len))
+            ),
+        )
+    a = (
+        d.select(
+            col("doc").alias("doc_a"), col("txt").alias("txt_a"), "blk",
+            col("ln").alias("ln_a"), "band",
+        )
+        .withColumn("__probe", F.explode(F.array(lit(-1), lit(0), lit(1))))
+        .withColumn("band", col("band") + col("__probe"))
+        .drop("__probe")
     )
-    a = d.select(col("doc").alias("doc_a"), col("txt").alias("txt_a"), "blk", col("ln").alias("ln_a"))
-    b = d.select(col("doc").alias("doc_b"), col("txt").alias("txt_b"), "blk", col("ln").alias("ln_b"))
+    b = d.select(
+        col("doc").alias("doc_b"), col("txt").alias("txt_b"), "blk",
+        col("ln").alias("ln_b"), "band",
+    )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "band"])
         .filter(
             (col("doc_a") < col("doc_b"))
             & (F.abs(col("ln_a") - col("ln_b")) <= max_dist)

@@ -223,3 +223,54 @@ def test_semdedup_auto_k_scales_with_corpus(spark):
     assert pairs.select("cluster_id").distinct().count() <= 6
     # no cluster contributes more than ~(N/k)² pairs → well under N²/2
     assert pairs.count() < 300 * 300 / 4
+
+
+def test_edit_distance_hot_block_stays_linear(spark):
+    """Boilerplate skew: 50% of the corpus shares one 16-char prefix.
+    With (prefix, length-band) blocking the candidate join must grow
+    ~linearly when the corpus doubles — the unbanded form quadruples on
+    the hot block."""
+    def corpus(n, seed):
+        rows = []
+        for i in range(n):
+            if i % 2 == 0:
+                # shared boilerplate prefix, lengths spread over ~600 chars
+                body = f"word{i % 97} " * (5 + (i * 7) % 100)
+                rows.append((i, "from: license hdr " + body))
+            else:
+                rows.append((i, f"unique doc {i} {seed} " + f"tok{i} " * 10))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    counts = {}
+    for n in (400, 800):
+        # max_dist=8 keeps band width 9 — pair volume ∝ docs per
+        # (prefix, ~9 chars of length), which the length spread bounds
+        counts[n] = (
+            dedup.edit_distance_pairs(corpus(n, 1), "doc_id", "text", max_dist=8)
+            .count()
+        )
+    assert counts[800] <= 2.6 * max(counts[400], 1) + 30, counts
+
+
+def test_edit_distance_second_block_signal(spark):
+    """Opt-in second signal: identical prefix AND identical length but a
+    difference inside chars 17..48 splits the block (recall loss is the
+    documented trade); a difference past the signal span does not."""
+    pre = "from: license hd"  # exactly 16 chars
+    mid_a = "common middle section here ok..."  # chars 17..48
+    df = spark.createDataFrame(
+        [
+            (1, pre + mid_a + " tail one equal ok"),
+            (2, pre + mid_a + " tail two equal ok"),   # same mid → same block
+            (3, pre + mid_a.upper().replace("OK", "zz") + " tail one equal ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.edit_distance_pairs(
+            df, "doc_id", "text", max_dist=10, prefix_len=16, second_block_len=32
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
