@@ -46,14 +46,27 @@ def bigrams(toks: Column) -> Column:
 def top_bigram_fraction(toks: Column) -> Column:
     """Fraction of tokens covered by the single most frequent bigram:
     2 · max_count / n_tokens (each bigram occurrence spans 2 tokens).
-    In-row O(k²) array form — see module docstring for the explode form."""
-    bg = bigrams(toks)
-    max_count = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda g: F.size(F.filter(bg, lambda x: x == g)),
-        )
+
+    In-row O(k log k) form: sort the bigram array, then the max frequency
+    is the longest run of equal adjacent elements — one linear aggregate
+    pass.  (The earlier distinct × filter form was O(k²) higher-order
+    steps, and lambda expressions are interpreted, not codegen'd — it
+    dominated the whole rule battery's runtime ~50×.)  See the module
+    docstring for the explode → groupBy form for book-length rows."""
+    bg = F.array_sort(bigrams(toks))
+    zero = F.struct(
+        lit("").alias("prev"), lit(0).alias("run"), lit(0).alias("best")
     )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_count = F.aggregate(bg, zero, step, lambda acc: acc["best"])
     return (
         F.coalesce(max_count, lit(0)) * lit(2.0) / F.nullif(F.size(toks), lit(0))
     )

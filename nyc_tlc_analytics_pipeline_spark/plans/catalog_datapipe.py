@@ -269,7 +269,7 @@ LIMIT 10
     headline=True,
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
     return similarity.cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).select(
         "vec_id", "label", "cos_sim"
@@ -299,7 +299,7 @@ ORDER BY label
     operators=("sim-vector-math", "A3"),
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     v = similarity.as_double_array("embedding")
     comp_mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding")
     return (
@@ -684,7 +684,7 @@ LIMIT 10
     operators=("sim-ann-lsh",),
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
     return similarity.ann_topk(
         emb.filter(col("vec_id") != 0), qvec, _PLANES_8x64, k=10
@@ -738,7 +738,7 @@ LIMIT 10
     operators=("sim-ann-ivf",),
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     rest = emb.filter(col("vec_id") != 0)
     qvec = [float(x) for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]]
     cents = similarity.ivf_centroids(rest, k=16)
@@ -776,7 +776,7 @@ ORDER BY doc_a, doc_b
     operators=("dedup-embedding-cosine",),
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
         emb, threshold=_Q43_THRESHOLD, planes=_PLANES_8x64
     ).orderBy("doc_a", "doc_b")
@@ -1622,6 +1622,7 @@ ORDER BY lang
         "sampling-mixture",
         "packing-greedy",
     ),
+    headline=True,
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import decontam, packing, rules, sampling, text as T
@@ -1840,6 +1841,7 @@ LIMIT {_Q58_K}
     "Two-level aggregate (map-side combine on (ngram, doc), then one "
     "row per pair to the ngram reduce); top-k via TakeOrderedAndProject.",
     operators=("text-heavy-hitters", "A1", "A8", "O1"),
+    headline=True,
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
@@ -2056,7 +2058,11 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q62 — distributed k-means (Lloyd), oracle-checked iteration trajectory
 # ---------------------------------------------------------------------------
 
-_Q62_K = 4
+#: k ∝ corpus size (SemDeDup's regime — clusters stay ~small): 16 keeps
+#: mean cluster size ≈ 125 at the sf0.1 corpus, cutting q64's
+#: within-cluster pair volume 4× vs the old fixed k=4 while staying a
+#: fixed literal the unrolled DuckDB oracle can replicate.
+_Q62_K = 16
 _Q62_ITERS = 2
 
 
@@ -2083,8 +2089,11 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
     WHERE rn = 1
 )"""
 
-    def update(assign_cte: str, name: str) -> str:
-        return f"""{name} AS (
+    def update(assign_cte: str, name: str, prev_cent: str) -> str:
+        # a cluster that received no members keeps its previous centroid
+        # (LEFT JOIN + coalesce) — matching kmeans_fit, which only
+        # overwrites coordinates for cids present in the update aggregate
+        return f"""{name}_new AS (
     SELECT cid, list(m ORDER BY pos) AS c
     FROM (
         SELECT cid, u.pos AS pos, round(avg(u.x) + 1e-9, 6) AS m
@@ -2094,6 +2103,10 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
         GROUP BY cid, u.pos
     ) m
     GROUP BY cid
+),
+{name} AS (
+    SELECT p.cid, coalesce(n.c, p.c) AS c
+    FROM {prev_cent} p LEFT JOIN {name}_new n ON p.cid = n.cid
 )"""
 
     parts = [
@@ -2108,7 +2121,7 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
     cent = "c0"
     for it in range(1, iters + 1):
         parts.append(assign(cent, f"a{it}"))
-        parts.append(update(f"a{it}", f"c{it}"))
+        parts.append(update(f"a{it}", f"c{it}", cent))
         cent = f"c{it}"
     parts.append(assign(cent, "af"))
     return ",\n".join(parts), "af"
@@ -2143,7 +2156,7 @@ ORDER BY cluster_id
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import cluster
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     return cluster.kmeans_summary(
         emb, "vec_id", "embedding", k=_Q62_K, iters=_Q62_ITERS
     )
@@ -2289,11 +2302,12 @@ ORDER BY cluster_id, doc_a, doc_b
     "cluster-then-compare pipeline is verified end-to-end.  doc_b (the "
     "higher id) is the drop candidate.",
     operators=("dedup-semantic", "cluster-kmeans"),
+    headline=True,
 )
 def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import cluster
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     pairs = cluster.semdedup_pairs(
         emb, "vec_id", "embedding", k=_Q62_K, iters=_Q62_ITERS,
         threshold=_Q64_THRESHOLD,
