@@ -89,18 +89,35 @@ def _strict_cell(v):
     return f"S:{v}"
 
 
-def _frame_key(pdf):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+def _frame_key(pdf, native_rows=None, columns=None):
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    ``native_rows`` (same row/column order as ``pdf``, from Spark
+    ``collect()`` / DuckDB ``fetchall()``) refines the pandas cells with
+    a true null mask: pandas renders a SQL NULL in a float64 column as
+    NaN, which would silently equal a genuine NaN result — a semantic
+    divergence this comparator exists to catch.  A natively-None cell is
+    tagged NULL no matter how pandas rendered it; dtype tagging still
+    comes from the pandas cell (driver-faithful — the HUGEINT class)."""
+    order = sorted(range(len(pdf.columns)), key=lambda i: pdf.columns[i])
     pdf = pdf[sorted(pdf.columns)]
-    rows = [
-        tuple(_strict_cell(v) for v in row)
-        for row in pdf.astype(object).itertuples(index=False, name=None)
-    ]
+    rows = []
+    for ri, row in enumerate(pdf.astype(object).itertuples(index=False, name=None)):
+        cells = []
+        for ci, v in enumerate(row):
+            if native_rows is not None and native_rows[ri][order[ci]] is None:
+                cells.append("NULL")
+            else:
+                cells.append(_strict_cell(v))
+        rows.append(tuple(cells))
     return sorted(rows)
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
     spark_pdf = spark_df.toPandas()
+    spark_native = [tuple(r) for r in spark_df.collect()]
+    cur = duck_con.execute(oracle_sql_text)
+    duck_native = cur.fetchall()
     duck_pdf = duck_con.execute(oracle_sql_text).fetchdf()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
@@ -109,7 +126,7 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    sk = _frame_key(spark_pdf)
-    dk = _frame_key(duck_pdf)
+    sk = _frame_key(spark_pdf, spark_native)
+    dk = _frame_key(duck_pdf, duck_native)
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
