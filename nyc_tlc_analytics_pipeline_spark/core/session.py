@@ -63,6 +63,12 @@ def build_session(
         # Spark type; read it as LongType nanos and convert at the source
         # (sources.testdata normalizes to TimestampType micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # engine-wide timestamp policy: ONE timestamp type (TimestampType
+        # under the UTC session tz).  Parquet TIMESTAMP(isAdjustedToUTC=
+        # false) would otherwise surface as TIMESTAMP_NTZ (Spark 4
+        # inference default), which rejects numeric casts and breaks
+        # schema parity with streaming payload schemas
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- scan tuning ---------------------------------------------
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

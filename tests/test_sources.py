@@ -220,3 +220,34 @@ def test_downloader_retry_404_and_skip(tmp_path, http_base_url):
         ["2024-01"], landing, ("yellow",), cfg, http_base_url
     )
     assert again[0].status == "skipped_exists"
+
+
+def test_timestamp_policy_one_type(spark, tmp_path):
+    """Engine-wide timestamp policy: parquet TIMESTAMP(isAdjustedToUTC=
+    false) — which Spark 4 would otherwise infer as TIMESTAMP_NTZ, a type
+    that rejects numeric casts — must surface as plain TimestampType both
+    through the tuned session (conf) and through load_table (normalizer),
+    and the NTZ-safe epoch helper must be castable on it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from nyc_tlc_analytics_pipeline_spark.functions.scalar import to_epoch
+
+    p = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([0, 10**6], type=pa.timestamp("us"))}), p
+    )
+    df = spark.read.parquet(p)
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert [r[0] for r in df.select(to_epoch("ts")).orderBy("ts").collect()] == [0, 1]
+
+
+def test_events_ts_is_timestamp_type(spark):
+    from pyspark.sql.types import TimestampType
+
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
