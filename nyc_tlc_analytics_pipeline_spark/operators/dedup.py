@@ -604,3 +604,80 @@ def edit_distance_pairs(
         .filter(col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span statistics (exact n-gram occurrence dedup diagnostics)
+# ---------------------------------------------------------------------------
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group statistics of EXACT duplicated n-gram spans: the
+    fraction of each document's token n-gram POSITIONS whose n-gram also
+    occurs in at least one other document — the span-level diagnostic
+    behind exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a high
+    duplicated-span fraction marks boilerplate/templated text that
+    document-level near-dup misses.
+
+    Scale shape: explode to (doc, position, gram) WITH multiplicity (a
+    position table, unlike the distinct shingle join keys); gram
+    document-frequency from the distinct (doc, gram) pairs (two-level
+    aggregate, map-side combine); one equi-join of positions against the
+    dup-gram set on the gram hash; additive per-doc then per-group
+    rollups.  Never pair-shaped — cost is O(total tokens), the same as
+    the corpus scan."""
+    pos = parallelize_input(df).select(
+        col(id_col).alias("doc"),
+        col(group_col).alias("grp"),
+        F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
+    )
+    gram_expr = (
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    pos = pos.select(
+        "doc", "grp", F.explode_outer(F.expr(gram_expr)).alias("gram")
+    )
+    dup_grams = (
+        pos.select("doc", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("gram_docs"))
+        .filter(col("gram_docs") >= 2)
+        .select("gram")
+    )
+    flagged = pos.join(dup_grams, "gram", "left_semi").groupBy("doc").agg(
+        F.count("*").alias("n_dup")
+    )
+    per_doc = (
+        pos.groupBy("doc", "grp")
+        .agg(F.count("*").alias("n_spans"))
+        .join(flagged, "doc", "left")
+        .withColumn("n_dup", F.coalesce(col("n_dup"), lit(0)))
+        .withColumn("dup_frac", col("n_dup") / col("n_spans"))
+    )
+    from ..functions.scalar import rnd
+
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            rnd(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.sum((col("dup_frac") > 0.5).cast("long")).alias("n_heavy_dup"),
+            F.sum("n_dup").cast("long").alias("total_dup_spans"),
+        )
+        .select(
+            col("grp").alias(group_col),
+            col("n_docs").cast("long"),
+            "avg_dup_frac",
+            col("n_heavy_dup").cast("long"),
+            "total_dup_spans",
+        )
+        .orderBy(group_col)
+    )

@@ -110,3 +110,59 @@ def bm25_topk(
     TakeOrderedAndProject (per-partition top-k, k×partitions merge)."""
     scored = bm25_scores(df, query_terms, id_cols, text_col)
     return scored.orderBy(col("bm25").desc(), *[col(c) for c in id_cols]).limit(k)
+
+
+def tfidf_group_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top characteristic terms per group by aggregate TF-IDF: term
+    frequency WITHIN the group × ln(N_docs / doc_freq) with doc_freq
+    counted corpus-wide — the standard corpus-profiling diagnostic (what
+    vocabulary distinguishes each source/language slice).
+
+    Scale shape: one explode of the corpus into (group, doc, token),
+    then two additive aggregates (per-(group, term) tf with map-side
+    combine; per-term doc_freq from the distinct (doc, term) pairs) and
+    a broadcast of the single N_docs scalar; ranking is a per-group
+    window over the ≤ |vocab| × |groups| score table.  Nothing is
+    pair-shaped and no stage holds more than the vocabulary."""
+    from pyspark.sql import Window
+
+    from ..functions.scalar import rnd
+
+    toks = df.select(
+        col(group_col).alias("grp"),
+        col(id_col).alias("doc"),
+        F.explode(text.tokens(text_col)).alias("term"),
+    ).filter(col("term") != "")
+    n_docs = df.select(id_col).distinct().count()
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select("doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        rnd(col("tf") * F.log(lit(float(n_docs)) / col("doc_freq")), 6),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        col("tfidf").desc(), col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= top_k)
+        .select(
+            col("grp").alias(group_col),
+            col("rank").cast("long").alias("rank"),
+            "term",
+            col("tf").cast("long").alias("tf"),
+            col("doc_freq").cast("long").alias("doc_freq"),
+            "tfidf",
+        )
+    )

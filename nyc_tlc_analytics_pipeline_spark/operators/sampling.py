@@ -142,3 +142,38 @@ def stratified_sample_exact(
         .filter(col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u = hash_fraction(key, salt) and is
+    ranked by es_key = u^(1/weight); the top-k ranks are exactly a
+    weighted sample without replacement — inclusion probability
+    proportional to weight, in ONE distributed pass (a TakeOrdered top-k,
+    no per-row state, no rejection loop), which is the property
+    sequential A-Res reservoir sampling can't give a shuffle-free
+    distributed form.
+
+    Determinism contract (same as every md5-keyed operator here): u is
+    md5-derived, so the sample is stable across layouts, re-runs and
+    engines; es_key is rank-rounded (nudged, 6 dp) with a key tie-break
+    so even a last-ulp ``pow`` divergence between engines cannot flip
+    the selection.  Non-positive weights are excluded (their inclusion
+    probability is 0 by definition)."""
+    from ..functions.scalar import rnd
+
+    wcol = col(weight_col).cast("double")
+    u = hash_fraction(key, salt)
+    es = rnd(F.pow(u, lit(1.0) / wcol), 6)
+    return (
+        df.filter(wcol > 0)
+        .withColumn("es_key", es)
+        .orderBy(col("es_key").desc(), col(key))
+        .limit(k)
+    )

@@ -117,3 +117,75 @@ def approx_distinct(
 def expected_rel_error(b: int) -> float:
     """The sketch's standard error ≈ 1.04/√m — sizing guidance."""
     return 1.04 / math.sqrt(2**b)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: portable approximate frequencies
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(key: Column, row_i: Column, w: int, salt: str) -> Column:
+    """Row-i hash bucket: first 32 md5 bits of 'salt:i:key' mod w — the
+    same portable-md5 idiom as the HLL, so any engine recomputes it
+    bit-for-bit."""
+    digest = F.md5(
+        F.concat(lit(salt), lit(":"), row_i.cast("string"), lit(":"), key)
+    )
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % lit(w)
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Mergeable Count-Min sketch table over key OCCURRENCES (one input
+    row = one count): ``(row_i, bucket, cnt)`` with d×w cells total.
+
+    Cormode & Muthukrishnan's CM sketch with md5-derived row hashes:
+    estimate(x) = min_i cnt[i][h_i(x)] ≥ true count, overestimating by
+    collision mass only.  Partials from any number of shards/days
+    UNION + ``cms_merge`` exactly (counts are additive), the same
+    incremental-rollup shape as the HLL — and the whole sketch is
+    ≤ d·w rows, so the shuffle is model-sized, never data-sized."""
+    rows = df.select(
+        col(key).cast("string").alias("k"),
+        F.explode(F.array(*[lit(i) for i in range(d)])).alias("row_i"),
+    )
+    return (
+        rows.withColumn("bucket", _cms_bucket(col("k"), col("row_i"), w, salt))
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Sum-merge unioned partial sketch tables (exact, order-free)."""
+    return partials.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    partials: DataFrame,
+    probes: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a (merged) sketch for every row of ``probes``: adds
+    ``cms_count``.  The probe side explodes to d (row, bucket) lookups
+    joined against the ≤ d·w-row sketch (broadcast-sized by
+    construction); an absent cell means nothing hashed there → 0."""
+    keyed = probes.withColumn(
+        "row_i", F.explode(F.array(*[lit(i) for i in range(d)]))
+    ).withColumn(
+        "bucket", _cms_bucket(col(key).cast("string"), col("row_i"), w, salt)
+    )
+    looked = keyed.join(F.broadcast(partials), ["row_i", "bucket"], "left")
+    return (
+        looked.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(col("cnt"), lit(0))).alias("cms_count"))
+    )

@@ -2313,3 +2313,256 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_Q64_THRESHOLD,
     )
     return pairs.orderBy("cluster_id", "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q65 — TF-IDF characteristic terms per language (corpus profiling)
+# ---------------------------------------------------------------------------
+
+_Q65_TOPK = 5
+
+_Q65_ORACLE = f"""
+WITH toks AS (
+    SELECT lang, doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS term
+    FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (SELECT lang, term, count(*) AS tf FROM toks_ne GROUP BY lang, term),
+dfreq AS (
+    SELECT term, count(*) AS doc_freq
+    FROM (SELECT DISTINCT doc_id, term FROM toks_ne)
+    GROUP BY term
+),
+scored AS (
+    SELECT tf.lang, tf.term, tf.tf, dfreq.doc_freq,
+           round(tf.tf * ln(1.0 * n.n_docs / dfreq.doc_freq) + 1e-9, 6)
+               AS tfidf
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, term
+    ) AS rank
+    FROM scored
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq, tfidf
+FROM ranked WHERE rank <= {_Q65_TOPK}
+ORDER BY lang, rank
+"""
+
+
+@register(
+    "q65_tfidf_lang_terms",
+    _Q65_ORACLE,
+    "Top characteristic terms per language by aggregate TF-IDF "
+    "(group-level tf × corpus-wide ln(N/df)) — the corpus-profiling "
+    "diagnostic for what vocabulary distinguishes each slice.  One "
+    "explode, two additive aggregates with map-side combine, a "
+    "broadcast N scalar, and a per-group top-k window over the "
+    "vocabulary-sized score table; nothing pair-shaped.",
+    operators=("text-tfidf", "A1", "A8", "W2", "O1"),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return retrieval.tfidf_group_terms(
+        docs, "doc_id", "text", "lang", top_k=_Q65_TOPK
+    ).orderBy("lang", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q66 — Count-Min sketch token frequencies (portable, mergeable)
+# ---------------------------------------------------------------------------
+
+_Q66_D = 4
+_Q66_W = 256
+_Q66_PROBES = 10
+
+
+def _q66_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE token <> ''),
+cells AS (
+    SELECT i.i AS row_i,
+           ('0x' || substr(md5('cms:' || i.i || ':' || token), 1, 8))::BIGINT
+               % {_Q66_W} AS bucket,
+           count(*) AS cnt
+    FROM toks_ne CROSS JOIN (SELECT unnest(range({_Q66_D})) AS i) i
+    GROUP BY row_i, bucket
+),
+exact AS (
+    SELECT token, count(*) AS exact_count
+    FROM toks_ne GROUP BY token
+    ORDER BY exact_count DESC, token LIMIT {_Q66_PROBES}
+),
+probe_cells AS (
+    SELECT e.token, e.exact_count, i.i AS row_i,
+           ('0x' || substr(md5('cms:' || i.i || ':' || e.token), 1, 8))::BIGINT
+               % {_Q66_W} AS bucket
+    FROM exact e CROSS JOIN (SELECT unnest(range({_Q66_D})) AS i) i
+)
+SELECT p.token,
+       CAST(p.exact_count AS BIGINT) AS exact_count,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+FROM probe_cells p LEFT JOIN cells c
+  ON p.row_i = c.row_i AND p.bucket = c.bucket
+GROUP BY p.token, p.exact_count
+ORDER BY exact_count DESC, token
+"""
+
+
+@register(
+    "q66_countmin_frequencies",
+    _q66_oracle(),
+    "Portable Count-Min sketch over token occurrences (md5 row hashes, "
+    f"{_Q66_D}×{_Q66_W} cells — bit-identical in the DuckDB oracle, like "
+    "the q54 HLL): the top-10 exact tokens probed against the sketch, "
+    "estimate ≥ truth with collision-mass overestimate only.  Partials "
+    "are additive (union + sum-merge across shards/days) and the whole "
+    "sketch is model-sized, so the incremental-rollup shuffle never "
+    "scales with the data.",
+    operators=("sketch-countmin", "A1", "A8"),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token")).filter(
+        col("token") != ""
+    )
+    partials = sketch.cms_partials(toks, "token", d=_Q66_D, w=_Q66_W)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(col("exact_count").desc(), "token")
+        .limit(_Q66_PROBES)
+    )
+    est = sketch.cms_estimate(
+        partials, exact, "token", d=_Q66_D, w=_Q66_W
+    )
+    return est.select(
+        "token",
+        col("exact_count").cast("long"),
+        col("cms_count").cast("long"),
+    ).orderBy(col("exact_count").desc(), "token")
+
+
+# ---------------------------------------------------------------------------
+# q67 — deterministic weighted sampling without replacement (E-S top-k)
+# ---------------------------------------------------------------------------
+
+_Q67_K = 20
+
+_Q67_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           round(pow(
+               ('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0,
+               1.0 / n_chars) + 1e-9, 6) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_Q67_K}
+"""
+
+
+@register(
+    "q67_weighted_sample",
+    _Q67_ORACLE,
+    "Deterministic weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis): rank by u^(1/weight) with md5-derived u, take the "
+    f"top-{_Q67_K} (TakeOrderedAndProject) — inclusion probability "
+    "proportional to n_chars in ONE pass, no per-row state, stable "
+    "across layouts/engines/re-runs.  The es_key is rank-rounded with "
+    "a doc_id tie-break so a last-ulp pow divergence cannot flip the "
+    "selection.",
+    operators=("sampling-weighted", "O1"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = sampling.weighted_sample(docs, "doc_id", "n_chars", k=_Q67_K)
+    return out.select(
+        "doc_id", "lang", col("n_chars").cast("long"), "es_key"
+    ).orderBy(col("es_key").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q68 — duplicated n-gram span statistics (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+_Q68_N = 10
+
+
+def _q68_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, source,
+           unnest(list_transform(
+               range(1, greatest(len(t) - {_Q68_N - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_Q68_N - 1}], ' ')
+           )) AS gram
+    FROM toks
+),
+dup AS (
+    SELECT gram
+    FROM (SELECT DISTINCT doc_id, gram FROM pos)
+    GROUP BY gram HAVING count(*) >= 2
+),
+per_doc AS (
+    SELECT p.doc_id, any_value(p.source) AS source,
+           count(*) AS n_spans,
+           sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+    FROM pos p LEFT JOIN dup d ON p.gram = d.gram
+    GROUP BY p.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(1.0 * n_dup / n_spans) + 1e-9, 6) AS avg_dup_frac,
+       CAST(sum(CASE WHEN 1.0 * n_dup / n_spans > 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_heavy_dup,
+       CAST(sum(n_dup) AS BIGINT) AS total_dup_spans
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q68_duplicated_spans",
+    _q68_oracle(),
+    "Exact duplicated-span statistics (Lee et al. 2022 exact-substring "
+    f"dedup signal): fraction of each document's token {_Q68_N}-gram "
+    "POSITIONS whose n-gram occurs in ≥2 documents, rolled up per "
+    "source.  Position table + distinct-pair doc-frequency + one "
+    "left-semi equi-join on the gram — O(total tokens), never "
+    "pair-shaped.",
+    operators=("dedup-span", "A1", "A8", "J8"),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return D.duplicated_span_stats(
+        docs, "doc_id", "text", n=_Q68_N, group_col="source"
+    )

@@ -1,0 +1,139 @@
+"""Round-4 extension operators: Count-Min sketch, weighted sampling,
+TF-IDF group terms, duplicated-span stats — property tests beyond the
+oracle parity gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_tlc_analytics_pipeline_spark.operators import dedup, retrieval, sampling, sketch
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _token_df(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], ["token"])
+
+
+def test_cms_never_underestimates(spark):
+    corpus = ["a"] * 50 + ["b"] * 20 + [f"x{i}" for i in range(200)]
+    df = _token_df(spark, corpus)
+    partials = sketch.cms_partials(df, "token", d=4, w=64)
+    probes = spark.createDataFrame([("a", 50), ("b", 20), ("x0", 1)], ["token", "exact"])
+    got = {r.token: r.cms_count for r in
+           sketch.cms_estimate(partials, probes, "token", d=4, w=64).collect()}
+    assert got["a"] >= 50 and got["b"] >= 20 and got["x0"] >= 1
+
+
+def test_cms_absent_key_estimates_low(spark):
+    """A key never inserted can only pick up collision mass — with a
+    sparse sketch it must estimate 0."""
+    df = _token_df(spark, [f"k{i}" for i in range(10)])
+    partials = sketch.cms_partials(df, "token", d=4, w=256)
+    probes = spark.createDataFrame([("never-seen",)], ["token"])
+    got = sketch.cms_estimate(partials, probes, "token", d=4, w=256).collect()[0]
+    assert got.cms_count <= 1
+
+
+def test_cms_partials_merge_exactly(spark):
+    """Shard the corpus, sketch each shard, union + sum-merge: the merged
+    sketch must equal the single-pass sketch cell-for-cell (additive
+    counts — the 100-TB incremental-rollup contract)."""
+    corpus = [f"t{i % 37}" for i in range(500)]
+    whole = _token_df(spark, corpus)
+    s1 = _token_df(spark, corpus[:200])
+    s2 = _token_df(spark, corpus[200:])
+    one = sketch.cms_partials(whole, "token")
+    merged = sketch.cms_merge(
+        sketch.cms_partials(s1, "token").unionByName(
+            sketch.cms_partials(s2, "token")
+        )
+    )
+    k = lambda df: {(r.row_i, r.bucket): r.cnt for r in df.collect()}
+    assert k(one) == k(merged)
+
+
+def test_cms_sketch_is_model_sized(spark):
+    df = _token_df(spark, [f"u{i}" for i in range(5000)])
+    assert sketch.cms_partials(df, "token", d=4, w=64).count() <= 4 * 64
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_k(spark):
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(500)], ["id", "w"]
+    )
+    a = [r.id for r in sampling.weighted_sample(df, "id", "w", k=25).collect()]
+    b = [r.id for r in
+         sampling.weighted_sample(df.repartition(13), "id", "w", k=25).collect()]
+    assert len(a) == 25 and a == b  # layout-independent, ordered identically
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """1000 rows, 10 of them with 100× weight: the heavy rows must be
+    overrepresented in a k=100 sample (probability of the contrary is
+    astronomically small under E-S)."""
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r.id for r in sampling.weighted_sample(df, "id", "w", k=100).collect()}
+    assert len(got & set(range(10))) >= 7
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0)], ["id", "w"]
+    )
+    got = {r.id for r in sampling.weighted_sample(df, "id", "w", k=10).collect()}
+    assert got == {1}
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF group terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_surfaces_group_specific_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "shared words here plus unique apple apple apple"),
+            (2, "en", "shared words here too"),
+            (3, "de", "shared words here plus unique banane banane"),
+            (4, "de", "shared words here also"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = retrieval.tfidf_group_terms(df, "doc_id", "text", "lang", top_k=1)
+    top = {r.lang: r.term for r in out.collect()}
+    assert top == {"en": "apple", "de": "banane"}
+    # corpus-wide terms have idf = ln(1) = 0 → never characteristic
+    all_terms = {r.term for r in
+                 retrieval.tfidf_group_terms(df, "doc_id", "text", "lang", 3).collect()}
+    assert "shared" not in all_terms and "here" not in all_terms
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans
+# ---------------------------------------------------------------------------
+
+def test_duplicated_span_stats_planted(spark):
+    boiler = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, "a", boiler + " tail alpha beta"),      # shares the 10-gram
+            (2, "a", boiler + " tail gamma delta"),     # shares the 10-gram
+            (3, "b", "totally unique text " + " ".join(f"w{i}" for i in range(12))),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {r.source: r for r in
+           dedup.duplicated_span_stats(df, "doc_id", "text", n=10, group_col="source")
+           .collect()}
+    assert out["a"].total_dup_spans >= 2      # the shared span, both docs
+    assert out["b"].total_dup_spans == 0
+    assert out["b"].avg_dup_frac == 0.0
+    assert out["a"].avg_dup_frac > 0
