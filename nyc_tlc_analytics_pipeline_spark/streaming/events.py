@@ -150,6 +150,56 @@ def dedup_stream(
     return keyed.dropDuplicates([*cols, "ts"])
 
 
+def purchase_error_join_stream(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join: each purchase paired with the same
+    user's error events within ±``window_seconds`` — the streaming form
+    of the batch range join in catalog q39.
+
+    State-boundedness is the whole design: BOTH sides carry watermarks
+    and the join condition bounds event-time distance, so Spark can
+    discard buffered rows once the other side's watermark passes the
+    window — without the time bound a stream-stream join must buffer one
+    side forever.  The equality key (user_id) makes it a shuffled
+    symmetric hash join on the key, the same partitioning contract as
+    the batch plan."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("err_value"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    cond = (
+        (purchases["user_id"] == errors["e_user_id"])
+        & (
+            errors["e_ts"]
+            >= purchases["p_ts"] - F.expr(f"INTERVAL {window_seconds} SECONDS")
+        )
+        & (
+            errors["e_ts"]
+            <= purchases["p_ts"] + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        )
+    )
+    return purchases.join(errors, cond).select(
+        "user_id", "p_ts", "p_event_id", "e_ts", "err_value"
+    )
+
+
 def run_to_parquet_sink(
     stream_df: DataFrame,
     out_path: str,

@@ -150,3 +150,37 @@ def test_stream_dedup_within_watermark_variant(spark, stream_dir):
     run_to_memory_sink(stream, "dedup_events_ww", output_mode="append")
     got = spark.table("dedup_events_ww")
     assert got.count() == _batch_events(spark).count()
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, stream_dir):
+    """The streaming purchase×error range join must produce exactly the
+    batch range_join pairs once the bounded directory drains — the
+    batch/streaming unification contract for the q39 semantics."""
+    from nyc_tlc_analytics_pipeline_spark.operators.temporal import range_join
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+        purchase_error_join_stream,
+    )
+
+    stream = purchase_error_join_stream(read_event_stream(spark, stream_dir))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "pe_pairs", output_mode="append")
+    got = {
+        (r.user_id, r.p_ts, r.e_ts)
+        for r in spark.table("pe_pairs").collect()
+    }
+    ev = _batch_events(spark)
+    from pyspark.sql import functions as F
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("value").alias("err_value")
+    )
+    expected = {
+        (r.user_id, r.p_ts, r.e_ts)
+        for r in range_join(
+            purchases, errors, "user_id", "p_ts", "e_ts", 3600
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
