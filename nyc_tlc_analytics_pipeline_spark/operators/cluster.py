@@ -209,6 +209,10 @@ def semdedup_pairs(
     # this is a 3× cut on the quadratic term)
     nrm = F.nullif(norm(col("v")), lit(0.0))
     unit = assigned.withColumn("vn", F.transform(col("v"), lambda x: x / nrm))
+    # materialize once: the self-join would otherwise recompute the whole
+    # assignment + normalization + sub-bucket lineage for EACH side (the
+    # assignment is map-only, so no exchange reuse applies)
+    unit = unit.localCheckpoint(eager=False)
     a = unit.select(
         col("cid"), col("__sub"), col("vid").alias("doc_a"), col("vn").alias("va")
     )

@@ -77,16 +77,22 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p)."""
+    """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
+
+    ONE transform lambda over a planes×dim literal matrix (2^p as an
+    exact pow-of-two double, summed), not p separate dot chains —
+    per-plane expression chains make Catalyst analysis grow with the
+    plane count (same fix as cluster.assign_clusters); the bucket value
+    is bit-identical either way."""
     v = as_double_array(vec)
-    acc = lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        pcol = F.array(*[lit(x) for x in plane])
-        bit = F.when(dot(v, pcol) > 0, F.shiftleft(lit(1).cast("long"), p)).otherwise(
-            lit(0).cast("long")
-        )
-        acc = acc.bitwiseOR(bit)
-    return acc
+    pmat = F.array(*[F.array(*[lit(x) for x in p]) for p in planes])
+    weights = F.transform(
+        pmat,
+        lambda p, i: F.when(
+            dot(v, p) > 0, F.pow(lit(2.0), i.cast("double")).cast("long")
+        ).otherwise(lit(0).cast("long")),
+    )
+    return F.aggregate(weights, lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def ann_topk(

@@ -2275,18 +2275,47 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q64_THRESHOLD = 0.25
+#: oversized-cluster subdivision: clusters beyond this size split on
+#: hyperplane sign bits (ceil(log2(n/cap)) bits).  At sf0.01/sf0.001
+#: every cluster is under the cap (depth 0 — subdivision is the
+#: identity), so the driver gate checks the UNsplit semantics too; at
+#: 10×-scale corpora the cap bounds the within-cluster pair join.
+_Q64_MAXC = 128
+_Q64_NPLANES = 16
+_PLANES_16x64 = similarity.random_hyperplanes(_Q64_NPLANES, 64, seed=42)
+
+
+def _bucket16_sql(vexpr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vexpr}, {_plane_sql(p)}) > 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(_PLANES_16x64)
+    )
+    return f"({terms})"
 
 
 def _q64_oracle() -> str:
     ctes, af = _kmeans_ctes(_Q62_K, _Q62_ITERS)
     return f"""
-WITH {ctes}
+WITH {ctes},
+sizes AS (SELECT cid, count(*) AS n FROM {af} GROUP BY cid),
+depths AS (
+    SELECT cid,
+           least(greatest(CAST(ceil(log2(n / {float(_Q64_MAXC)!r})) AS INT), 0),
+                 {_Q64_NPLANES}) AS depth
+    FROM sizes
+),
+sub AS (
+    SELECT {af}.vec_id, {af}.v, {af}.cid,
+           {_bucket16_sql(f"{af}.v")} % CAST(pow(2, d.depth) AS BIGINT) AS sb
+    FROM {af} JOIN depths d ON {af}.cid = d.cid
+)
 SELECT a.cid AS cluster_id,
        a.vec_id AS doc_a,
        b2.vec_id AS doc_b,
        round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) AS cos_sim
-FROM {af} a
-JOIN {af} b2 ON a.cid = b2.cid AND a.vec_id < b2.vec_id
+FROM sub a
+JOIN sub b2 ON a.cid = b2.cid AND a.sb = b2.sb AND a.vec_id < b2.vec_id
 WHERE list_cosine_similarity(a.v, b2.v) >= {_Q64_THRESHOLD}
 ORDER BY cluster_id, doc_a, doc_b
 """
@@ -2297,10 +2326,11 @@ ORDER BY cluster_id, doc_a, doc_b
     _q64_oracle(),
     "SemDeDup (Abbas et al. 2023): semantic near-dup pairs compared "
     "ONLY within a k-means cluster — the clustering is the candidate "
-    "blocker (k×(N/k)² pair work, never N²), sharing q62's "
-    "oracle-checkable rounded-trajectory assignment, so the whole "
-    "cluster-then-compare pipeline is verified end-to-end.  doc_b (the "
-    "higher id) is the drop candidate.",
+    "blocker, sharing q62's oracle-checkable rounded-trajectory "
+    f"assignment; clusters beyond {_Q64_MAXC} members subdivide on "
+    "hyperplane sign bits (oracle-replicated from the same plane "
+    "literals), so within-cluster pair work is bounded at any corpus "
+    "size.  doc_b (the higher id) is the drop candidate.",
     operators=("dedup-semantic", "cluster-kmeans"),
     headline=True,
 )
@@ -2310,7 +2340,8 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     pairs = cluster.semdedup_pairs(
         emb, "vec_id", "embedding", k=_Q62_K, iters=_Q62_ITERS,
-        threshold=_Q64_THRESHOLD,
+        threshold=_Q64_THRESHOLD, max_cluster_size=_Q64_MAXC,
+        n_planes=_Q64_NPLANES, seed=42,
     )
     return pairs.orderBy("cluster_id", "doc_a", "doc_b")
 
