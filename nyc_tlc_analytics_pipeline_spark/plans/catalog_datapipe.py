@@ -2597,3 +2597,131 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_stats(
         docs, "doc_id", "text", n=_Q68_N, group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — Zipf-law fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_Q69_TOPR = 100
+
+_Q69_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE token <> ''),
+freq AS (SELECT token, count(*) AS cnt FROM toks_ne GROUP BY token),
+ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM freq
+),
+fit AS (
+    SELECT regr_slope(ln(cnt), ln(rank)) AS slope,
+           regr_r2(ln(cnt), ln(rank)) AS r2
+    FROM ranked WHERE rank <= {_Q69_TOPR}
+)
+SELECT CAST((SELECT sum(cnt) FROM freq) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(*) FROM freq) AS BIGINT) AS vocab_size,
+       round(fit.slope + 1e-9, 6) AS zipf_slope,
+       round(fit.r2 + 1e-9, 6) AS zipf_r2
+FROM fit
+"""
+
+
+@register(
+    "q69_zipf_fit",
+    _Q69_ORACLE,
+    "Zipf-law diagnostic: OLS slope/R² of ln(freq) vs ln(rank) over the "
+    f"top-{_Q69_TOPR} token ranks (a natural corpus fits slope ≈ −1; "
+    "synthetic or heavily-duplicated text departs visibly — a one-row "
+    "corpus fingerprint cheap enough to run per ingest batch).  One "
+    "explode + two-level count, a top-R rank window, and a built-in "
+    "regression aggregate; all JVM-side.",
+    operators=("text-zipf", "A1", "A8", "W2", "A-regr"),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token")).filter(
+        col("token") != ""
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(col("cnt").desc(), col("token"))
+        ),
+    ).filter(col("rank") <= _Q69_TOPR)
+    fit = ranked.agg(
+        F.regr_slope(F.log("cnt"), F.log("rank")).alias("slope"),
+        F.regr_r2(F.log("cnt"), F.log("rank")).alias("r2"),
+    )
+    totals = freq.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    return totals.crossJoin(F.broadcast(fit)).select(
+        "n_tokens",
+        "vocab_size",
+        rnd(col("slope"), 6).alias("zipf_slope"),
+        rnd(col("r2"), 6).alias("zipf_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — column profiler (data-quality introspection over any table)
+# ---------------------------------------------------------------------------
+
+_Q70_ORACLE = """
+SELECT 'doc_id' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value,
+       CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+ORDER BY column_name
+"""
+
+
+@register(
+    "q70_column_profile",
+    _Q70_ORACLE,
+    "Generic column profiler (operators/profile.py): per-column row/"
+    "null/distinct counts and min/max over the documents table — the "
+    "ingest-time data-quality introspection every warehouse runs.  ONE "
+    "pass over the table: all columns' aggregates are computed in a "
+    "single grouped-aggregate stage (count_distinct per column in the "
+    "same agg), then unpivoted to the per-column report shape; never "
+    "one scan per column.",
+    operators=("profile-table", "A1", "A2", "A3", "S17"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return profile.profile_columns(
+        docs, ["doc_id", "lang", "source", "n_chars"]
+    ).orderBy("column_name")

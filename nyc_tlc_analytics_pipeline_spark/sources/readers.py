@@ -54,3 +54,35 @@ def table_info(df: DataFrame) -> dict:
         "columns": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
         "row_count": df.count(),
     }
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> "DataFrame":
+    """JSON-Lines corpus source — the interchange format LLM-data
+    pipelines actually exchange (one JSON doc per line, splittable, so a
+    100 TB corpus parallelizes by line ranges like CSV).
+
+    Pass ``schema`` in production: schema inference is a FULL extra pass
+    over the data before the real read (2× the I/O at any scale) and can
+    widen types differently between samples; an explicit schema also
+    pushes column pruning into the JSON parser (Spark only materializes
+    requested fields).  ``multiLine`` stays False — multiline JSON is
+    unsplittable (one file = one task), which is the scale killer."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: "DataFrame", path: str, compression: str | None = "gzip") -> None:
+    """JSON-Lines corpus sink.  Line-delimited and (by default) gzip per
+    part-file: gzip is unsplittable per FILE but the dataset stays
+    parallel because it is many part-files — the standard corpus-export
+    trade.  Pass ``compression=None`` for splittable raw text."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

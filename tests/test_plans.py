@@ -73,7 +73,12 @@ def test_no_cartesian_products_in_catalog(spark):
     # intentional 1-row broadcast cross joins (scalar-aggregate folding):
     # q14 global quartiles, q63 PageRank dangling-mass term — both sides
     # provably 1 row, so the "cross" join is a broadcast of one scalar.
-    scalar_cross_ok = {"q14_nation_share_vs_global", "q63_nation_pagerank"}
+    # (q69: two 1-row aggregates folded into the single report row)
+    scalar_cross_ok = {
+        "q14_nation_share_vs_global",
+        "q63_nation_pagerank",
+        "q69_zipf_fit",
+    }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
         if name in scalar_cross_ok:

@@ -137,3 +137,55 @@ def test_duplicated_span_stats_planted(spark):
     assert out["b"].total_dup_spans == 0
     assert out["b"].avg_dup_frac == 0.0
     assert out["a"].avg_dup_frac > 0
+
+
+# ---------------------------------------------------------------------------
+# column profiler
+# ---------------------------------------------------------------------------
+
+def test_profile_columns_values(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "a")],
+        "id int, s string",
+    )
+    out = {r.column_name: r for r in profile.profile_columns(df).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 1
+    assert out["id"].n_distinct == 3
+    assert out["id"].min_value == "1" and out["id"].max_value == "3"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+
+
+def test_profile_is_single_pass(spark, tmp_path):
+    """The profiler must scan the table ONCE however many columns it
+    profiles — one FileScan in the plan, not one per column."""
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+
+    p = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id % 7 AS a", "CAST(id AS STRING) AS b")\
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = profile.profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
+    """A corpus whose token frequencies are constructed 1/r-Zipfian must
+    fit slope ≈ −1 with high R² — the diagnostic's calibration check."""
+    rows = []
+    for r in range(1, 101):
+        rows += [(f"tok{r}",)] * max(1, int(1000 / r))
+    toks = spark.createDataFrame(rows, ["token"])
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    )
+    fit = ranked.agg(
+        F.regr_slope(F.log("cnt"), F.log("rank")).alias("s"),
+        F.regr_r2(F.log("cnt"), F.log("rank")).alias("r2"),
+    ).collect()[0]
+    assert abs(fit.s + 1.0) < 0.05 and fit.r2 > 0.99

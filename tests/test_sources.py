@@ -251,3 +251,34 @@ def test_events_ts_is_timestamp_type(spark):
 
     ev = load_table(spark, SF_SMOKE, "events")
     assert isinstance(ev.schema["ts"].dataType, TimestampType)
+
+
+def test_jsonl_roundtrip_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nyc_tlc_analytics_pipeline_spark.sources.readers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i % 2 else "de") for i in range(100)],
+        ["doc_id", "text", "lang"],
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    assert back.schema == schema
+    assert back.count() == 100
+    assert back.agg(F.sum("doc_id")).collect()[0][0] == sum(range(100))
+    # explicit-schema read prunes: only requested fields reach the scan
+    plan = back.select("doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan
