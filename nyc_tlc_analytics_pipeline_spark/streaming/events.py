@@ -234,3 +234,65 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_gold(
+    raw_stream: DataFrame,
+    gold_path: str,
+    checkpoint_path: str,
+    to_partial,
+    keys: list[str],
+    merge_spec: dict[str, str],
+) -> None:
+    """foreachBatch sink that maintains a PARTIAL-form gold aggregate
+    incrementally: each raw micro-batch is aggregated to the gold shape
+    INSIDE the sink (``to_partial(batch_df)`` — additive components
+    only, the ``operators.incremental`` contract) and merged into the
+    stored gold by key, never re-scanning event history.  Aggregating
+    inside the sink — rather than streaming an update-mode aggregate in
+    — matters: update-mode emits CUMULATIVE per-key rows, which a sum
+    merge would double-count.
+
+    This is the streaming face of ``incremental.merge_partials``: batch
+    backfill and streaming refresh produce identical gold because both
+    are the same associative merge.  The checkpoint makes the refresh
+    exactly-once per micro-batch: a replayed batch re-merges onto the
+    pre-batch snapshot (foreachBatch re-runs against the state the
+    failed attempt started from), and the gold rows are materialized
+    before the overwrite so the read-then-overwrite of the same path is
+    safe.
+
+    Scale: merge cost per batch is |gold keys| + |batch keys| rows — the
+    key space, not the fact history; with gold bucketed by key this is a
+    map-side merge.  The driver-side materialization is key-space-sized;
+    beyond that, swap the gold store for ``sources.manifest`` and write
+    a fresh snapshot version instead."""
+    from ..operators.incremental import merge_partials
+
+    spark = raw_stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        partial = to_partial(batch_df)
+        if os.path.exists(os.path.join(gold_path, "_SUCCESS")):
+            gold = spark.read.parquet(gold_path)
+            merged = merge_partials([gold, partial], keys, merge_spec)
+        else:
+            merged = merge_partials([partial], keys, merge_spec)
+        # materialize BEFORE overwriting the input of the read above
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(gold_path)
+
+    (
+        raw_stream.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

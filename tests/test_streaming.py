@@ -184,3 +184,64 @@ def test_stream_stream_join_matches_batch_range_join(spark, stream_dir):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_incremental_gold_matches_batch_and_is_exactly_once(spark, stream_dir, tmp_path):
+    """Draining the events directory through the foreachBatch gold sink
+    (micro-batches of a few files) must equal the one-shot batch
+    aggregate, and a replay must change nothing — the streaming face of
+    incremental.merge_partials."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_incremental_gold,
+    )
+
+    # private copy: the shared stream_dir fixture gains a late file in
+    # the checkpoint test above, so its content is order-dependent
+    src = str(tmp_path / "events_src")
+    _batch_events(spark).repartition(4).write.mode("overwrite").parquet(src)
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    def to_partial(batch_df):
+        return batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    spec = {
+        "n_events": "count",
+        "total_value": "sum",
+        "min_value": "min",
+        "max_value": "max",
+    }
+
+    def run():
+        run_incremental_gold(
+            read_event_stream(spark, src, max_files_per_trigger=2),
+            gold, ckpt, to_partial, ["event_type"], spec,
+        )
+
+    run()
+    got = {
+        r.event_type: (r.n_events, round(r.total_value, 6),
+                       round(r.min_value, 6), round(r.max_value, 6))
+        for r in spark.read.parquet(gold).collect()
+    }
+    expected = {
+        r.event_type: (r.n_events, round(r.total_value, 6),
+                       round(r.min_value, 6), round(r.max_value, 6))
+        for r in to_partial(_batch_events(spark)).collect()
+    }
+    assert got == expected
+    run()  # replay: checkpoint sees no new files -> gold unchanged
+    again = {
+        r.event_type: (r.n_events, round(r.total_value, 6),
+                       round(r.min_value, 6), round(r.max_value, 6))
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert again == expected
