@@ -145,3 +145,25 @@ def test_q53_pii_scrub_is_map_side_until_aggregate(spark):
     plan = _optimized(QUERIES["q53_pii_scrub"].build(spark, SF_SMOKE))
     assert plan.count("Aggregate") == 1
     assert "Join" not in plan
+
+
+def test_q66_sketch_lookup_is_broadcast(spark):
+    """The CMS probe lookup must broadcast the model-sized sketch, never
+    shuffle the probe side against it."""
+    df = QUERIES["q66_countmin_frequencies"].build(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q68_dup_gram_join_is_left_semi(spark):
+    """Position rows are flagged via LEFT SEMI against the dup-gram set
+    — no row multiplication, no full join."""
+    plan = _optimized(QUERIES["q68_duplicated_spans"].build(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q67_weighted_sample_is_take_ordered(spark):
+    """Top-k selection must be TakeOrderedAndProject (per-partition
+    top-k + merge), not a global sort."""
+    plan = _plan(QUERIES["q67_weighted_sample"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
