@@ -323,3 +323,60 @@ def knn_join_lsh(
         .filter(col("rank") <= k)
         .select("id_a", "id_b", "cos_sim", "rank")
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a bucket-PARTITIONED table: the
+    assignment expression runs once at write time and the bucket becomes
+    a partition directory, so probe-time bucket filters are planned as
+    PARTITION PRUNING — an n_probe query READS n_probe/K of the bytes
+    (the property `ivf_topk`'s runtime filter can only approximate).
+    This is the persisted form SCALE.md promises for 100 TB ANN:
+    repartition by bucket first so each partition dir is written by one
+    task (no tasks×buckets small-file blowup)."""
+    (
+        df.withColumn("ivf_bucket", assign_ivf_bucket(vec_col, centroids))
+        .repartition(col("ivf_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_bucket")
+        .parquet(path)
+    )
+
+
+def read_ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: pick the ``n_probe`` centroids
+    nearest the query (driver-side, K-sized), filter the bucket
+    PARTITION column (pruned at planning — no data read outside the
+    probed directories), then exact-rank the survivors.  Identical
+    results to ``ivf_topk`` on the same centroid set; the difference is
+    I/O, not semantics."""
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:n_probe]
+    ]
+    indexed = spark.read.parquet(path).filter(col("ivf_bucket").isin(probe))
+    return cosine_topk(indexed, query_vec, k=k, id_col=id_col, vec_col=vec_col)

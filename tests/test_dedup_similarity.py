@@ -257,3 +257,28 @@ def test_knn_join_lsh_shape(spark):
         assert [r.rank for r in sorted(rs, key=lambda x: x.rank)] == list(
             range(1, len(rs) + 1)
         )
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches(spark, tmp_path):
+    """write_ivf_index + read_ivf_probe: the probe must (a) plan as
+    partition PRUNING — only n_probe of the K bucket directories appear
+    in the scan — and (b) return exactly ivf_topk's results on the same
+    centroid set (I/O changes, semantics don't)."""
+    df = _synthetic_vectors(spark, 300, dim=16, seed=9)
+    cents = similarity.ivf_centroids(df, k=8)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(df, path, cents)
+
+    from pyspark.sql import functions as F
+
+    q = [float(x) for x in df.filter("vec_id = 5").select("embedding").head()[0]]
+    got = similarity.read_ivf_probe(spark, path, q, cents, k=5, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_bucket" in plan
+    expected = similarity.ivf_topk(df, q, cents, k=5, n_probe=3)
+    assert [(r.vec_id, r.cos_sim) for r in got.orderBy(F.desc("cos_sim"), "vec_id").collect()] == \
+           [(r.vec_id, r.cos_sim) for r in expected.orderBy(F.desc("cos_sim"), "vec_id").collect()]
+    # full probe over the index == brute force over the raw table
+    full = similarity.read_ivf_probe(spark, path, q, cents, k=5, n_probe=8)
+    brute = similarity.cosine_topk(df, q, k=5)
+    assert {r.vec_id for r in full.collect()} == {r.vec_id for r in brute.collect()}

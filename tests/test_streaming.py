@@ -245,3 +245,63 @@ def test_incremental_gold_matches_batch_and_is_exactly_once(spark, stream_dir, t
         for r in spark.read.parquet(gold).collect()
     }
     assert again == expected
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark semantics made concrete: a second micro-batch whose
+    events are older than (max event time − watermark) must NOT reopen
+    closed windows in append mode — that state was dropped; bounded
+    state is the contract that makes 100 TB/day streams feasible."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def mk_events(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # batch 1: events at hours 0..5 → watermark advances to 5:00 − 2h = 3:00
+    mk_events([base + dt.timedelta(hours=h) for h in range(6)]).coalesce(1)\
+        .write.mode("overwrite").parquet(src)
+
+    def drain():
+        from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+            hourly_type_counts_stream,
+            read_event_stream,
+        )
+
+        stream = hourly_type_counts_stream(
+            read_event_stream(spark, src, max_files_per_trigger=1)
+        )
+        (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    emitted_1 = {r.window_start for r in spark.read.parquet(out).collect()}
+    # append mode only finalizes windows the watermark has passed
+    assert base in emitted_1  # hour-0 window closed by the 5:00 max event
+
+    # batch 2: a late event at hour 0 (3h behind the 3:00 watermark) plus
+    # a fresh event advancing time; the hour-0 window must NOT re-emit
+    mk_events(
+        [base, base + dt.timedelta(hours=8)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    hour0 = [r for r in rows if r.window_start == base]
+    assert len(hour0) == 1 and hour0[0].n_events == 1  # late row dropped
