@@ -2725,3 +2725,177 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.profile_columns(
         docs, ["doc_id", "lang", "source", "n_chars"]
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# q71 — ordered event funnel (view → click → purchase conversion)
+# ---------------------------------------------------------------------------
+
+_Q71_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS step, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+)
+SELECT CAST(step AS BIGINT) AS step, stage,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(1.0 * n_users
+             / nullif((SELECT n_users FROM counts WHERE step = 1), 0) + 1e-9, 6)
+           AS pct_of_top
+FROM counts
+ORDER BY step
+"""
+
+
+@register(
+    "q71_event_funnel",
+    _Q71_ORACLE,
+    "Ordered conversion funnel: users with a view, whose FIRST click "
+    "follows their first view, whose first purchase follows THAT click "
+    "— the sequencing (each stage anchored to the previous stage's "
+    "timestamp, not mere event presence) is what funnel analysis means. "
+    " Three per-user min-aggregates chained by join; every shuffle key "
+    "is user_id, so at scale one repartition serves all three stages.",
+    operators=("funnel-ordered", "A3", "J1", "A10"),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_users")).select(
+            lit(1).cast("long").alias("step"), lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                lit(2).cast("long").alias("step"),
+                lit("click_after_view").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                lit(3).cast("long").alias("step"),
+                lit("purchase_after_click").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    top = v.agg(F.count("*").alias("top_n"))
+    return (
+        counts.crossJoin(F.broadcast(top))
+        .select(
+            "step",
+            "stage",
+            col("n_users").cast("long"),
+            rnd(col("n_users") / F.nullif(col("top_n"), lit(0)), 6).alias(
+                "pct_of_top"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+#: week index anchored to a fixed date, not date_trunc('week', ...):
+#: week-start conventions are an engine setting; day-diff // 7 is not.
+_Q72_EPOCH = "2024-01-01"
+
+_Q72_ORACLE = f"""
+WITH wk AS (
+    SELECT user_id,
+           CAST(floor(date_diff('day', DATE '{_Q72_EPOCH}', CAST(ts AS DATE)) / 7.0)
+                AS BIGINT) AS week
+    FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT c.cohort_week AS cohort_week,
+       a.week - c.cohort_week AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+       round(1.0 * count(DISTINCT a.user_id)
+             / nullif(max(sz.n_cohort), 0) + 1e-9, 6) AS retention
+FROM activity a
+JOIN cohort c ON a.user_id = c.user_id
+JOIN (SELECT cohort_week, count(*) AS n_cohort FROM cohort GROUP BY cohort_week) sz
+  ON sz.cohort_week = c.cohort_week
+GROUP BY c.cohort_week, a.week - c.cohort_week
+ORDER BY c.cohort_week, week_offset
+"""
+
+
+@register(
+    "q72_retention_cohorts",
+    _Q72_ORACLE,
+    "Weekly retention: users grouped by first-activity week, retention "
+    "= active users at each week offset / cohort size.  The week index "
+    "is an anchored day-diff // 7 (engine week-start conventions never "
+    "enter); per-user first week + distinct (user, week) activity + one "
+    "grouped join — all shuffles on user_id or the tiny cohort key.",
+    operators=("retention-cohort", "A2", "A3", "J7"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(col("ts").cast("date"), F.to_date(lit(_Q72_EPOCH))) / 7.0
+        ).cast("long").alias("week"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = wk.distinct()
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("week_offset", col("week") - col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            col("n_active").cast("long"),
+            rnd(col("n_active") / F.nullif(col("n_cohort"), lit(0)), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

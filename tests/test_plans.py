@@ -74,10 +74,12 @@ def test_no_cartesian_products_in_catalog(spark):
     # q14 global quartiles, q63 PageRank dangling-mass term — both sides
     # provably 1 row, so the "cross" join is a broadcast of one scalar.
     # (q69: two 1-row aggregates folded into the single report row)
+    # (q71: funnel-top user count folded onto the 3 stage rows)
     scalar_cross_ok = {
         "q14_nation_share_vs_global",
         "q63_nation_pagerank",
         "q69_zipf_fit",
+        "q71_event_funnel",
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
