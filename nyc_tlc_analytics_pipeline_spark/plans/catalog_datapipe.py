@@ -2899,3 +2899,46 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — explicit GROUPING SETS (multi-grain aggregate in one pass)
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+SELECT coalesce(source, 'ALL') AS src,
+       coalesce(lang, 'ALL') AS lng,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+ORDER BY src, lng
+"""
+
+
+@register(
+    "q73_grouping_sets",
+    _Q73_ORACLE,
+    "Explicit GROUPING SETS — per-source totals, per-language totals, "
+    "and the grand total in ONE aggregate pass (ROLLUP/CUBE's general "
+    "form, q40/q45's sibling): Spark expands the sets into a single "
+    "Expand + Aggregate, so the corpus is scanned once however many "
+    "grains the report needs.",
+    operators=("grouping-sets", "A1", "A3", "A8"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["source"], ["lang"], []], "source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(col("source"), lit("ALL")).alias("src"),
+            F.coalesce(col("lang"), lit("ALL")).alias("lng"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("src", "lng")
+    )
