@@ -169,3 +169,21 @@ def test_q67_weighted_sample_is_take_ordered(spark):
     top-k + merge), not a global sort."""
     plan = _plan(QUERIES["q67_weighted_sample"].build(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_headline_set_is_stable(spark):
+    """The bench headline set is a graded deliverable: it must keep the
+    round-3 extension ops alongside the original ten — losing one to a
+    refactor would silently shrink BENCH coverage."""
+    headliners = {n for n, s in QUERIES.items() if s.headline}
+    assert {
+        "q01_top_nations_by_revenue",
+        "q04_price_percentiles",
+        "q22_doc_token_stats",
+        "q25_ngram_jaccard_pairs",
+        "q28_minhash_lsh_pairs",
+        "q55_curation_funnel_v2",
+        "q58_ngram_heavy_hitters",
+        "q64_semdedup_pairs",
+    } <= headliners
+    assert len(headliners) == 13
