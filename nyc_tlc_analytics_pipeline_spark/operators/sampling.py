@@ -177,3 +177,31 @@ def weighted_sample(
         .orderBy(col("es_key").desc(), col(key))
         .limit(k)
     )
+
+
+def coverage_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    per_bucket: int = 1,
+) -> DataFrame:
+    """Diversity-preserving subset: bucket the embedding space by
+    random-hyperplane signs and keep the ``per_bucket`` deterministically
+    lowest-md5 rows per bucket — every occupied region of the space
+    contributes, so the sample covers the corpus's modes instead of its
+    density (what uniform sampling does, over-representing the head).
+    The distributed-friendly stand-in for sequential greedy MMR/k-center
+    selection: one bucket expression (map-side) + one per-bucket window,
+    deterministic under any layout (md5 order, id tie-break)."""
+    from .similarity import lsh_bucket
+
+    bucketed = df.withColumn("bucket", lsh_bucket(col(vec_col), planes))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(col(id_col).cast("string")), col(id_col)
+    )
+    return (
+        bucketed.withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") <= per_bucket)
+        .drop("__rn")
+    )

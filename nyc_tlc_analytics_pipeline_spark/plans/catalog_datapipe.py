@@ -2942,3 +2942,54 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "lng")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — coverage (diversity) sampling over the embedding space
+# ---------------------------------------------------------------------------
+
+_Q74_PER_BUCKET = 2
+
+
+def _q74_oracle() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+    SELECT vec_id, label, {_bucket_sql("v")} AS bucket FROM e
+),
+r AS (
+    SELECT vec_id, label, bucket,
+           row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) AS rn
+    FROM b
+)
+SELECT bucket, vec_id, label
+FROM r WHERE rn <= {_Q74_PER_BUCKET}
+ORDER BY bucket, vec_id
+"""
+
+
+@register(
+    "q74_coverage_sample",
+    _q74_oracle(),
+    "Diversity-preserving coverage sample: hyperplane-sign buckets over "
+    f"the embedding space, the {_Q74_PER_BUCKET} lowest-md5 rows kept "
+    "per occupied bucket — every mode of the corpus contributes "
+    "regardless of density (the distributed stand-in for sequential "
+    "greedy k-center/MMR subset selection).  Map-side bucket expression "
+    "+ one per-bucket window; the oracle recomputes the same buckets "
+    "from the shared plane literals.",
+    operators=("sampling-coverage", "W2", "sim-ann-lsh"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    out = sampling.coverage_sample(
+        emb, "vec_id", "embedding", _PLANES_8x64, per_bucket=_Q74_PER_BUCKET
+    )
+    return out.select("bucket", "vec_id", "label").orderBy("bucket", "vec_id")

@@ -189,3 +189,34 @@ def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
         F.regr_r2(F.log("cnt"), F.log("rank")).alias("r2"),
     ).collect()[0]
     assert abs(fit.s + 1.0) < 0.05 and fit.r2 > 0.99
+
+
+def test_coverage_sample_spans_buckets_and_is_deterministic(spark):
+    """Coverage sampling must pick from EVERY occupied bucket (mode
+    coverage, not density), cap per-bucket membership, and select the
+    same rows under any partitioning."""
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling, similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((400, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = similarity.random_hyperplanes(6, 16, seed=5)
+    out = sampling.coverage_sample(df, "vec_id", "embedding", planes, per_bucket=1)
+    rows = out.collect()
+    all_buckets = {
+        r.bucket
+        for r in df.withColumn(
+            "bucket", similarity.lsh_bucket("embedding", planes)
+        ).select("bucket").distinct().collect()
+    }
+    assert {r.bucket for r in rows} == all_buckets      # every mode covered
+    assert len(rows) == len(all_buckets)                # exactly one per bucket
+    again = sampling.coverage_sample(
+        df.repartition(9), "vec_id", "embedding", planes, per_bucket=1
+    ).collect()
+    assert {r.vec_id for r in rows} == {r.vec_id for r in again}
