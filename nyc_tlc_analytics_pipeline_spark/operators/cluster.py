@@ -179,7 +179,9 @@ def semdedup_pairs(
         n = df.count()
         k = max(2, min(_AUTO_K_CAP, -(-n // max(1, target_cluster_size))))
     assigned, cents = kmeans_fit(df, id_col, vec_col, k, iters)
-    if max_cluster_size is not None and max_cluster_size > 0:
+    # empty input: no centroids to derive a plane dim from, and nothing
+    # to pair — skip the subdivision branch; the joins below are empty
+    if max_cluster_size is not None and max_cluster_size > 0 and cents:
         planes = random_hyperplanes(n_planes, len(cents[0]), seed)
         # per-cluster subdivision depth: k rows, broadcast back
         depth = F.ceil(F.log2(col("count") / lit(float(max_cluster_size))))

@@ -644,6 +644,11 @@ def duplicated_span_stats(
     pos = pos.select(
         "doc", "grp", F.explode_outer(F.expr(gram_expr)).alias("gram")
     )
+    # materialize once: pos feeds three consumers (doc-frequency, the
+    # flagged semi-join probe, and the per-doc totals) and the
+    # tokenize+explode lineage is the dominant cost — without this the
+    # corpus is tokenized three times (same fix as semdedup_pairs)
+    pos = pos.localCheckpoint(eager=False)
     dup_grams = (
         pos.select("doc", "gram")
         .distinct()

@@ -23,17 +23,25 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     """One-pass per-column profile: (column_name, n_rows, n_nulls,
     n_distinct, min_value, max_value)."""
     cols = columns if columns is not None else df.columns
+    # index-based internal aliases + df[c] access (not F.col, which
+    # parses dots) so arbitrary column names — spaces, dashes, dots,
+    # quotes — survive the generated stack() expression
     aggs = [F.count(lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.count_distinct(col(c)).alias(f"__dist_{c}"),
-            F.min(col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(col(c)).cast("string").alias(f"__max_{c}"),
+            F.sum(df[c].isNull().cast("long")).alias(f"__nulls_{i}"),
+            F.count_distinct(df[c]).alias(f"__dist_{i}"),
+            F.min(df[c]).cast("string").alias(f"__min_{i}"),
+            F.max(df[c]).cast("string").alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
+
+    def _lit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+        f"{_lit(c)}, __nulls_{i}, __dist_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

@@ -162,19 +162,31 @@ def weighted_sample(
 
     Determinism contract (same as every md5-keyed operator here): u is
     md5-derived, so the sample is stable across layouts, re-runs and
-    engines; es_key is rank-rounded (nudged, 6 dp) with a key tie-break
-    so even a last-ulp ``pow`` divergence between engines cannot flip
-    the selection.  Non-positive weights are excluded (their inclusion
-    probability is 0 by definition)."""
+    engines; es_key is rank-rounded (nudged, 9 dp) with a key tie-break
+    so a last-ulp libm divergence between engines cannot flip the
+    selection.  The ranking runs in the LOG domain —
+    ``es_key = ln(−ln u) − ln w`` (monotone in u^(1/w); SMALLEST k win)
+    — because the direct u^(1/w) form collapses under rounding at large
+    weights: for w = 5000 every key lives in [0.9956, 1), so fixed-dp
+    rounding quantizes the ranking into a handful of levels and the
+    id tie-break, not the weight, decides the sample.  The log form
+    spreads keys over ~(−44, 3] at ANY weight.  u is (h + 0.5)/2³²
+    (never exactly 0 or 1, so both logs are finite).  Non-positive
+    weights are excluded (their inclusion probability is 0 by
+    definition)."""
     from ..functions.scalar import rnd
 
     wcol = col(weight_col).cast("double")
-    u = hash_fraction(key, salt)
-    es = rnd(F.pow(u, lit(1.0) / wcol), 6)
+    k_ = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(lit(salt), k_.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + lit(0.5)) / lit(2.0**32)
+    es = rnd(F.log(-F.log(u)) - F.log(wcol), 9)
     return (
         df.filter(wcol > 0)
         .withColumn("es_key", es)
-        .orderBy(col("es_key").desc(), col(key))
+        .orderBy(col("es_key").asc(), col(key))
         .limit(k)
     )
 

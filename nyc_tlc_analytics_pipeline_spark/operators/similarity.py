@@ -171,6 +171,31 @@ def assign_ivf_bucket(
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    dot_ = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return dot_ / (na * nb) if na and nb else 0.0
+
+
+def _probe_centroids(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> list[int]:
+    """The n_probe centroid ids nearest the query by cosine — tie-broken
+    on centroid id so the probe set is deterministic (and reproducible
+    by the SQL oracle's ORDER BY cos DESC, cid).  Shared by the runtime
+    filter (ivf_topk) and the persisted-index probe (read_ivf_probe) so
+    their 'identical results' contract cannot drift."""
+    return [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-_cos_py(query_vec, c[1]), c[0])
+        )[:n_probe]
+    ]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -187,20 +212,7 @@ def ivf_topk(
     precomputed + partitioned on, so a probe reads n_probe/k of the data.
     """
 
-    def cos_py(a: list[float], b: list[float]) -> float:
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return dot_ / (na * nb) if na and nb else 0.0
-
-    # tie-break on centroid id so the probe set is deterministic (and
-    # reproducible by the SQL oracle's ORDER BY cos DESC, cid)
-    probe = [
-        cid
-        for cid, _ in sorted(
-            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
-        )[:n_probe]
-    ]
+    probe = _probe_centroids(query_vec, centroids, n_probe)
     bucketed = df.withColumn("ivf_bucket", assign_ivf_bucket(vec_col, centroids))
     return cosine_topk(
         bucketed.filter(col("ivf_bucket").isin(probe)),
@@ -366,17 +378,6 @@ def read_ivf_probe(
     results to ``ivf_topk`` on the same centroid set; the difference is
     I/O, not semantics."""
 
-    def cos_py(a: list[float], b: list[float]) -> float:
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return dot_ / (na * nb) if na and nb else 0.0
-
-    probe = [
-        cid
-        for cid, _ in sorted(
-            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
-        )[:n_probe]
-    ]
+    probe = _probe_centroids(query_vec, centroids, n_probe)
     indexed = spark.read.parquet(path).filter(col("ivf_bucket").isin(probe))
     return cosine_topk(indexed, query_vec, k=k, id_col=id_col, vec_col=vec_col)

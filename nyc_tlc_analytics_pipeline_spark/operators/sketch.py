@@ -179,13 +179,21 @@ def cms_estimate(
     ``cms_count``.  The probe side explodes to d (row, bucket) lookups
     joined against the ≤ d·w-row sketch (broadcast-sized by
     construction); an absent cell means nothing hashed there → 0."""
+    # collision-proof internal names: probes is an ARBITRARY frame and
+    # may itself carry row_i/bucket/cnt columns
     keyed = probes.withColumn(
-        "row_i", F.explode(F.array(*[lit(i) for i in range(d)]))
+        "__cms_row_i", F.explode(F.array(*[lit(i) for i in range(d)]))
     ).withColumn(
-        "bucket", _cms_bucket(col(key).cast("string"), col("row_i"), w, salt)
+        "__cms_bucket",
+        _cms_bucket(col(key).cast("string"), col("__cms_row_i"), w, salt),
     )
-    looked = keyed.join(F.broadcast(partials), ["row_i", "bucket"], "left")
+    sk = partials.select(
+        col("row_i").alias("__cms_row_i"),
+        col("bucket").alias("__cms_bucket"),
+        col("cnt").alias("__cms_cnt"),
+    )
+    looked = keyed.join(F.broadcast(sk), ["__cms_row_i", "__cms_bucket"], "left")
     return (
         looked.groupBy(*probes.columns)
-        .agg(F.min(F.coalesce(col("cnt"), lit(0))).alias("cms_count"))
+        .agg(F.min(F.coalesce(col("__cms_cnt"), lit(0))).alias("cms_count"))
     )

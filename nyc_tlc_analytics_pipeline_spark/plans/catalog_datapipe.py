@@ -2495,16 +2495,16 @@ _Q67_K = 20
 _Q67_ORACLE = f"""
 WITH keyed AS (
     SELECT doc_id, lang, n_chars,
-           round(pow(
-               ('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   / 4294967296.0,
-               1.0 / n_chars) + 1e-9, 6) AS es_key
+           round(ln(-ln(
+               (('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0))
+               - ln(n_chars) + 1e-9, 9) AS es_key
     FROM documents
     WHERE n_chars > 0
 )
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, es_key
 FROM keyed
-ORDER BY es_key DESC, doc_id
+ORDER BY es_key ASC, doc_id
 LIMIT {_Q67_K}
 """
 
@@ -2513,12 +2513,12 @@ LIMIT {_Q67_K}
     "q67_weighted_sample",
     _Q67_ORACLE,
     "Deterministic weighted sampling WITHOUT replacement (Efraimidis-"
-    "Spirakis): rank by u^(1/weight) with md5-derived u, take the "
-    f"top-{_Q67_K} (TakeOrderedAndProject) — inclusion probability "
-    "proportional to n_chars in ONE pass, no per-row state, stable "
-    "across layouts/engines/re-runs.  The es_key is rank-rounded with "
-    "a doc_id tie-break so a last-ulp pow divergence cannot flip the "
-    "selection.",
+    "Spirakis): rank by ln(-ln u) - ln w (the log form of u^(1/w) — "
+    "immune to the rounding collapse the direct form suffers at large "
+    f"weights), take the {_Q67_K} smallest (TakeOrderedAndProject) — "
+    "inclusion probability proportional to n_chars in ONE pass, no "
+    "per-row state, stable across layouts/engines/re-runs (9-dp "
+    "rank-rounding + doc_id tie-break absorbs last-ulp libm drift).",
     operators=("sampling-weighted", "O1"),
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:

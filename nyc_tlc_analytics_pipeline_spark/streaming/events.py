@@ -255,38 +255,44 @@ def run_incremental_gold(
 
     This is the streaming face of ``incremental.merge_partials``: batch
     backfill and streaming refresh produce identical gold because both
-    are the same associative merge.  The checkpoint makes the refresh
-    exactly-once per micro-batch: a replayed batch re-merges onto the
-    pre-batch snapshot (foreachBatch re-runs against the state the
-    failed attempt started from), and the gold rows are materialized
-    before the overwrite so the read-then-overwrite of the same path is
-    safe.
+    are the same associative merge.  The gold store is a
+    ``sources.manifest.ManifestTable`` — that, not the checkpoint alone,
+    is what makes the refresh exactly-once: foreachBatch is only
+    at-least-once for side effects (a crash between the gold write and
+    the checkpoint commit replays the batch), so each batch commits
+    with an idempotency tag and a replayed batch that finds its tag
+    already committed is a no-op.  A crash mid-write leaves an
+    uncommitted staging dir (invisible; vacuumable) with the previous
+    snapshot intact — a plain ``mode("overwrite")`` parquet gold would
+    instead delete history before writing and a mid-write crash would
+    destroy it.  Readers use ``ManifestTable(spark, gold_path).read()``.
 
     Scale: merge cost per batch is |gold keys| + |batch keys| rows — the
     key space, not the fact history; with gold bucketed by key this is a
-    map-side merge.  The driver-side materialization is key-space-sized;
-    beyond that, swap the gold store for ``sources.manifest`` and write
-    a fresh snapshot version instead."""
+    map-side merge."""
     from ..operators.incremental import merge_partials
+    from ..sources.manifest import ManifestTable
 
     spark = raw_stream.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         if batch_df.isEmpty():
             return
+        mt = ManifestTable(spark, gold_path)
+        tag = f"batch-{batch_id:020d}"
+        snap = mt.snapshot()
+        if tag in snap["tags"]:
+            return  # replayed batch: already merged into a committed gold
         partial = to_partial(batch_df)
-        if os.path.exists(os.path.join(gold_path, "_SUCCESS")):
-            gold = spark.read.parquet(gold_path)
+        if snap["dirs"]:
+            gold = mt.read(version=snap["version"])
             merged = merge_partials([gold, partial], keys, merge_spec)
         else:
             merged = merge_partials([partial], keys, merge_spec)
-        # materialize BEFORE overwriting the input of the read above
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(gold_path)
+        # overwrite stages into a FRESH data dir before committing, so
+        # the read above keeps its (still-committed) input dirs — no
+        # driver-side materialization needed
+        mt.overwrite(merged, tag=tag)
 
     (
         raw_stream.writeStream.outputMode("append")

@@ -86,31 +86,41 @@ def _strict_cell(v):
         return f"X:{bytes(v).hex()}"
     if isinstance(v, (list, tuple, np.ndarray)):
         return "L:[" + ",".join(_strict_cell(x) for x in v) + "]"
+    if hasattr(v, "asDict") or isinstance(v, dict):
+        # struct cells: Spark collect() gives Row, DuckDB fetchall gives
+        # dict — canonicalize both to sorted (field, value) pairs
+        d = v.asDict() if hasattr(v, "asDict") else v
+        items = ",".join(
+            f"{k}={_strict_cell(x)}" for k, x in sorted(d.items())
+        )
+        return "M:{" + items + "}"
     return f"S:{v}"
 
 
-def _frame_key(pdf, native_rows=None, columns=None):
-    """Order-insensitive canonical form: sort columns by name, then rows.
-
-    ``native_rows`` (same row/column order as ``pdf``, from Spark
-    ``collect()`` / DuckDB ``fetchall()``) refines the pandas cells with
-    a true null mask: pandas renders a SQL NULL in a float64 column as
-    NaN, which would silently equal a genuine NaN result — a semantic
-    divergence this comparator exists to catch.  A natively-None cell is
-    tagged NULL no matter how pandas rendered it; dtype tagging still
-    comes from the pandas cell (driver-faithful — the HUGEINT class)."""
-    order = sorted(range(len(pdf.columns)), key=lambda i: pdf.columns[i])
+def _frame_key(pdf):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
     pdf = pdf[sorted(pdf.columns)]
-    rows = []
-    for ri, row in enumerate(pdf.astype(object).itertuples(index=False, name=None)):
-        cells = []
-        for ci, v in enumerate(row):
-            if native_rows is not None and native_rows[ri][order[ci]] is None:
-                cells.append("NULL")
-            else:
-                cells.append(_strict_cell(v))
-        rows.append(tuple(cells))
+    rows = [
+        tuple(_strict_cell(v) for v in row)
+        for row in pdf.astype(object).itertuples(index=False, name=None)
+    ]
     return sorted(rows)
+
+
+def _native_key(rows, columns):
+    """Order-insensitive canonical form over NATIVE cells (Spark
+    ``collect()`` / DuckDB ``fetchall()``), where a SQL NULL is a Python
+    None — unlike the pandas path, which renders NULL in a float64
+    column as NaN.  Compared as its own multiset (never positionally
+    paired with the pandas rows — the two fetches are separate
+    executions and may order ties differently), this catches the
+    Spark-NaN vs oracle-NULL divergence the pandas-only compare cannot,
+    while the pandas key keeps the driver-faithful dtype tagging (the
+    HUGEINT class)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_strict_cell(row[i]) for i in order) for row in rows
+    )
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
@@ -126,7 +136,18 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    sk = _frame_key(spark_pdf, spark_native)
-    dk = _frame_key(duck_pdf, duck_native)
+    # two independent order-insensitive compares (never positionally
+    # paired — each side's two fetches are separate executions):
+    # pandas-rendered cells carry the driver-faithful dtype tags;
+    # native cells distinguish SQL NULL (None) from a genuine NaN.
+    sk = _frame_key(spark_pdf)
+    dk = _frame_key(duck_pdf)
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+    snk = _native_key(spark_native, list(spark_df.columns))
+    dnk = _native_key(duck_native, [d[0] for d in cur.description])
+    native_mismatches = [(a, b) for a, b in zip(snk, dnk) if a != b]
+    assert not native_mismatches, (
+        f"{name}: native (NULL/NaN-exact) value mismatches: "
+        f"{native_mismatches[:5]}"
+    )

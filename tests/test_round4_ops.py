@@ -220,3 +220,21 @@ def test_coverage_sample_spans_buckets_and_is_deterministic(spark):
         df.repartition(9), "vec_id", "embedding", planes, per_bucket=1
     ).collect()
     assert {r.vec_id for r in rows} == {r.vec_id for r in again}
+
+
+def test_weighted_sample_discriminates_at_large_weights(spark):
+    """Regression: the direct u^(1/w) key rounds to a handful of levels
+    once w is in the thousands (all keys in [0.995, 1)), letting the id
+    tie-break decide the sample.  The log-domain key must keep
+    discriminating: with ALL weights equal and large, selection must
+    follow the hash order, not ascending ids."""
+    df = spark.createDataFrame(
+        [(i, 50000.0) for i in range(2000)], ["id", "w"]
+    )
+    got = [r.id for r in sampling.weighted_sample(df, "id", "w", k=50).collect()]
+    assert got != sorted(got) or set(got) != set(range(50)), (
+        "selection degenerated to ascending ids — key collapsed"
+    )
+    # distinct es_keys: the ranking is still informative
+    keys = [r.es_key for r in sampling.weighted_sample(df, "id", "w", k=50).collect()]
+    assert len(set(keys)) > 40

