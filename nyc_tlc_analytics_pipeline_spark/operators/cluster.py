@@ -221,15 +221,19 @@ def semdedup_pairs(
     b = unit.select(
         col("cid"), col("__sub"), col("vid").alias("doc_b"), col("vn").alias("vb")
     )
+    # threshold on the ROUNDED cosine (catalog determinism rule): the raw
+    # dot of pre-normalized vectors is a different FP association than the
+    # oracle's list_cosine_similarity, so a pair within an ulp of the
+    # threshold could otherwise be admitted by one engine only
     return (
         a.join(b, ["cid", "__sub"])
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("cos", dot(col("va"), col("vb")))
-        .filter(col("cos") >= threshold)
+        .withColumn("cos_sim", rnd(dot(col("va"), col("vb")), ROUND_DECIMALS))
+        .filter(col("cos_sim") >= threshold)
         .select(
             col("cid").alias("cluster_id"),
             "doc_a",
             "doc_b",
-            rnd(col("cos"), ROUND_DECIMALS).alias("cos_sim"),
+            "cos_sim",
         )
     )

@@ -8,9 +8,12 @@ Two-pass shape, which is the part that matters at 100 TB:
 
 - **pass 1 (corpus statistics)**: explode → groupBy(token) → count.
   One shuffle keyed by token; the result is |vocab| rows.  The total
-  token count N and vocab size V are window aggregates OVER THE COUNTS
-  TABLE (|vocab| rows), never over the corpus — no second corpus pass,
-  no driver collect, no cross join.
+  token count N and vocab size V come from a 1-ROW global aggregate of
+  the counts table, broadcast-cross-joined back onto it.  (Not an
+  empty-partition window: ``Window.partitionBy()`` would move the
+  entire vocabulary — easily 10⁸ rows at 100 TB — onto one executor.
+  The 1-row agg is a map-side-combined reduce plus a broadcast; the
+  counts table itself never leaves its token-keyed partitioning.)
 - **pass 2 (scoring)**: explode the documents again and hash-join the
   counts table on token.  The counts side is |vocab| — broadcast it
   while it fits (a 10M-type vocab is ~100 MB, still broadcastable);
@@ -28,7 +31,7 @@ every other double in the catalog).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
@@ -37,16 +40,18 @@ from . import text
 
 def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pass 1: (token, cnt) plus constant N (total tokens) and V (vocab
-    size) columns — window aggregates over the tiny counts frame."""
+    size) columns — a 1-row global aggregate broadcast back onto the
+    counts frame (never an empty-partition window, which would funnel
+    the whole vocabulary through one partition)."""
     counts = (
         df.select(F.explode(text.tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy()
-    return counts.withColumns(
-        {"N": F.sum("cnt").over(w), "V": F.count("*").over(w)}
+    totals = counts.agg(
+        F.sum("cnt").alias("N"), F.count("*").alias("V")
     )
+    return counts.crossJoin(F.broadcast(totals))
 
 
 def doc_logprob_scores(

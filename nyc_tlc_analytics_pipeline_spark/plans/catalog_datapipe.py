@@ -2309,14 +2309,18 @@ sub AS (
     SELECT {af}.vec_id, {af}.v, {af}.cid,
            {_bucket16_sql(f"{af}.v")} % CAST(pow(2, d.depth) AS BIGINT) AS sb
     FROM {af} JOIN depths d ON {af}.cid = d.cid
+),
+pairs AS (
+    SELECT a.cid AS cluster_id,
+           a.vec_id AS doc_a,
+           b2.vec_id AS doc_b,
+           round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) AS cos_sim
+    FROM sub a
+    JOIN sub b2 ON a.cid = b2.cid AND a.sb = b2.sb AND a.vec_id < b2.vec_id
 )
-SELECT a.cid AS cluster_id,
-       a.vec_id AS doc_a,
-       b2.vec_id AS doc_b,
-       round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) AS cos_sim
-FROM sub a
-JOIN sub b2 ON a.cid = b2.cid AND a.sb = b2.sb AND a.vec_id < b2.vec_id
-WHERE list_cosine_similarity(a.v, b2.v) >= {_Q64_THRESHOLD}
+SELECT cluster_id, doc_a, doc_b, cos_sim
+FROM pairs
+WHERE cos_sim >= {_Q64_THRESHOLD}
 ORDER BY cluster_id, doc_a, doc_b
 """
 
@@ -2530,7 +2534,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sampling.weighted_sample(docs, "doc_id", "n_chars", k=_Q67_K)
     return out.select(
         "doc_id", "lang", col("n_chars").cast("long"), "es_key"
-    ).orderBy(col("es_key").desc(), "doc_id")
+    ).orderBy(col("es_key").asc(), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2650,12 +2654,17 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("token") != ""
     )
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    ranked = freq.withColumn(
+    # Distributed top-R (TakeOrderedAndProject) FIRST, then rank inside
+    # the bounded R-row frame — never a global row_number window over
+    # the full vocabulary (that would single-partition-sort 10⁸ rows at
+    # 100 TB; limit() pushes a per-partition top-R before the merge).
+    top = freq.orderBy(col("cnt").desc(), col("token")).limit(_Q69_TOPR)
+    ranked = top.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(col("cnt").desc(), col("token"))
         ),
-    ).filter(col("rank") <= _Q69_TOPR)
+    )
     fit = ranked.agg(
         F.regr_slope(F.log("cnt"), F.log("rank")).alias("slope"),
         F.regr_r2(F.log("cnt"), F.log("rank")).alias("r2"),

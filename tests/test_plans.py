@@ -75,8 +75,11 @@ def test_no_cartesian_products_in_catalog(spark):
     # provably 1 row, so the "cross" join is a broadcast of one scalar.
     # (q69: two 1-row aggregates folded into the single report row)
     # (q71: funnel-top user count folded onto the 3 stage rows)
+    # (q56: 1-row N/V corpus-constant aggregate broadcast onto counts —
+    #  the scale-safe replacement for the empty-partition window)
     scalar_cross_ok = {
         "q14_nation_share_vs_global",
+        "q56_unigram_lm_scoring",
         "q63_nation_pagerank",
         "q69_zipf_fit",
         "q71_event_funnel",
@@ -169,6 +172,30 @@ def test_q67_weighted_sample_is_take_ordered(spark):
     top-k + merge), not a global sort."""
     plan = _plan(QUERIES["q67_weighted_sample"].build(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q56_no_window_over_vocab(spark):
+    """N/V corpus constants must come from a 1-row aggregate broadcast
+    back onto the counts table — an empty-partition window would move
+    the entire vocabulary onto one executor at 100 TB (r4 verdict #2)."""
+    plan = _plan(QUERIES["q56_unigram_lm_scoring"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar attach
+
+
+def test_q69_topR_is_take_ordered_not_global_window(spark):
+    """Zipf top-R must be a distributed TakeOrderedAndProject, never a
+    full-vocabulary single-partition row_number sort (r4 verdict #3).
+    The remaining rank window runs over the bounded R-row frame only."""
+    df = QUERIES["q69_zipf_fit"].build(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=100" in plan
+    # the tree prints parents first, so everything AFTER the TakeOrdered
+    # line is its subtree (the unbounded token aggregate): no Window may
+    # appear there — the only Window sits above the bounded 100-row frame
+    below_limit = plan.split("TakeOrderedAndProject")[1]
+    assert "Window" not in below_limit
+    assert plan.count("Window [row_number") == 1
 
 
 def test_headline_set_is_stable(spark):
