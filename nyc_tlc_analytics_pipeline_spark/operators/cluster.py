@@ -46,16 +46,21 @@ def assign_clusters(
     1-based first-position of the min implements the lowest-cid
     tie-break.
 
-    The k distances are ONE ``transform`` lambda over a k×dim literal
-    matrix, not k separate expression chains: Catalyst analysis cost on
-    the per-centroid form grows with k (each chain re-plans its own
-    zip_with/aggregate/round), which at k=16 dominated wall-clock over
-    the actual row work."""
-    cmat = F.array(
-        *[F.array(*[lit(float(x)) for x in c]) for c in centroids]
+    The k distances are ONE ``transform`` lambda over a k×dim centroid
+    matrix carried as a broadcast 1-row DataFrame COLUMN, not as plan
+    literals: folding k·dim literal nodes into the expression tree makes
+    Catalyst analysis cost grow with the model size (at k=16·dim=64 the
+    ~1k-literal tree already dominated wall-clock over the actual row
+    work; at the auto-k cap it would be hopeless).  As a column, the
+    expression tree is O(1) in k and the matrix moves once per executor
+    via the broadcast."""
+    spark = vecs.sparkSession
+    cmat_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "cmat: array<array<double>>",
     )
     dists = F.transform(
-        cmat,
+        col("cmat"),
         lambda c: rnd(
             F.aggregate(
                 F.zip_with(col("v"), c, lambda a, b: (a - b) * (a - b)),
@@ -66,10 +71,11 @@ def assign_clusters(
         ),
     )
     return (
-        vecs.withColumn("dists", dists)
+        vecs.crossJoin(F.broadcast(cmat_df))
+        .withColumn("dists", dists)
         .withColumn("cid", F.array_position(col("dists"), F.array_min("dists")) - 1)
         .withColumn("dist2", F.element_at("dists", col("cid").cast("int") + 1))
-        .drop("dists")
+        .drop("dists", "cmat")
     )
 
 
@@ -87,6 +93,10 @@ def kmeans_fit(
     vecs = df.select(
         col(id_col).alias("vid"), col(vec_col).cast("array<double>").alias("v")
     )
+    # materialize once: every Lloyd sweep (and the caller's downstream
+    # joins) re-scan the vectors; without this the source scan + cast
+    # lineage re-executes 2+iters times
+    vecs = vecs.localCheckpoint(eager=False)
     cents = [list(r.v) for r in vecs.orderBy("vid").limit(k).collect()]
     for _ in range(iters):
         assigned = assign_clusters(vecs, cents)

@@ -170,17 +170,26 @@ def pagerank(
     e = edges.select(
         col(src).alias("e_src"), col(dst).alias("e_dst"), col(weight).alias("e_w")
     )
+    # materialize the edge list once: it is referenced by nodes.count(),
+    # by outw/e_norm, and by the dangling term of EVERY sweep — without
+    # this the caller's (often fact-sized) edge-building join re-executes
+    # per reference.  The aggregated edge list is |V|²-bounded, far
+    # smaller than the facts it came from.
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(col("e_src").alias("node"))
         .union(e.select(col("e_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
-    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("ow"))
+    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("ow")).localCheckpoint(
+        eager=False
+    )
     # weight-normalized edges: built once, reused every sweep
     e_norm = e.join(outw, "e_src").select(
         "e_src", "e_dst", (col("e_w") / col("ow")).alias("share")
-    )
+    ).localCheckpoint(eager=False)
     ranks = nodes.select(
         "node", rnd(lit(1.0) / lit(float(n_nodes)), round_decimals).alias("rank")
     )

@@ -77,10 +77,14 @@ def test_no_cartesian_products_in_catalog(spark):
     # (q71: funnel-top user count folded onto the 3 stage rows)
     # (q56: 1-row N/V corpus-constant aggregate broadcast onto counts —
     #  the scale-safe replacement for the empty-partition window)
+    # (q62/q64: the k×dim centroid matrix rides a broadcast 1-ROW frame
+    #  instead of k·dim plan literals — Catalyst analysis stays O(1) in k)
     scalar_cross_ok = {
         "q14_nation_share_vs_global",
         "q56_unigram_lm_scoring",
+        "q62_kmeans_clusters",
         "q63_nation_pagerank",
+        "q64_semdedup_pairs",
         "q69_zipf_fit",
         "q71_event_funnel",
     }
