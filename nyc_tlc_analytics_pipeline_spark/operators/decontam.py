@@ -33,12 +33,16 @@ from pyspark.sql.functions import col, lit
 from . import text
 
 
-def word_ngrams(text_col: Column | str, n: int) -> Column:
+def word_ngrams(
+    text_col: Column | str, n: int, toks: Column | None = None
+) -> Column:
     """Distinct word n-grams ('tok tok tok') of lower-cased text.  Docs
     shorter than n tokens yield their whole text as one gram (matching
     the eval-leak intuition: a 3-token doc can still be a verbatim
-    benchmark answer)."""
-    toks = text.tokens(text_col)
+    benchmark answer).  ``toks``: optional pre-computed token array
+    (tokenize-once pipelines)."""
+    if toks is None:
+        toks = text.tokens(text_col)
     k = F.size(toks)
     n_grams = F.greatest(k - lit(n - 1), lit(1))
     return F.array_distinct(
@@ -63,14 +67,22 @@ def flag_contaminated(
     n: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Ids of corpus documents sharing ≥ 1 word n-gram with the benchmark.
 
     The corpus is exploded to (id, gram) and semi-joined against the
-    broadcast benchmark gram set — corpus rows never shuffle."""
+    broadcast benchmark gram set — corpus rows never shuffle.
+    ``toks_col``: optional pre-computed token-array column on the CORPUS
+    side (tokenize-once pipelines; the tiny benchmark side always
+    tokenizes from ``text_col``)."""
     grams = F.broadcast(benchmark_grams(bench, n, text_col))
+    corpus_toks = col(toks_col) if toks_col is not None else None
     return (
-        corpus.select(col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        corpus.select(
+            col(id_col),
+            F.explode(word_ngrams(text_col, n, toks=corpus_toks)).alias("gram"),
+        )
         .join(grams, "gram", "left_semi")
         .select(id_col)
         .distinct()
@@ -83,8 +95,9 @@ def decontaminate(
     n: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """The curation-gate form: corpus minus contaminated documents
     (left-anti join on the flagged id set)."""
-    bad = flag_contaminated(corpus, bench, n, id_col, text_col)
+    bad = flag_contaminated(corpus, bench, n, id_col, text_col, toks_col)
     return corpus.join(bad, id_col, "left_anti")

@@ -114,11 +114,21 @@ REPEAT_MAX = 0.6
 TOP_BIGRAM_MAX = 0.1
 
 
-def rule_flags(text_col: Column | str) -> dict[str, Column]:
+def rule_flags(
+    text_col: Column | str, toks: Column | str | None = None
+) -> dict[str, Column]:
     """The rule battery as named boolean columns (True = rule VIOLATED,
-    matching how curation pipelines report per-rule rejection counts)."""
+    matching how curation pipelines report per-rule rejection counts).
+
+    ``toks``: optionally a pre-computed token-array column (semantics of
+    :func:`operators.text.tokens`).  Pipelines that tokenize once and
+    feed several consumers (gate + decontam + token counts — the q55
+    funnel) pass it to avoid re-splitting the text per consumer."""
     c = col(text_col) if isinstance(text_col, str) else text_col
-    toks = text.tokens(c)
+    if toks is None:
+        toks = text.tokens(c)
+    elif isinstance(toks, str):
+        toks = col(toks)
     n = F.size(toks)
     return {
         "bad_length": (n < MIN_TOKENS) | (n > MAX_TOKENS),
@@ -130,10 +140,14 @@ def rule_flags(text_col: Column | str) -> dict[str, Column]:
     }
 
 
-def apply_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+def apply_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    toks: Column | str | None = None,
+) -> DataFrame:
     """Attach per-rule violation flags and the overall ``rules_pass``
     verdict.  Map-only: fused into the scan, no shuffle, no Python."""
-    flags = rule_flags(text_col)
+    flags = rule_flags(text_col, toks)
     out = df.withColumns(flags)
     verdict = None
     for name in flags:
@@ -142,6 +156,10 @@ def apply_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("rules_pass", ~verdict)
 
 
-def filter_by_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+def filter_by_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    toks: Column | str | None = None,
+) -> DataFrame:
     """Keep only rule-passing documents (the curation gate form)."""
-    return apply_rules(df, text_col).filter(col("rules_pass"))
+    return apply_rules(df, text_col, toks).filter(col("rules_pass"))

@@ -1003,8 +1003,13 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph, sampling
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    kept = docs.withColumn("quality", rnd(text.quality_score("text"), 6)).filter(
-        col("quality") >= 0.5
+    # materialize the gated frame once: it feeds the shingle explode of
+    # the pair join, the canonical semi-join, and the final aggregate —
+    # each would otherwise re-evaluate the quality-score expression tree
+    kept = (
+        docs.withColumn("quality", rnd(text.quality_score("text"), 6))
+        .filter(col("quality") >= 0.5)
+        .localCheckpoint(eager=False)
     )
     pairs = dedup.jaccard_pairs(
         kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
@@ -1628,13 +1633,22 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import decontam, packing, rules, sampling, text as T
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    gated = rules.filter_by_rules(docs, "text")
-    bench = docs.filter(col("doc_id") % 50 == 0)
-    clean = decontam.decontaminate(
-        gated.filter(col("doc_id") % 50 != 0), bench, n=4
+    # tokenize ONCE: the gate rules, the decontamination grams, and the
+    # token counts all consume the same split — carrying it as a column
+    # (and materializing the gated pool, which the funnel reads twice:
+    # gram-explode side + anti-join side) stops the funnel re-tokenizing
+    # the corpus in three stages (was 24% of the headline bench)
+    tk = docs.withColumn("tk", T.tokens("text"))
+    gated = rules.filter_by_rules(tk, "text", toks="tk")
+    pool = (
+        gated.filter(col("doc_id") % 50 != 0)
+        .select("doc_id", "lang", "tk")
+        .localCheckpoint(eager=False)
     )
+    bench = docs.filter(col("doc_id") % 50 == 0)
+    clean = decontam.decontaminate(pool, bench, n=4, toks_col="tk")
     sampled = sampling.mixture_sample(
-        clean.select("doc_id", "lang", T.token_count("text").alias("n_tokens")),
+        clean.select("doc_id", "lang", F.size("tk").alias("n_tokens")),
         "lang",
         _Q55_WEIGHTS,
         "doc_id",
