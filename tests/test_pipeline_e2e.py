@@ -187,14 +187,13 @@ def test_cli_explain_unknown_query(pipeline, capsys):
     assert "unknown query" in capsys.readouterr().err
 
 
-def test_manifest_bronze_e2e(spark, landing, tmp_path):
-    """Full pipeline with bronze_format='manifest': same results, plus
-    commit-log semantics (idempotent reload leaves one committed version
-    per file, raw() reads through the manifest snapshot)."""
+def test_manifest_bronze_is_default_e2e(spark, landing, tmp_path):
+    """The DEFAULT config uses bronze_format='manifest': commit-log
+    semantics (idempotent reload leaves one committed version per file,
+    raw() reads through the manifest snapshot)."""
     wh = str(tmp_path / "wh_manifest")
-    p = TlcPipeline(
-        spark, PipelineConfig(warehouse_dir=wh, bronze_format="manifest")
-    )
+    p = TlcPipeline(spark, PipelineConfig(warehouse_dir=wh))
+    assert p.config.bronze_format == "manifest"
     summary = p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"))
     assert summary["files_loaded"] == 3
     assert summary["fact_rows"] == 1350
@@ -204,6 +203,59 @@ def test_manifest_bronze_e2e(spark, landing, tmp_path):
     assert p._bronze_manifest("yellow").latest_version() == 1
     assert p.raw("yellow").count() == 400
     assert "source_file" in p.raw("yellow").columns
+
+
+def test_partition_bronze_opt_in_e2e(spark, landing, tmp_path):
+    """The partition layout stays available as the single-writer,
+    zero-metadata escape hatch."""
+    wh = str(tmp_path / "wh_part")
+    p = TlcPipeline(
+        spark, PipelineConfig(warehouse_dir=wh, bronze_format="partition")
+    )
+    summary = p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"))
+    assert summary["files_loaded"] == 3
+    assert summary["fact_rows"] == 1350
+    assert os.path.isdir(
+        os.path.join(
+            p.bronze("yellow"), "source_file=yellow_tripdata_2025-01.parquet"
+        )
+    )
+    again = p.load_landing_dir(str(landing))
+    assert all(r["status"] == "skipped_already_loaded" for r in again)
+
+
+def test_concurrent_loaders_under_default_config(spark, landing, tmp_path):
+    """Two loaders ingesting the SAME landing dir into the SAME warehouse
+    at the same time, under the DEFAULT config: every file lands exactly
+    once (one winner commits, the loser tag-skips), no torn or duplicated
+    bronze data — the property the partition sink cannot give."""
+    import threading
+
+    wh = str(tmp_path / "wh_race")
+    p1 = TlcPipeline(spark, PipelineConfig(warehouse_dir=wh))
+    p2 = TlcPipeline(spark, PipelineConfig(warehouse_dir=wh))
+    results: dict[str, list] = {}
+    barrier = threading.Barrier(2)
+
+    def load(name: str, p: TlcPipeline) -> None:
+        barrier.wait()
+        results[name] = p.load_landing_dir(str(landing))
+
+    ts = [
+        threading.Thread(target=load, args=("a", p1)),
+        threading.Thread(target=load, args=("b", p2)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    statuses = [r["status"] for r in results["a"] + results["b"]]
+    assert statuses.count("success") == 3  # each file exactly once
+    assert statuses.count("skipped_already_loaded") == 3
+    assert p1.raw("yellow").count() == 400  # no dup/torn data
+    assert p1.raw("green").count() == 150
+    assert p1.raw("hvfhv").count() == 800
+    assert p1._bronze_manifest("yellow").latest_version() == 1
 
 
 def test_cli_curate_writes_shards(pipeline, capsys, tmp_path):
