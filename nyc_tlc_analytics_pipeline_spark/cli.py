@@ -9,6 +9,7 @@
     python -m nyc_tlc_analytics_pipeline_spark.cli aggregates
     python -m nyc_tlc_analytics_pipeline_spark.cli analytics a01_top_zones_by_revenue
     python -m nyc_tlc_analytics_pipeline_spark.cli run-e2e --landing-dir data/raw
+    python -m nyc_tlc_analytics_pipeline_spark.cli status
     python -m nyc_tlc_analytics_pipeline_spark.cli explain q01_top_nations_by_revenue --run
     python -m nyc_tlc_analytics_pipeline_spark.cli curate --out data/shards
 
@@ -84,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("--run", action="store_true", help="execute and report rows/secs")
 
+    # warehouse inventory (reference db-stats: src/cli.py:112-116 →
+    # SchemaManager.get_schema_summary, src/database/schema.py:128-148)
+    sub.add_parser(
+        "status",
+        help="warehouse statistics: per-table row counts, column counts, "
+        "on-disk bytes (reference db-stats)",
+    )
+
     # training-data curation: the q55 funnel as a user verb, writing
     # dataloader-ready shards
     cu = sub.add_parser(
@@ -140,6 +149,57 @@ def main(argv: list[str] | None = None) -> int:
         pl.run_analytics(args.name).show(args.limit, truncate=False)
     elif args.command == "run-e2e":
         print(json.dumps(pl.run_e2e(args.landing_dir, args.zones_csv), indent=2))
+    elif args.command == "status":
+        from .sources.readers import table_info
+
+        def dir_bytes(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+
+        tables: dict[str, dict] = {}
+        wh = pl.config.warehouse_dir
+        for layer in ("bronze", "silver", "gold", "meta"):
+            layer_dir = os.path.join(wh, layer)
+            if not os.path.isdir(layer_dir):
+                continue
+            for name in sorted(os.listdir(layer_dir)):
+                path = os.path.join(layer_dir, name)
+                if not os.path.isdir(path):
+                    continue
+                try:
+                    # bronze/meta reads go through the configured table
+                    # format (manifest snapshot or plain parquet)
+                    if layer == "bronze":
+                        df = pl.raw(name.removeprefix("raw_"))
+                    elif layer == "meta":
+                        df = pl.read_meta(name)
+                    else:
+                        df = pl.spark.read.parquet(path)
+                    info = table_info(df)
+                    tables[f"{layer}.{name}"] = {
+                        "row_count": info["row_count"],
+                        "n_columns": len(info["columns"]),
+                        "size_bytes": dir_bytes(path),
+                    }
+                except Exception as ex:  # noqa: BLE001 — report, keep going
+                    tables[f"{layer}.{name}"] = {"error": str(ex)[:120]}
+        print(
+            json.dumps(
+                {
+                    "warehouse_dir": wh,
+                    "table_count": len(tables),
+                    "total_size_bytes": sum(
+                        t.get("size_bytes", 0) for t in tables.values()
+                    ),
+                    "tables": tables,
+                },
+                indent=2,
+                sort_keys=True,
+            )
+        )
     elif args.command == "explain":
         from .plans.analytics import ANALYTICS
         from .plans.catalog import QUERIES

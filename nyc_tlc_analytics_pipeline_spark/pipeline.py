@@ -81,6 +81,29 @@ class TlcPipeline:
 
         return ManifestTable(self.spark, self.bronze(service))
 
+    # -- meta tables (format follows bronze_format) ------------------------
+    def _meta_append(self, df: DataFrame, name: str) -> None:
+        """Append to a meta table through the configured table format.
+        Under "manifest" this matters for correctness, not just hygiene:
+        concurrent loaders each append an ingestion_log entry, and the
+        plain parquet append stages through a SHARED ``_temporary`` dir
+        (two jobs interleave each other's commit phase) — the exact race
+        the manifest format exists to serialize."""
+        if self.config.bronze_format == "manifest":
+            from .sources.manifest import ManifestTable
+
+            ManifestTable(self.spark, self.meta(name)).append(df)
+        else:
+            sinks.append(df, self.meta(name))
+
+    def read_meta(self, name: str) -> DataFrame:
+        """Read a meta table through the configured table format."""
+        if self.config.bronze_format == "manifest":
+            from .sources.manifest import ManifestTable
+
+            return ManifestTable(self.spark, self.meta(name)).read()
+        return self.spark.read.parquet(self.meta(name))
+
     def load_file(self, path: str, service: str) -> dict:
         """Validate → align → idempotent bronze append (SURVEY §3.3).
 
@@ -107,7 +130,9 @@ class TlcPipeline:
             "file_size_bytes": os.path.getsize(path) if os.path.exists(path) else 0,
             "status": "success" if written else "skipped_already_loaded",
         }
-        sinks.append(sinks.ingestion_log_rows(self.spark, [entry]), self.meta("ingestion_log"))
+        self._meta_append(
+            sinks.ingestion_log_rows(self.spark, [entry]), "ingestion_log"
+        )
         return entry
 
     def load_landing_dir(self, landing_dir: str) -> list[dict]:
@@ -136,7 +161,9 @@ class TlcPipeline:
         out: dict[str, list[quality.CheckResult]] = {}
         for service in self._loaded_services():
             results = quality.run_all_checks(self.raw(service), service, self.config.quality)
-            sinks.append(quality.metrics_df(self.spark, results), self.meta("data_quality_metrics"))
+            self._meta_append(
+                quality.metrics_df(self.spark, results), "data_quality_metrics"
+            )
             out[service] = results
         return out
 

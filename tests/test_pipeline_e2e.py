@@ -74,14 +74,14 @@ def test_analytics_over_warehouse(pipeline):
 
 
 def test_ingestion_log_written(pipeline):
-    log = pipeline.spark.read.parquet(pipeline.meta("ingestion_log"))
+    log = pipeline.read_meta("ingestion_log")
     # 3 loads + 3 skipped re-loads
     assert log.count() == 6
     assert set(r.status for r in log.collect()) == {"success", "skipped_already_loaded"}
 
 
 def test_quality_metrics_written(pipeline):
-    m = pipeline.spark.read.parquet(pipeline.meta("data_quality_metrics"))
+    m = pipeline.read_meta("data_quality_metrics")
     assert m.count() == 12  # 4 checks x 3 services
     assert {r.service_type for r in m.collect()} == {"yellow", "green", "hvfhv"}
 
@@ -127,14 +127,14 @@ def test_killed_stage_resumes_without_rerunning_earlier_stages(spark, landing, t
     with pytest.raises(StageFailed) as ei:
         p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"), retries=0)
     assert ei.value.stage == "build_fact"
-    log_rows = p.spark.read.parquet(p.meta("ingestion_log")).count()
+    log_rows = p.read_meta("ingestion_log").count()
     assert log_rows == 3  # ingest completed before the kill
 
     p.build_fact = real  # "fix the bug", re-run
     summary = p.run_e2e(str(landing), zones_csv=str(landing / "taxi_zones.csv"))
     assert summary["fact_rows"] == 1350
     assert summary["files_loaded"] == 3  # journaled result, stage not re-executed
-    assert p.spark.read.parquet(p.meta("ingestion_log")).count() == 3  # no dup entries
+    assert p.read_meta("ingestion_log").count() == 3  # no dup entries
     assert p.spark.read.parquet(p.fact_path).count() == 1350
 
 
@@ -256,6 +256,24 @@ def test_concurrent_loaders_under_default_config(spark, landing, tmp_path):
     assert p1.raw("green").count() == 150
     assert p1.raw("hvfhv").count() == 800
     assert p1._bronze_manifest("yellow").latest_version() == 1
+
+
+def test_cli_status_reports_tables(pipeline, capsys):
+    """`status` (reference db-stats) prints per-table row counts across
+    all warehouse layers, reading bronze through the configured format."""
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    rc = main(["--warehouse-dir", pipeline.config.warehouse_dir, "status"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["table_count"] == len(out["tables"]) > 0
+    assert out["tables"]["silver.fact_trips"]["row_count"] == 1350
+    assert out["tables"]["bronze.raw_yellow"]["row_count"] == 400
+    assert out["tables"]["meta.ingestion_log"]["row_count"] >= 3
+    assert all(
+        "error" not in t or t["error"] is None for t in out["tables"].values()
+    )
+    assert out["total_size_bytes"] > 0
 
 
 def test_cli_curate_writes_shards(pipeline, capsys, tmp_path):
