@@ -15,10 +15,15 @@ Codec support is format-tiered:
   + raster parsing) and WAV audio (stdlib ``wave``) are decoded for real
   — pixel means/sharpness, sample RMS/zero-crossings, nearest-neighbor
   resize with PPM re-encode all operate on actual payload bytes.
-- **Stubbed codecs**: JPEG/PNG/MP4 need PIL/ffmpeg, which are NOT in this
-  container; those paths raise ``NotImplementedError`` unless
-  ``fake=True``, where a deterministic digest-derived fake exercises the
-  full Spark plumbing — schema, batching, partitioning — for real.
+- **Feature-probed codecs**: if PIL (images) or soundfile (compressed
+  audio) is importable, JPEG/PNG/... decode for real through the same
+  kernels — the probe runs at module import, in the driver AND in each
+  Python worker (kernels are pickled by reference and re-import this
+  module), so no plumbing changes when the environment grows codecs.
+- **Stubbed codecs**: with the libraries absent (this container), those
+  paths raise ``NotImplementedError`` unless ``fake=True``, where a
+  deterministic digest-derived fake exercises the full Spark plumbing —
+  schema, batching, partitioning — for real.
 """
 
 from __future__ import annotations
@@ -42,6 +47,23 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _try_import(name: str):
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return None
+
+
+#: feature probes — evaluated wherever the module is imported (driver and
+#: Python workers alike), so kernels pick up real codecs automatically
+_PIL_IMAGE = _try_import("PIL.Image")
+_SOUNDFILE = _try_import("soundfile")
+HAS_PIL = _PIL_IMAGE is not None
+HAS_SOUNDFILE = _SOUNDFILE is not None
+
 
 MEDIA_SCHEMA = StructType(
     [
@@ -182,11 +204,14 @@ def decode_image_stub(fake: bool = False):
     def _decode(payload: bytes, fmt: str) -> tuple[float, float, float, float]:
         if fmt in ("ppm", "pgm"):
             return _image_stats(decode_ppm(bytes(payload)))
+        if _PIL_IMAGE is not None:  # real codec when the env provides it
+            with _PIL_IMAGE.open(io.BytesIO(bytes(payload))) as im:
+                return _image_stats(np.asarray(im.convert("RGB")))
         if fake:
             return _fake_pixel_stats(payload)
         raise NotImplementedError(
             f"no codec for image format {fmt!r} in this environment; "
-            "plug PIL/opencv into multimodal.decode_image_stub"
+            "install PIL and multimodal.decode_image_stub uses it automatically"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,25 +248,35 @@ def decode_audio_kernel(fake: bool = False):
     zero-crossing rate from actual samples; compressed formats (mp3/ogg)
     would need ffmpeg and follow the stub/fake contract."""
 
+    def _sample_features(x: np.ndarray, rate: int):
+        n = int(x.size)
+        zcr = float(np.mean(np.diff(np.signbit(x)) != 0)) if n > 1 else 0.0
+        return (
+            rate,
+            n,
+            int(round(1000.0 * n / rate)) if rate else 0,
+            float(np.sqrt(np.mean(x**2))) if n else 0.0,
+            float(np.abs(x).max()) if n else 0.0,
+            zcr,
+        )
+
     def _features(payload: bytes, fmt: str):
         if fmt == "wav":
-            x, rate = decode_wav(bytes(payload))
-            n = int(x.size)
-            zcr = float(np.mean(np.diff(np.signbit(x)) != 0)) if n > 1 else 0.0
-            return (
-                rate,
-                n,
-                int(round(1000.0 * n / rate)) if rate else 0,
-                float(np.sqrt(np.mean(x**2))) if n else 0.0,
-                float(np.abs(x).max()) if n else 0.0,
-                zcr,
+            return _sample_features(*decode_wav(bytes(payload)))
+        if _SOUNDFILE is not None:  # real codec when the env provides it
+            x, rate = _SOUNDFILE.read(
+                io.BytesIO(bytes(payload)), dtype="float32"
             )
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            return _sample_features(x, int(rate))
         if fake:
             d = hashlib.sha256(payload).digest()
             return (16000, 16000, 1000, d[0] / 255.0, d[1] / 255.0, d[2] / 255.0)
         raise NotImplementedError(
             f"no codec for audio format {fmt!r} in this environment; "
-            "plug ffmpeg/librosa into multimodal.decode_audio_kernel"
+            "install soundfile and multimodal.decode_audio_kernel uses it "
+            "automatically"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -57,6 +57,10 @@ def test_fake_image_decode_kernel(media):
 
 
 def test_real_decode_raises_not_implemented(media):
+    from nyc_tlc_analytics_pipeline_spark.operators import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("PIL present: non-PPM formats decode for real")
     out = media.filter("media_id = 1").mapInPandas(
         decode_image_stub(fake=False), DECODED_IMAGE_SCHEMA
     )
@@ -230,3 +234,66 @@ def test_resize_kernel_real_end_to_end(spark):
     # non-ppm passes through untouched
     assert bytes(rows[2].content) == b"\xff\xd8not-a-real-jpeg"
     assert rows[2].width == 64
+
+
+def test_pil_codec_auto_detected_through_spark(spark):
+    """When PIL is importable (feature probe), PNG/JPEG decode for REAL
+    through the same mapInPandas kernel — auto-skips where PIL is absent
+    (this container), runs unchanged where the environment grows it."""
+    from nyc_tlc_analytics_pipeline_spark.operators import multimodal
+
+    if not multimodal.HAS_PIL:
+        pytest.skip("PIL absent: probe leaves the stub contract in place")
+    import io
+
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        _image_stats,
+    )
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    arr[:, 4:] = 200
+    im = multimodal._PIL_IMAGE.fromarray(arr)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", "png", 8, 8, None, buf.getvalue())], MEDIA_SCHEMA
+    )
+    row = df.mapInPandas(
+        decode_image_stub(fake=False), DECODED_IMAGE_SCHEMA
+    ).collect()[0]
+    want = _image_stats(arr)
+    assert abs(row.mean_r - want[0]) < 1e-9
+    assert abs(row.sharpness - want[3]) < 1e-9
+
+
+def test_soundfile_codec_auto_detected_through_spark(spark):
+    """When soundfile is importable, compressed audio decodes for real
+    through decode_audio_kernel — auto-skips where the lib is absent."""
+    from nyc_tlc_analytics_pipeline_spark.operators import multimodal
+
+    if not multimodal.HAS_SOUNDFILE:
+        pytest.skip("soundfile absent: probe leaves the stub contract")
+    import io
+
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        DECODED_AUDIO_SCHEMA,
+        decode_audio_kernel,
+    )
+
+    rate, secs = 8000, 0.25
+    t = np.arange(int(rate * secs)) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype("float32")
+    buf = io.BytesIO()
+    multimodal._SOUNDFILE.write(buf, x, rate, format="OGG")
+    df = spark.createDataFrame(
+        [(1, "audio", "ogg", None, None, 250, buf.getvalue())], MEDIA_SCHEMA
+    )
+    row = df.mapInPandas(
+        decode_audio_kernel(fake=False), DECODED_AUDIO_SCHEMA
+    ).collect()[0]
+    assert row.sample_rate == rate
+    assert abs(row.rms - float(np.sqrt(np.mean(x**2)))) < 0.05
