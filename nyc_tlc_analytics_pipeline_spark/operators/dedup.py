@@ -626,34 +626,41 @@ def duplicated_span_stats(
     document-level near-dup misses.
 
     Scale shape: explode to (doc, position, gram) WITH multiplicity (a
-    position table, unlike the distinct shingle join keys); gram
-    document-frequency from the distinct (doc, gram) pairs (two-level
-    aggregate, map-side combine); one equi-join of positions against the
-    dup-gram set on the gram hash; additive per-doc then per-group
-    rollups.  Never pair-shaped — cost is O(total tokens), the same as
-    the corpus scan."""
-    pos = parallelize_input(df).select(
+    position table, unlike the distinct shingle join keys), carrying
+    grams as xxhash64 VALUES — at n=10 the gram string is ~60-100 bytes
+    and is shuffled twice, so hashing to 8 bytes cuts shuffle volume
+    ~10× (collision odds at even 10⁹ grams: ~3%% of a single colliding
+    PAIR anywhere, i.e. one position miscounted in a corpus-level
+    diagnostic — the standard exact-substring-dedup trade).  Gram
+    document-frequency is ONE gram-keyed shuffle (count_distinct doc,
+    partials map-side); per-doc span totals are computed map-only from
+    the token count BEFORE the explode (never a position-table
+    groupBy); one semi-join of positions against the dup-gram set.
+    Never pair-shaped — cost is O(total tokens), same as the corpus
+    scan."""
+    toks = parallelize_input(df).select(
         col(id_col).alias("doc"),
         col(group_col).alias("grp"),
         F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
     )
+    # one row per doc, map-only: the denominator never touches a shuffle
+    totals = toks.select(
+        "doc",
+        "grp",
+        F.greatest(F.size("__toks") - lit(n - 1), lit(1)).alias("n_spans"),
+    )
     gram_expr = (
         f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+        f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {n}))))"
     )
-    pos = pos.select(
-        "doc", "grp", F.explode_outer(F.expr(gram_expr)).alias("gram")
-    )
-    # materialize once: pos feeds three consumers (doc-frequency, the
-    # flagged semi-join probe, and the per-doc totals) and the
-    # tokenize+explode lineage is the dominant cost — without this the
-    # corpus is tokenized three times (same fix as semdedup_pairs)
+    pos = toks.select("doc", F.explode_outer(F.expr(gram_expr)).alias("gram"))
+    # materialize once: pos feeds two consumers (doc-frequency and the
+    # flagged semi-join probe) and the tokenize+explode lineage is the
+    # dominant cost (same fix as semdedup_pairs)
     pos = pos.localCheckpoint(eager=False)
     dup_grams = (
-        pos.select("doc", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("gram_docs"))
+        pos.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("gram_docs"))
         .filter(col("gram_docs") >= 2)
         .select("gram")
     )
@@ -661,9 +668,7 @@ def duplicated_span_stats(
         F.count("*").alias("n_dup")
     )
     per_doc = (
-        pos.groupBy("doc", "grp")
-        .agg(F.count("*").alias("n_spans"))
-        .join(flagged, "doc", "left")
+        totals.join(flagged, "doc", "left")
         .withColumn("n_dup", F.coalesce(col("n_dup"), lit(0)))
         .withColumn("dup_frac", col("n_dup") / col("n_spans"))
     )
