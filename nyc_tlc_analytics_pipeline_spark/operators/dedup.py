@@ -691,3 +691,84 @@ def duplicated_span_stats(
         )
         .orderBy(group_col)
     )
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_df: int = 2,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact-substring DEDUP (the removal step of Lee et al. 2022, where
+    :func:`duplicated_span_stats` is the diagnostic): drop every token
+    POSITION covered by some n-gram that occurs in ≥ ``min_df``
+    documents, and return the cleaned corpus.
+
+    Returns one row per input document: ``keep_cols``, ``n_tokens``
+    (before), ``n_removed`` (tokens dropped), and ``text_clean`` (the
+    surviving tokens re-joined).  Documents made entirely of boilerplate
+    come back with an empty ``text_clean`` — dropping them is the
+    caller's policy decision.
+
+    Scale shape (mirrors duplicated_span_stats): the position table
+    carries xxhash64 gram VALUES (8-byte shuffle keys); dup-gram
+    document frequency is one gram-keyed ``count_distinct`` shuffle;
+    flagged span STARTS come back as one doc-keyed array (bounded by
+    the document's own token count — never corpus-sized); the final
+    mask is a map-side array expression over the token array.  Cost is
+    O(total tokens) — never pair-shaped.
+    """
+    keep_cols = keep_cols or []
+    toks = parallelize_input(df).select(
+        col(id_col).alias("doc"),
+        *keep_cols,
+        F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
+    )
+    gram_expr = (
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {n}))))"
+    )
+    pos = toks.select(
+        "doc", F.posexplode_outer(F.expr(gram_expr)).alias("__p0", "gram")
+    ).select("doc", (col("__p0") + 1).alias("start"), "gram")
+    pos = pos.localCheckpoint(eager=False)
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("gram_docs"))
+        .filter(col("gram_docs") >= min_df)
+        .select("gram")
+    )
+    starts = (
+        pos.join(dup_grams, "gram", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("start").alias("__starts"))
+    )
+    span = lit(n - 1)
+    out = (
+        toks.join(starts, "doc", "left")
+        .withColumn("__starts", F.coalesce(col("__starts"), F.array()))
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        # the kept token indices (1-based), then project the tokens —
+        # all map-side array expressions, no further shuffle
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.sequence(lit(1), F.size("__toks")).alias("__js"),
+                lambda j: ~F.exists(
+                    col("__starts"), lambda s: (s <= j) & (j <= s + span)
+                ),
+            ),
+        )
+        .withColumn("n_removed", (F.size("__toks") - F.size("__kept")).cast("long"))
+        .withColumn(
+            "text_clean",
+            F.array_join(
+                F.transform(col("__kept"), lambda j: F.element_at("__toks", j)),
+                " ",
+            ),
+        )
+    )
+    return out.select(
+        col("doc").alias(id_col), *keep_cols, "n_tokens", "n_removed", "text_clean"
+    )

@@ -3016,3 +3016,88 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _PLANES_8x64, per_bucket=_Q74_PER_BUCKET
     )
     return out.select("bucket", "vec_id", "label").orderBy("bucket", "vec_id")
+
+# ---------------------------------------------------------------------------
+# q75 — exact duplicated-span REMOVAL (the dedup step q68 diagnoses)
+# ---------------------------------------------------------------------------
+
+_Q75_N = 10
+
+_Q75_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS start,
+           array_to_string(t[i:i+{_Q75_N - 1}], ' ') AS gram
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - {_Q75_N - 1}, 1) + 1)) AS i
+          FROM toks)
+),
+dup AS (
+    SELECT gram
+    FROM (SELECT DISTINCT doc_id, gram FROM pos)
+    GROUP BY gram HAVING count(*) >= 2
+),
+starts AS (
+    SELECT p.doc_id, p.start FROM pos p JOIN dup d ON p.gram = d.gram
+),
+covered AS (
+    SELECT DISTINCT s.doc_id, s.start + u.o AS j
+    FROM starts s, UNNEST(range(0, {_Q75_N})) AS u(o)
+),
+removed AS (
+    SELECT c.doc_id, count(*) AS n_removed
+    FROM covered c JOIN toks tk ON c.doc_id = tk.doc_id AND c.j <= len(tk.t)
+    GROUP BY c.doc_id
+),
+per_doc AS (
+    SELECT tk.doc_id, tk.source, len(tk.t) AS n_tokens,
+           coalesce(r.n_removed, 0) AS n_removed
+    FROM toks tk LEFT JOIN removed r ON tk.doc_id = r.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_affected,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_removed) AS BIGINT) AS total_removed,
+       round(1.0 * sum(n_removed) / sum(n_tokens) + 1e-9, 6) AS removed_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q75_span_removal",
+    _Q75_ORACLE,
+    "Exact duplicated-span REMOVAL (Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better' — the removal step of "
+    "the diagnostic q68 computes): every token position covered by a "
+    f"{_Q75_N}-gram occurring in ≥2 documents is dropped and the corpus "
+    "rebuilt; per-source removal report.  Position table carries "
+    "xxhash64 gram values (8-byte shuffle keys); flagged span starts "
+    "come back as one doc-keyed bounded array; the token mask is a "
+    "map-side array expression — O(total tokens), never pair-shaped.",
+    operators=("dedup-span-removal", "A1", "A3", "J8"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    cleaned = D.remove_duplicated_spans(
+        docs, "doc_id", "text", n=_Q75_N, keep_cols=["source"]
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((col("n_removed") > 0).cast("long")).alias("n_docs_affected"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_removed").cast("long").alias("total_removed"),
+            rnd(F.sum("n_removed") / F.sum("n_tokens"), 6).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )

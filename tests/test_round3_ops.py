@@ -113,8 +113,11 @@ def test_kmeans_separates_planted_blobs(spark):
 
 
 def test_kmeans_assignment_is_map_side(spark):
-    """Assignment must be a pure map: no join, no shuffle below the
-    final aggregate (centroids are literals)."""
+    """Assignment must never shuffle the vectors: the k×dim centroid
+    matrix arrives as a broadcast 1-ROW frame (r5: column, not plan
+    literals — Catalyst analysis stays O(1) in k), so the only join in
+    the plan is that scalar attach and the only Exchange is its
+    broadcast."""
     from nyc_tlc_analytics_pipeline_spark.operators import cluster
 
     df = spark.createDataFrame(
@@ -123,8 +126,10 @@ def test_kmeans_assignment_is_map_side(spark):
     vecs = df.selectExpr("vec_id AS vid", "CAST(embedding AS array<double>) AS v")
     assigned = cluster.assign_clusters(vecs, [[0.0, 0.0], [9.0, 0.0]])
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert "Exchange" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row attach
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no shuffle of the data: every Exchange present is the broadcast
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
 
 
 def test_pagerank_cycle_is_uniform(spark):

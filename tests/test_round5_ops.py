@@ -1,0 +1,83 @@
+"""Round-5 operator tests: exact duplicated-span removal (q75)."""
+
+from __future__ import annotations
+
+from nyc_tlc_analytics_pipeline_spark.operators.dedup import (
+    remove_duplicated_spans,
+)
+
+BOILER = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+
+
+def test_span_removal_strips_shared_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a unique sentence one " + BOILER),
+            (2, "s1", "another unique sentence here " + BOILER),
+            (3, "s2", "totally original text with no duplicate span at all"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", n=10, keep_cols=["source"]
+        ).collect()
+    }
+    assert out[1].text_clean == "a unique sentence one"
+    assert out[1].n_removed == 10 and out[1].n_tokens == 14
+    assert out[2].text_clean == "another unique sentence here"
+    assert out[3].n_removed == 0
+    assert out[3].text_clean == "totally original text with no duplicate span at all"
+    assert out[3].source == "s2"
+
+
+def test_span_removal_overlapping_spans_count_positions_once(spark):
+    # 11 shared tokens → two overlapping duplicated 10-grams; the union
+    # of covered positions is 11, not 20
+    shared = BOILER + " again"
+    df = spark.createDataFrame(
+        [(1, "x " + shared), (2, "y " + shared)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=10).collect()
+    }
+    assert out[1].n_removed == 11
+    assert out[1].text_clean == "x"
+
+
+def test_span_removal_whole_doc_duplicate_yields_empty_clean_text(spark):
+    df = spark.createDataFrame(
+        [(1, BOILER), (2, BOILER)], "doc_id long, text string"
+    )
+    out = remove_duplicated_spans(df, "doc_id", "text", n=10).collect()
+    assert all(r.n_removed == r.n_tokens == 10 for r in out)
+    assert all(r.text_clean == "" for r in out)
+
+
+def test_span_removal_short_docs_compare_whole_text(spark):
+    # docs shorter than n: the whole text is the single gram (matching
+    # duplicated_span_stats / decontam word_ngrams semantics), so two
+    # identical short docs erase each other, a distinct one survives
+    df = spark.createDataFrame(
+        [(1, "tiny dup"), (2, "tiny dup"), (3, "tiny original")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=10).collect()
+    }
+    assert out[1].text_clean == "" and out[1].n_removed == 2
+    assert out[3].text_clean == "tiny original" and out[3].n_removed == 0
+
+
+def test_span_removal_min_df_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "a " + BOILER), (2, "b " + BOILER), (3, "c " + BOILER)],
+        "doc_id long, text string",
+    )
+    # min_df=4 > document frequency 3 → nothing removed
+    out = remove_duplicated_spans(df, "doc_id", "text", n=10, min_df=4).collect()
+    assert all(r.n_removed == 0 for r in out)
