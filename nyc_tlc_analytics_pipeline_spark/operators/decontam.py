@@ -101,3 +101,43 @@ def decontaminate(
     (left-anti join on the flagged id set)."""
     bad = flag_contaminated(corpus, bench, n, id_col, text_col, toks_col)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def redact_contaminated_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """SPAN-level decontamination: instead of dropping whole documents
+    (:func:`decontaminate` — which throws away every clean token of a
+    document that quotes one benchmark line), drop only the token
+    positions covered by a benchmark n-gram and rebuild the text —
+    what production pipelines do when the corpus is expensive.
+
+    Returns one row per corpus document: ``keep_cols``, ``n_tokens``,
+    ``n_removed``, ``text_clean``.
+
+    Scale shape: the corpus position table carries xxhash64 gram values;
+    the benchmark gram-hash set is tiny and BROADCAST, so flagging is a
+    map-side semi probe — corpus rows never shuffle on the gram; the
+    flagged span starts come back as one doc-keyed bounded array and
+    the mask is map-side array expressions (shared machinery with
+    ``dedup.remove_duplicated_spans``)."""
+    from .dedup import mask_spans, position_grams, tokenized_frame
+
+    keep_cols = keep_cols or []
+    toks = tokenized_frame(corpus, id_col, text_col, keep_cols)
+    pos = position_grams(toks, n)
+    bench_toks = tokenized_frame(bench, id_col, text_col, [])
+    bench_grams = (
+        position_grams(bench_toks, n).select("gram").distinct()
+    )
+    starts = (
+        pos.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("start").alias("__starts"))
+    )
+    return mask_spans(toks, starts, n, id_col, keep_cols)

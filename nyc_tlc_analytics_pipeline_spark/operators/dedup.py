@@ -720,19 +720,8 @@ def remove_duplicated_spans(
     O(total tokens) — never pair-shaped.
     """
     keep_cols = keep_cols or []
-    toks = parallelize_input(df).select(
-        col(id_col).alias("doc"),
-        *keep_cols,
-        F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
-    )
-    gram_expr = (
-        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
-        f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {n}))))"
-    )
-    pos = toks.select(
-        "doc", F.posexplode_outer(F.expr(gram_expr)).alias("__p0", "gram")
-    ).select("doc", (col("__p0") + 1).alias("start"), "gram")
-    pos = pos.localCheckpoint(eager=False)
+    toks = tokenized_frame(df, id_col, text_col, keep_cols)
+    pos = position_grams(toks, n).localCheckpoint(eager=False)
     dup_grams = (
         pos.groupBy("gram")
         .agg(F.count_distinct("doc").alias("gram_docs"))
@@ -744,6 +733,42 @@ def remove_duplicated_spans(
         .groupBy("doc")
         .agg(F.collect_list("start").alias("__starts"))
     )
+    return mask_spans(toks, starts, n, id_col, keep_cols)
+
+
+def tokenized_frame(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """(doc, keep_cols, __toks) — the shared head of the span operators."""
+    return parallelize_input(df).select(
+        col(id_col).alias("doc"),
+        *keep_cols,
+        F.split(F.lower(col(text_col)), r"\s+").alias("__toks"),
+    )
+
+
+def position_grams(toks: DataFrame, n: int) -> DataFrame:
+    """(doc, start, gram) position table with xxhash64 gram values —
+    8-byte shuffle keys instead of ~n·8-byte gram strings."""
+    gram_expr = (
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {n}))))"
+    )
+    return toks.select(
+        "doc", F.posexplode_outer(F.expr(gram_expr)).alias("__p0", "gram")
+    ).select("doc", (col("__p0") + 1).alias("start"), "gram")
+
+
+def mask_spans(
+    toks: DataFrame,
+    starts: DataFrame,
+    n: int,
+    id_col: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Drop every token position covered by a flagged n-gram start and
+    rebuild the text — one doc-keyed join of the bounded start arrays,
+    then pure map-side array expressions."""
     span = lit(n - 1)
     out = (
         toks.join(starts, "doc", "left")

@@ -3101,3 +3101,95 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# q76 — span-level benchmark decontamination (redact, don't drop)
+# ---------------------------------------------------------------------------
+
+_Q76_N = 4
+
+_Q76_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents WHERE doc_id % 50 <> 0
+),
+btoks AS (
+    SELECT string_split_regex(lower(text), '\\s+') AS t
+    FROM documents WHERE doc_id % 50 = 0
+),
+pos AS (
+    SELECT doc_id, i AS start,
+           array_to_string(t[i:i+{_Q76_N - 1}], ' ') AS gram
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - {_Q76_N - 1}, 1) + 1)) AS i
+          FROM toks)
+),
+bgrams AS (
+    SELECT DISTINCT array_to_string(t[i:i+{_Q76_N - 1}], ' ') AS gram
+    FROM (SELECT t,
+                 unnest(range(1, greatest(len(t) - {_Q76_N - 1}, 1) + 1)) AS i
+          FROM btoks)
+),
+starts AS (
+    SELECT p.doc_id, p.start FROM pos p JOIN bgrams b ON p.gram = b.gram
+),
+covered AS (
+    SELECT DISTINCT s.doc_id, s.start + u.o AS j
+    FROM starts s, UNNEST(range(0, {_Q76_N})) AS u(o)
+),
+removed AS (
+    SELECT c.doc_id, count(*) AS n_removed
+    FROM covered c JOIN toks tk ON c.doc_id = tk.doc_id AND c.j <= len(tk.t)
+    GROUP BY c.doc_id
+),
+per_doc AS (
+    SELECT tk.doc_id, tk.lang, len(tk.t) AS n_tokens,
+           coalesce(r.n_removed, 0) AS n_removed
+    FROM toks tk LEFT JOIN removed r ON tk.doc_id = r.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_redacted,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_removed) AS BIGINT) AS tokens_redacted,
+       round(1.0 * sum(n_removed) / sum(n_tokens) + 1e-9, 6) AS redacted_frac
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q76_span_decontamination",
+    _Q76_ORACLE,
+    "SPAN-level benchmark decontamination: q50 drops whole documents "
+    f"sharing any {_Q76_N}-gram with the benchmark; this redacts only "
+    "the covered token positions and rebuilds the text — the curation "
+    "policy when the corpus is too valuable to discard.  Corpus "
+    "position table with xxhash64 gram values; the benchmark gram-hash "
+    "set is BROADCAST so flagging is a map-side semi probe; flagged "
+    "span starts return as one doc-keyed bounded array; the mask is "
+    "map-side array expressions (machinery shared with q75).",
+    operators=("decontam-span", "dedup-span-removal", "J8", "A3"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    corpus = docs.filter(col("doc_id") % 50 != 0)
+    bench = docs.filter(col("doc_id") % 50 == 0)
+    redacted = decontam.redact_contaminated_spans(
+        corpus, bench, n=_Q76_N, keep_cols=["lang"]
+    )
+    return (
+        redacted.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((col("n_removed") > 0).cast("long")).alias("n_docs_redacted"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_removed").cast("long").alias("tokens_redacted"),
+            rnd(F.sum("n_removed") / F.sum("n_tokens"), 6).alias("redacted_frac"),
+        )
+        .orderBy("lang")
+    )

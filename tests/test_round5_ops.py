@@ -100,3 +100,48 @@ def test_kmeans_arrow_and_expr_impls_agree_exactly(spark):
     re = sorted((r.vid, r.cid, r.dist2) for r in a_e.collect())
     ra = sorted((r.vid, r.cid, r.dist2) for r in a_a.collect())
     assert re == ra
+
+
+def test_redact_contaminated_spans(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.decontam import (
+        redact_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "s1", "quiz answer what is the capital of france paris obviously"),
+            (2, "s2", "nothing benchmark related in this document at all"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in redact_contaminated_spans(
+            corpus, bench, n=4, keep_cols=["source"]
+        ).collect()
+    }
+    # every 4-gram of the bench sentence is a bench gram; the covered
+    # span in doc 1 is tokens 3..8 ("what ... france") = 6 tokens
+    assert out[1].n_removed == 6
+    assert out[1].text_clean == "quiz answer paris obviously"
+    assert out[2].n_removed == 0
+    assert out[2].text_clean == out[2].text_clean.lower()
+
+
+def test_redact_spans_bench_probe_is_broadcast(spark):
+    """The benchmark gram set must broadcast — corpus rows never shuffle
+    on the gram key."""
+    from nyc_tlc_analytics_pipeline_spark.operators.decontam import (
+        redact_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x a b c d y")], "doc_id long, text string"
+    )
+    df = redact_contaminated_spans(corpus, bench, n=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
