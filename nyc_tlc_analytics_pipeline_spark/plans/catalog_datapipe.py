@@ -3193,3 +3193,101 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+# ---------------------------------------------------------------------------
+# q77 — leakage-safe splits: near-dup clusters never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+_Q77_SALT = "leak"
+
+_Q77_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+),
+grp AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS g
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+assigned AS (
+    SELECT doc_id, g,
+           CASE WHEN ('0x' || substr(md5('{_Q77_SALT}' || CAST(g AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.9 THEN 'train'
+                WHEN ('0x' || substr(md5('{_Q77_SALT}' || CAST(g AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM grp
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "q77_leakage_safe_splits",
+    _Q77_ORACLE,
+    "Leakage-safe train/val/test assignment: documents are split by "
+    "their near-dup CLUSTER (exact-Jaccard pairs closed under "
+    "transitivity, singletons their own group), so a near-duplicate of "
+    "a training document can never land in the eval split — the "
+    "group-aware split step every published pipeline applies AFTER "
+    "dedup diagnostics.  One md5 hash of the group key cuts the [0,1) "
+    "line at the cumulative weights; membership is stable as the "
+    "corpus grows.",
+    operators=("sampling-split", "graph-cc", "dedup-jaccard"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    cc = graph.connected_components(pairs)
+    grouped = docs.select("doc_id").join(
+        cc.select(col("node").alias("doc_id"), col("component")),
+        "doc_id",
+        "left",
+    ).withColumn("g", F.coalesce(col("component"), col("doc_id")))
+    assigned = sampling.assign_split(
+        grouped, "g", {"train": 0.9, "val": 0.05, "test": 0.05}, salt=_Q77_SALT
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("g").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

@@ -1,4 +1,5 @@
-"""Round-5 operator tests: exact duplicated-span removal (q75)."""
+"""Round-5 operator tests: span removal/redaction (q75/q76), the
+Arrow k-means kernel, and leakage-safe splits (q77)."""
 
 from __future__ import annotations
 
@@ -145,3 +146,43 @@ def test_redact_spans_bench_probe_is_broadcast(spark):
     df = redact_contaminated_spans(corpus, bench, n=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The property q77 exists for: every near-dup pair lands in ONE
+    split (group-keyed hash), which a doc-keyed split violates."""
+    from nyc_tlc_analytics_pipeline_spark.operators import (
+        dedup as D,
+        graph,
+        sampling,
+    )
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    assert pairs.count() > 0, "fixture must contain near-dup pairs"
+    cc = graph.connected_components(pairs)
+    grouped = (
+        docs.select("doc_id")
+        .join(cc.selectExpr("node AS doc_id", "component"), "doc_id", "left")
+        .withColumn("g", F.coalesce("component", "doc_id"))
+    )
+    assigned = sampling.assign_split(
+        grouped, "g", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="leak"
+    ).select("doc_id", "split")
+    straddle = (
+        pairs.join(assigned.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            assigned.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddle == 0
