@@ -2603,9 +2603,10 @@ ORDER BY source
     "Exact duplicated-span statistics (Lee et al. 2022 exact-substring "
     f"dedup signal): fraction of each document's token {_Q68_N}-gram "
     "POSITIONS whose n-gram occurs in ≥2 documents, rolled up per "
-    "source.  Position table + distinct-pair doc-frequency + one "
-    "left-semi equi-join on the gram — O(total tokens), never "
-    "pair-shaped.",
+    "source.  xxhash64 position table + one count_distinct "
+    "doc-frequency shuffle + one left-semi equi-join on the gram hash "
+    "— O(total tokens), never pair-shaped.",
+    headline=True,
     operators=("dedup-span", "A1", "A8", "J8"),
 )
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3081,6 +3082,7 @@ ORDER BY source
     "xxhash64 gram values (8-byte shuffle keys); flagged span starts "
     "come back as one doc-keyed bounded array; the token mask is a "
     "map-side array expression — O(total tokens), never pair-shaped.",
+    headline=True,
     operators=("dedup-span-removal", "A1", "A3", "J8"),
 )
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:

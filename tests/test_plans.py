@@ -204,8 +204,8 @@ def test_q69_topR_is_take_ordered_not_global_window(spark):
 
 def test_headline_set_is_stable(spark):
     """The bench headline set is a graded deliverable: it must keep the
-    round-3 extension ops alongside the original ten — losing one to a
-    refactor would silently shrink BENCH coverage."""
+    round-3/4/5 extension ops alongside the original ten — losing one
+    to a refactor would silently shrink BENCH coverage."""
     headliners = {n for n, s in QUERIES.items() if s.headline}
     assert {
         "q01_top_nations_by_revenue",
@@ -216,5 +216,7 @@ def test_headline_set_is_stable(spark):
         "q55_curation_funnel_v2",
         "q58_ngram_heavy_hitters",
         "q64_semdedup_pairs",
+        "q68_duplicated_spans",
+        "q75_span_removal",
     } <= headliners
-    assert len(headliners) == 13
+    assert len(headliners) == 15
