@@ -797,3 +797,67 @@ def mask_spans(
     return out.select(
         col("doc").alias(id_col), *keep_cols, "n_tokens", "n_removed", "text_clean"
     )
+
+def incremental_dedup_report(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Incremental corpus refresh: classify an incoming batch against
+    the already-ingested corpus by exact text fingerprint — the op every
+    periodically-refreshed training corpus runs (new crawl/snapshot vs
+    the standing store) BEFORE any expensive near-dup work.
+
+    Per ``group_col``: batch size, docs whose fingerprint already exists
+    in the store (``n_dup_vs_existing``), additional within-batch
+    duplicates (``n_dup_in_batch``), and the genuinely new docs
+    (``n_new``).  ``n_batch = n_dup_vs_existing + n_dup_in_batch +
+    n_new`` by construction.
+
+    Scale shape: the standing corpus contributes ONLY its distinct
+    fingerprint column (at 100 TB the store would persist fingerprints
+    as its own compact table — this derives them on the fly for the
+    conformance query); the batch joins it with one left-semi/anti on
+    the uniform md5 key, and within-batch dedup is one fingerprint-keyed
+    min.  Never pair-shaped, no skew.
+    """
+    fp_new = parallelize_input(new_batch).select(
+        col(id_col).alias("doc"),
+        col(group_col).alias("grp"),
+        fingerprint(text_col).alias("fp"),
+    )
+    store = (
+        parallelize_input(existing)
+        .select(fingerprint(text_col).alias("fp"))
+        .distinct()
+    )
+    vs_existing = fp_new.join(store, "fp", "left_semi")
+    fresh = fp_new.join(store, "fp", "left_anti")
+    survivors = fresh.withColumn(
+        "__keep", F.min("doc").over(Window.partitionBy("fp"))
+    ).filter(col("doc") == col("__keep"))
+    n_batch = fp_new.groupBy("grp").agg(F.count("*").alias("n_batch"))
+    n_vs = vs_existing.groupBy("grp").agg(
+        F.count("*").alias("n_dup_vs_existing")
+    )
+    n_new = survivors.groupBy("grp").agg(F.count("*").alias("n_new"))
+    return (
+        n_batch.join(n_vs, "grp", "left")
+        .join(n_new, "grp", "left")
+        .select(
+            col("grp").alias(group_col),
+            col("n_batch").cast("long"),
+            F.coalesce("n_dup_vs_existing", lit(0)).cast("long").alias(
+                "n_dup_vs_existing"
+            ),
+            (
+                col("n_batch")
+                - F.coalesce("n_dup_vs_existing", lit(0))
+                - F.coalesce("n_new", lit(0))
+            ).cast("long").alias("n_dup_in_batch"),
+            F.coalesce("n_new", lit(0)).cast("long").alias("n_new"),
+        )
+        .orderBy(group_col)
+    )

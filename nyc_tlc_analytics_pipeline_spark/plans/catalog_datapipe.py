@@ -3293,3 +3293,63 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+# ---------------------------------------------------------------------------
+# q78 — incremental corpus refresh: new batch vs the standing fingerprint set
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH fp AS (
+    SELECT doc_id, source,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp,
+           doc_id % 3 = 0 AS is_new
+    FROM documents
+),
+store AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+batch AS (SELECT doc_id, source, fp FROM fp WHERE is_new),
+vs_existing AS (
+    SELECT b.* FROM batch b WHERE b.fp IN (SELECT fp FROM store)
+),
+fresh AS (
+    SELECT b.* FROM batch b WHERE b.fp NOT IN (SELECT fp FROM store)
+),
+survivors AS (
+    SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM fresh
+    ) WHERE doc_id = keep
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(coalesce(v.n, 0) AS BIGINT) AS n_dup_vs_existing,
+       CAST(count(*) - coalesce(v.n, 0) - coalesce(s.n, 0) AS BIGINT)
+           AS n_dup_in_batch,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_new
+FROM batch b
+LEFT JOIN (SELECT source, count(*) AS n FROM vs_existing GROUP BY source) v
+       ON b.source = v.source
+LEFT JOIN (SELECT source, count(*) AS n FROM survivors GROUP BY source) s
+       ON b.source = s.source
+GROUP BY b.source, v.n, s.n
+ORDER BY b.source
+"""
+
+
+@register(
+    "q78_incremental_refresh",
+    _Q78_ORACLE,
+    "Incremental corpus refresh: an incoming batch (doc_id%3=0 stands in "
+    "for the new crawl) classified against the standing corpus by exact "
+    "text fingerprint — already-ingested duplicates, within-batch "
+    "duplicates, and genuinely new documents, per source.  The standing "
+    "corpus contributes only its DISTINCT fingerprint column; the batch "
+    "joins it with one left-semi/anti on the uniform md5 key.  Never "
+    "pair-shaped, no skew; the counts partition the batch exactly.",
+    operators=("dedup-incremental", "S9", "J8", "A1"),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    new_batch = docs.filter(col("doc_id") % 3 == 0)
+    existing = docs.filter(col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup_report(
+        new_batch, existing, "doc_id", "text", "source"
+    )

@@ -186,3 +186,33 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
         .count()
     )
     assert straddle == 0
+
+
+def test_incremental_dedup_report_partitions_the_batch(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.dedup import (
+        incremental_dedup_report,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "s", "alpha beta gamma"), (2, "s", "delta epsilon zeta")],
+        "doc_id long, source string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "s", "Alpha  beta GAMMA"),   # dup of store (normalized)
+            (11, "s", "eta theta iota"),      # new
+            (12, "s", "eta theta iota"),      # within-batch dup of 11
+            (13, "s", "kappa lambda mu"),     # new
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = incremental_dedup_report(
+        batch, existing, "doc_id", "text", "source"
+    ).collect()[0]
+    assert (r.n_batch, r.n_dup_vs_existing, r.n_dup_in_batch, r.n_new) == (
+        4,
+        1,
+        1,
+        2,
+    )
+    assert r.n_batch == r.n_dup_vs_existing + r.n_dup_in_batch + r.n_new
