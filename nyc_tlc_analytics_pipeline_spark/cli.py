@@ -113,6 +113,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     cu.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     cu.add_argument("--max-records-per-file", type=int, default=100_000)
+    cu.add_argument(
+        "--decontam-mode",
+        default="drop",
+        choices=["drop", "redact"],
+        help="benchmark decontamination policy: drop whole contaminated "
+        "documents, or redact only the benchmark-covered spans "
+        "(operators.decontam.redact_contaminated_spans)",
+    )
 
     args = p.parse_args(argv)
 
@@ -242,9 +250,24 @@ def main(argv: list[str] | None = None) -> int:
         docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
         gated = rules.filter_by_rules(docs, "text")
         bench = docs.filter(F.col("doc_id") % 50 == 0)
-        clean = decontam.decontaminate(
-            gated.filter(F.col("doc_id") % 50 != 0), bench, n=4
-        )
+        pool = gated.filter(F.col("doc_id") % 50 != 0)
+        if args.decontam_mode == "redact":
+            # span-level: keep the document, strip benchmark-covered
+            # spans; fully-redacted docs (empty text) drop out
+            clean = (
+                decontam.redact_contaminated_spans(
+                    pool.select("doc_id", "lang", "text"),
+                    bench,
+                    n=4,
+                    keep_cols=["lang"],
+                )
+                .filter(F.col("text_clean") != "")
+                .select(
+                    "doc_id", "lang", F.col("text_clean").alias("text")
+                )
+            )
+        else:
+            clean = decontam.decontaminate(pool, bench, n=4)
         sampled = sampling.mixture_sample(clean, "lang", weights, "doc_id", salt="mix")
         final = sampling.assign_split(sampled, "doc_id", splits, salt="cur").select(
             "doc_id", "lang", "split", "text"

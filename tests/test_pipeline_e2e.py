@@ -296,3 +296,25 @@ def test_cli_curate_writes_shards(pipeline, capsys, tmp_path):
     back = pipeline.spark.read.parquet(out_dir)
     assert back.count() == summary["total"]
     assert set(back.columns) == {"doc_id", "lang", "split", "text"}
+
+
+def test_cli_curate_redact_mode(pipeline, capsys, tmp_path):
+    import json as _json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+    from .conftest import SF_SMOKE
+
+    out_dir = str(tmp_path / "shards_redact")
+    rc = main(
+        [
+            "--warehouse-dir", pipeline.config.warehouse_dir,
+            "curate", "--sf-dir", SF_SMOKE, "--out", out_dir,
+            "--decontam-mode", "redact",
+        ]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["total"] > 0
+    back = pipeline.spark.read.parquet(out_dir)
+    assert back.filter("text = ''").count() == 0  # fully-redacted dropped
+    assert set(back.columns) == {"doc_id", "lang", "split", "text"}
