@@ -65,7 +65,15 @@ def rnd(c: Column | str, d: int) -> Column:
     differently in Spark (HALF_UP on the shortest decimal repr) vs DuckDB
     (binary scaling); the nudge pushes both engines to the same side.  The
     1e-9 epsilon is far above cross-engine FP drift (~1e-11) and far below
-    the coarsest rounding grid used (1e-6)."""
+    the coarsest rounding grid used (1e-6).
+
+    Domain bound: once half an ulp exceeds the epsilon — |x| ≥ 2^53·1e-9
+    ≈ 9.0e6 — the nudge is absorbed by FP rounding and midpoint
+    disambiguation is lost (property-tested boundary:
+    tests/test_property_parity.py).  Every 4/6-dp ``rnd`` site in the
+    catalog is a ratio / score / log-prob far inside the bound; monetary
+    aggregates (which can exceed it) round through :func:`money` at the
+    0.01 grid instead."""
     c = F.col(c) if isinstance(c, str) else c
     return F.round(c + F.lit(1e-9), d)
 
