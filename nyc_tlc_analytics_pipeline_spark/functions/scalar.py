@@ -71,9 +71,14 @@ def rnd(c: Column | str, d: int) -> Column:
     ≈ 9.0e6 — the nudge is absorbed by FP rounding and midpoint
     disambiguation is lost (property-tested boundary:
     tests/test_property_parity.py).  Every 4/6-dp ``rnd`` site in the
-    catalog is a ratio / score / log-prob far inside the bound; monetary
-    aggregates (which can exceed it) round through :func:`money` at the
-    0.01 grid instead."""
+    catalog is a ratio / score / log-prob far inside the bound.  Large
+    monetary SUMS (2 dp, magnitudes to ~1e9) sit beyond it with a
+    quantified residual risk, accepted: a cell disagrees only if the
+    sum's shortest repr terminates exactly at a .xx5 midpoint
+    (≈ ulp/grid ≈ 6e-6 per cell) or the engines' own summation drift
+    (~1e-15 relative) straddles a grid boundary (≈ 3e-5 per cell) —
+    the latter is inherent to exact-compare of re-associated double
+    sums and no epsilon can remove it."""
     c = F.col(c) if isinstance(c, str) else c
     return F.round(c + F.lit(1e-9), d)
 
