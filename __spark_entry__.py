@@ -32,9 +32,13 @@ def _ordered_names() -> list[str]:
     across rounds, whichever cap it is; within each group the original
     order is kept.  (All 74 also pass the same comparator locally —
     scripts/sweep.py.)"""
+    def qnum(name: str) -> int:
+        # numeric, not lexical: "q100" must sort after "q51"
+        return int(name[1:].split("_", 1)[0])
+
     names = list(QUERIES)
-    never_recorded = [n for n in names if n >= "q51"]
-    return never_recorded + [n for n in names if n < "q51"]
+    never_recorded = [n for n in names if qnum(n) >= 51]
+    return never_recorded + [n for n in names if qnum(n) < 51]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
