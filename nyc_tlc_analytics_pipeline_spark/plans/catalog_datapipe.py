@@ -3353,3 +3353,101 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup_report(
         new_batch, existing, "doc_id", "text", "source"
     )
+
+# ---------------------------------------------------------------------------
+# q79 — quality-classifier inference as columnar expressions (filter tier)
+# ---------------------------------------------------------------------------
+
+#: fixed logistic weights over 4 document features — the shape of the
+#: fastText/FineWeb "educational quality" filter tier, with the model
+#: frozen as literals (real pipelines broadcast the trained weights;
+#: inference is identical).  Features: tokens/200 (capped), mean token
+#: length/10 (capped), EN-stopword ratio, punctuation ratio.
+_Q79_W = (1.8, 1.1, 2.6, -3.5)
+_Q79_B = -1.2
+_Q79_CUT = 0.5
+
+_Q79_ORACLE = f"""
+WITH f AS (
+    SELECT lang,
+           least(len(string_split_regex(lower(text), '\\s+')) / 200.0, 1.0) AS f1,
+           least(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                                          x -> length(x)))
+                 / nullif(len(string_split_regex(lower(text), '\\s+')), 0) / 10.0,
+                 1.0) AS f2,
+           1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> list_contains([{{EN}}], x)))
+               / nullif(len(string_split_regex(lower(text), '\\s+')), 0) AS f3,
+           1.0 * length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               / nullif(length(text), 0) AS f4
+    FROM documents
+),
+scored AS (
+    SELECT lang,
+           round(1.0 / (1.0 + exp(-({_Q79_W[0]} * f1 + {_Q79_W[1]} * f2
+                 + {_Q79_W[2]} * f3 + {_Q79_W[3]} * f4 + {_Q79_B}))) + 1e-9, 6)
+               AS score
+    FROM f
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score) + 1e-9, 6) AS avg_score,
+       CAST(sum(CASE WHEN score >= {_Q79_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       round(1.0 * sum(CASE WHEN score >= {_Q79_CUT} THEN 1 ELSE 0 END)
+             / count(*) + 1e-9, 6) AS pass_rate
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""".replace("{EN}", _EN)
+
+
+@register(
+    "q79_quality_classifier",
+    _Q79_ORACLE,
+    "Model-inference-as-columnar-expression: a frozen logistic quality "
+    "classifier (the fastText/FineWeb filter-tier shape) scored fully "
+    "inside whole-stage codegen — 4 features (capped token count, "
+    "capped mean token length, EN-stopword ratio, punctuation ratio), "
+    "sigmoid of the dot product, per-language score stats and pass "
+    "rate at 0.5.  No Python, no shuffle before the per-language "
+    "aggregate; a trained model swaps in as a broadcast weight row "
+    "with the same plan.  Per-document scores are rounded (6 dp) so "
+    "the exp() is cross-engine hash-checkable like q56's logs.",
+    operators=("quality-classifier", "text-quality", "A3", "A4"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rules as R, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    f1 = F.least(F.size(toks) / lit(200.0), lit(1.0))
+    f2 = F.least(
+        R.mean_token_length(toks) / lit(10.0), lit(1.0)
+    )
+    f3 = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
+    f4 = T.punct_ratio("text")
+    z = (
+        lit(_Q79_W[0]) * f1
+        + lit(_Q79_W[1]) * f2
+        + lit(_Q79_W[2]) * f3
+        + lit(_Q79_W[3]) * f4
+        + lit(_Q79_B)
+    )
+    scored = docs.select(
+        "lang", rnd(lit(1.0) / (lit(1.0) + F.exp(-z)), 6).alias("score")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("score"), 6).alias("avg_score"),
+            F.sum((col("score") >= lit(_Q79_CUT)).cast("long")).alias("n_pass"),
+            rnd(
+                F.sum((col("score") >= lit(_Q79_CUT)).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )

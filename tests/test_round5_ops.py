@@ -216,3 +216,65 @@ def test_incremental_dedup_report_partitions_the_batch(spark):
         2,
     )
     assert r.n_batch == r.n_dup_vs_existing + r.n_dup_in_batch + r.n_new
+
+
+def test_span_removal_matches_python_reference_on_random_corpora(spark):
+    """Differential fuzz: remove_duplicated_spans vs an independent
+    pure-Python reference over random small corpora drawn from a tiny
+    vocabulary (maximizing accidental n-gram collisions).  Catches
+    off-by-one span arithmetic the fixed oracle corpus can't."""
+    import random
+
+    from nyc_tlc_analytics_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c"]
+
+    def reference(docs, n, min_df=2):
+        grams = {}
+        for did, text in docs:
+            toks = text.lower().split()
+            k = max(len(toks) - n + 1, 1)
+            seen = set()
+            for i in range(k):
+                g = " ".join(toks[i : i + n])
+                if g not in seen:
+                    grams[g] = grams.get(g, 0) + 1
+                    seen.add(g)
+        out = {}
+        for did, text in docs:
+            toks = text.lower().split()
+            k = max(len(toks) - n + 1, 1)
+            covered = set()
+            for i in range(k):
+                g = " ".join(toks[i : i + n])
+                if grams[g] >= min_df:
+                    covered.update(range(i, min(i + n, len(toks))))
+            kept = [t for j, t in enumerate(toks) if j not in covered]
+            out[did] = (len(toks), len(toks) - len(kept), " ".join(kept))
+        return out
+
+    for trial in range(5):
+        n = rng.choice([2, 3])
+        docs = [
+            (
+                did,
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for did in range(1, rng.randint(4, 10))
+        ]
+        want = reference(docs, n)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+            for r in remove_duplicated_spans(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "doc_id",
+                "text",
+                n=n,
+            ).collect()
+        }
+        assert got == want, f"trial {trial} n={n} docs={docs}"
