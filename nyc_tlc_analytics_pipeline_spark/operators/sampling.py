@@ -217,3 +217,48 @@ def coverage_sample(
         .filter(col("__rn") <= per_bucket)
         .drop("__rn")
     )
+
+def mixture_sample_temperature(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    key: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: target weights DERIVED from
+    the corpus itself as w_d ∝ c_d^alpha (the multilingual standard —
+    mBERT/XLM use alpha≈0.3-0.7 to up-weight low-resource domains
+    without flattening the mixture entirely; alpha=1 keeps raw
+    proportions, alpha=0 makes them uniform).
+
+    Fully distributed: the c^alpha normalization runs inside the
+    |domains|-row quota frame (1-row sum broadcast back) — no collect,
+    no driver-side weight dict.  Selection is the same deterministic
+    hash-order-per-domain rank as :func:`mixture_sample`.  The quota
+    product is nudge-rounded (6 dp) before floor so cross-engine pow()
+    drift can never flip a row count."""
+    from ..functions.scalar import rnd
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__c"))
+    counts = counts.withColumn("__ca", F.pow(col("__c"), lit(alpha)))
+    z = counts.agg(F.sum("__ca").alias("__z"))
+    quota = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn("__w", col("__ca") / col("__z"))
+        .withColumn(
+            "__t", F.min(col("__c") / col("__w")).over(Window.partitionBy())
+        )
+        .select(
+            domain_col,
+            F.floor(rnd(col("__w") * col("__t"), 6)).alias("__n"),
+        )
+    )
+    w = Window.partitionBy(domain_col).orderBy(hash_fraction(key, salt), col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quota), domain_col)
+        .filter(col("__rn") <= col("__n"))
+        .drop("__rn", "__n")
+    )

@@ -3451,3 +3451,87 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+# ---------------------------------------------------------------------------
+# q80 — temperature-based mixture rebalancing (w ∝ c^alpha)
+# ---------------------------------------------------------------------------
+
+_Q80_ALPHA = 0.5
+
+_Q80_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+z AS (SELECT sum(pow(c, {_Q80_ALPHA})) AS z FROM counts),
+quota AS (
+    SELECT lang, c,
+           floor(round(
+               (pow(c, {_Q80_ALPHA}) / z.z)
+               * min(c / (pow(c, {_Q80_ALPHA}) / z.z)) OVER ()
+               + 1e-9, 6)) AS n
+    FROM counts CROSS JOIN z
+),
+ranked AS (
+    SELECT d.lang, d.doc_id,
+           row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY ('0x' || substr(md5('mixT' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0, d.doc_id) AS rn
+    FROM documents d
+),
+kept AS (
+    SELECT r.lang FROM ranked r JOIN quota q ON r.lang = q.lang AND r.rn <= q.n
+),
+tot AS (SELECT count(*) AS raw_total FROM documents),
+ktot AS (SELECT count(*) AS kept_total FROM kept)
+SELECT c.lang,
+       CAST(c.c AS BIGINT) AS n_raw,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       round(1.0 * c.c / tot.raw_total + 1e-9, 6) AS share_raw,
+       round(1.0 * k.n_kept / ktot.kept_total + 1e-9, 6) AS share_kept
+FROM counts c
+JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+  ON c.lang = k.lang
+CROSS JOIN tot CROSS JOIN ktot
+ORDER BY c.lang
+"""
+
+
+@register(
+    "q80_temperature_mixture",
+    _Q80_ORACLE,
+    "Temperature-based mixture rebalancing: target weights derived from "
+    f"the corpus itself as w ∝ count^{_Q80_ALPHA} (the multilingual "
+    "mBERT/XLM standard — up-weights low-resource languages without "
+    "flattening the mixture), then the largest feasible subcorpus at "
+    "those weights via deterministic hash-order quotas.  The c^alpha "
+    "normalization runs inside the |domains|-row quota frame (1-row sum "
+    "broadcast back) — no collect, no driver-side weight dict; quota "
+    "products nudge-round before floor so pow() drift can't flip a row "
+    "count.  Reports raw vs rebalanced shares per language.",
+    operators=("sampling-mixture", "sampling-temperature", "A3", "W2"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    kept = sampling.mixture_sample_temperature(
+        docs.select("doc_id", "lang"), "lang", _Q80_ALPHA, "doc_id", salt="mixT"
+    )
+    n_raw = docs.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    n_kept = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    raw_total = n_raw.agg(F.sum("n_raw").alias("__rt"))
+    kept_total = n_kept.agg(F.sum("n_kept").alias("__kt"))
+    return (
+        n_raw.join(n_kept, "lang")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(kept_total))
+        .select(
+            "lang",
+            col("n_raw").cast("long"),
+            col("n_kept").cast("long"),
+            rnd(col("n_raw") / col("__rt"), 6).alias("share_raw"),
+            rnd(col("n_kept") / col("__kt"), 6).alias("share_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -22,7 +22,7 @@ SF = os.environ.get("PLAN_LINT_SF", "/root/testdata/sf0.001")
 
 # global-window sites audited as BOUNDED input frames (see SCALE.md):
 #   q08/q14: window over an already-grouped frame of ≤ tens of rows
-#   q52/q55: quota window over the |domains|-row counts frame
+#   q52/q55/q80: quota window over the |domains|-row counts frame
 #   q69: rank window ABOVE TakeOrderedAndProject(limit=100)
 # Anything NOT in this set that grows a global window fails the lint.
 GLOBAL_WINDOW_OK = {
@@ -31,6 +31,7 @@ GLOBAL_WINDOW_OK = {
     "q52_mixture_sampling",
     "q55_curation_funnel_v2",
     "q69_zipf_fit",
+    "q80_temperature_mixture",
 }
 
 

@@ -79,6 +79,7 @@ def test_no_cartesian_products_in_catalog(spark):
     #  the scale-safe replacement for the empty-partition window)
     # (q62/q64: the k×dim centroid matrix rides a broadcast 1-ROW frame
     #  instead of k·dim plan literals — Catalyst analysis stays O(1) in k)
+    # (q80: 1-row c^alpha normalizer + two 1-row share denominators)
     scalar_cross_ok = {
         "q14_nation_share_vs_global",
         "q56_unigram_lm_scoring",
@@ -87,6 +88,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q64_semdedup_pairs",
         "q69_zipf_fit",
         "q71_event_funnel",
+        "q80_temperature_mixture",
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

@@ -278,3 +278,34 @@ def test_span_removal_matches_python_reference_on_random_corpora(spark):
             ).collect()
         }
         assert got == want, f"trial {trial} n={n} docs={docs}"
+
+
+def test_temperature_mixture_alpha_endpoints(spark):
+    """alpha=1 keeps raw proportions (nothing dropped: T = total);
+    alpha=0 equalizes domains (every domain capped at the smallest)."""
+    from nyc_tlc_analytics_pipeline_spark.operators.sampling import (
+        mixture_sample_temperature,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    a1 = mixture_sample_temperature(df, "lang", 1.0, "doc_id")
+    got1 = {r.lang: r.n for r in a1.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got1 == {"big": 90, "small": 10}
+
+    a0 = mixture_sample_temperature(df, "lang", 0.0, "doc_id")
+    got0 = {r.lang: r.n for r in a0.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got0 == {"big": 10, "small": 10}
+
+    # intermediate alpha up-weights the small domain relative to raw
+    ah = mixture_sample_temperature(df, "lang", 0.5, "doc_id")
+    goth = {r.lang: r.n for r in ah.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert goth["small"] == 10  # binding domain kept whole
+    assert 10 < goth["big"] < 90  # big domain downsampled, not erased
