@@ -3535,3 +3535,135 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+# ---------------------------------------------------------------------------
+# q81 — FULL OUTER calendar reconciliation (coverage diff of two facts)
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = """
+WITH o AS (
+    SELECT strftime(o_orderdate, '%m-%d') AS md, count(*) AS n_orders
+    FROM orders GROUP BY 1
+),
+e AS (
+    SELECT strftime(ts, '%m-%d') AS md, count(*) AS n_events
+    FROM events GROUP BY 1
+),
+j AS (
+    SELECT coalesce(o.md, e.md) AS month_day,
+           CASE WHEN o.md IS NOT NULL AND e.md IS NOT NULL THEN 'both'
+                WHEN o.md IS NOT NULL THEN 'orders_only'
+                ELSE 'events_only' END AS presence,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(e.n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.md = e.md
+)
+SELECT presence,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM j
+GROUP BY presence
+ORDER BY presence
+"""
+
+
+@register(
+    "q81_calendar_reconciliation",
+    _Q81_ORACLE,
+    "FULL OUTER reconciliation: per-(month, day) order activity vs event "
+    "activity joined with full-outer semantics — days covered by both "
+    "facts, days only one side has (the ops 'what's missing from which "
+    "feed' diff).  Exercises the one join type the catalog lacked; both "
+    "sides are pre-aggregated (day-keyed, ≤366 rows) so the outer join "
+    "is broadcast-sized whatever the fact volume.",
+    operators=("J-full-outer", "A1", "A3"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = (
+        orders.select(F.date_format("o_orderdate", "MM-dd").alias("md"))
+        .groupBy("md")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        events.select(F.date_format("ts", "MM-dd").alias("md"))
+        .groupBy("md")
+        .agg(F.count("*").alias("n_events"))
+    )
+    j = (
+        o.withColumnRenamed("md", "o_md")
+        .join(e.withColumnRenamed("md", "e_md"), col("o_md") == col("e_md"), "full_outer")
+        .select(
+            F.when(col("o_md").isNotNull() & col("e_md").isNotNull(), "both")
+            .when(col("o_md").isNotNull(), "orders_only")
+            .otherwise("events_only")
+            .alias("presence"),
+            F.coalesce("n_orders", lit(0)).alias("n_orders"),
+            F.coalesce("n_events", lit(0)).alias("n_events"),
+        )
+    )
+    return (
+        j.groupBy("presence")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("presence")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — nested (array-valued) results: per-language top-k source list
+# ---------------------------------------------------------------------------
+
+_Q82_K = 3
+
+_Q82_ORACLE = f"""
+WITH c AS (
+    SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+),
+r AS (
+    SELECT lang, source, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+    FROM c
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_docs_top,
+       list(source ORDER BY rk) AS top_sources
+FROM r WHERE rk <= {_Q82_K}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q82_top_sources_nested",
+    _Q82_ORACLE,
+    f"Array-valued results through the driver comparator: each "
+    f"language's top-{_Q82_K} sources by document count as an ORDERED "
+    "array column (rank-ordered collect over a per-lang window on the "
+    "grouped counts — the window input is the (lang, source) aggregate, "
+    "never the corpus).  Exercises nested result types end-to-end: "
+    "Spark array<string> vs DuckDB LIST hash-compared element-wise.",
+    operators=("A-nested-array", "W2", "A1"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(col("n").desc(), "source")
+    r = c.withColumn("rk", F.row_number().over(w)).filter(col("rk") <= _Q82_K)
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs_top"),
+            F.array_sort(
+                F.collect_list(F.struct("rk", "source"))
+            ).getField("source").alias("top_sources"),
+        )
+        .orderBy("lang")
+    )

@@ -222,3 +222,12 @@ def test_headline_set_is_stable(spark):
         "q75_span_removal",
     } <= headliners
     assert len(headliners) == 15
+
+
+def test_q81_is_full_outer_over_preaggregated_sides(spark):
+    """The reconciliation join must be FullOuter over the two DAY-keyed
+    aggregates — never over the raw facts."""
+    plan = _optimized(QUERIES["q81_calendar_reconciliation"].build(spark, SF_SMOKE))
+    assert "FullOuter" in plan
+    # both join inputs are Aggregates (the facts never meet the join raw)
+    assert plan.count("Aggregate") >= 3  # two sides + the final rollup
