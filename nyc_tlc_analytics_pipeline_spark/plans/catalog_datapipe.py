@@ -3667,3 +3667,70 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+# ---------------------------------------------------------------------------
+# q83 — scale-safe decile bucketing (cutpoints + map-side assign, NOT ntile)
+# ---------------------------------------------------------------------------
+
+_Q83_QS = [i / 10.0 for i in range(1, 10)]
+
+_Q83_ORACLE = f"""
+WITH cuts AS (
+    SELECT lang,
+           list_transform(quantile_cont(n_chars, {_Q83_QS}),
+                          c -> round(c + 1e-9, 6)) AS cuts
+    FROM documents GROUP BY lang
+),
+b AS (
+    SELECT d.lang, d.n_chars,
+           1 + len(list_filter(c.cuts, x -> x < d.n_chars)) AS decile
+    FROM documents d JOIN cuts c ON d.lang = c.lang
+)
+SELECT lang,
+       CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars
+FROM b
+GROUP BY lang, decile
+ORDER BY lang, decile
+"""
+
+
+@register(
+    "q83_length_deciles",
+    _Q83_ORACLE,
+    "Per-language decile bucketing done the SCALE-SAFE way: decile "
+    "cutpoints from one exact-percentile aggregate (array form, single "
+    "buffer per language), broadcast back, bucket assignment as a "
+    "map-side array comparison — the 100 TB replacement for "
+    "ntile()-over-a-corpus-window, which would globally sort every "
+    "language partition.  Cutpoints are nudge-rounded in both engines "
+    "before the boundary compare so interpolation drift can't flip a "
+    "document at a cut.",
+    operators=("A6", "W-ntile-safe", "J1", "A3"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "lang", "n_chars"
+    )
+    qs = F.array(*[lit(q) for q in _Q83_QS])
+    cuts = docs.groupBy("lang").agg(
+        F.transform(
+            F.percentile("n_chars", qs), lambda c: rnd(c, 6)
+        ).alias("cuts")
+    )
+    b = docs.join(F.broadcast(cuts), "lang").withColumn(
+        "decile",
+        (
+            lit(1)
+            + F.size(F.filter(col("cuts"), lambda x: x < col("n_chars")))
+        ).cast("long"),
+    )
+    return (
+        b.groupBy("lang", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "decile")
+    )
