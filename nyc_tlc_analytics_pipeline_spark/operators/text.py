@@ -102,6 +102,19 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), lit(BPE_TOKEN_PATTERN), lit(0)))
 
 
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """0-based start offsets of overlapping token-window chunks:
+    ``0, stride, 2*stride, ...`` strictly below ``max(n_tokens, 1)`` —
+    i.e. the last chunk always exists (an empty/1-token document yields
+    exactly one chunk at offset 0) and starts are the same set DuckDB's
+    ``range(0, greatest(len(toks), 1), stride)`` produces.  Explode the
+    result and ``slice(toks, start+1, window)`` for the chunk itself:
+    all map-side, no shuffle until the downstream aggregate."""
+    return F.sequence(
+        lit(0), F.greatest(F.size(toks) - 1, lit(0)), lit(stride)
+    )
+
+
 def rolling_fingerprint(text: Column | str, modulus: int = 1_000_000_007) -> Column:
     """Order-sensitive rolling (polynomial) hash over whitespace tokens:
     ``h = (h * 131 + len(tok) * 7 + first_char_code) mod p`` — a

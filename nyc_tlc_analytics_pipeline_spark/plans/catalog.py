@@ -1576,6 +1576,220 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q84 — rolling 7-day time-RANGE window (peak weekly revenue per nation)
+# ---------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH daily AS (
+    SELECT n_name,
+           date_trunc('day', o_orderdate)::DATE AS d,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, d
+),
+roll AS (
+    SELECT n_name, d,
+           round(sum(rev) OVER (
+               PARTITION BY n_name
+               ORDER BY date_diff('day', DATE '1970-01-01', d)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS rev7
+    FROM daily
+),
+peak AS (
+    SELECT n_name, max(rev7) AS peak_rev7 FROM roll GROUP BY n_name
+)
+SELECT r.n_name, min(r.d) AS peak_day, p.peak_rev7
+FROM roll r JOIN peak p ON r.n_name = p.n_name AND r.rev7 = p.peak_rev7
+GROUP BY r.n_name, p.peak_rev7
+ORDER BY r.n_name
+"""
+
+
+@register(
+    "q84_rolling_7day_peak",
+    _Q84_ORACLE,
+    "Rolling 7-day revenue via a time-RANGE window frame (RANGE BETWEEN "
+    "6 PRECEDING on the day number), then the peak week per nation.  "
+    "Scale posture: the window runs over the PRE-AGGREGATED daily frame "
+    "(|nations| x |days| rows, independent of fact volume), partitioned "
+    "by nation — the fact table itself is never windowed.  Daily revenue "
+    "and the rolling sum are nudge-rounded in both engines so the "
+    "peak-equality compare cannot be flipped by summation order.",
+    operators=("W-range-frame", "W2", "J1", "A3", "O3"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("n_name", col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            rnd(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.datediff(col("d"), F.to_date(lit("1970-01-01"))))
+        .rangeBetween(-6, 0)
+    )
+    roll = daily.withColumn("rev7", rnd(F.sum("rev").over(w), 2))
+    return (
+        roll.withColumn("peak_rev7", F.max("rev7").over(Window.partitionBy("n_name")))
+        .filter(col("rev7") == col("peak_rev7"))
+        .groupBy("n_name", "peak_rev7")
+        .agg(F.min("d").alias("peak_day"))
+        .select("n_name", "peak_day", "peak_rev7")
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — winsorized (clipped-at-percentile) robust statistics
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH cuts AS (
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.05) + 1e-9, 6) AS lo_cut,
+           round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 6) AS hi_cut
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       c.lo_cut,
+       c.hi_cut,
+       round(avg(least(greatest(l.l_extendedprice, c.lo_cut), c.hi_cut)) + 1e-9, 4)
+           AS winsor_avg,
+       round(stddev_samp(least(greatest(l.l_extendedprice, c.lo_cut), c.hi_cut)) + 1e-9, 4)
+           AS winsor_std,
+       round(avg(l.l_extendedprice) + 1e-9, 4) AS raw_avg
+FROM lineitem l
+JOIN cuts c USING (l_returnflag)
+GROUP BY l.l_returnflag, c.lo_cut, c.hi_cut
+ORDER BY l.l_returnflag
+"""
+
+
+@register(
+    "q86_winsorized_stats",
+    _Q86_ORACLE,
+    "Winsorized robust statistics: clip each value at its group's "
+    "p05/p95 (exact interpolated percentiles, single array buffer per "
+    "group — the q04/A6 posture, with the approx_percentile escape "
+    "hatch for 100 TB), broadcast the |groups|-row cutpoint frame back, "
+    "clip map-side, aggregate.  Cutpoints are nudge-rounded in both "
+    "engines before clipping so interpolation drift cannot flip a "
+    "boundary-equal value.",
+    operators=("A6", "A5", "J1", "robust-stats"),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        rnd(F.percentile("l_extendedprice", lit(0.05)), 6).alias("lo_cut"),
+        rnd(F.percentile("l_extendedprice", lit(0.95)), 6).alias("hi_cut"),
+    )
+    wx = F.least(F.greatest(col("l_extendedprice"), col("lo_cut")), col("hi_cut"))
+    return (
+        li.join(broadcast(cuts), "l_returnflag")
+        .withColumn("wx", wx)
+        .groupBy("l_returnflag", "lo_cut", "hi_cut")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            rnd(F.avg("wx"), 4).alias("winsor_avg"),
+            rnd(F.stddev_samp("wx"), 4).alias("winsor_std"),
+            rnd(F.avg("l_extendedprice"), 4).alias("raw_avg"),
+        )
+        .select(
+            "l_returnflag", "n_items", "lo_cut", "hi_cut",
+            "winsor_avg", "winsor_std", "raw_avg",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — SCD2 (type-2 slowly-changing-dimension) validity intervals
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+),
+versions AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM changes
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       round(avg(CASE WHEN valid_to IS NOT NULL
+                      THEN date_diff('second', valid_from, valid_to) END) + 1e-9, 4)
+           AS avg_duration_s
+FROM versions
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q87_scd2_intervals",
+    _Q87_ORACLE,
+    "Type-2 SCD build from a change stream: collapse consecutive "
+    "same-state rows (lag), open validity intervals, close each with "
+    "lead() — the standard dimension-history pattern.  Both windows are "
+    "partitioned by user_id (bounded per-entity history), so the plan "
+    "is one shuffle on the entity key; no global sort anywhere.  "
+    "Durations go through to_epoch (NTZ-safe) to match DuckDB "
+    "date_diff('second', ...).",
+    operators=("W-lag", "W-lead", "scd2", "A4"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(col("prev_type").isNull() | (col("prev_type") != col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    versions = changes.withColumn(
+        "valid_to", F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    )
+    dur = to_epoch("valid_to") - to_epoch("ts")
+    return (
+        versions.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_versions"),
+            F.sum(when(col("valid_to").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_current"),
+            rnd(F.avg(when(col("valid_to").isNotNull(), dur)), 4).alias(
+                "avg_duration_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Data-pipeline extension queries (dedup / text / similarity) register
 # themselves into the same QUERIES dict on import.
 from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

@@ -3734,3 +3734,142 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — overlapping token-window chunking + chunk-level dedup ratio
+# ---------------------------------------------------------------------------
+
+_Q85_WINDOW = 64
+_Q85_STRIDE = 32
+
+_Q85_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+    FROM documents
+),
+u AS (
+    SELECT doc_id, source, toks,
+           unnest(range(0, greatest(len(toks), 1), {_Q85_STRIDE})) AS s
+    FROM t
+),
+c AS (
+    SELECT source,
+           md5(array_to_string(list_slice(toks, s + 1, s + {_Q85_WINDOW}), ' ')) AS fp,
+           least({_Q85_WINDOW}, len(toks) - s) AS chunk_toks
+    FROM u
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_chunks,
+       round(avg(chunk_toks) + 1e-9, 4) AS avg_chunk_toks
+FROM c
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q85_chunking_overlap",
+    _Q85_ORACLE,
+    "RAG/pretraining document chunking: overlapping 64-token windows at "
+    "stride 32 (sequence + explode + slice — all map-side; a document "
+    "never leaves its partition), then chunk-level fingerprint dedup "
+    "ratio per source.  The only shuffles are the final per-source "
+    "aggregate and its DISTINCT-fingerprint partial; chunk text itself "
+    "is hashed map-side and never materialized.",
+    operators=("text-chunking", "explode", "A2", "S9"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("source", text.tokens("text").alias("toks"))
+    c = t.select(
+        "source",
+        "toks",
+        F.explode(text.chunk_starts(col("toks"), _Q85_STRIDE)).alias("s"),
+    ).select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(col("toks"), col("s") + 1, lit(_Q85_WINDOW)))
+        ).alias("fp"),
+        F.least(lit(_Q85_WINDOW), F.size("toks") - col("s")).alias("chunk_toks"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("fp").cast("long").alias("n_unique_chunks"),
+            rnd(F.avg("chunk_toks"), 4).alias("avg_chunk_toks"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — per-dimension embedding standardization (z-score feature scaling)
+# ---------------------------------------------------------------------------
+
+_Q88_ORACLE = """
+WITH x AS (
+    SELECT vec_id, i AS pos, embedding[i + 1] AS x
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(0, len(embedding))) AS i
+          FROM embeddings)
+),
+stats AS (
+    SELECT pos,
+           round(avg(x) + 1e-9, 6) AS mu,
+           round(stddev_samp(x) + 1e-9, 6) AS sigma,
+           CAST(count(*) AS BIGINT) AS n
+    FROM x
+    GROUP BY pos
+),
+z AS (
+    SELECT x.pos, s.mu, s.sigma, s.n,
+           round((x.x - s.mu) / s.sigma + 1e-9, 6) AS z
+    FROM x JOIN stats s USING (pos)
+)
+SELECT pos, mu, sigma, n,
+       round(avg(z) + 1e-9, 4) + 0.0 AS z_mean,
+       round(max(abs(z)) + 1e-9, 6) AS z_max_abs
+FROM z
+GROUP BY pos, mu, sigma, n
+ORDER BY pos
+"""
+
+
+@register(
+    "q88_embedding_standardize",
+    _Q88_ORACLE,
+    "Per-dimension z-score standardization of the embedding corpus "
+    "(feature scaling before clustering/ANN): posexplode to (pos, x), "
+    "one shuffle on the |dim|-key pos for mu/sigma, broadcast the "
+    "|dim|-row stats frame back, standardize map-side, verify z_mean~0 "
+    "and the max |z| outlier per dimension.  mu/sigma are nudge-rounded "
+    "before the division so z is bit-identical cross-engine; only the "
+    "z_mean average (summation-order-sensitive) needs its own rounding.",
+    operators=("explode-pos", "A5", "J1", "embedding-scaling"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    stats = x.groupBy("pos").agg(
+        rnd(F.avg("x"), 6).alias("mu"),
+        rnd(F.stddev_samp("x"), 6).alias("sigma"),
+        F.count("*").cast("long").alias("n"),
+    )
+    z = (
+        x.join(F.broadcast(stats), "pos")
+        .withColumn("z", rnd((col("x") - col("mu")) / col("sigma"), 6))
+    )
+    return (
+        z.groupBy("pos", "mu", "sigma", "n")
+        .agg(
+            # + 0.0 normalizes IEEE -0.0 to 0.0 (a -1e-7 mean rounds to
+            # the signed zero in one engine but not the other; the
+            # stringified hash would differ on "-0.0" vs "0.0")
+            (rnd(F.avg("z"), 4) + lit(0.0)).alias("z_mean"),
+            rnd(F.max(F.abs(col("z"))), 6).alias("z_max_abs"),
+        )
+        .orderBy("pos")
+    )

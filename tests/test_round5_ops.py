@@ -309,3 +309,64 @@ def test_temperature_mixture_alpha_endpoints(spark):
     ).collect()}
     assert goth["small"] == 10  # binding domain kept whole
     assert 10 < goth["big"] < 90  # big domain downsampled, not erased
+
+
+def test_chunk_starts_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators.text import (
+        chunk_starts,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # whitespace-split of "" -> [""] (1 token)
+            (2, "a"),
+            (3, " ".join(f"t{i}" for i in range(32))),  # exactly one stride
+            (4, " ".join(f"t{i}" for i in range(33))),  # one past the stride
+            (5, " ".join(f"t{i}" for i in range(97))),  # 4 chunks at stride 32
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.starts
+        for r in df.select(
+            "doc_id", chunk_starts(tokens("text"), 32).alias("starts")
+        ).collect()
+    }
+    # matches DuckDB range(0, greatest(len(toks), 1), 32) exactly
+    assert got[1] == [0]
+    assert got[2] == [0]
+    assert got[3] == [0]
+    assert got[4] == [0, 32]
+    assert got[5] == [0, 32, 64, 96]
+
+
+def test_q85_chunk_counts_per_doc(spark):
+    """A 97-token doc at window 64 / stride 32 yields 4 chunks whose
+    lengths are 64, 64, 33, 1 — slice() clamps at the end of the doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col, lit
+
+    from nyc_tlc_analytics_pipeline_spark.operators.text import (
+        chunk_starts,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(97)))], "doc_id long, text string"
+    )
+    chunks = (
+        df.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(chunk_starts(col("toks"), 32)).alias("s"),
+        )
+        .select(
+            "s", F.size(F.slice(col("toks"), col("s") + 1, lit(64))).alias("n")
+        )
+        .collect()
+    )
+    assert {(r.s, r.n) for r in chunks} == {(0, 64), (32, 64), (64, 33), (96, 1)}
