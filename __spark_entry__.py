@@ -115,6 +115,7 @@ _SWEEP_COST = {
     "q86_winsorized_stats": 1.00,
     "q87_scd2_intervals": 0.80,
     "q88_embedding_standardize": 1.30,
+    "q89_skew_diagnostics": 1.10,
 }
 
 

@@ -127,3 +127,42 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def skew_report(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One-row shuffle-key skew diagnostic: the pre-flight check that
+    decides whether a join/agg on ``key`` needs salting (``salted_agg``/
+    ``salted_join``) or can rely on AQE's skew split.
+
+    Cost shape: one shuffle on ``key`` (identical to the agg being
+    diagnosed), then a single-buffer exact percentile over the
+    |keys|-row count frame (the q04/A6 posture) and a TakeOrdered(1)
+    for the heaviest key — nothing driver-side, no global sort."""
+    from ..functions.scalar import rnd
+
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        rnd(F.avg("cnt"), 4).alias("avg_per_key"),
+        rnd(F.percentile("cnt", lit(0.5)), 4).alias("p50"),
+        rnd(F.percentile("cnt", lit(0.99)), 4).alias("p99"),
+        F.max("cnt").cast("long").alias("max_count"),
+        rnd(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), col(key))
+        .limit(1)
+        .select(col(key).cast("string").alias("top_key"))
+    )
+    return stats.crossJoin(top).select(
+        lit(label).alias("key_col"),
+        "n_keys",
+        "total_rows",
+        "avg_per_key",
+        "p50",
+        "p99",
+        "max_count",
+        "skew_factor",
+        "top_key",
+    )

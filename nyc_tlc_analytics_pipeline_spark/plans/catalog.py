@@ -1790,6 +1790,68 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q89 — shuffle-key skew diagnostics (pre-flight for salting decisions)
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+WITH c1 AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY user_id),
+s1 AS (
+    SELECT 'events.user_id' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           round(avg(cnt) + 1e-9, 4) AS avg_per_key,
+           round(quantile_cont(cnt, 0.5) + 1e-9, 4) AS p50,
+           round(quantile_cont(cnt, 0.99) + 1e-9, 4) AS p99,
+           CAST(max(cnt) AS BIGINT) AS max_count,
+           round(max(cnt) / avg(cnt) + 1e-9, 4) AS skew_factor
+    FROM c1
+),
+t1 AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c1 ORDER BY cnt DESC, k LIMIT 1),
+c2 AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+s2 AS (
+    SELECT 'lineitem.l_suppkey' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           round(avg(cnt) + 1e-9, 4) AS avg_per_key,
+           round(quantile_cont(cnt, 0.5) + 1e-9, 4) AS p50,
+           round(quantile_cont(cnt, 0.99) + 1e-9, 4) AS p99,
+           CAST(max(cnt) AS BIGINT) AS max_count,
+           round(max(cnt) / avg(cnt) + 1e-9, 4) AS skew_factor
+    FROM c2
+),
+t2 AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c2 ORDER BY cnt DESC, k LIMIT 1)
+SELECT * FROM s1, t1
+UNION ALL
+SELECT * FROM s2, t2
+ORDER BY key_col
+"""
+
+
+@register(
+    "q89_skew_diagnostics",
+    _Q89_ORACLE,
+    "Shuffle-key skew diagnostics over the two natural join keys "
+    "(events.user_id, lineitem.l_suppkey): per-key count distribution "
+    "(p50/p99/max), skew factor max/avg, and the heaviest key — the "
+    "pre-flight report that decides between plain agg, AQE skew split, "
+    "and operators/skew.py salting.  One shuffle per diagnosed key "
+    "(the same shuffle the real agg would do), stats over the bounded "
+    "|keys|-row frame, TakeOrdered(1) for the top key.",
+    operators=("skew-diagnostics", "A6", "A3", "O1"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        skew_report(ev, "user_id", "events.user_id")
+        .unionByName(skew_report(li, "l_suppkey", "lineitem.l_suppkey"))
+        .orderBy("key_col")
+    )
+
+
 # Data-pipeline extension queries (dedup / text / similarity) register
 # themselves into the same QUERIES dict on import.
 from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

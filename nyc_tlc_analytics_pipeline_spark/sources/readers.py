@@ -86,3 +86,36 @@ def write_jsonl(df: "DataFrame", path: str, compression: str | None = "gzip") ->
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> "DataFrame":
+    """ORC columnar source (built into Spark — no external jar).  Same
+    scan posture as parquet: predicate pushdown, column pruning, and
+    stripe-level splitting all apply, so a warehouse that standardized
+    on ORC (common in Hive estates) reads with the identical plan shape
+    the parquet path gets.  Pass ``schema`` to skip footer inference on
+    very wide tables."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: "DataFrame",
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink with zstd by default (best ratio/speed trade of the
+    built-in codecs).  ``partition_by`` produces the same
+    directory-partitioned layout the parquet sinks use, so partition
+    pruning works for downstream readers."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -92,3 +92,18 @@ def test_bucketed_join_avoids_exchange(spark, skewed_df):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.skew import skew_report
+
+    rows = [(k, "x") for k in range(100)] + [(7, "hot")] * 900
+    df = spark.createDataFrame(rows, "k long, v string")
+    r = skew_report(df, "k", "t.k").collect()[0]
+    assert r.key_col == "t.k"
+    assert r.n_keys == 100
+    assert r.total_rows == 1000
+    assert r.max_count == 901
+    assert r.top_key == "7"
+    assert r.skew_factor == round(901 / 10.0, 4)
+    assert r.p50 == 1.0  # 99 singleton keys

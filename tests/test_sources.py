@@ -282,3 +282,56 @@ def test_jsonl_roundtrip_and_pruning(spark, tmp_path):
     # explicit-schema read prunes: only requested fields reach the scan
     plan = back.select("doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert back.count() == df.count()
+    # filter + projection reach the ORC scan (pushdown/pruning parity
+    # with the parquet path)
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+    assert "ReadSchema" in plan
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc_parts")
+    write_orc(df, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert back.filter(F.col("n_regionkey") == 1).count() == df.filter(
+        F.col("n_regionkey") == 1
+    ).count()
