@@ -116,6 +116,8 @@ _SWEEP_COST = {
     "q87_scd2_intervals": 0.80,
     "q88_embedding_standardize": 1.30,
     "q89_skew_diagnostics": 1.10,
+    "q90_regression_aggregates": 0.70,
+    "q91_bloom_prefilter": 4.00,
 }
 
 

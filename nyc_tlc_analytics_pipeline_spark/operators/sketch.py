@@ -197,3 +197,85 @@ def cms_estimate(
         looked.groupBy(*probes.columns)
         .agg(F.min(F.coalesce(col("__cms_cnt"), lit(0))).alias("cms_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the mergeable MEMBERSHIP sketch (HLL = cardinality,
+# Count-Min = frequency, Bloom = membership).  Same portability contract:
+# bit positions derive from md5, so any engine recomputes the filter
+# bit-for-bit and the oracle gate is exact.
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(key: Column, m: int, k: int, salt: str = "bloom") -> Column:
+    """Array of ``k`` bit positions for ``key``:
+    ``pos_i = int(md5('{salt}:{i}:' || key)[:8 hex]) mod m`` — the
+    i-salted-md5 family every sketch in this module uses."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(lit(f"{salt}:{i}:"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str] | None = None,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Mergeable Bloom partials: the DISTINCT (group, pos) table —
+    at most ``m`` rows per group, i.e. the set-bit list rather than an
+    opaque bitmask.  Merging shards = union + distinct (idempotent,
+    order-free); a dense bitmask materializes only if a consumer wants
+    one.  Cost: one map-side explode (k rows per key) + one distinct
+    shuffle bounded by m per group."""
+    group_cols = group_cols or []
+    return (
+        df.select(
+            *group_cols,
+            F.explode(bloom_positions(col(key), m, k, salt)).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Tag each probe row with ``bloom_hit`` (all k positions set — may
+    include false positives, never false negatives).  Distributed form:
+    explode probe positions, inner-join the ≤m-row set-bit table
+    (broadcast — a Bloom filter is small by construction), count matched
+    positions per probe row == k.  No driver-side bitmask, no UDF."""
+    probe_pos = probes.select(
+        "*", F.explode(bloom_positions(col(key), m, k, salt)).alias("pos")
+    )
+    matched = probe_pos.join(F.broadcast(bloom), "pos").groupBy(
+        *probes.columns
+    ).agg(F.count("*").alias("n_matched"))
+    return (
+        probes.join(matched, probes.columns, "left")
+        .withColumn("bloom_hit", F.coalesce(col("n_matched"), lit(0)) == k)
+        .drop("n_matched")
+    )
+
+
+def bloom_fpp(bits_set: Column, m: int, k: int) -> Column:
+    """Measured-occupancy false-positive estimate ``(bits_set/m)^k``."""
+    return F.pow(bits_set.cast("double") / m, lit(k))

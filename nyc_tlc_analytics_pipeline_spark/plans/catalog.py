@@ -1852,6 +1852,51 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q90 — built-in linear-regression aggregates (per-group OLS fit)
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6) AS r2,
+       round(corr(l_extendedprice, l_quantity) + 1e-9, 6) AS corr_pq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q90_regression_aggregates",
+    _Q90_ORACLE,
+    "Per-group OLS fit of price on quantity with the ANSI regression "
+    "aggregates (regr_slope/intercept/r2 + corr) — one hash-aggregate "
+    "shuffle, all moments accumulated map-side in a single pass (the "
+    "same partial-merge shape as avg/stddev); no second scan, no "
+    "collect.  Slope/intercept are ratios of co-moment sums, so "
+    "cross-engine summation-order drift cancels and the nudge-rounding "
+    "grids (6/4 dp) sit far above residual FP noise.",
+    operators=("A-regr", "A3", "A5"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = col("l_extendedprice"), col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n_pairs"),
+            rnd(F.regr_slope(y, x), 6).alias("slope"),
+            rnd(F.regr_intercept(y, x), 4).alias("intercept"),
+            rnd(F.regr_r2(y, x), 6).alias("r2"),
+            rnd(F.corr(y, x), 6).alias("corr_pq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # Data-pipeline extension queries (dedup / text / similarity) register
 # themselves into the same QUERIES dict on import.
 from . import catalog_datapipe  # noqa: E402,F401  (registration side-effect)

@@ -3873,3 +3873,119 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — Bloom-filter membership sketch as a decontamination prefilter
+# ---------------------------------------------------------------------------
+
+_Q91_M = 4096
+_Q91_K = 3
+_Q91_N = 3  # gram width
+
+
+def _q91_pos_sql(i: int) -> str:
+    return f"(('0x' || substr(md5('bloom:{i}:' || g), 1, 8))::BIGINT % {_Q91_M})"
+
+
+_Q91_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - {_Q91_N - 1}, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {_Q91_N - 1}), ' ')))) AS g
+    FROM t
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+probe AS (SELECT DISTINCT source, g FROM sh WHERE doc_id % 50 <> 0),
+bloom AS (
+    SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_q91_pos_sql(i).replace('g,', 'g,') for i in range(_Q91_K))}]) AS pos
+        FROM bench)
+),
+hits AS (
+    SELECT source,
+           ({_q91_pos_sql(0)} IN (SELECT pos FROM bloom)
+            AND {_q91_pos_sql(1)} IN (SELECT pos FROM bloom)
+            AND {_q91_pos_sql(2)} IN (SELECT pos FROM bloom)) AS bloom_hit,
+           g IN (SELECT g FROM bench) AS exact_hit
+    FROM probe
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+       round(1.0 * sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+             / nullif(count(*) - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END), 0)
+             + 1e-9, 6) AS measured_fpp,
+       (SELECT CAST(count(*) AS BIGINT) FROM bloom) AS bits_set,
+       (SELECT round(pow(1.0 * count(*) / {_Q91_M}, {_Q91_K}) + 1e-9, 6) FROM bloom)
+           AS est_fpp
+FROM hits
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q91_bloom_prefilter",
+    _Q91_ORACLE,
+    "Bloom-filter membership sketch (operators.sketch.bloom_*) used as "
+    "the decontamination PREFILTER: build the <=m-row set-bit table "
+    "from the benchmark grams (mergeable: distinct positions), "
+    "broadcast it, and tag every corpus gram map-side with all-k-"
+    "positions membership; compare against the exact semi-join to "
+    "report the measured vs occupancy-predicted false-positive rate.  "
+    "At 100 TB the bloom (m bits) replaces broadcasting the full bench "
+    "gram STRING set for the first pass; only bloom-hit grams proceed "
+    "to exact verification — same never-false-negative guarantee, "
+    "fraction-of-the-memory broadcast.  md5-derived positions make the "
+    "filter bit-identical cross-engine (exact oracle on an approximate "
+    "operator, like q54/q66).",
+    operators=("sketch-bloom", "decontam-ngram", "J8", "A4"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam, sketch
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(decontam.word_ngrams("text", _Q91_N)).alias("g"),
+    )
+    bench = grams.filter(col("doc_id") % 50 == 0).select("g").distinct()
+    probe = (
+        grams.filter(col("doc_id") % 50 != 0).select("source", "g").distinct()
+    )
+    bloom = sketch.bloom_build(bench, "g", m=_Q91_M, k=_Q91_K)
+    tagged = sketch.bloom_probe(probe, bloom, "g", m=_Q91_M, k=_Q91_K)
+    exact = tagged.join(
+        bench.withColumnRenamed("g", "g_b"),
+        col("g") == col("g_b"),
+        "left",
+    ).withColumn("exact_hit", col("g_b").isNotNull()).drop("g_b")
+    bloom_stats = bloom.agg(
+        F.count("*").cast("long").alias("bits_set"),
+        rnd(sketch.bloom_fpp(F.count("*"), _Q91_M, _Q91_K), 6).alias("est_fpp"),
+    )
+    fp = F.sum(F.when(col("bloom_hit") & ~col("exact_hit"), 1).otherwise(0))
+    n_exact = F.sum(F.when(col("exact_hit"), 1).otherwise(0))
+    return (
+        exact.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("bloom_hits"),
+            n_exact.cast("long").alias("exact_hits"),
+            rnd(fp / F.nullif(F.count("*") - n_exact, lit(0)), 6).alias(
+                "measured_fpp"
+            ),
+        )
+        .crossJoin(F.broadcast(bloom_stats))
+        .orderBy("source")
+    )

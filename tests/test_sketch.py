@@ -66,3 +66,51 @@ def test_register_bound(spark):
 def test_b_validation(spark):
     with pytest.raises(ValueError):
         sketch.hll_partials(_keys(spark, 0, 10), "k", ["grp"], b=2)
+
+
+def test_bloom_never_false_negative_and_merge_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_fpp,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(200)], "g string"
+    )
+    probes = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(150, 350)], "g string"
+    )
+    bloom = bloom_build(members, "g", m=1024, k=3)
+    tagged = bloom_probe(probes, bloom, "g", m=1024, k=3)
+    rows = {r.g: r.bloom_hit for r in tagged.collect()}
+    # no false negatives: every true member hits
+    assert all(rows[f"key_{i}"] for i in range(150, 200))
+    # merging a shard with itself changes nothing (union + distinct)
+    merged = bloom.unionByName(bloom).distinct()
+    assert merged.count() == bloom.count()
+    # occupancy-based FPP is sane for this sizing
+    bits = bloom.count()
+    fpp = members.sparkSession.range(1).select(
+        bloom_fpp(F.lit(bits), 1024, 3).alias("p")
+    ).collect()[0].p
+    assert 0.0 < fpp < 0.5
+
+
+def test_bloom_split_build_equals_single_build(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.sketch import bloom_build
+
+    full = spark.createDataFrame([(f"k{i}",) for i in range(300)], "g string")
+    a = full.filter("substring(g, 2, 10) % 2 = 0")
+    b = full.filter("substring(g, 2, 10) % 2 = 1")
+    whole = {r.pos for r in bloom_build(full, "g", m=512, k=3).collect()}
+    sharded = {
+        r.pos
+        for r in bloom_build(a, "g", m=512, k=3)
+        .unionByName(bloom_build(b, "g", m=512, k=3))
+        .distinct()
+        .collect()
+    }
+    assert whole == sharded
