@@ -118,6 +118,8 @@ _SWEEP_COST = {
     "q89_skew_diagnostics": 1.10,
     "q90_regression_aggregates": 0.70,
     "q91_bloom_prefilter": 4.00,
+    "q92_interval_overlap_join": 1.20,
+    "q93_classifier_calibration": 1.20,
 }
 
 

@@ -116,3 +116,64 @@ def range_join(
     joined = lt.join(rt, [on, "__bucket"])
     keep = F.abs(col("__lts") - col("__rts")) <= window_seconds
     return joined.filter(keep).drop("__bl", "__probe", "__bucket", "__lts", "__rts")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Interval-×-interval OVERLAP join (half-open: ``l.start < r.end AND
+    r.start < l.end``) — the third temporal primitive after as-of
+    (point→latest-point) and range (point→interval).
+
+    Two scale paths:
+
+    - ``keys`` given: plain equi-join on the keys with the overlap
+      predicate as a post-filter — correct whenever a natural entity key
+      (user, instrument, machine) bounds the per-key interval count.
+    - no keys: ``bucket_seconds`` REQUIRED.  Each interval explodes to
+      the time buckets it covers, the join runs as a bucket equi-join,
+      and duplicate pairs (intervals sharing >1 bucket) collapse with a
+      distinct on the pair identity — the standard interval-bucketing
+      trick that turns an inequality join (cartesian per key) into an
+      equi-join whose fan-out is interval_length/bucket_seconds.
+      Pick ``bucket_seconds`` ≈ the TYPICAL interval length: much
+      smaller multiplies the explode, much larger multiplies the
+      per-bucket pair count.
+
+    Right columns are suffixed ``_r`` where they collide.
+    """
+    rn = {
+        c: (f"{c}_r" if c in set(left.columns) else c) for c in right.columns
+    }
+    r = right.select([col(c).alias(rn[c]) for c in right.columns])
+    rs, re_ = rn[right_start], rn[right_end]
+    overlap = (col(left_start) < col(re_)) & (col(rs) < col(left_end))
+    if keys:
+        cond = overlap
+        for k in keys:
+            cond = (col(k) == col(rn[k])) & cond
+        joined = left.join(r, cond)
+        return joined.drop(*[rn[k] for k in keys if rn[k] != k])
+    if not bucket_seconds:
+        raise ValueError("keyless interval join requires bucket_seconds")
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        sb = F.floor(_ts_as_double(df, s) / bucket_seconds).cast("long")
+        eb = F.floor(_ts_as_double(df, e) / bucket_seconds).cast("long")
+        return df.withColumn("__bucket", F.explode(F.sequence(sb, eb)))
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(r, rs, re_)
+    return (
+        lb.join(rb, "__bucket")
+        .filter(overlap)
+        .drop("__bucket")
+        .distinct()
+    )

@@ -3989,3 +3989,169 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bloom_stats))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — interval-×-interval overlap join (co-activity detection)
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = """
+WITH v AS (
+    SELECT user_id, date_trunc('day', ts)::DATE AS day,
+           min(ts) AS s, max(ts) AS e
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, day
+),
+p AS (
+    SELECT user_id, date_trunc('day', ts)::DATE AS day,
+           min(ts) AS s, max(ts) AS e
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, day
+),
+j AS (
+    SELECT v.user_id,
+           date_diff('second', greatest(v.s, p.s), least(v.e, p.e)) AS osec
+    FROM v JOIN p ON v.user_id = p.user_id AND v.day = p.day
+       AND v.s < p.e AND p.s < v.e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_overlap_days,
+       CAST(sum(osec) AS BIGINT) AS total_overlap_s
+FROM j
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "q92_interval_overlap_join",
+    _Q92_ORACLE,
+    "Interval-×-interval overlap join (operators.temporal."
+    "interval_overlap_join): daily view-activity intervals vs daily "
+    "purchase-activity intervals per user, matched on the strict "
+    "half-open overlap l.start < r.end AND r.start < l.end — the third "
+    "temporal primitive after as-of (q38) and point-in-range (q39).  "
+    "Keyed path here: equi-join on (user_id, day) with the overlap "
+    "predicate as a post-filter — one shuffle, no inequality-join "
+    "explosion; the keyless path buckets both sides to time-bucket "
+    "equi-joins (tested against the naive inequality join).  Overlap "
+    "durations are integer epoch seconds — exact cross-engine, no FP.",
+    operators=("J-interval-overlap", "W2", "A4"),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import to_epoch
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def ivs(t: str) -> DataFrame:
+        return (
+            ev.filter(col("event_type") == t)
+            .groupBy("user_id", col("ts").cast("date").alias("day"))
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        )
+
+    joined = temporal.interval_overlap_join(
+        ivs("view"), ivs("purchase"), "s", "e", "s", "e",
+        keys=["user_id", "day"],
+    )
+    osec = to_epoch(F.least(col("e"), col("e_r"))) - to_epoch(
+        F.greatest(col("s"), col("s_r"))
+    )
+    return (
+        joined.select("user_id", osec.alias("osec"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap_days"),
+            F.sum("osec").cast("long").alias("total_overlap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — classifier calibration report (reliability diagram)
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = f"""
+WITH f AS (
+    SELECT n_chars,
+           least(len(string_split_regex(lower(text), '\\s+')) / 200.0, 1.0) AS f1,
+           least(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                                          x -> length(x)))
+                 / nullif(len(string_split_regex(lower(text), '\\s+')), 0) / 10.0,
+                 1.0) AS f2,
+           1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> list_contains([{{EN}}], x)))
+               / nullif(len(string_split_regex(lower(text), '\\s+')), 0) AS f3,
+           1.0 * length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               / nullif(length(text), 0) AS f4
+    FROM documents
+),
+scored AS (
+    SELECT n_chars,
+           round(1.0 / (1.0 + exp(-({_Q79_W[0]} * f1 + {_Q79_W[1]} * f2
+                 + {_Q79_W[2]} * f3 + {_Q79_W[3]} * f4 + {_Q79_B}))) + 1e-9, 6)
+               AS score
+    FROM f
+),
+binned AS (
+    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+           score,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+    FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score) + 1e-9, 6) AS mean_predicted,
+       round(avg(label) + 1e-9, 6) AS frac_positive,
+       round(avg(score) - avg(label) + 1e-9, 6) AS calibration_gap
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""".replace("{EN}", _EN)
+
+
+@register(
+    "q93_classifier_calibration",
+    _Q93_ORACLE,
+    "Reliability diagram for the q79 filter-tier classifier: equal-"
+    "width score deciles × (mean predicted score, empirical positive "
+    "rate against the long-document proxy label, calibration gap) — "
+    "the standard check before a score threshold becomes a corpus "
+    "gate.  Same single-scan, codegen-only shape as q79: bin "
+    "assignment is a map-side floor, one hash-agg on the 10-key bin.",
+    operators=("quality-classifier", "calibration", "A3", "A4"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rules as R, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    f1 = F.least(F.size(toks) / lit(200.0), lit(1.0))
+    f2 = F.least(R.mean_token_length(toks) / lit(10.0), lit(1.0))
+    f3 = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
+    f4 = T.punct_ratio("text")
+    z = (
+        lit(_Q79_W[0]) * f1
+        + lit(_Q79_W[1]) * f2
+        + lit(_Q79_W[2]) * f3
+        + lit(_Q79_W[3]) * f4
+        + lit(_Q79_B)
+    )
+    score = rnd(lit(1.0) / (lit(1.0) + F.exp(-z)), 6)
+    return (
+        docs.select(
+            F.least(F.floor(score * 10), lit(9)).cast("long").alias("bin"),
+            score.alias("score"),
+            F.when(col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("score"), 6).alias("mean_predicted"),
+            rnd(F.avg("label"), 6).alias("frac_positive"),
+            rnd(F.avg("score") - F.avg("label"), 6).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )

@@ -171,3 +171,58 @@ def test_range_join_boundary_inclusive(spark):
     )
     got = range_join(left, right, "k", "lts", "rts", 3600).collect()
     assert len(got) == 1 and got[0].rts == T(2024, 1, 1, 11, 0, 0)
+
+
+def test_interval_overlap_keyed_matches_naive(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (1, 20.0, 30.0), (2, 0.0, 5.0)],
+        "k long, s double, e double",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 15.0), (1, 30.0, 40.0), (2, 6.0, 7.0)],
+        "k long, s double, e double",
+    )
+    got = interval_overlap_join(
+        left, right, "s", "e", "s", "e", keys=["k"]
+    ).collect()
+    # (1, 0-10) x (1, 5-15) overlaps; (1, 20-30) x (1, 30-40) touches at
+    # the boundary only (strict half-open: NOT an overlap); k=2 disjoint
+    assert len(got) == 1
+    assert got[0].k == 1 and got[0].s == 0.0 and got[0].s_r == 5.0
+
+
+def test_interval_overlap_bucketed_matches_naive_inequality_join(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    mk = lambda n, off: [  # noqa: E731
+        (i + off, float(s), float(s + rng.randint(1, 120)))
+        for i, s in ((j, rng.randint(0, 3600)) for j in range(n))
+    ]
+    left = spark.createDataFrame(mk(60, 0), "lid long, s double, e double")
+    right = spark.createDataFrame(
+        mk(60, 1000), "rid long, s double, e double"
+    )
+    bucketed = interval_overlap_join(
+        left, right, "s", "e", "s", "e", bucket_seconds=60
+    )
+    naive = left.join(
+        right.select(
+            F.col("rid"), F.col("s").alias("s_r"), F.col("e").alias("e_r")
+        ),
+        (F.col("s") < F.col("e_r")) & (F.col("s_r") < F.col("e")),
+    )
+    key = lambda r: (r.lid, r.rid)  # noqa: E731
+    assert {key(r) for r in bucketed.collect()} == {
+        key(r) for r in naive.collect()
+    }
