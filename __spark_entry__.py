@@ -110,16 +110,16 @@ _SWEEP_COST = {
     "q81_calendar_reconciliation": 0.86,
     "q82_top_sources_nested": 0.67,
     "q83_length_deciles": 0.73,
-    "q84_rolling_7day_peak": 1.50,
-    "q85_chunking_overlap": 1.60,
-    "q86_winsorized_stats": 1.00,
-    "q87_scd2_intervals": 0.80,
-    "q88_embedding_standardize": 1.30,
-    "q89_skew_diagnostics": 1.10,
-    "q90_regression_aggregates": 0.70,
-    "q91_bloom_prefilter": 4.00,
-    "q92_interval_overlap_join": 1.20,
-    "q93_classifier_calibration": 1.20,
+    "q84_rolling_7day_peak": 1.40,
+    "q85_chunking_overlap": 0.77,
+    "q86_winsorized_stats": 1.25,
+    "q87_scd2_intervals": 0.81,
+    "q88_embedding_standardize": 1.05,
+    "q89_skew_diagnostics": 1.31,
+    "q90_regression_aggregates": 0.81,
+    "q91_bloom_prefilter": 2.44,
+    "q92_interval_overlap_join": 0.92,
+    "q93_classifier_calibration": 0.87,
 }
 
 
@@ -138,7 +138,7 @@ def _ordered_names() -> list[str]:
        JVM/codegen warm-up is absorbed by a sub-second query instead of
        being billed to the most expensive one.
 
-    (All 83 also pass the same comparator locally — scripts/sweep.py.)"""
+    (All 93 also pass the same comparator locally — scripts/sweep.py.)"""
     def qnum(name: str) -> int:
         # numeric, not lexical: "q100" must sort after "q51"
         return int(name[1:].split("_", 1)[0])

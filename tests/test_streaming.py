@@ -318,3 +318,51 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     hour0 = [r for r in rows if r.window_start == base]
     assert len(hour0) == 1 and hour0[0].n_events == 1  # late row dropped
+
+
+def test_streaming_hll_sketch_matches_batch_sketch(spark, tmp_path):
+    """Maintaining HLL partials through the foreachBatch incremental-gold
+    sink (max-merge on (group, bucket)) yields EXACTLY the one-shot batch
+    sketch — the mergeable-sketch contract carried into streaming: a
+    100 TB telemetry pipeline keeps per-day cardinality sketches fresh
+    without ever re-scanning history."""
+    from nyc_tlc_analytics_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_partials,
+    )
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_incremental_gold,
+    )
+
+    src = str(tmp_path / "events_src")
+    _batch_events(spark).repartition(4).write.mode("overwrite").parquet(src)
+    gold = str(tmp_path / "hll_gold")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    run_incremental_gold(
+        read_event_stream(spark, src, max_files_per_trigger=2),
+        gold,
+        ckpt,
+        lambda batch_df: hll_partials(batch_df, "user_id", ["event_type"]),
+        ["event_type", "bucket"],
+        {"rho": "max"},
+    )
+
+    streamed = hll_estimate(
+        ManifestTable(spark, gold).read(), ["event_type"]
+    )
+    batch = hll_estimate(
+        hll_partials(_batch_events(spark), "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    got = {
+        r.event_type: (r.n_buckets_used, round(r.hll_distinct, 9))
+        for r in streamed.collect()
+    }
+    want = {
+        r.event_type: (r.n_buckets_used, round(r.hll_distinct, 9))
+        for r in batch.collect()
+    }
+    assert got == want and got
