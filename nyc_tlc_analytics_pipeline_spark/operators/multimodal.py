@@ -408,3 +408,118 @@ def media_stats_by_kind(df: DataFrame) -> DataFrame:
         )
         .orderBy("kind", "format")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing + near-duplicate media detection
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id long, format string, phash long"
+
+
+def average_phash(arr: np.ndarray, hash_size: int = 8) -> int:
+    """Average-hash: block-mean downscale of the gray plane to
+    ``hash_size²`` cells, 1 bit per cell (above/below the mean), packed
+    row-major into an int.  Robust to re-encode/resize/small noise;
+    near-duplicates differ in a few bits (Hamming distance)."""
+    if arr.ndim == 3:
+        arr = arr.mean(axis=-1)
+    h, w = arr.shape
+    ys = (np.arange(hash_size + 1) * h) // hash_size
+    xs = (np.arange(hash_size + 1) * w) // hash_size
+    cells = np.empty((hash_size, hash_size), dtype=np.float64)
+    for i in range(hash_size):
+        for j in range(hash_size):
+            cells[i, j] = arr[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells > cells.mean()).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # interpret the 64-bit pattern as signed (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_kernel(fake: bool = False, hash_size: int = 8):
+    """mapInPandas kernel: media rows → (media_id, format, phash).
+    PPM/PGM decode for real; other formats use PIL when present, else
+    a digest-derived fake hash under ``fake=True`` (plumbing-only)."""
+
+    def _hash(payload: bytes, fmt: str) -> int:
+        if fmt in ("ppm", "pgm"):
+            return average_phash(decode_ppm(bytes(payload)), hash_size)
+        if _PIL_IMAGE is not None:
+            with _PIL_IMAGE.open(io.BytesIO(bytes(payload))) as im:
+                return average_phash(np.asarray(im.convert("RGB")), hash_size)
+        if fake:
+            d = hashlib.sha256(bytes(payload)).digest()
+            return int.from_bytes(d[:8], "big", signed=True)
+        raise NotImplementedError(
+            f"no codec for image format {fmt!r} in this environment"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "phash": [
+                        _hash(c, f) if c is not None else None
+                        for c, f in zip(pdf["content"], pdf["format"])
+                    ],
+                }
+            )
+
+    return kernel
+
+
+def near_dup_media_pairs(
+    phashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate images by banded phash join — the multimodal face
+    of the SimHash text pipeline (operators.dedup): split the 64-bit
+    phash into ``n_bands`` bit-bands; within ``max_hamming`` ≤
+    ``n_bands − 1`` total flipped bits, at least one band is untouched
+    (pigeonhole), so candidates come from a band-value EQUI-join — no
+    all-pairs stage at any scale.  Candidates verify with
+    ``bit_count(xor)``; pairs dedupe on (a < b).
+
+    Guarantee: complete for ``max_hamming < n_bands``; raise
+    ``n_bands`` (8/16) for looser thresholds — candidate volume grows
+    with collision odds per shorter band, the standard LSH trade."""
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    sides = []
+    for side in ("a", "b"):
+        bands = phashes.select(
+            col("media_id").alias(side),
+            col("phash").alias(f"ph_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            lit(i).alias("band"),
+                            F.shiftrightunsigned(col("phash"), i * band_bits)
+                            .bitwiseAND(lit(mask))
+                            .alias("val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(side, f"ph_{side}", col("bv.band").alias("band"), col("bv.val").alias("val"))
+        sides.append(bands)
+    cand = (
+        sides[0]
+        .join(sides[1], ["band", "val"])
+        .filter(col("a") < col("b"))
+        .select("a", "b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+        )
+        .filter(col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

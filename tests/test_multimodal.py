@@ -297,3 +297,74 @@ def test_soundfile_codec_auto_detected_through_spark(spark):
     ).collect()[0]
     assert row.sample_rate == rate
     assert abs(row.rms - float(np.sqrt(np.mean(x**2)))) < 0.05
+
+
+def test_phash_near_dup_detects_perturbed_copy(spark):
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        encode_ppm,
+        near_dup_media_pairs,
+        phash_kernel,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(32, 32, 3)).astype("uint8")
+    noisy = base.copy()
+    noisy[:2, :2] = 255 - noisy[:2, :2]  # tiny perturbation
+    other = rng.randint(0, 256, size=(32, 32, 3)).astype("uint8")
+    df = spark.createDataFrame(
+        [
+            (1, "ppm", bytearray(encode_ppm(base))),
+            (2, "ppm", bytearray(encode_ppm(noisy))),
+            (3, "ppm", bytearray(encode_ppm(other))),
+        ],
+        "media_id long, format string, content binary",
+    )
+    ph = df.mapInPandas(phash_kernel(), PHASH_SCHEMA)
+    pairs = {(r.a, r.b) for r in near_dup_media_pairs(ph, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_identical_payloads_hamming_zero(spark):
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        average_phash,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(16, 24, 3)).astype("uint8")
+    # phash survives the PPM encode/decode roundtrip bit-for-bit
+    assert average_phash(arr) == average_phash(decode_ppm(encode_ppm(arr)))
+
+
+def test_phash_banded_join_is_equi_join_not_cartesian(spark):
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        encode_ppm,
+        near_dup_media_pairs,
+        phash_kernel,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, "ppm", bytearray(encode_ppm(rng.randint(0, 256, size=(8, 8, 3)).astype("uint8"))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, format string, content binary")
+    ph = df.mapInPandas(phash_kernel(), PHASH_SCHEMA)
+    plan = (
+        near_dup_media_pairs(ph, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
