@@ -120,6 +120,8 @@ _SWEEP_COST = {
     "q91_bloom_prefilter": 2.44,
     "q92_interval_overlap_join": 0.92,
     "q93_classifier_calibration": 0.87,
+    "q94_map_column_pipeline": 1.00,
+    "q95_minhash_calibration": 4.00,
 }
 
 

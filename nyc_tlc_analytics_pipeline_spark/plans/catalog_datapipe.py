@@ -3779,6 +3779,7 @@ ORDER BY source
     "aggregate and its DISTINCT-fingerprint partial; chunk text itself "
     "is hashed map-side and never materialized.",
     operators=("text-chunking", "explode", "A2", "S9"),
+    headline=True,
 )
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
@@ -3947,6 +3948,7 @@ ORDER BY source
     "filter bit-identical cross-engine (exact oracle on an approximate "
     "operator, like q54/q66).",
     operators=("sketch-bloom", "decontam-ngram", "J8", "A4"),
+    headline=True,
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import decontam, sketch
@@ -4154,4 +4156,209 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("score") - F.avg("label"), 6).alias("calibration_gap"),
         )
         .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — map-typed column pipeline (map_from_entries / map_filter /
+# map_zip-style lookup)
+# ---------------------------------------------------------------------------
+
+_Q94_MIN_DOCS = 3
+
+_Q94_ORACLE = f"""
+WITH per AS (
+    SELECT source, lang,
+           count(*) AS n_docs,
+           round(avg(n_chars) + 1e-9, 2) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+),
+keep AS (SELECT * FROM per WHERE n_docs >= {_Q94_MIN_DOCS})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       list_sort(list(lang || ':' || CAST(n_docs AS VARCHAR)
+                      || ':' || CAST(avg_chars AS VARCHAR))) AS langs
+FROM keep
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q94_map_column_pipeline",
+    _Q94_ORACLE,
+    "Map-typed column pipeline: per-source lang→count and lang→avg_chars "
+    "maps built with map_from_entries over sorted collect_list, pruned "
+    "with map_filter (count >= 3), cross-looked-up with element_at, and "
+    "emitted as a sorted array<string> of 'lang:count:avg' entries (the "
+    "portable stringification — Spark Row vs DuckDB struct literals "
+    "would hash-differ, arrays of strings don't: the q82 technique).  "
+    "Maps stay per-row and bounded (|langs| entries): collect_list here "
+    "aggregates a 5-key grouped frame, never raw documents.",
+    operators=("map-functions", "A4", "A8"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), rnd(F.avg("n_chars"), 2).alias("avg_chars")
+    )
+    m = per.groupBy("source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "n_docs")))
+        ).alias("m_counts"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "avg_chars")))
+        ).alias("m_chars"),
+    )
+    kept = F.map_filter(col("m_counts"), lambda k, v: v >= _Q94_MIN_DOCS)
+    entry = lambda e: F.concat_ws(  # noqa: E731
+        ":",
+        e["key"],
+        e["value"].cast("string"),
+        F.element_at(col("m_chars"), e["key"]).cast("string"),
+    )
+    return (
+        m.select(
+            "source",
+            F.size(kept).cast("long").alias("n_langs"),
+            F.sort_array(
+                F.transform(F.map_entries(kept), entry)
+            ).alias("langs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — MinHash estimate-vs-exact Jaccard calibration
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = f"""
+WITH {{SHINGLES}},
+mh AS (
+    SELECT doc_id, k,
+           min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+    FROM sh CROSS JOIN range(16) r(k)
+    GROUP BY doc_id, k
+),
+sig AS (
+    SELECT doc_id, list(h ORDER BY k) AS signature FROM mh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, b,
+           md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
+    FROM sig CROSS JOIN range(4) rb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+est AS (
+    SELECT doc_a, doc_b,
+           round(1.0 * len(list_filter(range(1, 17),
+                                       i -> sa.signature[i] = sb.signature[i]))
+                 / 16 + 1e-9, 6) AS est_j
+    FROM cand
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+),
+docsh AS (
+    SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+),
+exact AS (
+    SELECT doc_a, doc_b,
+           round(1.0 * len(list_intersect(sa.shset, sb.shset))
+                 / (len(sa.shset) + len(sb.shset)
+                    - len(list_intersect(sa.shset, sb.shset))) + 1e-9, 6) AS ex_j
+    FROM cand
+    JOIN docsh sa ON doc_a = sa.doc_id
+    JOIN docsh sb ON doc_b = sb.doc_id
+)
+SELECT CAST(least(floor(est_j * 5), 4) AS BIGINT) AS est_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(est_j) + 1e-9, 6) AS avg_est,
+       round(avg(ex_j) + 1e-9, 6) AS avg_exact,
+       round(avg(est_j - ex_j) + 1e-9, 6) AS mean_bias
+FROM est
+JOIN exact USING (doc_a, doc_b)
+GROUP BY est_bucket
+ORDER BY est_bucket
+""".replace("{SHINGLES}", _SHINGLE_CTES)
+
+
+@register(
+    "q95_minhash_calibration",
+    _Q95_ORACLE,
+    "Sketch-calibration report for the MinHash pipeline: on the LSH "
+    "candidate pairs, the signature-agreement Jaccard ESTIMATE "
+    "(matching components / 16) vs the exact shingle-set Jaccard, "
+    "bucketed by estimate — the measured-vs-predicted check (q91's "
+    "Bloom FPP analogue) that sizes num_hashes before a 100 TB dedup "
+    "run.  Exact verification is LSH-BOUNDED: only candidate pairs pay "
+    "the shingle-intersection cost (zero-common band collisions kept "
+    "via left join + coalesce) — the production verify pattern itself.",
+    operators=("dedup-minhash-lsh", "sketch-calibration", "A4"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sa = sigs.select(col("doc").alias("doc_a"), col("signature").alias("sig_a"))
+    sb = sigs.select(col("doc").alias("doc_b"), col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(col("sig_a"), col("sig_b"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", rnd(agree / lit(16.0), 6).alias("est_j"))
+    )
+    st = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sizes = st.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    common = (
+        cands.join(st.select(col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            st.select(col("doc").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ex = (
+        cands.join(common, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce(col("n_common"), lit(0)))
+        .join(sizes.select(col("doc").alias("doc_a"), col("n_sh").alias("size_a")), "doc_a")
+        .join(sizes.select(col("doc").alias("doc_b"), col("n_sh").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(
+                col("n_common")
+                / (col("size_a") + col("size_b") - col("n_common")),
+                6,
+            ).alias("ex_j"),
+        )
+    )
+    return (
+        est.join(ex, ["doc_a", "doc_b"])
+        .select(
+            F.least(F.floor(col("est_j") * 5), lit(4))
+            .cast("long")
+            .alias("est_bucket"),
+            "est_j",
+            "ex_j",
+        )
+        .groupBy("est_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rnd(F.avg("est_j"), 6).alias("avg_est"),
+            rnd(F.avg("ex_j"), 6).alias("avg_exact"),
+            rnd(F.avg(col("est_j") - col("ex_j")), 6).alias("mean_bias"),
+        )
+        .orderBy("est_bucket")
     )

@@ -220,8 +220,10 @@ def test_headline_set_is_stable(spark):
         "q64_semdedup_pairs",
         "q68_duplicated_spans",
         "q75_span_removal",
+        "q85_chunking_overlap",
+        "q91_bloom_prefilter",
     } <= headliners
-    assert len(headliners) == 15
+    assert len(headliners) == 17
 
 
 def test_q81_is_full_outer_over_preaggregated_sides(spark):
