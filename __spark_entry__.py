@@ -122,6 +122,7 @@ _SWEEP_COST = {
     "q93_classifier_calibration": 0.87,
     "q94_map_column_pipeline": 1.00,
     "q95_minhash_calibration": 4.00,
+    "q96_token_budget_threshold": 1.20,
 }
 
 

@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
         "on-disk bytes (reference db-stats)",
     )
 
+    sk = sub.add_parser(
+        "diagnose-skew",
+        help="per-key count distribution + skew factor for a parquet "
+        "table's join/agg key (the salting pre-flight; operators.skew)",
+    )
+    sk.add_argument("--table", required=True, help="parquet path")
+    sk.add_argument("--key", required=True, help="key column to diagnose")
+
     # training-data curation: the q55 funnel as a user verb, writing
     # dataloader-ready shards
     cu = sub.add_parser(
@@ -233,6 +241,12 @@ def main(argv: list[str] | None = None) -> int:
             df.write.format("noop").mode("overwrite").save()
             secs = round(time.perf_counter() - t0, 3)
             print(json.dumps({"rows": df.count(), "secs": secs}))
+    elif args.command == "diagnose-skew":
+        from .operators.skew import skew_report
+
+        df = pl.spark.read.parquet(args.table)
+        row = skew_report(df, args.key, f"{args.table}:{args.key}").collect()[0]
+        print(json.dumps(row.asDict(), indent=2, sort_keys=True))
     elif args.command == "curate":
         from pyspark.sql import functions as F
 

@@ -4362,3 +4362,141 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — token-budget curation threshold from a score histogram
+# ---------------------------------------------------------------------------
+
+_Q96_BINS = 20
+_Q96_BUDGET_FRAC = 0.3  # keep the best-quality ~30% of each lang's tokens
+
+_Q96_ORACLE = f"""
+WITH f AS (
+    SELECT lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+           least(len(string_split_regex(lower(text), '\\s+')) / 200.0, 1.0) AS f1,
+           least(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                                          x -> length(x)))
+                 / nullif(len(string_split_regex(lower(text), '\\s+')), 0) / 10.0,
+                 1.0) AS f2,
+           1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> list_contains([{{EN}}], x)))
+               / nullif(len(string_split_regex(lower(text), '\\s+')), 0) AS f3,
+           1.0 * length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               / nullif(length(text), 0) AS f4
+    FROM documents
+),
+binned AS (
+    SELECT lang, n_tokens,
+           CAST(least(floor(round(1.0 / (1.0 + exp(-({_Q79_W[0]} * f1
+                 + {_Q79_W[1]} * f2 + {_Q79_W[2]} * f3 + {_Q79_W[3]} * f4
+                 + {_Q79_B}))) + 1e-9, 6) * {_Q96_BINS}), {_Q96_BINS - 1})
+               AS BIGINT) AS bin
+    FROM f
+),
+hist AS (
+    SELECT lang, bin,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(count(*) AS BIGINT) AS bin_docs
+    FROM binned
+    GROUP BY lang, bin
+),
+cum AS (
+    SELECT lang, bin, bin_tokens, bin_docs,
+           CAST(sum(bin_tokens) OVER (PARTITION BY lang ORDER BY bin DESC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens,
+           CAST(floor({_Q96_BUDGET_FRAC} * sum(bin_tokens) OVER (PARTITION BY lang))
+               AS BIGINT) AS budget_tokens
+    FROM hist
+)
+SELECT lang,
+       max(budget_tokens) AS budget_tokens,
+       min(CASE WHEN cum_tokens <= budget_tokens THEN bin END) AS threshold_bin,
+       CAST(coalesce(sum(CASE WHEN cum_tokens <= budget_tokens
+                              THEN bin_tokens END), 0) AS BIGINT)
+           AS selected_tokens,
+       CAST(coalesce(sum(CASE WHEN cum_tokens <= budget_tokens
+                              THEN bin_docs END), 0) AS BIGINT)
+           AS n_selected_docs
+FROM cum
+GROUP BY lang
+ORDER BY lang
+""".replace("{EN}", _EN)
+
+
+@register(
+    "q96_token_budget_threshold",
+    _Q96_ORACLE,
+    "Token-budget curation WITHOUT a global sort: pick the per-language "
+    "quality-score threshold that keeps ~30% of tokens by scoring docs "
+    "(the q79 classifier), histogramming tokens into 20 score bins "
+    "map-side, and walking the cumulative histogram top-down — the "
+    "cumulative window runs over the BOUNDED |langs|x20 frame, never "
+    "the corpus.  The naive form (ORDER BY score DESC + running-sum "
+    "cutoff) is a per-lang global sort of every document — the exact "
+    "anti-pattern q83/q69 replace; at 100 TB only the histogram walk "
+    "survives.  All threshold arithmetic is integer token counts — "
+    "FP-free cross-engine.",
+    operators=("quality-classifier", "curation-budget", "W2", "A3"),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import rules as R, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    f1 = F.least(F.size(toks) / lit(200.0), lit(1.0))
+    f2 = F.least(R.mean_token_length(toks) / lit(10.0), lit(1.0))
+    f3 = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
+    f4 = T.punct_ratio("text")
+    z = (
+        lit(_Q79_W[0]) * f1
+        + lit(_Q79_W[1]) * f2
+        + lit(_Q79_W[2]) * f3
+        + lit(_Q79_W[3]) * f4
+        + lit(_Q79_B)
+    )
+    score = rnd(lit(1.0) / (lit(1.0) + F.exp(-z)), 6)
+    binned = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.least(F.floor(score * _Q96_BINS), lit(_Q96_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.count("*").cast("long").alias("bin_docs"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.withColumn(
+        "cum_tokens", F.sum("bin_tokens").over(w_cum).cast("long")
+    ).withColumn(
+        "budget_tokens",
+        F.floor(lit(_Q96_BUDGET_FRAC) * F.sum("bin_tokens").over(w_all)).cast(
+            "long"
+        ),
+    )
+    sel = col("cum_tokens") <= col("budget_tokens")
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.max("budget_tokens").alias("budget_tokens"),
+            F.min(F.when(sel, col("bin"))).alias("threshold_bin"),
+            F.coalesce(F.sum(F.when(sel, col("bin_tokens"))), lit(0))
+            .cast("long")
+            .alias("selected_tokens"),
+            F.coalesce(F.sum(F.when(sel, col("bin_docs"))), lit(0))
+            .cast("long")
+            .alias("n_selected_docs"),
+        )
+        .orderBy("lang")
+    )
