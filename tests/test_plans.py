@@ -80,6 +80,8 @@ def test_no_cartesian_products_in_catalog(spark):
     # (q62/q64: the k×dim centroid matrix rides a broadcast 1-ROW frame
     #  instead of k·dim plan literals — Catalyst analysis stays O(1) in k)
     # (q80: 1-row c^alpha normalizer + two 1-row share denominators)
+    # (q89: 1-row stats frame × 1-row TakeOrdered top-key frame)
+    # (q91: 1-row bloom bits_set/est_fpp frame onto the per-source report)
     scalar_cross_ok = {
         "q14_nation_share_vs_global",
         "q56_unigram_lm_scoring",
@@ -89,6 +91,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "q69_zipf_fit",
         "q71_event_funnel",
         "q80_temperature_mixture",
+        "q89_skew_diagnostics",
+        "q91_bloom_prefilter",
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
