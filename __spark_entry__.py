@@ -123,6 +123,7 @@ _SWEEP_COST = {
     "q94_map_column_pipeline": 1.00,
     "q95_minhash_calibration": 4.00,
     "q96_token_budget_threshold": 1.20,
+    "q97_sliding_window_hll": 1.50,
 }
 
 

@@ -4500,3 +4500,137 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — HLL over sliding windows (mergeable sketch × time windows)
+# ---------------------------------------------------------------------------
+
+_Q97_B = 9  # 512 registers, ~4.6% standard error
+_Q97_DAYS = 7
+
+
+def _q97_oracle() -> str:
+    from ..operators.sketch import _alpha
+
+    m = 2**_Q97_B
+    w_bits = 32 - _Q97_B
+    alpha = _alpha(m)
+    return f"""
+WITH days AS (
+    SELECT DISTINCT date_trunc('day', ts)::DATE AS wday FROM events
+),
+h AS (
+    SELECT date_trunc('day', ts)::DATE AS d,
+           ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+    FROM events
+),
+contrib AS (
+    -- each day's registers contribute to the {_Q97_DAYS} windows ending
+    -- on day .. day+{_Q97_DAYS - 1}; windows are keyed by their END day
+    SELECT w.wday, hv // {2**w_bits} AS bucket,
+           max(CASE WHEN hv % {2**w_bits} = 0 THEN {w_bits + 1}
+                    ELSE instr(lpad(bin(hv % {2**w_bits}), {w_bits}, '0'), '1')
+               END) AS rho
+    FROM h
+    JOIN days w
+      ON h.d <= w.wday AND h.d > w.wday - {_Q97_DAYS}
+    GROUP BY w.wday, bucket
+),
+est AS (
+    SELECT wday, count(*) AS used,
+           CAST({alpha * m * m!r} AS DOUBLE)
+               / (({m} - count(*)) + sum(pow(2.0, -rho))) AS raw
+    FROM contrib
+    GROUP BY wday
+),
+hll AS (
+    SELECT wday,
+           round(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND used < {m}
+                      THEN CAST({float(m)!r} AS DOUBLE)
+                           * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - used))
+                      ELSE raw END + 1e-9, 4) AS hll_users
+    FROM est
+),
+exact AS (
+    SELECT w.wday, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+    FROM events e
+    JOIN days w
+      ON date_trunc('day', e.ts)::DATE <= w.wday
+     AND date_trunc('day', e.ts)::DATE > w.wday - {_Q97_DAYS}
+    GROUP BY w.wday
+)
+SELECT hll.wday AS window_end,
+       exact.exact_users,
+       hll.hll_users,
+       round(abs(hll.hll_users - exact.exact_users) / exact.exact_users + 1e-9, 6)
+           AS rel_err
+FROM hll
+JOIN exact ON hll.wday = exact.wday
+ORDER BY window_end
+"""
+
+
+@register(
+    "q97_sliding_window_hll",
+    _q97_oracle(),
+    "Mergeable-sketch × sliding-window composition: 7-day rolling "
+    "distinct users where each DAY's HLL register table (bounded: "
+    "|days| × m rows) is max-merged into the 7 windows it covers — the "
+    "100 TB form of sliding COUNT DISTINCT, where the raw stream is "
+    "sketched ONCE per day and windows only merge register partials.  "
+    "The exact distinct (one shuffle per window over user ids) rides "
+    "along to report realized relative error against the sketch's "
+    "~4.6% standard error at b=9.  Portable md5 registers keep the "
+    "approximate path hash-checkable (the q54 contract).",
+    operators=("sketch-hll", "W-sliding-merge", "A2", "A4"),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        col("ts").cast("date").alias("d"), "user_id"
+    )
+    days = ev.select(col("d").alias("wday")).distinct()
+    daily = sketch.hll_partials(ev, "user_id", ["d"], b=_Q97_B)
+    # explode each day's registers into the windows (end days) it covers,
+    # keeping only end days that actually exist in the data
+    contrib = (
+        daily.withColumn(
+            "wday",
+            F.explode(
+                F.sequence(
+                    col("d"), F.date_add(col("d"), _Q97_DAYS - 1)
+                )
+            ),
+        )
+        .join(days, "wday")
+        .drop("d")
+    )
+    merged = sketch.hll_merge(contrib, ["wday"])
+    hll = sketch.hll_estimate(merged, ["wday"], b=_Q97_B).select(
+        "wday", rnd(col("hll_distinct"), 4).alias("hll_users")
+    )
+    exact = (
+        ev.withColumn(
+            "wday",
+            F.explode(F.sequence(col("d"), F.date_add(col("d"), _Q97_DAYS - 1))),
+        )
+        .join(days, "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return (
+        hll.join(exact, "wday")
+        .select(
+            col("wday").alias("window_end"),
+            "exact_users",
+            "hll_users",
+            rnd(
+                F.abs(col("hll_users") - col("exact_users"))
+                / col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("window_end")
+    )
