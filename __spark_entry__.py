@@ -124,6 +124,7 @@ _SWEEP_COST = {
     "q95_minhash_calibration": 4.00,
     "q96_token_budget_threshold": 1.20,
     "q97_sliding_window_hll": 1.50,
+    "q98_label_propagation": 5.50,
 }
 
 

@@ -218,3 +218,52 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection —
+    Raghavan et al. 2007): every node starts labeled with itself; each
+    sweep, a node adopts the label with the greatest total incident
+    edge weight among its neighbors, ties broken by the SMALLEST label
+    (deterministic, no RNG — integer weights + string labels mean the
+    whole trajectory is FP-free and oracle-checkable without rounding).
+
+    Scale shape per sweep: one groupBy (node, label) on the undirected
+    edge list + a max-equality join (no window); the labels frame
+    localCheckpoints each sweep so lineage stays O(1) like the CC and
+    PageRank loops.  Returns (node, label) after ``iters`` sweeps."""
+    und = (
+        edges.select(col(src).alias("e_src"), col(dst).alias("e_dst"), col(weight).alias("w"))
+        .unionByName(
+            edges.select(
+                col(dst).alias("e_src"), col(src).alias("e_dst"), col(weight).alias("w")
+            )
+        )
+        .groupBy("e_src", "e_dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(col("e_src").alias("node")).distinct()
+    labels = nodes.select("node", col("node").alias("label"))
+    for _ in range(iters):
+        scores = (
+            und.join(labels, und["e_dst"] == labels["node"])
+            .groupBy(col("e_src").alias("nd"), "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        best = scores.groupBy("nd").agg(F.max("s").alias("ms"))
+        labels = (
+            scores.join(best, "nd")
+            .filter(col("s") == col("ms"))
+            .groupBy("nd")
+            .agg(F.min("label").alias("label"))
+            .select(col("nd").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

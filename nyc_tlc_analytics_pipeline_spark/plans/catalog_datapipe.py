@@ -2190,7 +2190,7 @@ def _q63_oracle(iters: int = _Q63_ITERS) -> str:
     count); both engines round ranks after every sweep and spell the
     teleport arithmetic identically."""
     parts = [
-        """edges AS (
+        """edges AS MATERIALIZED (
     SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -4633,4 +4633,116 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
         .orderBy("window_end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — weighted label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_Q98_ITERS = 4
+
+
+def _q98_oracle(iters: int = _Q98_ITERS) -> str:
+    """Unrolled synchronous label-propagation sweeps over the nation
+    trade graph (the q63 edge list, undirected).  String labels +
+    integer weights: the trajectory needs NO rounding anywhere."""
+    parts = [
+        """edges AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+)""",
+        """und AS MATERIALIZED (
+    SELECT e_src, e_dst, sum(w) AS w FROM (
+        SELECT src AS e_src, dst AS e_dst, w FROM edges
+        UNION ALL
+        SELECT dst AS e_src, src AS e_dst, w FROM edges
+    ) u
+    GROUP BY e_src, e_dst
+)""",
+        "nodes AS (SELECT DISTINCT e_src AS node FROM und)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    prev = "l0"
+    for it in range(1, iters + 1):
+        parts.append(f"""sc{it} AS MATERIALIZED (
+    SELECT e.e_src AS nd, l.label, sum(e.w) AS s
+    FROM und e JOIN {prev} l ON e.e_dst = l.node
+    GROUP BY e.e_src, l.label
+)""")
+        parts.append(
+            f"b{it} AS (SELECT nd, max(s) AS ms FROM sc{it} GROUP BY nd)"
+        )
+        parts.append(f"""l{it} AS MATERIALIZED (
+    SELECT s.nd AS node, min(s.label) AS label
+    FROM sc{it} s JOIN b{it} b ON s.nd = b.nd AND s.s = b.ms
+    GROUP BY s.nd
+)""")
+        prev = f"l{it}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+          FROM {prev} GROUP BY label)
+SELECT f.node AS n_name, f.label AS community, s.community_size
+FROM {prev} f JOIN sizes s ON f.label = s.label
+ORDER BY n_name
+"""
+
+
+@register(
+    "q98_label_propagation",
+    _q98_oracle(),
+    "Weighted synchronous label propagation (Raghavan et al. 2007) over "
+    "the undirected nation trade graph — the third iterative graph "
+    "operator beside connected components (q46) and PageRank (q63).  "
+    "Deterministic tie-break (largest incident weight, then smallest "
+    "label) and integer-weight/string-label state make the ENTIRE "
+    "4-sweep trajectory FP-free: the oracle unrolls the same sweeps "
+    "with no rounding at all.  Per sweep: one (node, label) groupBy + "
+    "a max-equality join — no window, no collect; labels frame "
+    "localCheckpoints per sweep (the CC/PageRank lineage contract).",
+    operators=("graph-label-propagation", "J7", "A3"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        col("n_nationkey").alias("c_nk"), col("n_name").alias("src")
+    )
+    sn = n.select(
+        col("n_nationkey").alias("s_nk"), col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(F.broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(F.broadcast(s), col("l_suppkey") == col("s_suppkey"))
+        .join(F.broadcast(cn), col("c_nationkey") == col("c_nk"))
+        .join(F.broadcast(sn), col("s_nationkey") == col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    labels = graph.label_propagation(edges, iters=_Q98_ITERS)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            col("node").alias("n_name"),
+            col("label").alias("community"),
+            "community_size",
+        )
+        .orderBy("n_name")
     )

@@ -118,3 +118,42 @@ def test_end_to_end_jaccard_clusters(spark):
     assert by_cluster == {0: 3, 3: 2, 5: 1}
     canon = {r.doc_id for r in out.filter(F.col("is_canonical")).collect()}
     assert canon == {0, 3, 5}
+
+
+def test_label_propagation_two_cliques(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one weak edge: heavy intra-clique weights
+    # pull each triangle to one community; the weak bridge cannot flip it
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10), ("b", "c", 10), ("a", "c", 10),
+            ("x", "y", 10), ("y", "z", 10), ("x", "z", 10),
+            ("c", "x", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iters=4).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # m's two neighbors carry equal weight after sweep 1's input state
+    # (initial labels = node names), so m's adoption is a pure tie:
+    # {n: 5, a: 5} must resolve to the SMALLEST label deterministically
+    edges = spark.createDataFrame(
+        [("m", "n", 5), ("m", "a", 5)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
+    assert got["m"] == "a"
+    # n and a each see only m
+    assert got["n"] == "m" and got["a"] == "m"
