@@ -125,6 +125,8 @@ _SWEEP_COST = {
     "q96_token_budget_threshold": 1.20,
     "q97_sliding_window_hll": 1.50,
     "q98_label_propagation": 5.50,
+    "q99_containment_pairs": 2.50,
+    "q100_mom_growth": 0.70,
 }
 
 

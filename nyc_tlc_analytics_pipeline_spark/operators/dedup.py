@@ -861,3 +861,62 @@ def incremental_dedup_report(
         )
         .orderBy(group_col)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Containment near-dup pairs: ``|A∩B| / min(|A|, |B|)`` ≥ threshold
+    — the measure that catches QUOTE INCLUSION (a short doc embedded in
+    a long one), which symmetric Jaccard dilutes toward 0 as the long
+    side grows.
+
+    Scale shape: candidate generation joins only on shingles whose
+    document frequency ≤ ``max_doc_freq`` — the df-cap that bounds
+    per-shingle fan-out to max_doc_freq² however hot the corpus's
+    boilerplate shingles get (the Vernica/Bayardo blocking trade:
+    a pair ALL of whose common shingles are ultra-common is missed;
+    rare-shingle overlap is what containment detection is for).
+    Containment itself is then computed EXACTLY from the full shingle
+    sets for candidates only.  Returns (doc_a, doc_b, n_common, size_a,
+    size_b, containment).
+    """
+    st = shingle_table(df, id_col, text_col, n)
+    sizes = st.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    dfreq = st.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = st.join(
+        dfreq.filter(col("df") <= max_doc_freq).select("shingle"), "shingle"
+    )
+    cand = (
+        rare.select(col("doc").alias("doc_a"), "shingle")
+        .join(rare.select(col("doc").alias("doc_b"), "shingle"), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    common = (
+        cand.join(st.select(col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(st.select(col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(col("doc").alias("doc_a"), col("n_sh").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(col("doc").alias("doc_b"), col("n_sh").alias("size_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            col("n_common") / F.least(col("size_a"), col("size_b")),
+        )
+        .filter(col("containment") >= threshold)
+    )

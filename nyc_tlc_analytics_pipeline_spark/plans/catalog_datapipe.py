@@ -4746,3 +4746,114 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — containment (quote-inclusion) near-dup pairs
+# ---------------------------------------------------------------------------
+
+_Q99_THRESHOLD = 0.8
+_Q99_MAX_DF = 50
+
+_Q99_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (
+    SELECT sh.doc_id, sh.shingle
+    FROM sh JOIN dfreq USING (shingle)
+    WHERE dfreq.df <= {_Q99_MAX_DF}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_sh AS size_a, sb.n_sh AS size_b,
+       round(1.0 * n_common / least(sa.n_sh, sb.n_sh) + 1e-9, 6) AS containment
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 1.0 * n_common / least(sa.n_sh, sb.n_sh) >= {_Q99_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q99_containment_pairs",
+    _Q99_ORACLE,
+    "Containment near-dup pairs |A∩B| / min(|A|,|B|) ≥ 0.8 — the "
+    "asymmetric measure that catches QUOTE INCLUSION (a short document "
+    "embedded in a long one), which Jaccard dilutes toward zero as the "
+    "long side grows.  Candidate generation is df-capped (shingles in "
+    "≤ 50 docs), bounding per-shingle fan-out however hot boilerplate "
+    "gets; containment is then computed exactly from full shingle sets "
+    "for candidates only (documented recall trade: a pair whose every "
+    "common shingle is ultra-common is missed).",
+    operators=("dedup-containment", "J7", "A4"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3,
+        threshold=_Q99_THRESHOLD, max_doc_freq=_Q99_MAX_DF,
+    )
+    return pairs.withColumn("containment", rnd("containment", 6)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — period-over-period growth (lag over the bounded month frame)
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate)::DATE AS mon,
+           round(sum(o_totalprice) + 1e-9, 2) AS rev
+    FROM orders
+    GROUP BY mon
+)
+SELECT mon, rev,
+       round(rev - lag(rev) OVER (ORDER BY mon) + 1e-9, 2) AS delta,
+       round(100.0 * (rev - lag(rev) OVER (ORDER BY mon))
+             / nullif(lag(rev) OVER (ORDER BY mon), 0) + 1e-9, 4) AS pct_change
+FROM m
+ORDER BY mon
+"""
+
+
+@register(
+    "q100_mom_growth",
+    _Q100_ORACLE,
+    "Month-over-month revenue growth: lag() over the PRE-AGGREGATED "
+    "month frame — the global window is bounded at |months| rows "
+    "(audited in the plan-lint allowlist), never the orders table; the "
+    "only fact-sized stage is the month groupBy.  The q84/q83/q69 rule "
+    "again: reduce first, window the bounded frame.",
+    operators=("W-lag", "A3", "periodic-report"),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.trunc(col("o_orderdate").cast("date"), "month").alias("mon")).agg(
+        rnd(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("mon")
+    prev = F.lag("rev").over(w)
+    return (
+        m.withColumn("delta", rnd(col("rev") - prev, 2))
+        .withColumn(
+            "pct_change",
+            rnd(lit(100.0) * (col("rev") - prev) / F.nullif(prev, lit(0)), 4),
+        )
+        .orderBy("mon")
+    )

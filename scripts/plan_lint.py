@@ -27,6 +27,7 @@ SF = os.environ.get("PLAN_LINT_SF", "/root/testdata/sf0.001")
 # Anything NOT in this set that grows a global window fails the lint.
 GLOBAL_WINDOW_OK = {
     "q08_event_type_share",
+    "q100_mom_growth",  # lag over the pre-aggregated |months| frame
     "q14_nation_share_vs_global",
     "q52_mixture_sampling",
     "q55_curation_funnel_v2",
