@@ -120,13 +120,13 @@ _SWEEP_COST = {
     "q91_bloom_prefilter": 2.44,
     "q92_interval_overlap_join": 0.92,
     "q93_classifier_calibration": 0.87,
-    "q94_map_column_pipeline": 1.00,
-    "q95_minhash_calibration": 4.00,
-    "q96_token_budget_threshold": 1.20,
-    "q97_sliding_window_hll": 1.50,
-    "q98_label_propagation": 5.50,
-    "q99_containment_pairs": 2.50,
-    "q100_mom_growth": 0.70,
+    "q94_map_column_pipeline": 1.10,
+    "q95_minhash_calibration": 3.69,
+    "q96_token_budget_threshold": 1.34,
+    "q97_sliding_window_hll": 1.58,
+    "q98_label_propagation": 3.66,
+    "q99_containment_pairs": 3.87,
+    "q100_mom_growth": 0.88,
 }
 
 
