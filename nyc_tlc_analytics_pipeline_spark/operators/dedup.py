@@ -869,54 +869,84 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int = 50,
 ) -> DataFrame:
-    """Containment near-dup pairs: ``|A∩B| / min(|A|, |B|)`` ≥ threshold
-    — the measure that catches QUOTE INCLUSION (a short doc embedded in
-    a long one), which symmetric Jaccard dilutes toward 0 as the long
-    side grows.
+    """Containment near-dup pairs: ``n_common / min(|A|, |B|)`` ≥
+    threshold — the measure that catches QUOTE INCLUSION (a short doc
+    embedded in a long one), which symmetric Jaccard dilutes toward 0
+    as the long side grows.  EXACT (no recall trade), via the min-side
+    prefix filter:
 
-    Scale shape: candidate generation joins only on shingles whose
-    document frequency ≤ ``max_doc_freq`` — the df-cap that bounds
-    per-shingle fan-out to max_doc_freq² however hot the corpus's
-    boilerplate shingles get (the Vernica/Bayardo blocking trade:
-    a pair ALL of whose common shingles are ultra-common is missed;
-    rare-shingle overlap is what containment detection is for).
-    Containment itself is then computed EXACTLY from the full shingle
-    sets for candidates only.  Returns (doc_a, doc_b, n_common, size_a,
-    size_b, containment).
+    any qualifying pair shares ≥ ⌈t·m⌉ shingles where m = min size, so
+    the SMALLER doc's prefix — its ``m − ⌈t·m⌉ + 1`` rarest shingles in
+    the global (document-frequency, shingle) order — must intersect the
+    larger doc's full set.  Candidates therefore come from
+    prefix(doc) ⋈ all-shingles(other) restricted to size(prefix side) ≤
+    size(full side): the asymmetric Bayardo/Vernica join.  Hot
+    boilerplate shingles explode only the FULL side of the join; they
+    enter a prefix only when a doc has nothing rarer, so per-shingle
+    fan-out stays |prefix emitters| × df, not df².  Verification is an
+    in-row array_intersect on the two full (sorted) shingle arrays.
+
+    Returns (doc_a, doc_b, n_common, size_a, size_b, containment).
     """
-    st = shingle_table(df, id_col, text_col, n)
-    sizes = st.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    dfreq = st.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = st.join(
-        dfreq.filter(col("df") <= max_doc_freq).select("shingle"), "shingle"
+    sh = shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    sorted_sh = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_cnt", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("sh_sorted")
+        )
+        .withColumn("sz", F.size("sh_sorted"))
     )
-    cand = (
-        rare.select(col("doc").alias("doc_a"), "shingle")
-        .join(rare.select(col("doc").alias("doc_b"), "shingle"), "shingle")
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+    t = float(threshold)
+    prefix = sorted_sh.select(
+        "doc",
+        "sz",
+        F.explode(
+            F.expr(f"slice(sh_sorted, 1, sz - CAST(ceil({t} * sz) AS INT) + 1)")
+        ).alias("shingle"),
+    )
+    p_side = prefix.select(
+        col("doc").alias("doc_p"), col("sz").alias("sz_p"), "shingle"
+    )
+    f_side = sh.join(
+        sorted_sh.select("doc", "sz"), "doc"
+    ).select(col("doc").alias("doc_f"), col("sz").alias("sz_f"), "shingle")
+    cands = (
+        p_side.join(f_side, "shingle")
+        .filter(
+            (col("doc_p") != col("doc_f"))
+            # prefix side must be the min side for the guarantee; ties
+            # keep one deterministic orientation
+            & (
+                (col("sz_p") < col("sz_f"))
+                | ((col("sz_p") == col("sz_f")) & (col("doc_p") < col("doc_f")))
+            )
+        )
+        .select(
+            F.least(col("doc_p"), col("doc_f")).alias("doc_a"),
+            F.greatest(col("doc_p"), col("doc_f")).alias("doc_b"),
+        )
         .distinct()
     )
-    common = (
-        cand.join(st.select(col("doc").alias("doc_a"), "shingle"), "doc_a")
-        .join(st.select(col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    fa = sorted_sh.select(
+        col("doc").alias("doc_a"), col("sh_sorted").alias("sh_a"), col("sz").alias("size_a")
+    )
+    fb = sorted_sh.select(
+        col("doc").alias("doc_b"), col("sh_sorted").alias("sh_b"), col("sz").alias("size_b")
     )
     return (
-        common.join(
-            sizes.select(col("doc").alias("doc_a"), col("n_sh").alias("size_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(col("doc").alias("doc_b"), col("n_sh").alias("size_b")),
-            "doc_b",
-        )
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn(
             "containment",
             col("n_common") / F.least(col("size_a"), col("size_b")),
         )
         .filter(col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
     )

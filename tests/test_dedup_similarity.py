@@ -282,3 +282,73 @@ def test_persisted_ivf_index_prunes_partitions_and_matches(spark, tmp_path):
     full = similarity.read_ivf_probe(spark, path, q, cents, k=5, n_probe=8)
     brute = similarity.cosine_topk(df, q, k=5)
     assert {r.vec_id for r in full.collect()} == {r.vec_id for r in brute.collect()}
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    long_doc = (
+        "completely different opening words here to pad the long document "
+        + quote
+        + " and yet more unrelated trailing content follows this quote "
+        "with several additional filler tokens to dilute the overlap"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "nothing in common with either")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.8
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            df, "doc_id", "text", threshold=0.8, prefix_filter=False
+        ).collect()
+    }
+    assert (1, 2) not in jac  # the long side dilutes symmetric Jaccard
+
+
+def test_containment_prefix_filter_matches_naive_formula(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        shingle_table,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment)
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.6).collect()
+    }
+    # naive reference: full shared-shingle join
+    sh = shingle_table(df, "doc_id", "text", 3)
+    sizes = {r.doc: r.n for r in sh.groupBy("doc").agg(F.count("*").alias("n")).collect()}
+    pairs = {}
+    shset = {}
+    for r in sh.collect():
+        shset.setdefault(r.doc, set()).add(r.shingle)
+    docs_ = sorted(shset)
+    for i, a in enumerate(docs_):
+        for b in docs_[i + 1 :]:
+            c = len(shset[a] & shset[b])
+            if c and c / min(sizes[a], sizes[b]) >= 0.6:
+                pairs[(a, b)] = (c, c / min(sizes[a], sizes[b]))
+    assert set(got) == set(pairs)
+    for k, (c, v) in pairs.items():
+        assert got[k][0] == c and abs(got[k][1] - v) < 1e-9
