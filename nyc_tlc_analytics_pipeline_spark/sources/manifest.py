@@ -35,10 +35,11 @@ tag when it retries).
 
 Scale note: the log is O(#commits) tiny JSON files and each entry holds
 only paths — listing it is a metadata operation, and data I/O is
-unchanged parquet.  Checkpoint/compact (like Delta's _last_checkpoint)
-is deliberately omitted: at the commit rates of this pipeline (one per
-source file per day) the log stays small; compaction is a documented
-follow-up, not a correctness gap.
+unchanged parquet.  LOG checkpointing (like Delta's _last_checkpoint)
+remains omitted — at this pipeline's commit rates the log stays small.
+DATA small-file compaction is ``compact()``: a keep-tags overwrite
+published with an ``expect_parent`` compare-and-swap, so a concurrent
+append can never be silently dropped by the rewrite.
 """
 
 from __future__ import annotations
@@ -90,7 +91,10 @@ class ManifestTable:
                 break
             e = self._read_entry(v)
             if e["action"] == "overwrite":
-                dirs, tags = [], {}
+                # keep_tags: compaction rewrites DATA but must not forget
+                # idempotency tags, or already-loaded source files would
+                # happily load twice after a compact
+                dirs, tags = [], (tags if e.get("keep_tags") else {})
             dirs.extend(e["dirs"])
             if e.get("tag") is not None:
                 tags[e["tag"]] = v
@@ -114,6 +118,9 @@ class ManifestTable:
                     and tag in snap["tags"]
                 ):
                     return None  # someone (maybe a race winner) loaded it
+                expect = entry.get("expect_parent")
+                if expect is not None and snap["version"] != expect:
+                    return None  # CAS failed: table advanced under us
                 version = snap["version"] + 1
                 entry_full = {"version": version, "parent": snap["version"], **entry}
                 with open(tmp, "w") as f:
@@ -168,6 +175,41 @@ class ManifestTable:
             raise FileNotFoundError(f"manifest table {self.path} is empty")
         paths = [os.path.join(self.data_dir, d) for d in snap["dirs"]]
         return self.spark.read.parquet(*paths)
+
+    def compact(self, target_partitions: int = 8) -> int | None:
+        """Small-file compaction: rewrite the CURRENT snapshot into one
+        fresh directory with ``target_partitions`` files and commit it as
+        a keep-tags overwrite — the maintenance operation a
+        many-small-appends table (streaming gold, per-source-file bronze)
+        needs at scale (the docstring's 'documented follow-up').
+
+        Lost-update safe by compare-and-swap: the commit carries
+        ``expect_parent`` = the snapshot version that was compacted; if
+        ANY writer commits in between, the publish aborts (returns None,
+        staged data removed) instead of silently dropping their rows —
+        retry at a quiet moment.  Idempotency tags survive (keep_tags),
+        so previously-loaded source files still refuse to double-load;
+        pre-compact directories stay referenced by history, so time
+        travel keeps working until ``vacuum``."""
+        import shutil
+
+        snap = self.snapshot()
+        if not snap["dirs"]:
+            return None
+        df = self.read(snap["version"]).repartition(target_partitions)
+        staged = self._stage(df)
+        v = self._publish(
+            {
+                "action": "overwrite",
+                "dirs": [staged],
+                "tag": f"compact-v{snap['version']}",
+                "keep_tags": True,
+                "expect_parent": snap["version"],
+            }
+        )
+        if v is None:  # CAS lost: leave the table alone, drop our staging
+            shutil.rmtree(os.path.join(self.data_dir, staged), ignore_errors=True)
+        return v
 
     def history(self) -> list[dict]:
         """The committed log, oldest first (audit / debugging surface)."""

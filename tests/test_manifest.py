@@ -205,3 +205,53 @@ def test_write_corpus_shards_layout(spark, tmp_path):
     assert ids == sorted(ids)
     # partition pruning works
     assert spark.read.parquet(out).filter("split = 'val'").count() == 200
+
+
+def test_compact_merges_files_preserves_rows_and_tags(spark, tmp_path):
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        mt.append(
+            spark.range(i * 10, (i + 1) * 10).toDF("id"), tag=f"file-{i}"
+        )
+    before = sorted(r.id for r in mt.read().collect())
+    pre_version = mt.latest_version()
+    v = mt.compact(target_partitions=1)
+    assert v == pre_version + 1
+    snap = mt.snapshot()
+    assert len(snap["dirs"]) == 1  # 4 append dirs -> 1 compacted dir
+    assert sorted(r.id for r in mt.read().collect()) == before
+    # idempotency tags survive the keep-tags overwrite: a replayed
+    # source-file load must STILL be refused
+    assert mt.append(spark.range(5).toDF("id"), tag="file-2") is None
+    # time travel to the pre-compact snapshot still works
+    assert sorted(r.id for r in mt.read(pre_version).collect()) == before
+
+
+def test_compact_cas_aborts_instead_of_dropping_concurrent_append(
+    spark, tmp_path
+):
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    mt.append(spark.range(10).toDF("id"), tag="a")
+    # simulate a writer landing between the compactor's snapshot and its
+    # publish: stage + CAS-publish against a STALE parent version
+    stale = mt.snapshot()["version"]
+    mt.append(spark.range(10, 20).toDF("id"), tag="b")  # concurrent writer
+    staged = mt._stage(mt.read(stale).repartition(1))
+    v = mt._publish(
+        {
+            "action": "overwrite",
+            "dirs": [staged],
+            "tag": f"compact-v{stale}",
+            "keep_tags": True,
+            "expect_parent": stale,
+        }
+    )
+    assert v is None  # CAS refused — the concurrent append survives
+    assert sorted(r.id for r in mt.read().collect()) == list(range(20))
+    # a fresh compact against the CURRENT version succeeds and keeps all
+    assert mt.compact(target_partitions=1) is not None
+    assert sorted(r.id for r in mt.read().collect()) == list(range(20))
