@@ -12,6 +12,8 @@
     python -m nyc_tlc_analytics_pipeline_spark.cli status
     python -m nyc_tlc_analytics_pipeline_spark.cli explain q01_top_nations_by_revenue --run
     python -m nyc_tlc_analytics_pipeline_spark.cli curate --out data/shards
+    python -m nyc_tlc_analytics_pipeline_spark.cli compact --table data/warehouse/bronze/raw_yellow
+    python -m nyc_tlc_analytics_pipeline_spark.cli diagnose-skew --table events.parquet --key user_id
 
 ``curate`` is the training-data extension verb (no reference analogue):
 rule-gate → decontaminate → mixture-rebalance → split → shard-write.
@@ -92,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
         help="warehouse statistics: per-table row counts, column counts, "
         "on-disk bytes (reference db-stats)",
     )
+
+    cp = sub.add_parser(
+        "compact",
+        help="small-file compaction of a manifest table (keep-tags "
+        "overwrite, CAS-protected against concurrent writers)",
+    )
+    cp.add_argument("--table", required=True, help="manifest table path")
+    cp.add_argument("--target-partitions", type=int, default=8)
 
     sk = sub.add_parser(
         "diagnose-skew",
@@ -241,6 +251,23 @@ def main(argv: list[str] | None = None) -> int:
             df.write.format("noop").mode("overwrite").save()
             secs = round(time.perf_counter() - t0, 3)
             print(json.dumps({"rows": df.count(), "secs": secs}))
+    elif args.command == "compact":
+        from .sources.manifest import ManifestTable
+
+        mt = ManifestTable(pl.spark, args.table)
+        before = len(mt.snapshot()["dirs"])
+        v = mt.compact(target_partitions=args.target_partitions)
+        print(
+            json.dumps(
+                {
+                    "table": args.table,
+                    "committed_version": v,  # null = CAS lost, retry
+                    "dirs_before": before,
+                    "dirs_after": len(mt.snapshot()["dirs"]),
+                }
+            )
+        )
+        return 0 if v is not None else 3
     elif args.command == "diagnose-skew":
         from .operators.skew import skew_report
 

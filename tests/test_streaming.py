@@ -366,3 +366,70 @@ def test_streaming_hll_sketch_matches_batch_sketch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_streaming_bloom_decontamination_gate_matches_batch(spark, tmp_path):
+    """A Bloom filter built batch-side from benchmark grams gates a
+    DOCUMENT stream fully MAP-SIDE: each gram's k positions are checked
+    with forall/array_contains against the set-bit array riding the
+    plan as a literal (no state, no aggregation — append-mode safe).
+    The streamed candidate set must equal the batch form and must be a
+    SUPERSET of the exact contaminated set (never-false-negative) —
+    the streaming face of the q91 prefilter for corpora that arrive
+    continuously."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import decontam, sketch
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table_parallel
+
+    docs = load_table_parallel(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(col("doc_id") % 50 == 0)
+    corpus = docs.filter(col("doc_id") % 50 != 0)
+    src = str(tmp_path / "docs_src")
+    corpus.repartition(3).write.mode("overwrite").parquet(src)
+
+    grams = bench.select(
+        F.explode(decontam.word_ngrams("text", 3)).alias("g")
+    ).distinct()
+    bloom = sketch.bloom_build(grams, "g", m=4096, k=3)
+    set_bits = F.array(
+        *[F.lit(r.pos) for r in sorted(bloom.collect(), key=lambda r: r.pos)]
+    )
+
+    def gate(df):
+        pos = sketch.bloom_positions(col("g"), 4096, 3)
+        hit = F.forall(pos, lambda p: F.array_contains(set_bits, p))
+        return (
+            df.select(
+                "doc_id", F.explode(decontam.word_ngrams("text", 3)).alias("g")
+            )
+            .filter(hit)
+            .select("doc_id")
+            .dropDuplicates(["doc_id"])
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory_sink(gate(stream), "stream_contam_candidates")
+    streamed = {r.doc_id for r in spark.table("stream_contam_candidates").collect()}
+
+    batch = {r.doc_id for r in gate(corpus).collect()}
+    assert streamed == batch and streamed
+    # never-false-negative: every EXACTLY contaminated doc is flagged
+    exact = {
+        r.doc_id
+        for r in corpus.select(
+            "doc_id", F.explode(decontam.word_ngrams("text", 3)).alias("g")
+        )
+        .join(grams, "g")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert exact <= streamed
