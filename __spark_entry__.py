@@ -121,12 +121,12 @@ _SWEEP_COST = {
     "q92_interval_overlap_join": 0.92,
     "q93_classifier_calibration": 0.87,
     "q94_map_column_pipeline": 1.10,
-    "q95_minhash_calibration": 3.69,
+    "q95_minhash_calibration": 4.62,
     "q96_token_budget_threshold": 1.34,
-    "q97_sliding_window_hll": 1.58,
-    "q98_label_propagation": 3.66,
-    "q99_containment_pairs": 3.87,
-    "q100_mom_growth": 0.88,
+    "q97_sliding_window_hll": 1.74,
+    "q98_label_propagation": 4.88,
+    "q99_containment_pairs": 4.39,
+    "q100_mom_growth": 0.67,
 }
 
 
@@ -145,7 +145,8 @@ def _ordered_names() -> list[str]:
        JVM/codegen warm-up is absorbed by a sub-second query instead of
        being billed to the most expensive one.
 
-    (All 93 also pass the same comparator locally — scripts/sweep.py.)"""
+    (Every registered query also passes the same comparator locally —
+    scripts/sweep.py.)"""
     def qnum(name: str) -> int:
         # numeric, not lexical: "q100" must sort after "q51"
         return int(name[1:].split("_", 1)[0])
