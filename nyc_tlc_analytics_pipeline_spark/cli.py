@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--table", required=True, help="manifest table path")
     cp.add_argument("--target-partitions", type=int, default=8)
 
+    vc = sub.add_parser(
+        "vacuum",
+        help="delete manifest data directories no committed entry "
+        "references (crashed writers' leftovers)",
+    )
+    vc.add_argument("--table", required=True, help="manifest table path")
+
     sk = sub.add_parser(
         "diagnose-skew",
         help="per-key count distribution + skew factor for a parquet "
@@ -268,6 +275,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if v is not None else 3
+    elif args.command == "vacuum":
+        from .sources.manifest import ManifestTable
+
+        removed = ManifestTable(pl.spark, args.table).vacuum()
+        print(json.dumps({"table": args.table, "removed_dirs": removed}))
     elif args.command == "diagnose-skew":
         from .operators.skew import skew_report
 
