@@ -127,6 +127,8 @@ _SWEEP_COST = {
     "q98_label_propagation": 4.88,
     "q99_containment_pairs": 4.39,
     "q100_mom_growth": 0.67,
+    "q101_mad_outliers": 1.30,
+    "q102_event_pmi": 1.20,
 }
 
 

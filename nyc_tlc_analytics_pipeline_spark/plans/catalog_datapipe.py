@@ -4844,3 +4844,177 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — MAD (median absolute deviation) robust outlier detection
+# ---------------------------------------------------------------------------
+
+_Q101_K = 3.5  # robust-z cutoff (Iglewicz-Hoaglin recommended 3.5)
+
+_Q101_ORACLE = f"""
+WITH med AS (
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 6) AS med
+    FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+    SELECT l.l_returnflag, m.med,
+           round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5) + 1e-9, 6) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag, m.med
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       m.med, m.mad,
+       CAST(sum(CASE WHEN abs(0.6745 * (l.l_extendedprice - m.med) / nullif(m.mad, 0))
+                          > {_Q101_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(1.0 * sum(CASE WHEN abs(0.6745 * (l.l_extendedprice - m.med) / nullif(m.mad, 0))
+                            > {_Q101_K} THEN 1 ELSE 0 END) / count(*) + 1e-9, 6)
+           AS outlier_rate
+FROM lineitem l
+JOIN mad m USING (l_returnflag)
+GROUP BY l.l_returnflag, m.med, m.mad
+ORDER BY l.l_returnflag
+"""
+
+
+@register(
+    "q101_mad_outliers",
+    _Q101_ORACLE,
+    "Robust outlier detection by modified z-score (Iglewicz–Hoaglin: "
+    "0.6745·(x−median)/MAD > 3.5) — the robust-stats complement to "
+    "q86's winsorization: median and MAD don't move when the outliers "
+    "themselves grow, unlike mean/stddev.  Two grouped exact-median "
+    "passes (A6 single-buffer posture, approx escape at 100 TB), each "
+    "result broadcast back; flagging is map-side.  Medians are nudge-"
+    "rounded in both engines before the deviation pass so the MAD "
+    "baseline is cross-engine identical.",
+    operators=("A6", "robust-stats", "J1", "A4"),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        rnd(F.percentile("l_extendedprice", lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            rnd(
+                F.percentile(F.abs(col("l_extendedprice") - col("med")), lit(0.5)),
+                6,
+            ).alias("mad")
+        )
+    )
+    rz = F.abs(
+        lit(0.6745)
+        * (col("l_extendedprice") - col("med"))
+        / F.nullif(col("mad"), lit(0))
+    )
+    out = F.sum(F.when(rz > _Q101_K, 1).otherwise(0))
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            out.cast("long").alias("n_outliers"),
+            rnd(out / F.count("*"), 6).alias("outlier_rate"),
+        )
+        .select(
+            "l_returnflag", "n_items", "med", "mad", "n_outliers", "outlier_rate"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — event-type co-occurrence PMI (pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+_Q102_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day, event_type
+    FROM events
+),
+n_ctx AS (
+    SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM ud) t
+),
+singles AS (
+    SELECT event_type, count(*) AS c FROM ud GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+    FROM ud a
+    JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+              AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.c_ab AS BIGINT) AS n_cooccur,
+       round(ln((1.0 * p.c_ab * n.n) / (1.0 * sa.c * sb.c)) + 1e-9, 6) AS pmi
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN n_ctx n
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@register(
+    "q102_event_pmi",
+    _Q102_ORACLE,
+    "Pointwise mutual information between event types over (user, day) "
+    "contexts: PMI = ln(P(a,b) / P(a)P(b)) — the association measure "
+    "behind word2vec-era co-occurrence analysis, here as a "
+    "per-context distinct + self-join on the CONTEXT key (bounded "
+    "fan-out: ≤ |event types| rows per context, so the join is "
+    "|contexts|·k², never corpus²) + two broadcast marginal frames.  "
+    "Output is the k·(k−1)/2 type-pair matrix.",
+    operators=("J7", "A2", "association-pmi"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    # 1-row context-count frame broadcast onto the pair matrix (the
+    # q14/q56 scalar pattern — no eager driver-side count job)
+    n_ctx = (
+        ud.select("user_id", "day").distinct().agg(F.count("*").alias("n"))
+    )
+    singles = ud.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = ud.select("user_id", "day", col("event_type").alias("type_a"))
+    b = ud.select("user_id", "day", col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(col("event_type").alias("type_a"), col("c").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(col("event_type").alias("type_b"), col("c").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_ctx))
+        .select(
+            "type_a",
+            "type_b",
+            col("c_ab").cast("long").alias("n_cooccur"),
+            rnd(
+                F.log(
+                    (col("c_ab") * col("n").cast("double"))
+                    / (col("c_a") * col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )

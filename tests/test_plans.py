@@ -93,6 +93,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q80_temperature_mixture",
         "q89_skew_diagnostics",
         "q91_bloom_prefilter",
+        "q102_event_pmi",  # 1-row context-count frame onto the k^2 matrix
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
