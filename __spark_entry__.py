@@ -129,6 +129,9 @@ _SWEEP_COST = {
     "q100_mom_growth": 0.67,
     "q101_mad_outliers": 1.30,
     "q102_event_pmi": 1.20,
+    "q103_event_transitions": 0.90,
+    "q104_interarrival_histogram": 1.20,
+    "q105_token_drift_js": 3.11,
 }
 
 

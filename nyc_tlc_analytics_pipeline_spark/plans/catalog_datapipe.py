@@ -5018,3 +5018,229 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — first-order event transition matrix (Markov chain estimate)
+# ---------------------------------------------------------------------------
+
+_Q103_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+outc AS (
+    SELECT from_type, sum(c) AS total FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type,
+       CAST(t.c AS BIGINT) AS n_transitions,
+       round(1.0 * t.c / o.total + 1e-9, 6) AS p_transition
+FROM trans t JOIN outc o USING (from_type)
+ORDER BY t.from_type, t.to_type
+"""
+
+
+@register(
+    "q103_event_transitions",
+    _Q103_ORACLE,
+    "First-order Markov transition matrix over the event stream: "
+    "lead() per user (one shuffle on the entity key, the q87 posture), "
+    "transition counts, and row-normalized probabilities from a "
+    "broadcast per-source-state marginal — the order-SENSITIVE "
+    "companion to q102's order-free PMI.  Output is the k×k matrix.",
+    operators=("W-lead", "A3", "markov-transitions"),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(col("next_type").isNotNull())
+        .groupBy(
+            col("event_type").alias("from_type"),
+            col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    outc = trans.groupBy("from_type").agg(F.sum("c").alias("total"))
+    return (
+        trans.join(F.broadcast(outc), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            col("c").cast("long").alias("n_transitions"),
+            rnd(col("c") / col("total"), 6).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — inter-arrival-time histogram (log-scale latency buckets)
+# ---------------------------------------------------------------------------
+
+_Q104_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+gaps AS (
+    SELECT date_diff('second', prev_ts, ts) AS gap_s
+    FROM ordered WHERE prev_ts IS NOT NULL
+),
+b AS (
+    SELECT CASE WHEN gap_s <= 0 THEN -1
+                ELSE CAST(floor(ln(gap_s) / ln(10)) AS BIGINT) END AS bucket,
+           gap_s
+    FROM gaps
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(avg(gap_s) + 1e-9, 4) AS avg_gap_s
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q104_interarrival_histogram",
+    _Q104_ORACLE,
+    "Inter-arrival-time distribution on a log10 scale: lag() per user "
+    "(entity-key shuffle), integer-second gaps, map-side decade "
+    "bucketing (bucket -1 holds zero-gap same-second pairs), then a "
+    "bounded ~10-key aggregate — the latency-histogram shape used for "
+    "SLO/heartbeat monitoring, FP-free except the per-bucket mean.",
+    operators=("W-lag", "A3", "latency-histogram"),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.scalar import to_epoch
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = to_epoch("ts") - to_epoch("prev_ts")
+    b = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(col("prev_ts").isNotNull())
+        .select(gap.alias("gap_s"))
+        .withColumn(
+            "bucket",
+            F.when(col("gap_s") <= 0, lit(-1)).otherwise(
+                F.floor(F.log(col("gap_s").cast("double")) / F.log(lit(10.0)))
+            ).cast("long"),
+        )
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            rnd(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — corpus drift: Jensen–Shannon divergence of token distributions
+# ---------------------------------------------------------------------------
+
+_Q105_ORACLE = """
+WITH t AS (
+    SELECT lang, doc_id % 2 AS half,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+),
+c AS (SELECT lang, half, tok, count(*) AS c FROM t GROUP BY lang, half, tok),
+tot AS (SELECT lang, half, sum(c) AS n FROM c GROUP BY lang, half),
+p AS (
+    SELECT c.lang, c.tok,
+           coalesce(max(CASE WHEN c.half = 0 THEN 1.0 * c.c / tot.n END), 0) AS p0,
+           coalesce(max(CASE WHEN c.half = 1 THEN 1.0 * c.c / tot.n END), 0) AS p1
+    FROM c JOIN tot ON c.lang = tot.lang AND c.half = tot.half
+    GROUP BY c.lang, c.tok
+),
+contrib AS (
+    SELECT lang, tok, p0, p1, (p0 + p1) / 2 AS m,
+           0.5 * (CASE WHEN p0 > 0 THEN p0 * ln(p0 / ((p0 + p1) / 2)) ELSE 0 END)
+         + 0.5 * (CASE WHEN p1 > 0 THEN p1 * ln(p1 / ((p0 + p1) / 2)) ELSE 0 END)
+               AS js_term
+    FROM p
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens_union,
+       round(sum(js_term) / ln(2.0) + 1e-9, 4) AS js_divergence_bits
+FROM contrib
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q105_token_drift_js",
+    _Q105_ORACLE,
+    "Corpus-drift detection: Jensen–Shannon divergence (bits) between "
+    "the token distributions of two corpus halves (doc_id parity "
+    "stands in for yesterday/today snapshots), per language — the "
+    "distribution-shift monitor a continuously-ingesting training "
+    "pipeline runs per refresh.  One explode + (lang, half, token) "
+    "count, a full-outer-style pivot to (p0, p1) on the vocab key, "
+    "map-side JS terms, vocab-keyed sum.  Per-token probabilities are "
+    "exact ratios of integer counts (bit-identical cross-engine); only "
+    "the final vocab-sized sum needs the nudge-round (4 dp).",
+    operators=("A3", "J9", "drift-js-divergence"),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        (col("doc_id") % 2).alias("half"),
+        F.explode(text.tokens("text")).alias("tok"),
+    )
+    c = t.groupBy("lang", "half", "tok").agg(F.count("*").alias("c"))
+    tot = c.groupBy("lang", "half").agg(F.sum("c").alias("n"))
+    p = (
+        c.join(F.broadcast(tot), ["lang", "half"])
+        .groupBy("lang", "tok")
+        .agg(
+            F.coalesce(
+                F.max(F.when(col("half") == 0, col("c") / col("n"))), lit(0.0)
+            ).alias("p0"),
+            F.coalesce(
+                F.max(F.when(col("half") == 1, col("c") / col("n"))), lit(0.0)
+            ).alias("p1"),
+        )
+    )
+    m = (col("p0") + col("p1")) / 2
+    js_term = lit(0.5) * F.when(
+        col("p0") > 0, col("p0") * F.log(col("p0") / m)
+    ).otherwise(0.0) + lit(0.5) * F.when(
+        col("p1") > 0, col("p1") * F.log(col("p1") / m)
+    ).otherwise(0.0)
+    return (
+        p.select("lang", js_term.alias("js_term"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens_union"),
+            rnd(F.sum("js_term") / F.log(lit(2.0)), 4).alias(
+                "js_divergence_bits"
+            ),
+        )
+        .orderBy("lang")
+    )
