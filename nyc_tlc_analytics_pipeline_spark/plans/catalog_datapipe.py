@@ -5244,3 +5244,168 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — lexical diversity report (entropy, TTR, hapax rate)
+# ---------------------------------------------------------------------------
+
+_Q106_ORACLE = """
+WITH t AS (
+    SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+),
+c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY lang, tok),
+tot AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang)
+SELECT c.lang,
+       CAST(max(tot.n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(1.0 * count(*) / max(tot.n) + 1e-9, 6) AS type_token_ratio,
+       round(1.0 * sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) / count(*) + 1e-9, 6)
+           AS hapax_rate,
+       round(-sum((1.0 * c.c / tot.n) * ln(1.0 * c.c / tot.n)) / ln(2.0) + 1e-9, 4)
+           AS entropy_bits
+FROM c JOIN tot ON c.lang = tot.lang
+GROUP BY c.lang
+ORDER BY c.lang
+"""
+
+
+@register(
+    "q106_lexical_diversity",
+    _Q106_ORACLE,
+    "Lexical-diversity corpus report per language: Shannon entropy "
+    "(bits) of the token distribution, type–token ratio, and hapax-"
+    "legomena rate — the classical vocabulary-health metrics a corpus "
+    "card publishes.  One explode + (lang, token) count + broadcast "
+    "lang totals + vocab-keyed fold; per-token probabilities are exact "
+    "integer ratios, only the entropy sum is nudge-rounded.",
+    operators=("A3", "text-entropy", "corpus-card"),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("lang", F.explode(text.tokens("text")).alias("tok"))
+    c = t.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    tot = c.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = col("c") / col("n")
+    return (
+        c.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            rnd(F.count("*") / F.max("n"), 6).alias("type_token_ratio"),
+            rnd(
+                F.sum(F.when(col("c") == 1, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("hapax_rate"),
+            rnd(-F.sum(p * F.log(p)) / F.log(lit(2.0)), 4).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — pairwise language similarity matrix (JS divergence on tokens)
+# ---------------------------------------------------------------------------
+
+_Q107_ORACLE = """
+WITH t AS (
+    SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+),
+c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY lang, tok),
+tot AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang),
+p AS (
+    SELECT c.lang, c.tok, 1.0 * c.c / tot.n AS p
+    FROM c JOIN tot ON c.lang = tot.lang
+),
+pairs AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b, a.tok,
+           coalesce(a.p, 0) AS pa, coalesce(b.p, 0) AS pb
+    FROM p a FULL OUTER JOIN p b
+      ON a.tok = b.tok AND a.lang < b.lang
+    WHERE a.lang IS NOT NULL AND b.lang IS NOT NULL
+),
+terms AS (
+    SELECT lang_a, lang_b,
+           0.5 * (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+         + 0.5 * (CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+               AS js_term,
+           pa, pb
+    FROM pairs
+),
+-- tokens exclusive to one language contribute 0.5*p*ln(2) from that side;
+-- the inner-join pair rows above only cover SHARED tokens, so add the
+-- exclusive mass per pair from the marginals
+shared AS (
+    SELECT lang_a, lang_b,
+           sum(js_term) AS js_shared,
+           sum(pa) AS pa_shared, sum(pb) AS pb_shared
+    FROM terms GROUP BY lang_a, lang_b
+)
+SELECT lang_a, lang_b,
+       round((js_shared
+              + 0.5 * (1 - pa_shared) * ln(2.0)
+              + 0.5 * (1 - pb_shared) * ln(2.0)) / ln(2.0) + 1e-9, 4)
+           AS js_divergence_bits
+FROM shared
+ORDER BY lang_a, lang_b
+"""
+
+
+@register(
+    "q107_lang_similarity_matrix",
+    _Q107_ORACLE,
+    "Pairwise language-similarity matrix: Jensen–Shannon divergence "
+    "between every pair of language token distributions, computed from "
+    "ONE (lang, token, p) frame self-joined on the token key — the "
+    "k·(k−1)/2 matrix costs one vocab-keyed join however many "
+    "languages share it, never a per-pair scan.  Tokens exclusive to "
+    "one side contribute closed-form 0.5·p·ln2 mass, folded in from "
+    "the shared-probability marginals instead of materializing the "
+    "disjoint-vocab rows (the full-outer explosion).",
+    operators=("J7", "A3", "drift-js-divergence"),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("lang", F.explode(text.tokens("text")).alias("tok"))
+    c = t.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    tot = c.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = c.join(F.broadcast(tot), "lang").select(
+        "lang", "tok", (col("c") / col("n")).alias("p")
+    )
+    a = p.select(col("lang").alias("lang_a"), "tok", col("p").alias("pa"))
+    b = p.select(col("lang").alias("lang_b"), "tok", col("p").alias("pb"))
+    m = (col("pa") + col("pb")) / 2
+    js_term = lit(0.5) * col("pa") * F.log(col("pa") / m) + lit(0.5) * col(
+        "pb"
+    ) * F.log(col("pb") / m)
+    shared = (
+        a.join(b, "tok")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(js_term).alias("js_shared"),
+            F.sum("pa").alias("pa_shared"),
+            F.sum("pb").alias("pb_shared"),
+        )
+    )
+    ln2 = F.log(lit(2.0))
+    return (
+        shared.select(
+            "lang_a",
+            "lang_b",
+            rnd(
+                (
+                    col("js_shared")
+                    + lit(0.5) * (lit(1.0) - col("pa_shared")) * ln2
+                    + lit(0.5) * (lit(1.0) - col("pb_shared")) * ln2
+                )
+                / ln2,
+                4,
+            ).alias("js_divergence_bits"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -100,3 +100,41 @@ def test_winsorized_mean_lies_within_cutpoints(spark, values):
         .collect()[0]
     )
     assert r.lo - 1e-9 <= r.m <= r.hi + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["w%d" % i for i in range(25)]),
+            min_size=4,
+            max_size=40,
+        ),
+        min_size=4,
+        max_size=25,
+    )
+)
+def test_containment_dominates_jaccard_on_shared_pairs(spark, corpus):
+    """Structural: containment = c/min(a,b) ≥ c/(a+b−c) = Jaccard for
+    every pair — so a containment threshold can only ADD pairs relative
+    to the same Jaccard threshold, never lose one (why it's the
+    quote-inclusion measure)."""
+    from nyc_tlc_analytics_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    thr = 0.4
+    cont = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(df, "doc_id", "text", threshold=thr).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            df, "doc_id", "text", threshold=thr, prefix_filter=False
+        ).collect()
+    }
+    assert jac <= cont
