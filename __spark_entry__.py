@@ -132,8 +132,8 @@ _SWEEP_COST = {
     "q103_event_transitions": 0.90,
     "q104_interarrival_histogram": 1.20,
     "q105_token_drift_js": 3.11,
-    "q106_lexical_diversity": 1.50,
-    "q107_lang_similarity_matrix": 2.00,
+    "q106_lexical_diversity": 1.21,
+    "q107_lang_similarity_matrix": 1.48,
 }
 
 
