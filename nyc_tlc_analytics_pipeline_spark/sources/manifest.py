@@ -35,11 +35,17 @@ tag when it retries).
 
 Scale note: the log is O(#commits) tiny JSON files and each entry holds
 only paths — listing it is a metadata operation, and data I/O is
-unchanged parquet.  LOG checkpointing (like Delta's _last_checkpoint)
-remains omitted — at this pipeline's commit rates the log stays small.
-DATA small-file compaction is ``compact()``: a keep-tags overwrite
-published with an ``expect_parent`` compare-and-swap, so a concurrent
-append can never be silently dropped by the rewrite.
+unchanged parquet.  The two maintenance operations complete the
+Delta-style triad:
+
+- DATA small-file compaction — ``compact()``: a keep-tags overwrite
+  published with an ``expect_parent`` compare-and-swap, so a concurrent
+  append can never be silently dropped by the rewrite;
+- LOG checkpointing — ``write_checkpoint()`` (the ``_last_checkpoint``
+  idea): reads replay O(commits since last checkpoint), not
+  O(all commits); race-safe by determinism + no-clobber, and a
+  successful compact checkpoints automatically (its state is one
+  directory, the minimal checkpoint).
 """
 
 from __future__ import annotations
@@ -69,7 +75,19 @@ class ManifestTable:
         except FileNotFoundError:
             return []
         return sorted(
-            int(n[: -len(".json")]) for n in names if n.endswith(".json")
+            int(n[: -len(".json")])
+            for n in names
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        )
+
+    def _checkpoints(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        suffix = ".checkpoint.json"
+        return sorted(
+            int(n[: -len(suffix)]) for n in names if n.endswith(suffix)
         )
 
     def _read_entry(self, version: int) -> dict:
@@ -82,11 +100,30 @@ class ManifestTable:
 
     def snapshot(self, version: int | None = None) -> dict:
         """Replay the log up to ``version`` (default: latest).  Returns
-        ``{"version": v, "dirs": [...], "tags": {tag: version}}``."""
+        ``{"version": v, "dirs": [...], "tags": {tag: version}}``.
+
+        Starts from the newest CHECKPOINT at or below the target version
+        when one exists (the Delta ``_last_checkpoint`` idea): a
+        checkpoint is the materialized replayed state at its version, so
+        reads cost O(commits since last checkpoint) instead of
+        O(all commits) — the thing that keeps a high-commit-rate table's
+        metadata path flat at scale."""
         dirs: list[str] = []
         tags: dict[str, int] = {}
         top = 0
+        cps = [
+            c for c in self._checkpoints() if version is None or c <= version
+        ]
+        if cps:
+            base = cps[-1]
+            with open(
+                os.path.join(self.log_dir, f"{base:020d}.checkpoint.json")
+            ) as f:
+                cp = json.load(f)
+            dirs, tags, top = list(cp["dirs"]), dict(cp["tags"]), cp["version"]
         for v in self._versions():
+            if v <= top:
+                continue
             if version is not None and v > version:
                 break
             e = self._read_entry(v)
@@ -100,6 +137,39 @@ class ManifestTable:
                 tags[e["tag"]] = v
             top = v
         return {"version": top, "dirs": dirs, "tags": tags}
+
+    def write_checkpoint(self) -> int | None:
+        """Materialize the current replayed state as
+        ``_log/<version>.checkpoint.json`` (atomic no-clobber link, same
+        publish primitive as commits).  Safe under races by determinism:
+        a checkpoint's content is a pure function of the immutable log
+        prefix, so two racers produce byte-equivalent state and the
+        no-clobber link keeps exactly one.  Old checkpoints stay — a
+        time-traveling reader picks the newest one at or below its
+        target.  Returns the checkpointed version (None on an empty
+        table or when that version is already checkpointed)."""
+        snap = self.snapshot()
+        if snap["version"] == 0:
+            return None
+        target = os.path.join(
+            self.log_dir, f"{snap['version']:020d}.checkpoint.json"
+        )
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                return None  # already checkpointed at this version
+            return snap["version"]
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     # -- commit protocol ---------------------------------------------------
     def _publish(self, entry: dict, max_retries: int = 50) -> int | None:
@@ -209,6 +279,10 @@ class ManifestTable:
         )
         if v is None:  # CAS lost: leave the table alone, drop our staging
             shutil.rmtree(os.path.join(self.data_dir, staged), ignore_errors=True)
+        else:
+            # a fresh compact is the natural checkpoint moment: the state
+            # is one directory, so the checkpoint is minimal
+            self.write_checkpoint()
         return v
 
     def history(self) -> list[dict]:

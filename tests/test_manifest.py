@@ -255,3 +255,47 @@ def test_compact_cas_aborts_instead_of_dropping_concurrent_append(
     # a fresh compact against the CURRENT version succeeds and keeps all
     assert mt.compact(target_partitions=1) is not None
     assert sorted(r.id for r in mt.read().collect()) == list(range(20))
+
+
+def test_checkpoint_snapshot_equals_full_replay(spark, tmp_path):
+    import json
+    import os
+
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    mt.append(spark.range(5).toDF("id"), tag="f0")
+    mt.append(spark.range(5, 10).toDF("id"), tag="f1")
+    full = mt.snapshot()
+    assert mt.write_checkpoint() == full["version"]
+    # re-checkpointing the same version is a no-op
+    assert mt.write_checkpoint() is None
+    # checkpointed read == full replay, byte for byte
+    assert mt.snapshot() == full
+    # later commits replay ON TOP of the checkpoint
+    mt.append(spark.range(10, 15).toDF("id"), tag="f2")
+    assert sorted(r.id for r in mt.read().collect()) == list(range(15))
+    # time travel BELOW the checkpoint still full-replays correctly
+    assert sorted(r.id for r in mt.read(1).collect()) == list(range(5))
+    # tag idempotency flows through the checkpointed state
+    assert mt.append(spark.range(3).toDF("id"), tag="f0") is None
+    # the checkpoint file is a real materialized state, not a marker
+    cp = os.path.join(
+        mt.log_dir, f"{full['version']:020d}.checkpoint.json"
+    )
+    assert json.load(open(cp))["dirs"] == full["dirs"]
+
+
+def test_compact_writes_a_checkpoint(spark, tmp_path):
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        mt.append(spark.range(i * 4, (i + 1) * 4).toDF("id"), tag=f"f{i}")
+    v = mt.compact(target_partitions=1)
+    assert v is not None
+    assert mt._checkpoints() == [v]
+    # reads start from the 1-dir checkpoint, no replay of the 3 appends
+    assert sorted(r.id for r in mt.read().collect()) == list(range(12))
+    # and tags still survive through checkpoint + compact
+    assert mt.append(spark.range(2).toDF("id"), tag="f1") is None
