@@ -134,6 +134,8 @@ _SWEEP_COST = {
     "q105_token_drift_js": 3.11,
     "q106_lexical_diversity": 1.21,
     "q107_lang_similarity_matrix": 1.48,
+    "q108_snapshot_novelty": 2.50,
+    "q109_duplication_profile": 1.00,
 }
 
 

@@ -5409,3 +5409,154 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — snapshot novelty rate (corpus freshness between refreshes)
+# ---------------------------------------------------------------------------
+
+_Q108_N = 3
+
+_Q108_ORACLE = f"""
+WITH t AS (
+    SELECT lang, doc_id % 2 AS half,
+           string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+sh AS (
+    SELECT lang, half,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - {_Q108_N - 1}, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {_Q108_N - 1}), ' ')))) AS g
+    FROM t
+),
+old AS (SELECT DISTINCT lang, g FROM sh WHERE half = 0),
+new AS (SELECT DISTINCT lang, g FROM sh WHERE half = 1)
+SELECT n.lang,
+       CAST(count(*) AS BIGINT) AS n_new_grams,
+       CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(1.0 * sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) / count(*) + 1e-9, 6)
+           AS novelty_rate
+FROM new n
+LEFT JOIN old o ON n.lang = o.lang AND n.g = o.g
+GROUP BY n.lang
+ORDER BY n.lang
+"""
+
+
+@register(
+    "q108_snapshot_novelty",
+    _Q108_ORACLE,
+    "Corpus-freshness monitor: the fraction of the NEW snapshot's "
+    "distinct word 3-grams unseen in the OLD snapshot, per language "
+    "(doc_id parity stands in for refresh generations) — the "
+    "complement of q78's document-level incremental refresh and "
+    "q105's distribution drift: novelty says how much genuinely new "
+    "TEXT arrived, not how the mix shifted.  Two distinct-gram "
+    "frames, one left join on the (lang, gram) key — at 100 TB the "
+    "standing side is the fingerprint store, exactly the q78 posture.",
+    operators=("J-left-anti-share", "A4", "corpus-freshness"),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        (col("doc_id") % 2).alias("half"),
+        F.explode(decontam.word_ngrams("text", _Q108_N)).alias("g"),
+    )
+    old = (
+        grams.filter(col("half") == 0)
+        .select(col("lang").alias("lang_o"), col("g").alias("g_old"))
+        .distinct()
+    )
+    new = grams.filter(col("half") == 1).select("lang", "g").distinct()
+    return (
+        new.join(
+            old,
+            (col("lang") == col("lang_o")) & (col("g") == col("g_old")),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_new_grams"),
+            F.sum(F.when(col("g_old").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            rnd(
+                F.sum(F.when(col("g_old").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — duplication profile (dedup-savings report from CC clusters)
+# ---------------------------------------------------------------------------
+
+_Q109_ORACLE = """
+WITH fp AS (
+    SELECT doc_id, source,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+               AS f
+    FROM documents
+),
+groups AS (
+    SELECT source, f, count(*) AS group_size FROM fp GROUP BY source, f
+),
+b AS (
+    SELECT source,
+           CASE WHEN group_size = 1 THEN 'unique'
+                WHEN group_size = 2 THEN 'pair'
+                ELSE '3plus' END AS bucket,
+           group_size
+    FROM groups
+)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(group_size) AS BIGINT) AS n_docs,
+       CAST(sum(group_size - 1) AS BIGINT) AS n_removable
+FROM b
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
+@register(
+    "q109_duplication_profile",
+    _Q109_ORACLE,
+    "Dedup-savings report: exact-duplicate group sizes (normalized-md5 "
+    "fingerprint) bucketed into unique/pair/3plus per source, with the "
+    "removable-document count (group_size − 1 per group) — the report "
+    "that decides whether a corpus is worth a dedup pass before one "
+    "runs.  One fingerprint groupBy + a bounded per-source rollup; the "
+    "same shape feeds from near-dup CC clusters (q46) when fuzzy "
+    "groups are wanted.",
+    operators=("dedup-profile", "A3", "A4"),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    groups = (
+        docs.select("source", text.fingerprint("text").alias("f"))
+        .groupBy("source", "f")
+        .agg(F.count("*").alias("group_size"))
+    )
+    bucket = (
+        F.when(col("group_size") == 1, "unique")
+        .when(col("group_size") == 2, "pair")
+        .otherwise("3plus")
+    )
+    return (
+        groups.select("source", bucket.alias("bucket"), "group_size")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_docs"),
+            F.sum(col("group_size") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("source", "bucket")
+    )
