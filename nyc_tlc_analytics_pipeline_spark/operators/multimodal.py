@@ -474,7 +474,10 @@ def phash_kernel(fake: bool = False, hash_size: int = 8):
 
 
 def near_dup_media_pairs(
-    phashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+    phashes: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    allow_incomplete: bool = False,
 ) -> DataFrame:
     """Near-duplicate images by banded phash join — the multimodal face
     of the SimHash text pipeline (operators.dedup): split the 64-bit
@@ -484,9 +487,19 @@ def near_dup_media_pairs(
     all-pairs stage at any scale.  Candidates verify with
     ``bit_count(xor)``; pairs dedupe on (a < b).
 
-    Guarantee: complete for ``max_hamming < n_bands``; raise
-    ``n_bands`` (8/16) for looser thresholds — candidate volume grows
+    Guarantee: complete ONLY for ``max_hamming < n_bands`` (hence the
+    default 8 bands for the default hamming ≤ 6); a violating combo is
+    rejected with ``ValueError`` rather than silently missing pairs
+    whose flipped bits touch every band.  Pass
+    ``allow_incomplete=True`` to run anyway as a recall/cost trade
+    (fewer, longer bands → fewer candidates) — candidate volume grows
     with collision odds per shorter band, the standard LSH trade."""
+    if max_hamming >= n_bands and not allow_incomplete:
+        raise ValueError(
+            f"banded join is only complete for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}); raise "
+            f"n_bands or pass allow_incomplete=True for best-effort recall"
+        )
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     sides = []

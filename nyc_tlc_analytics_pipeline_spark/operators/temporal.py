@@ -140,7 +140,10 @@ def interval_overlap_join(
     - no keys: ``bucket_seconds`` REQUIRED.  Each interval explodes to
       the time buckets it covers, the join runs as a bucket equi-join,
       and duplicate pairs (intervals sharing >1 bucket) collapse with a
-      distinct on the pair identity — the standard interval-bucketing
+      distinct on a synthetic (left row id, right row id) pair identity
+      — NOT on the full row, so genuinely duplicate input rows keep
+      their multiset semantics, matching the keyed path and the naive
+      inequality join.  This is the standard interval-bucketing
       trick that turns an inequality join (cartesian per key) into an
       equi-join whose fan-out is interval_length/bucket_seconds.
       Pick ``bucket_seconds`` ≈ the TYPICAL interval length: much
@@ -164,16 +167,21 @@ def interval_overlap_join(
     if not bucket_seconds:
         raise ValueError("keyless interval join requires bucket_seconds")
 
-    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+    def bucketed(df: DataFrame, s: str, e: str, rid: str) -> DataFrame:
+        # row id BEFORE the explode: the multi-bucket copies of one row
+        # share an id, so the post-join dedup collapses exactly the
+        # bucket-induced duplicates and nothing else
+        df = df.withColumn(rid, F.monotonically_increasing_id())
         sb = F.floor(_ts_as_double(df, s) / bucket_seconds).cast("long")
         eb = F.floor(_ts_as_double(df, e) / bucket_seconds).cast("long")
         return df.withColumn("__bucket", F.explode(F.sequence(sb, eb)))
 
-    lb = bucketed(left, left_start, left_end)
-    rb = bucketed(r, rs, re_)
+    lb = bucketed(left, left_start, left_end, "__lid")
+    rb = bucketed(r, rs, re_, "__rid")
     return (
         lb.join(rb, "__bucket")
         .filter(overlap)
         .drop("__bucket")
-        .distinct()
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
     )

@@ -3632,7 +3632,7 @@ r AS (
 )
 SELECT lang,
        CAST(sum(n) AS BIGINT) AS n_docs_top,
-       list(source ORDER BY rk) AS top_sources
+       array_to_string(list(source ORDER BY rk), '|') AS top_sources
 FROM r WHERE rk <= {_Q82_K}
 GROUP BY lang
 ORDER BY lang
@@ -3642,12 +3642,15 @@ ORDER BY lang
 @register(
     "q82_top_sources_nested",
     _Q82_ORACLE,
-    f"Array-valued results through the driver comparator: each "
-    f"language's top-{_Q82_K} sources by document count as an ORDERED "
-    "array column (rank-ordered collect over a per-lang window on the "
-    "grouped counts — the window input is the (lang, source) aggregate, "
-    "never the corpus).  Exercises nested result types end-to-end: "
-    "Spark array<string> vs DuckDB LIST hash-compared element-wise.",
+    f"Nested top-k results through the driver comparator: each "
+    f"language's top-{_Q82_K} sources by document count as an ORDERED, "
+    "'|'-joined string (rank-ordered collect over a per-lang window on "
+    "the grouped counts — the window input is the (lang, source) "
+    "aggregate, never the corpus).  The ordered list is built as "
+    "array<string> internally and emitted via array_join / "
+    "array_to_string so the result schema is comparator-hashable "
+    "scalars in both engines (pandas canonicalizers can't sort list "
+    "cells).",
     operators=("A-nested-array", "W2", "A1"),
 )
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3661,9 +3664,12 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy("lang")
         .agg(
             F.sum("n").cast("long").alias("n_docs_top"),
-            F.array_sort(
-                F.collect_list(F.struct("rk", "source"))
-            ).getField("source").alias("top_sources"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "source"))
+                ).getField("source"),
+                "|",
+            ).alias("top_sources"),
         )
         .orderBy("lang")
     )
@@ -4177,8 +4183,10 @@ WITH per AS (
 keep AS (SELECT * FROM per WHERE n_docs >= {_Q94_MIN_DOCS})
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_langs,
-       list_sort(list(lang || ':' || CAST(n_docs AS VARCHAR)
-                      || ':' || CAST(avg_chars AS VARCHAR))) AS langs
+       array_to_string(
+           list_sort(list(lang || ':' || CAST(n_docs AS VARCHAR)
+                          || ':' || CAST(avg_chars AS VARCHAR))),
+           '|') AS langs
 FROM keep
 GROUP BY source
 ORDER BY source
@@ -4191,9 +4199,11 @@ ORDER BY source
     "Map-typed column pipeline: per-source lang→count and lang→avg_chars "
     "maps built with map_from_entries over sorted collect_list, pruned "
     "with map_filter (count >= 3), cross-looked-up with element_at, and "
-    "emitted as a sorted array<string> of 'lang:count:avg' entries (the "
-    "portable stringification — Spark Row vs DuckDB struct literals "
-    "would hash-differ, arrays of strings don't: the q82 technique).  "
+    "emitted as a sorted, '|'-joined string of 'lang:count:avg' entries "
+    "(the portable stringification — Spark Row vs DuckDB struct "
+    "literals would hash-differ, and the driver's pandas canonicalizer "
+    "can't sort list cells, so the final column is a scalar string via "
+    "array_join / array_to_string: the q82 technique).  "
     "Maps stay per-row and bounded (|langs| entries): collect_list here "
     "aggregates a 5-key grouped frame, never raw documents.",
     operators=("map-functions", "A4", "A8"),
@@ -4222,8 +4232,9 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             "source",
             F.size(kept).cast("long").alias("n_langs"),
-            F.sort_array(
-                F.transform(F.map_entries(kept), entry)
+            F.array_join(
+                F.sort_array(F.transform(F.map_entries(kept), entry)),
+                "|",
             ).alias("langs"),
         )
         .orderBy("source")
@@ -5101,7 +5112,8 @@ gaps AS (
 ),
 b AS (
     SELECT CASE WHEN gap_s <= 0 THEN -1
-                ELSE CAST(floor(ln(gap_s) / ln(10)) AS BIGINT) END AS bucket,
+                ELSE CAST(floor(round(ln(gap_s) / ln(10) + 1e-9, 9))
+                          AS BIGINT) END AS bucket,
            gap_s
     FROM gaps
 )
@@ -5141,7 +5153,13 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bucket",
             F.when(col("gap_s") <= 0, lit(-1)).otherwise(
-                F.floor(F.log(col("gap_s").cast("double")) / F.log(lit(10.0)))
+                # round-then-floor (q93/q96 bin convention): Spark's
+                # Math.log and DuckDB's libm can differ by 1 ulp at exact
+                # powers of 10 (gap = 10/100/1000 s), which would flip
+                # the floor — the 9-dp nudge-round absorbs that
+                F.floor(rnd(
+                    F.log(col("gap_s").cast("double")) / F.log(lit(10.0)), 9
+                ))
             ).cast("long"),
         )
     )

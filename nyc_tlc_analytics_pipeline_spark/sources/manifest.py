@@ -258,9 +258,13 @@ class ManifestTable:
         ANY writer commits in between, the publish aborts (returns None,
         staged data removed) instead of silently dropping their rows —
         retry at a quiet moment.  Idempotency tags survive (keep_tags),
-        so previously-loaded source files still refuse to double-load;
-        pre-compact directories stay referenced by history, so time
-        travel keeps working until ``vacuum``."""
+        so previously-loaded source files still refuse to double-load.
+        Pre-compact directories stay referenced by committed history and
+        therefore SURVIVE ``vacuum`` (which only removes never-committed
+        staging leftovers — see :meth:`vacuum`), so time travel to
+        pre-compact versions keeps working indefinitely; reclaiming that
+        history would need an explicit retention/expire operation, which
+        this format deliberately does not ship."""
         import shutil
 
         snap = self.snapshot()
@@ -293,7 +297,11 @@ class ManifestTable:
         """Delete data directories no committed entry references (crashed
         writers' leftovers).  Safe by construction: an uncommitted dir can
         never become referenced later, because commits only reference dirs
-        staged by the committing writer itself."""
+        staged by the committing writer itself.  Directories referenced
+        by ANY committed entry — including pre-compact / pre-overwrite
+        history — are deliberately preserved, so vacuum never breaks
+        time travel and never reclaims historical data (that would need
+        an explicit retention/expire operation)."""
         import shutil
 
         live = set(self.snapshot()["dirs"])
