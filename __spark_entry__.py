@@ -123,7 +123,7 @@ _SWEEP_COST = {
     "q94_map_column_pipeline": 1.10,
     "q95_minhash_calibration": 4.62,
     "q96_token_budget_threshold": 1.34,
-    "q97_sliding_window_hll": 1.74,
+    "q97_sliding_window_hll": 1.08,
     "q98_label_propagation": 4.88,
     "q99_containment_pairs": 4.39,
     "q100_mom_growth": 0.67,
@@ -136,6 +136,7 @@ _SWEEP_COST = {
     "q107_lang_similarity_matrix": 1.48,
     "q108_snapshot_novelty": 2.50,
     "q109_duplication_profile": 1.00,
+    "q110_sliding_hll_audit": 2.50,
 }
 
 

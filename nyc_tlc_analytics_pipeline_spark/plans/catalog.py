@@ -65,6 +65,21 @@ def register(
     return deco
 
 
+def pct(c, q, approx: bool = False):
+    """Percentile aggregate with the A6 100 TB escape hatch: exact
+    interpolated ``F.percentile`` (per-group buffer, oracle-equal to
+    DuckDB's quantile_cont) by default; ``approx=True`` swaps in
+    ``F.percentile_approx`` (Greenwald-Khanna sketch, bounded memory
+    regardless of group size, mergeable map-side).  Approx breaks exact
+    oracle equality, so the conformance registrations always run exact
+    — the catalog builders that buffer percentiles (q04/q86/q101 and
+    the gold aggregates) take an ``approx`` kwarg wired here, and
+    tests/test_round6_ops.py bounds the approx path's relative error."""
+    if approx:
+        return F.percentile_approx(c, q)
+    return F.percentile(c, q)
+
+
 # ---------------------------------------------------------------------------
 # q01 — flagship: fact ⋈ broadcast dims, conditional agg, top-k
 # Reference shape: sql/analytics/01_top_zones_by_revenue.sql (J1,A1,A3,A4,O1)
@@ -232,10 +247,11 @@ ORDER BY l_returnflag, l_linestatus
     operators=("A5", "A6", "A8"),
     headline=True,
 )
-def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # one percentile buffer for all three quantiles (array form), not three
-    pcts = F.percentile("l_extendedprice", F.array(lit(0.25), lit(0.5), lit(0.75)))
+    # one percentile buffer for all three quantiles (array form), not three;
+    # approx=True flips it to the bounded-memory sketch (100 TB hatch)
+    pcts = pct("l_extendedprice", F.array(lit(0.25), lit(0.5), lit(0.75)), approx)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1691,13 +1707,13 @@ ORDER BY l.l_returnflag
     "boundary-equal value.",
     operators=("A6", "A5", "J1", "robust-stats"),
 )
-def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86(spark: SparkSession, sf_dir: str, approx: bool = False) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     cuts = li.groupBy("l_returnflag").agg(
-        rnd(F.percentile("l_extendedprice", lit(0.05)), 6).alias("lo_cut"),
-        rnd(F.percentile("l_extendedprice", lit(0.95)), 6).alias("hi_cut"),
+        rnd(pct("l_extendedprice", lit(0.05), approx), 6).alias("lo_cut"),
+        rnd(pct("l_extendedprice", lit(0.95), approx), 6).alias("hi_cut"),
     )
     wx = F.least(F.greatest(col("l_extendedprice"), col("lo_cut")), col("hi_cut"))
     return (

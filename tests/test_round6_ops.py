@@ -1,0 +1,190 @@
+"""Round-6 hardening tests: the MinHash pair source for leakage-safe
+splits, the approx-percentile 100 TB escape hatch, the banded-phash
+completeness guard, and multiset semantics of the keyless interval
+join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_splits: pluggable pair source (q77's operator)
+# ---------------------------------------------------------------------------
+
+def _straddle_count(pairs, assigned):
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+
+
+def test_leakage_splits_minhash_default_no_straddle(spark):
+    """The DEFAULT (production) pair source is MinHash-LSH; whatever
+    pairs it finds must never straddle splits, and the assignment must
+    be disjoint + exhaustive."""
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup, sampling
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    assigned = sampling.leakage_safe_splits(
+        docs, "doc_id", "text",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, threshold=0.4,
+    )
+    n = docs.count()
+    assert assigned.count() == n  # exhaustive, one row per doc
+    assert assigned.select("split").distinct().count() <= 3
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.4
+    ).select("doc_a", "doc_b")
+    assert pairs.count() > 0, "fixture must contain near-dup pairs"
+    assert _straddle_count(pairs, assigned) == 0
+
+
+def test_leakage_splits_jaccard_mode_matches_explicit_pairs(spark):
+    """pair_source='jaccard' must equal passing the exact-Jaccard pair
+    frame explicitly — one code path, two entry points."""
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup, sampling
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    via_mode = sampling.leakage_safe_splits(
+        docs, "doc_id", "text", w, salt="leak",
+        pair_source="jaccard", threshold=0.4,
+    ).select("doc_id", "g", "split")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+    via_pairs = sampling.leakage_safe_splits(
+        docs, "doc_id", "text", w, salt="leak", pairs=pairs
+    ).select("doc_id", "g", "split")
+    assert via_mode.exceptAll(via_pairs).count() == 0
+    assert via_pairs.exceptAll(via_mode).count() == 0
+
+
+def test_leakage_splits_unknown_pair_source_raises(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="pair_source"):
+        sampling.leakage_safe_splits(
+            docs, "doc_id", "text", {"train": 1.0}, pair_source="nope"
+        ).count()
+
+
+# ---------------------------------------------------------------------------
+# approx-percentile escape hatch (A6 100 TB posture) — q04/q86/q101
+# ---------------------------------------------------------------------------
+
+def _rel_err(a: float, b: float) -> float:
+    return abs(a - b) / max(abs(b), 1e-12)
+
+
+def test_approx_percentile_hatch_bounded_error(spark):
+    """approx=True must produce the same schema and percentile values
+    within 1% relative error of exact at this SF (percentile_approx's
+    default accuracy of 10000 is far finer than sf0.001's group sizes,
+    so the sketch should be near-exact here — this bounds regressions,
+    not the sketch's worst case)."""
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    cases = {
+        "q04_price_percentiles": ["price_p25", "price_p50", "price_p75"],
+        "q86_winsorized_stats": ["lo_cut", "hi_cut", "winsor_avg"],
+        "q101_mad_outliers": ["med", "mad"],
+    }
+    for qname, pct_cols in cases.items():
+        build = QUERIES[qname].build
+        exact = {
+            tuple(r[0:2]) if qname == "q04_price_percentiles" else r[0]: r
+            for r in build(spark, SF).collect()
+        }
+        approx = {
+            tuple(r[0:2]) if qname == "q04_price_percentiles" else r[0]: r
+            for r in build(spark, SF, approx=True).collect()
+        }
+        assert exact.keys() == approx.keys(), qname
+        for key in exact:
+            for c in pct_cols:
+                assert _rel_err(approx[key][c], exact[key][c]) < 0.01, (
+                    qname, key, c, approx[key][c], exact[key][c]
+                )
+
+
+# ---------------------------------------------------------------------------
+# banded-phash completeness guard
+# ---------------------------------------------------------------------------
+
+def test_near_dup_media_rejects_incomplete_banding(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        near_dup_media_pairs,
+    )
+
+    ph = spark.createDataFrame([(1, 0), (2, 0)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        near_dup_media_pairs(ph, max_hamming=6, n_bands=4)
+    # explicit opt-in runs (returns the pair: identical hashes collide
+    # in every band regardless of banding)
+    got = near_dup_media_pairs(
+        ph, max_hamming=6, n_bands=4, allow_incomplete=True
+    ).collect()
+    assert [(r.a, r.b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_near_dup_media_default_banding_complete_at_hamming_6(spark):
+    """Two hashes exactly 6 bits apart, the flips spread over 6 different
+    8-bit bands — missed by 4 bands (every band touched under the old
+    default would be possible at >3 flips), found by the 8-band default."""
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        near_dup_media_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    flipped = base
+    for band in range(6):  # flip one bit in each of 6 distinct 8-bit bands
+        flipped ^= 1 << (band * 8)
+    ph = spark.createDataFrame(
+        [(1, base), (2, flipped)], "media_id long, phash long"
+    )
+    got = near_dup_media_pairs(ph).collect()  # defaults: hamming<=6, 8 bands
+    assert [(r.a, r.b, r.hamming) for r in got] == [(1, 2, 6)]
+
+
+# ---------------------------------------------------------------------------
+# keyless interval join: multiset semantics for duplicate input rows
+# ---------------------------------------------------------------------------
+
+def test_keyless_interval_join_keeps_duplicate_rows(spark):
+    """Identical input rows are distinct join participants: 2 duplicate
+    left intervals × 1 overlapping right interval = 2 output rows (the
+    old full-row distinct collapsed them to 1, diverging from the keyed
+    path and the naive inequality join)."""
+    from nyc_tlc_analytics_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(0.0, 100.0), (0.0, 100.0)], "s double, e double"
+    )
+    right = spark.createDataFrame([(50.0, 60.0)], "rs double, re double")
+    out = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", bucket_seconds=10
+    )
+    assert out.count() == 2
+    # and bucket-induced duplicates still collapse: one left × one right
+    # sharing many buckets yields exactly one pair
+    single = interval_overlap_join(
+        left.limit(1), right, "s", "e", "rs", "re", bucket_seconds=10
+    )
+    assert single.count() == 1
