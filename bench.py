@@ -151,8 +151,13 @@ def main() -> None:
     if only:
         names = [n for n in names if any(f in n for f in only)]
 
+    def _quiesce(s) -> None:
+        s.sparkContext._jvm.System.gc()
+        time.sleep(0.7)
+
     # warm the JVM + parquet footers with the cheapest query once
     QUERIES[names[0]].build(spark, sf_dir).collect()
+    _quiesce(spark)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -160,11 +165,22 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name].build(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # measurement hygiene, OUTSIDE every timed window: collect garbage
+        # between runs so one run's heap debris (broadcast blocks, codegen
+        # classes) can't bill a stop-the-world pause to the NEXT timing —
+        # seen as q91 "cold 25s" when it ran 17th in-session but 3.5s
+        # alone.  The GC also queues ContextCleaner work (unpersisting
+        # dead broadcast/shuffle blocks), which runs ASYNC and would
+        # otherwise stall executors mid-measurement — the short sleep
+        # lets it drain first.  JIT-compiled classes and parquet footer
+        # caches survive GC, so the warm run still measures steady state.
+        _quiesce(spark)
         # second run: whole-stage-codegen classes are JIT-compiled, so this
         # is the steady-state (scale-relevant) latency
         t0 = time.perf_counter()
         QUERIES[name].build(spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
+        _quiesce(spark)
 
     # ingest/standardize throughput: generate yellow-shaped rows with pure
     # Spark expressions, run the full standardize+dedup transform, count.

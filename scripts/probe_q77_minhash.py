@@ -31,9 +31,11 @@ def main() -> int:
     spark = build_session(app_name="q77-probe", master=f"local[{CPUS}]")
     scaled = materialize_scaled(spark, SRC, N_COPIES)
 
-    def run(sf_dir: str, mode: str) -> float:
+    def build(sf_dir: str, mode: str):
+        # rebuilt per timed run: connected_components localCheckpoints,
+        # so re-collecting ONE DataFrame would skip the pair build
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        plan = (
+        return (
             sampling.leakage_safe_splits(
                 docs, "doc_id", "text",
                 {"train": 0.9, "val": 0.05, "test": 0.05},
@@ -42,9 +44,11 @@ def main() -> int:
             .groupBy("split")
             .agg(F.count("*").alias("n_docs"), F.count_distinct("g").alias("n_groups"))
         )
-        plan.collect()  # cold/JIT pass
+
+    def run(sf_dir: str, mode: str) -> float:
+        build(sf_dir, mode).collect()  # cold/JIT pass
         t0 = time.perf_counter()
-        rows = plan.collect()
+        rows = build(sf_dir, mode).collect()
         dt = time.perf_counter() - t0
         assert sum(r.n_docs for r in rows) > 0
         return dt
