@@ -136,16 +136,20 @@ _SWEEP_COST = {
     "q107_lang_similarity_matrix": 1.48,
     "q108_snapshot_novelty": 2.50,
     "q109_duplication_profile": 1.00,
-    "q110_sliding_hll_audit": 2.50,
+    "q110_sliding_hll_audit": 2.85,
+    "q111_dsir_selection": 4.37,
+    "q112_gapfill_forward": 3.26,
+    "q113_cdc_chunk_dedup": 2.51,
 }
 
 
 # Queries with NO green driver row after five rounds: 9 never recorded
 # (the 50-row cap reached cheaper q52+ entries first in r5 because the
 # r5 ordering cost-sorted WITHIN the unrecorded group, losing exactly
-# the expensive tail) + 2 that errored in r5 on array<string> result
-# columns (now stringified).  These must register absolutely first,
-# regardless of cost, so the cap cannot push them out again.
+# the expensive tail), 2 that errored in r5 on array<string> result
+# columns (now stringified), and the 4 queries new in round 6
+# (q110-q113).  These must register absolutely first, regardless of
+# cost, so the cap cannot push them out again.
 _NEVER_RECORDED = [
     "q51_sequence_packing",
     "q55_curation_funnel_v2",
@@ -158,6 +162,10 @@ _NEVER_RECORDED = [
     "q95_minhash_calibration",
     "q98_label_propagation",
     "q99_containment_pairs",
+    "q110_sliding_hll_audit",
+    "q111_dsir_selection",
+    "q112_gapfill_forward",
+    "q113_cdc_chunk_dedup",
 ]
 
 # One sub-second query registered ahead of everything: the first query
@@ -173,7 +181,7 @@ def _ordered_names() -> list[str]:
     row):
 
     1. one sub-second warm-up query absorbs the session's JVM tax;
-    2. the 11 queries with no green driver row EVER (_NEVER_RECORDED)
+    2. the 15 queries with no green driver row EVER (_NEVER_RECORDED)
        register next, cheapest-first WITHIN the block but never pushed
        below it — in r5 they cost-sorted against the whole q51+ group
        and the expensive tail lost its slot to cheaper recorded queries;

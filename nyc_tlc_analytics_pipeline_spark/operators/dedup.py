@@ -950,3 +950,79 @@ def containment_pairs(
         .filter(col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-style) — chunk-level dedup
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    gram_width: int = 2,
+    divisor: int = 8,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking: split each document into chunks at
+    CONTENT-derived boundaries — a boundary opens after token position
+    i whenever ``md5(salt ‖ gram_i) mod divisor == 0`` (gram_i = the
+    ``gram_width`` tokens starting at i), giving expected chunk length
+    ``divisor`` tokens.  The FastCDC/rsync insight this ports to token
+    streams: because boundaries depend only on LOCAL content, an
+    insertion or deletion re-chunks O(1) chunks instead of shifting
+    every fixed-size-window boundary downstream — so chunk-level
+    dedup still matches everything after an edit, where fixed-stride
+    chunking (operators.text chunk by offset) loses all alignment.
+
+    Plan shape at 100 TB: one posexplode (linear in tokens), ONE
+    doc-keyed window for the running boundary count (entity-keyed
+    shuffle, same posture as sessionization/q87), one (doc, chunk)
+    aggregate to reassemble chunk text, md5 fingerprints for exact
+    chunk dedup.  No corpus-wide comparisons — dedup is a fingerprint
+    groupBy like q24.
+
+    Returns (id_col, chunk_idx, chunk_fp, n_tokens)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    gram = F.concat_ws(
+        " ",
+        *(
+            [col("token")]
+            + [F.lead("token", i).over(w) for i in range(1, gram_width)]
+        ),
+    )
+    bnd = (
+        F.conv(
+            F.substring(F.md5(F.concat(lit(f"{salt}:"), gram)), 1, 8), 16, 10
+        ).cast("long")
+        % divisor
+        == 0
+    ).cast("int")
+    # chunk index of a token = boundaries strictly BEFORE it: cumulative
+    # sum over (UNBOUNDED PRECEDING, 1 PRECEDING) — one window pass reuses
+    # the same (doc, pos) sort as the gram lead above
+    chunked = toks.withColumn("__bnd", bnd).withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum("__bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0),
+        ).cast("long"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ).getField("token"),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )

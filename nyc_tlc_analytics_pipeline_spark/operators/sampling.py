@@ -132,6 +132,89 @@ def leakage_safe_splits(
     return assign_split(grouped.drop("component"), "g", weights, salt=salt)
 
 
+def dsir_importance_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    k: int = 50,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    simplified to unigram features): pick the ``k`` raw documents whose
+    token distribution looks most like the TARGET corpus, by Gumbel
+    top-k over the per-document log importance ratio — the published
+    recipe for "select pretraining data that matches a high-quality
+    in-domain set" without training a classifier.
+
+    Mechanics, all deterministic and oracle-checkable:
+
+    - token stats for target and raw (two token-keyed shuffles, |vocab|
+      rows each) are FULL-OUTER merged on token and smoothed add-1 over
+      the UNION vocabulary; totals N_T/N_R/V are a 1-row aggregate
+      broadcast back (the ``lm.corpus_token_stats`` posture — never an
+      empty-partition window).
+    - each raw document scores ``logw`` = mean over its tokens of
+      ``ln p̂_target(t) − ln p̂_raw(t)`` (length-normalized so long
+      documents aren't favored), nudge-rounded 9 dp.
+    - Gumbel trick: selection key = ``logw + g`` with
+      ``g = −ln(−ln u)``, u md5-derived from the first id column (the
+      q67 convention: (h+0.5)/2³², never 0/1; 9-dp rank rounding +
+      id tie-break) — a deterministic sample ∝ exp(logw), stable
+      across layouts, re-runs and engines.
+    - top-k is one TakeOrderedAndProject — no global sort.
+
+    At 100 TB the paper's hashed n-gram features drop in by replacing
+    ``text.tokens`` with a hashed-gram explode; the plan shape (two
+    counts tables, broadcast totals, score join, top-k) is unchanged.
+
+    Returns the selected rows: ``id_cols`` + ``logw`` + ``gumbel`` +
+    ``sel_key``."""
+    from ..functions.scalar import rnd
+    from . import text as T
+
+    tt = target.select(F.explode(T.tokens(text_col)).alias("token"))
+    ct = tt.groupBy("token").agg(F.count("*").alias("ct"))
+    rtoks = raw.select(
+        *[col(c) for c in id_cols],
+        F.size(T.tokens(text_col)).alias("__n"),
+        F.explode(T.tokens(text_col)).alias("token"),
+    )
+    cr = rtoks.groupBy("token").agg(F.count("*").alias("cr"))
+    # union vocab with add-1 smoothing: raw tokens are a subset of the
+    # union by construction, so the scoring join below is an inner join
+    u = ct.join(cr, "token", "full_outer").select(
+        "token",
+        F.coalesce("ct", lit(0)).alias("ct"),
+        F.coalesce("cr", lit(0)).alias("cr"),
+    )
+    tot = u.agg(
+        F.sum("ct").alias("NT"), F.sum("cr").alias("NR"), F.count("*").alias("V")
+    )
+    stats = u.crossJoin(F.broadcast(tot))
+    term = F.log((col("ct") + lit(1.0)) / (col("NT") + col("V"))) - F.log(
+        (col("cr") + lit(1.0)) / (col("NR") + col("V"))
+    )
+    scored = (
+        rtoks.join(stats, "token")
+        .groupBy(*id_cols, "__n")
+        .agg(F.sum(term).alias("__s"))
+        .withColumn("logw", rnd(col("__s") / col("__n"), 9))
+        .drop("__s", "__n")
+    )
+    key0 = col(id_cols[0])
+    h = F.conv(
+        F.substring(F.md5(F.concat(lit(salt), key0.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    u01 = (h + lit(0.5)) / lit(2.0**32)
+    return (
+        scored.withColumn("gumbel", rnd(-F.log(-F.log(u01)), 9))
+        .withColumn("sel_key", col("logw") + col("gumbel"))
+        .orderBy(col("sel_key").desc(), key0)
+        .limit(k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

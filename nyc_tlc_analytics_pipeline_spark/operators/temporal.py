@@ -185,3 +185,63 @@ def interval_overlap_join(
         .dropDuplicates(["__lid", "__rid"])
         .drop("__lid", "__rid")
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Dense daily series with forward-fill — the hypertable
+    ``time_bucket_gapfill + locf`` primitive: aggregate ``value_col``
+    per (key, day), left-join onto the full key × day spine, and carry
+    the last observed value forward into the gaps.
+
+    Scale shape: one (key, day) aggregate shuffle; the spine is
+    |keys| × |days| rows generated from a 1-ROW global min/max
+    aggregate broadcast-cross-joined onto the distinct keys (the S14
+    sequence+explode generator — no data-sized collect, no driver
+    loop); the fill is one ``last(ignorenulls)`` window per key — the
+    as-of-join carry-forward machinery re-keyed to the spine.  Days
+    before a key's first observation stay NULL (``filled`` true,
+    ``value_filled`` null): forward fill has nothing to carry.
+
+    The daily aggregate is nudge-rounded BEFORE the fill so every
+    downstream comparison sees cross-engine-identical values.
+
+    Returns (key, day, value_filled, filled)."""
+    from ..functions.scalar import rnd
+
+    day = col(ts_col).cast("date")
+    daily = (
+        df.select(col(key_col).alias("key"), day.alias("day"),
+                  col(value_col).alias("v"))
+        .groupBy("key", "day")
+        .agg(rnd(F.sum("v"), round_decimals).alias("v"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = (
+        daily.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(F.sequence(col("lo"), col("hi"))).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["key", "day"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        col("key").alias(key_col),
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        col("v").isNull().alias("filled"),
+    )

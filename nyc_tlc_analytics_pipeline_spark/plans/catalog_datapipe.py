@@ -5622,3 +5622,237 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — DSIR importance resampling (target-matched data selection)
+# ---------------------------------------------------------------------------
+
+_Q111_K = 25
+
+_Q111_ORACLE = f"""
+WITH tt AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents WHERE lang = 'en'
+),
+tr AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n,
+           unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents WHERE lang <> 'en'
+),
+ct AS (SELECT token, count(*) AS c FROM tt GROUP BY token),
+cr AS (SELECT token, count(*) AS c FROM tr GROUP BY token),
+u AS (
+    SELECT coalesce(ct.token, cr.token) AS token,
+           coalesce(ct.c, 0) AS ct, coalesce(cr.c, 0) AS cr
+    FROM ct FULL JOIN cr ON ct.token = cr.token
+),
+tot AS (SELECT sum(ct) AS NT, sum(cr) AS NR, count(*) AS V FROM u),
+scored AS (
+    SELECT r.doc_id, r.lang,
+           round(sum(ln((u.ct + 1.0) / (tot.NT + tot.V))
+                   - ln((u.cr + 1.0) / (tot.NR + tot.V))) / r.n + 1e-9, 9) AS logw
+    FROM tr r JOIN u ON r.token = u.token CROSS JOIN tot
+    GROUP BY r.doc_id, r.lang, r.n
+),
+keyed AS (
+    SELECT doc_id, lang, logw,
+           round(-ln(-ln((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          + 0.5) / 4294967296.0)) + 1e-9, 9) AS g
+    FROM scored
+),
+sel AS (SELECT * FROM keyed ORDER BY logw + g DESC, doc_id LIMIT {_Q111_K})
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       round(avg(logw) + 1e-9, 6) AS avg_logratio
+FROM sel
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q111_dsir_selection",
+    _Q111_ORACLE,
+    "Data Selection via Importance Resampling (DSIR, Xie et al. 2023, "
+    "unigram features): non-English documents are Gumbel-top-k sampled "
+    "proportionally to exp(mean log p̂_target/p̂_raw), target = the "
+    "English subcorpus — the published 'pick raw data that looks like "
+    "the in-domain set' selector.  Two token-keyed count shuffles "
+    "full-outer-merged over the union vocab, 1-row totals broadcast, "
+    "one scoring join, one TakeOrdered top-k; the Gumbel noise is "
+    "md5-derived (q67 convention), so the 'random' resample is "
+    "deterministic and hash-checked cross-engine.",
+    operators=("sampling-dsir", "lm-unigram", "A3", "A4", "O1"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    target = docs.filter(col("lang") == "en")
+    raw = docs.filter(col("lang") != "en")
+    sel = sampling.dsir_importance_select(
+        raw, target, ["doc_id", "lang"], k=_Q111_K
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            rnd(F.avg("logw"), 6).alias("avg_logratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — dense daily series with forward fill (gapfill + locf)
+# ---------------------------------------------------------------------------
+
+_Q112_ORACLE = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts)::DATE AS day,
+           round(sum(value) + 1e-9, 4) AS v
+    FROM events GROUP BY event_type, day
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+    SELECT t.event_type, d.day
+    FROM (SELECT DISTINCT event_type FROM daily) t
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                FROM bounds) d
+),
+j AS (
+    SELECT s.event_type, s.day, daily.v
+    FROM spine s
+    LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day
+),
+f AS (
+    SELECT event_type, day,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf,
+           v IS NULL AS filled
+    FROM j
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+       round(sum(vf) + 1e-9, 2) AS total_value_filled,
+       round(avg(vf) + 1e-9, 4) AS avg_daily_value
+FROM f
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q112_gapfill_forward",
+    _Q112_ORACLE,
+    "Dense daily time series with forward fill (the hypertable "
+    "time_bucket_gapfill + locf primitive): per-type daily sums joined "
+    "onto the full type × day spine (S14 sequence+explode from a 1-row "
+    "min/max broadcast — no collect), gaps carried forward by ONE "
+    "last(ignorenulls) window per type (the as-of-join machinery "
+    "re-keyed to the spine).  Daily values are nudge-rounded BEFORE "
+    "the fill so the carried value is cross-engine identical; days "
+    "before a type's first observation stay NULL (nothing to carry) "
+    "and are excluded by SQL null-skipping aggregates identically in "
+    "both engines.",
+    operators=("W-fill", "S14", "J3", "A2"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    f = temporal.gap_fill_daily(ev, "ts", "event_type", "value")
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(col("filled").cast("long")).alias("n_gap_days"),
+            rnd(F.sum("value_filled"), 2).alias("total_value_filled"),
+            rnd(F.avg("value_filled"), 4).alias("avg_daily_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — content-defined chunking (FastCDC-style) chunk-level dedup
+# ---------------------------------------------------------------------------
+
+_Q113_DIV = 8
+
+_Q113_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+tok AS (
+    -- zipped unnests (equal-length lists) — the scalar-list form of a
+    -- positional explode; range() can't take lateral column args
+    SELECT doc_id, source,
+           unnest(range(1, len(tk) + 1)) AS pos,
+           unnest(tk) AS token,
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> CASE WHEN i < len(tk) THEN tk[i] || ' ' || tk[i + 1]
+                            ELSE tk[i] END)) AS gram
+    FROM t
+),
+b AS (
+    SELECT *, CASE WHEN ('0x' || substr(md5('cdc:' || gram), 1, 8))::BIGINT
+                        % {_Q113_DIV} = 0 THEN 1 ELSE 0 END AS bnd
+    FROM tok
+),
+c AS (
+    SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+    FROM b
+),
+ch AS (
+    SELECT doc_id, source, chunk_idx,
+           md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_fp,
+           count(*) AS n_tokens
+    FROM c GROUP BY doc_id, source, chunk_idx
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_fp) AS BIGINT) AS n_unique_chunks,
+       round(1.0 - 1.0 * count(DISTINCT chunk_fp) / count(*) + 1e-9, 6) AS dup_ratio,
+       round(avg(n_tokens) + 1e-9, 4) AS avg_chunk_tokens
+FROM ch
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q113_cdc_chunk_dedup",
+    _Q113_ORACLE,
+    "Content-defined chunking (the FastCDC/rsync idea on token "
+    "streams): chunk boundaries open where md5(2-token gram) mod "
+    f"{_Q113_DIV} == 0, so an edit re-chunks O(1) chunks instead of "
+    "shifting every fixed-stride boundary — chunk-level exact dedup "
+    "(md5 fingerprints, q24 posture) then still matches everything "
+    "after an insertion.  One posexplode + one doc-keyed window "
+    "(boundary running count) + one (doc, chunk) reassembly aggregate; "
+    "per-source duplicated-chunk ratio is the is-chunk-dedup-worth-it "
+    "report.",
+    operators=("dedup-cdc", "W-lag", "A1", "A4"),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    ch = dedup.cdc_chunks(docs, "doc_id", "text", gram_width=2, divisor=_Q113_DIV)
+    ch = ch.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_fp").cast("long").alias("n_unique_chunks"),
+            rnd(
+                lit(1.0) - F.count_distinct("chunk_fp") / F.count("*"), 6
+            ).alias("dup_ratio"),
+            rnd(F.avg("n_tokens"), 4).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )

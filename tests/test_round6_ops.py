@@ -188,3 +188,97 @@ def test_keyless_interval_join_keeps_duplicate_rows(spark):
         left.limit(1), right, "s", "e", "rs", "re", bucket_seconds=10
     )
     assert single.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 extension operators: CDC chunking, gap-fill, DSIR
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunking_survives_an_insertion(spark):
+    """The property content-defined chunking exists for: inserting one
+    token near the front re-chunks only the neighborhood of the edit —
+    boundaries are content-local, so chunks after the edit keep their
+    fingerprints (fixed-stride chunking would shift and lose ALL of
+    them)."""
+    from nyc_tlc_analytics_pipeline_spark.operators.dedup import cdc_chunks
+
+    toks = [f"w{(i * 7) % 23}x{i % 5}" for i in range(80)]
+    edited = toks[:5] + ["INSERTED"] + toks[5:]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(df, "doc_id", "text", gram_width=2, divisor=4).collect()
+    fps = {1: set(), 2: set()}
+    for r in ch:
+        fps[r.doc_id].add(r.chunk_fp)
+    shared = fps[1] & fps[2]
+    # everything except the chunk(s) touching the edit must survive
+    assert len(shared) >= len(fps[1]) - 3, (len(shared), len(fps[1]))
+    # and total token counts are preserved exactly
+    assert sum(r.n_tokens for r in ch if r.doc_id == 1) == 80
+    assert sum(r.n_tokens for r in ch if r.doc_id == 2) == 81
+
+
+def test_gap_fill_daily_carries_forward_and_flags(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.temporal import (
+        gap_fill_daily,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2025-01-01 10:00:00", 1.0),
+            ("a", "2025-01-01 11:00:00", 2.0),
+            ("a", "2025-01-03 09:00:00", 7.0),
+            ("b", "2025-01-02 09:00:00", 5.0),
+        ],
+        "k string, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    out = {
+        (r.k, str(r.day)): (r.value_filled, r.filled)
+        for r in gap_fill_daily(df, "ts", "k", "v").collect()
+    }
+    assert len(out) == 6  # 2 keys x 3 spine days
+    assert out[("a", "2025-01-01")] == (3.0, False)   # 1+2 summed
+    assert out[("a", "2025-01-02")] == (3.0, True)    # gap, carried
+    assert out[("a", "2025-01-03")] == (7.0, False)
+    assert out[("b", "2025-01-01")] == (None, True)   # before first obs
+    assert out[("b", "2025-01-02")] == (5.0, False)
+    assert out[("b", "2025-01-03")] == (5.0, True)    # carried
+
+
+def test_dsir_selection_is_layout_independent(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.sampling import (
+        dsir_importance_select,
+    )
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    a = sorted(
+        r.doc_id
+        for r in dsir_importance_select(raw, target, ["doc_id"], k=15).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in dsir_importance_select(
+            raw.repartition(7), target.repartition(3), ["doc_id"], k=15
+        ).collect()
+    )
+    assert a == b and len(a) == 15
+
+
+def test_dsir_identical_distributions_score_near_zero(spark):
+    """target == raw (token-identical corpora) => every log importance
+    ratio is exactly 0 after rounding: smoothing terms cancel."""
+    from nyc_tlc_analytics_pipeline_spark.operators.sampling import (
+        dsir_importance_select,
+    )
+
+    rows = [(i, f"alpha beta gamma w{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = dsir_importance_select(df, df, ["doc_id"], k=5).collect()
+    assert len(sel) == 5
+    # exactly the nudge epsilon survives the 9-dp rounding of 0
+    assert all(abs(r.logw) <= 1e-9 for r in sel)
