@@ -94,6 +94,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q89_skew_diagnostics",
         "q91_bloom_prefilter",
         "q102_event_pmi",  # 1-row context-count frame onto the k^2 matrix
+        "q111_dsir_selection",  # 1-row N_T/N_R/V totals onto the vocab table
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
