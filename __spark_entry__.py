@@ -140,6 +140,9 @@ _SWEEP_COST = {
     "q111_dsir_selection": 4.37,
     "q112_gapfill_forward": 3.26,
     "q113_cdc_chunk_dedup": 2.51,
+    "q114_canonical_keep_best": 9.44,
+    "q115_zorder_layout": 4.20,
+    "q116_serpentine_shards": 4.55,
 }
 
 
@@ -147,8 +150,8 @@ _SWEEP_COST = {
 # (the 50-row cap reached cheaper q52+ entries first in r5 because the
 # r5 ordering cost-sorted WITHIN the unrecorded group, losing exactly
 # the expensive tail), 2 that errored in r5 on array<string> result
-# columns (now stringified), and the 4 queries new in round 6
-# (q110-q113).  These must register absolutely first, regardless of
+# columns (now stringified), and the queries new in round 6
+# (q110-q116).  These must register absolutely first, regardless of
 # cost, so the cap cannot push them out again.
 _NEVER_RECORDED = [
     "q51_sequence_packing",
@@ -166,6 +169,9 @@ _NEVER_RECORDED = [
     "q111_dsir_selection",
     "q112_gapfill_forward",
     "q113_cdc_chunk_dedup",
+    "q114_canonical_keep_best",
+    "q115_zorder_layout",
+    "q116_serpentine_shards",
 ]
 
 # One sub-second query registered ahead of everything: the first query

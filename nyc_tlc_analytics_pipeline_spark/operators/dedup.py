@@ -1026,3 +1026,57 @@ def cdc_chunks(
             F.count("*").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster canonical selection (keep-best, not keep-first)
+# ---------------------------------------------------------------------------
+
+def canonical_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: Column | str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Pick the duplicate-cluster survivor by QUALITY instead of min-id:
+    close the near-dup ``pairs`` graph into connected components, then
+    keep exactly one row per cluster — the highest ``score_col``, ties
+    broken by smallest ``id_col`` (a total order, so the winner is
+    deterministic across engines and layouts).  Rows never mentioned in
+    ``pairs`` are singletons and keep themselves.
+
+    This is the curation-grade companion to ``graph.cluster_assignments``
+    (which marks the min-id canonical): production dedup wants to retain
+    the BEST copy of each near-dup family (longest / highest-quality),
+    not whichever happened to get the lowest id.
+
+    Returns ``df`` plus (cluster_id, cluster_size, keep).
+
+    Scale shape: ``connected_components`` shuffles only the PAIR set
+    (O(log² n) rounds, far smaller than the corpus); the component map is
+    cluster-count sized and joins back on the id key; the winner pick is
+    one window shuffle keyed by cluster_id.  No global sort, no collect.
+    """
+    from .graph import connected_components
+
+    sc = col(score_col) if isinstance(score_col, str) else score_col
+    comp = connected_components(pairs, src, dst).select(
+        col("node").alias(id_col), col("component")
+    )
+    assigned = (
+        df.withColumn("__score", sc)
+        .join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(col("component"), col(id_col)))
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = Window.partitionBy("cluster_id").orderBy(
+        col("__score").desc(), col(id_col)
+    )
+    return (
+        assigned.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn("keep", F.row_number().over(wo) == lit(1))
+        .drop("__score")
+    )

@@ -5856,3 +5856,273 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — duplicate-cluster canonical selection by quality (keep-best)
+# ---------------------------------------------------------------------------
+
+_Q114_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+),
+docs AS (
+    SELECT d.doc_id,
+           d.source,
+           len(string_split_regex(lower(d.text), '\\s+')) AS n_tokens,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+    FROM docs
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       round(1.0 * sum(CASE WHEN keep THEN n_tokens ELSE 0 END)
+             / sum(n_tokens) + 1e-9, 6) AS token_retention
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q114_canonical_keep_best",
+    _Q114_ORACLE,
+    "Duplicate-cluster canonical selection by QUALITY: exact-Jaccard "
+    "near-dup pairs closed into components (q46 posture), then each "
+    "cluster keeps its LONGEST member (token count desc, id tie-break) "
+    "instead of the min-id — the production dedup rule that retains the "
+    "best copy of each near-dup family.  Per-source retention report.  "
+    "The oracle replays the closure with a recursive CTE and the same "
+    "(n_tokens DESC, doc_id) window.",
+    operators=("dedup-canonical", "graph-cc", "W1", "A4"),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    kept = dedup.canonical_keep_best(
+        docs.select("doc_id", "source", text.token_count("text").alias("n_tokens")),
+        pairs,
+        "doc_id",
+        "n_tokens",
+    )
+    keep_tok = F.when(col("keep"), col("n_tokens")).otherwise(lit(0))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum(col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(keep_tok).cast("long").alias("tokens_kept"),
+            rnd(F.sum(keep_tok) / F.sum("n_tokens"), 6).alias("token_retention"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — Z-order layout: per-file min/max profile + probe prunability
+# ---------------------------------------------------------------------------
+
+_Q115_BITS = 16
+_Q115_BUCKETS = 64
+# probe predicates a scan would push down against the file footer stats
+_Q115_PK_LO, _Q115_PK_HI = 100, 199
+_Q115_SK_LO, _Q115_SK_HI = 10, 19
+
+
+def _zorder_sql(dims: list[str], bits: int) -> str:
+    """DuckDB twin of layout.zorder_key: the same unrolled interleave
+    (disjoint bits, so summing the terms equals OR-ing them)."""
+    n = len(dims)
+    terms = [
+        f"((({d} >> {b}) & 1) << {b * n + i})"
+        for i, d in enumerate(dims)
+        for b in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+_Q115_SHIFT = _Q115_BITS * 2 - max(_Q115_BUCKETS - 1, 1).bit_length()
+
+_Q115_ORACLE = f"""
+WITH z AS (
+    SELECT l_partkey, l_suppkey,
+           ({_zorder_sql(['l_partkey', 'l_suppkey'], _Q115_BITS)})
+               >> {_Q115_SHIFT} AS file_id
+    FROM lineitem
+),
+prof AS (
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+           CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+           CAST(min(l_suppkey) AS BIGINT) AS min_l_suppkey,
+           CAST(max(l_suppkey) AS BIGINT) AS max_l_suppkey
+    FROM z
+    GROUP BY file_id
+)
+SELECT file_id,
+       n_rows,
+       min_l_partkey, max_l_partkey, min_l_suppkey, max_l_suppkey,
+       min_l_partkey <= {_Q115_PK_HI} AND max_l_partkey >= {_Q115_PK_LO}
+           AS scan_pk_probe,
+       min_l_suppkey <= {_Q115_SK_HI} AND max_l_suppkey >= {_Q115_SK_LO}
+           AS scan_sk_probe
+FROM prof
+ORDER BY file_id
+"""
+
+
+@register(
+    "q115_zorder_layout",
+    _Q115_ORACLE,
+    "Z-order (Morton) clustering for multi-dimensional data skipping: "
+    "interleave (l_partkey, l_suppkey) bits into a Z-key — a pure "
+    "codegen'd column expression — bucket rows into 64 files by the "
+    "key's top bits (the boundaries a range-partitioned Z-write "
+    "produces), and report each file's min/max footer stats plus "
+    "whether a partkey-range and a suppkey-range probe must scan it.  "
+    "A Z-layout prunes on BOTH dimensions; a single-column sort prunes "
+    "on one.  The writer twin (layout.write_zordered) materializes the "
+    "same layout via repartitionByRange + sortWithinPartitions.",
+    operators=("layout-zorder", "A3", "O3"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    prof = layout.zorder_file_profile(
+        li.select("l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
+        bits=_Q115_BITS,
+        n_buckets=_Q115_BUCKETS,
+    )
+    return prof.select(
+        "file_id",
+        "n_rows",
+        "min_l_partkey",
+        "max_l_partkey",
+        "min_l_suppkey",
+        "max_l_suppkey",
+        (
+            (col("min_l_partkey") <= lit(_Q115_PK_HI))
+            & (col("max_l_partkey") >= lit(_Q115_PK_LO))
+        ).alias("scan_pk_probe"),
+        (
+            (col("min_l_suppkey") <= lit(_Q115_SK_HI))
+            & (col("max_l_suppkey") >= lit(_Q115_SK_LO))
+        ).alias("scan_sk_probe"),
+    ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# q116 — balanced training shards: scalable global rank + serpentine deal
+# ---------------------------------------------------------------------------
+
+_Q116_SHARDS = 8
+
+_Q116_ORACLE = f"""
+WITH sized AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+    FROM sized
+),
+dealt AS (
+    SELECT *,
+           CASE WHEN (rank - 1) % {2 * _Q116_SHARDS} < {_Q116_SHARDS}
+                THEN (rank - 1) % {2 * _Q116_SHARDS}
+                ELSE {2 * _Q116_SHARDS - 1} - (rank - 1) % {2 * _Q116_SHARDS}
+           END AS shard
+    FROM ranked
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(min(rank) AS BIGINT) AS first_rank,
+       CAST(max(n_tokens) AS BIGINT) AS largest_doc
+FROM dealt
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register(
+    "q116_serpentine_shards",
+    _Q116_ORACLE,
+    "Balanced training-shard assignment: size-rank every document with "
+    "the two-pass range-partitioned global row_number (NO single-"
+    "partition window — the terasort shape: range shuffle, local rank, "
+    "per-partition offsets broadcast back), then deal ranks out "
+    "boustrophedon over 8 shards so each round gives every shard one "
+    "large and one small pick (near-LPT balance, fully parallel).  The "
+    "oracle replays with a plain ROW_NUMBER and the same serpentine "
+    "formula.",
+    operators=("layout-shards", "layout-global-rank", "W2", "A4"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    dealt = layout.serpentine_shards(
+        sized, "n_tokens", "doc_id", _Q116_SHARDS
+    )
+    return (
+        dealt.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("rank").cast("long").alias("first_rank"),
+            F.max("n_tokens").cast("long").alias("largest_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -24,6 +24,9 @@ SF = os.environ.get("PLAN_LINT_SF", "/root/testdata/sf0.001")
 #   q08/q14: window over an already-grouped frame of ≤ tens of rows
 #   q52/q55/q80: quota window over the |domains|-row counts frame
 #   q69: rank window ABOVE TakeOrderedAndProject(limit=100)
+#   q116: offset running-sum over the |range partitions|-row counts frame
+#         (the two-pass global_row_number — the DATA rank itself is
+#         partition-local; only the per-partition offsets are global)
 # Anything NOT in this set that grows a global window fails the lint.
 GLOBAL_WINDOW_OK = {
     "q08_event_type_share",
@@ -33,6 +36,7 @@ GLOBAL_WINDOW_OK = {
     "q55_curation_funnel_v2",
     "q69_zipf_fit",
     "q80_temperature_mixture",
+    "q116_serpentine_shards",
 }
 
 

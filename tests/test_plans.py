@@ -95,6 +95,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q91_bloom_prefilter",
         "q102_event_pmi",  # 1-row context-count frame onto the k^2 matrix
         "q111_dsir_selection",  # 1-row N_T/N_R/V totals onto the vocab table
+        "q112_gapfill_forward",  # 1-row min/max day bounds onto distinct keys
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

@@ -282,3 +282,168 @@ def test_dsir_identical_distributions_score_near_zero(spark):
     assert len(sel) == 5
     # exactly the nudge epsilon survives the 9-dp rounding of 0
     assert all(abs(r.logw) <= 1e-9 for r in sel)
+
+
+# ---------------------------------------------------------------------------
+# layout.zorder_key / zorder_file_profile / write_zordered (q115's operator)
+# ---------------------------------------------------------------------------
+
+def _morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for d, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * len(vals) + d)
+    return z
+
+
+def test_zorder_key_matches_pure_python(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (1234, 4321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", layout.zorder_key(["x", "y"], bits=16)
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _morton([x, y], 16), (x, y)
+
+
+def test_zorder_key_rejects_overflow_and_single_dim(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    with pytest.raises(ValueError):
+        layout.zorder_key(["x"], bits=16)
+    with pytest.raises(ValueError):
+        layout.zorder_key(["x", "y", "z", "w"], bits=16)  # 64 bits > 63
+
+
+def test_zorder_write_produces_tight_per_file_stats(spark, tmp_path):
+    """A Z-ordered write must let a range probe on EITHER dimension skip
+    most files; a layout sorted by one column alone cannot do both."""
+    import glob
+
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    n, files = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    out = str(tmp_path / "zord")
+    layout.write_zordered(df, ["x", "y"], out, n_files=files, bits=6)
+
+    def files_scanned(col_name, lo, hi):
+        scanned = 0
+        for f in sorted(glob.glob(out + "/part-*.parquet")):
+            stats = spark.read.parquet(f).agg(
+                F.min(col_name), F.max(col_name)
+            ).collect()[0]
+            if stats[0] <= hi and stats[1] >= lo:
+                scanned += 1
+        return scanned
+
+    # an 1/8th-of-domain probe on each dimension: the Z-layout must skip
+    # at least half the files for BOTH (single-column sort skips for one)
+    assert files_scanned("x", 0, 7) <= files // 2
+    assert files_scanned("y", 0, 7) <= files // 2
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.groupBy().agg(F.sum("x"), F.sum("y")).collect() == df.groupBy().agg(
+        F.sum("x"), F.sum("y")
+    ).collect()
+
+
+# ---------------------------------------------------------------------------
+# layout.global_row_number / serpentine_shards (q116's operator)
+# ---------------------------------------------------------------------------
+
+def test_global_row_number_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    df = spark.range(500).select(
+        F.col("id"), (F.xxhash64("id") % 97).alias("size")
+    )
+    order = [F.col("size").desc(), F.col("id")]
+    want = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    got = layout.global_row_number(df, order, n_partitions=7)
+    assert got.count() == 500
+    diff = want.select("id", "rank").exceptAll(got.select("id", "rank"))
+    assert diff.count() == 0
+
+
+def test_global_row_number_is_layout_independent(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    df = spark.range(300).select(F.col("id"), (F.col("id") * 7 % 31).alias("k"))
+    order = [F.col("k"), F.col("id")]
+    a = layout.global_row_number(df.repartition(13), order, n_partitions=5)
+    b = layout.global_row_number(df.coalesce(1), order, n_partitions=3)
+    assert a.select("id", "rank").exceptAll(b.select("id", "rank")).count() == 0
+
+
+def test_serpentine_shards_balance_and_coverage(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    n_shards = 8
+    df = spark.range(1000).select(
+        F.col("id"), (F.xxhash64("id") % 1000 + 1000).alias("tokens")
+    )
+    dealt = layout.serpentine_shards(df, "tokens", "id", n_shards)
+    per = {
+        r.shard: (r.n, r.tok)
+        for r in dealt.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("tokens").alias("tok"))
+        .collect()
+    }
+    assert sorted(per) == list(range(n_shards))
+    counts = [per[s][0] for s in range(n_shards)]
+    toks = [per[s][1] for s in range(n_shards)]
+    assert max(counts) - min(counts) <= 1
+    # serpentine keeps totals within one max-item of each other
+    assert max(toks) - min(toks) <= 2000
+    with pytest.raises(ValueError):
+        layout.serpentine_shards(df, "tokens", "id", 0)
+
+
+# ---------------------------------------------------------------------------
+# dedup.canonical_keep_best (q114's operator)
+# ---------------------------------------------------------------------------
+
+def test_canonical_keep_best_picks_highest_score(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 99.0)],
+        "doc_id long, score double",
+    )
+    # {1,2,3} one cluster (transitive), {4} paired with nothing -> wait,
+    # pairs must mention 4 to cluster it; here 4 and 5 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = dedup.canonical_keep_best(docs, pairs, "doc_id", "score")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[2].keep and rows[2].cluster_size == 3
+    assert not rows[1].keep and not rows[3].keep
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[4].keep and rows[4].cluster_size == 1 and rows[4].cluster_id == 4
+    assert rows[5].keep and rows[5].cluster_id == 5
+
+
+def test_canonical_keep_best_tie_breaks_on_min_id(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(7, 1.0), (8, 1.0), (9, 1.0)], "doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(8, 9), (7, 9)], "doc_a long, doc_b long")
+    out = dedup.canonical_keep_best(docs, pairs, "doc_id", "score")
+    keepers = sorted(r.doc_id for r in out.collect() if r.keep)
+    assert keepers == [7]
