@@ -143,6 +143,9 @@ _SWEEP_COST = {
     "q114_canonical_keep_best": 9.44,
     "q115_zorder_layout": 4.20,
     "q116_serpentine_shards": 4.55,
+    "q117_bigram_perplexity": 4.50,
+    "q118_margin_mining": 4.20,
+    "q119_bpe_train": 7.00,
 }
 
 
@@ -172,6 +175,9 @@ _NEVER_RECORDED = [
     "q114_canonical_keep_best",
     "q115_zorder_layout",
     "q116_serpentine_shards",
+    "q117_bigram_perplexity",
+    "q118_margin_mining",
+    "q119_bpe_train",
 ]
 
 # One sub-second query registered ahead of everything: the first query

@@ -81,3 +81,89 @@ def doc_logprob_scores(
         .withColumnRenamed("__n_tokens", "n_tokens")
         .drop("__sum_logp")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity (the CCNet-style LM quality filter, one order up)
+# ---------------------------------------------------------------------------
+
+def bigrams(t) -> "F.Column":
+    """Adjacent-token bigram array ("prev cur" strings) from a token
+    array — pure column expressions (zip of the array with its own
+    shift), empty for docs under 2 tokens."""
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, lit(1), n - lit(1)),
+            F.slice(t, lit(2), n - lit(1)),
+            lambda a, b: F.concat(a, lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_bigram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pass 1 for the bigram LM: (bigram, prev, c2, cprev, V) where
+    ``c2`` = bigram count, ``cprev`` = context (previous-token) count
+    and ``V`` = unigram vocabulary size.  Two token-keyed aggregate
+    shuffles (|bigram vocab| + |vocab| rows) and a 1-row V aggregate
+    broadcast back — the ``corpus_token_stats`` posture, never an
+    empty-partition window."""
+    t = text.tokens(text_col)
+    big = df.select(F.explode(bigrams(t)).alias("bigram"))
+    c2 = big.groupBy("bigram").agg(F.count("*").alias("c2"))
+    cp = (
+        big.select(F.substring_index("bigram", " ", 1).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("cprev"))
+    )
+    v = df.select(F.explode(t).alias("token")).agg(
+        F.count_distinct("token").alias("V")
+    )
+    return (
+        c2.withColumn("prev", F.substring_index("bigram", " ", 1))
+        .join(F.broadcast(cp), "prev")
+        .crossJoin(F.broadcast(v))
+    )
+
+
+def doc_bigram_perplexity(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    k: float = 1.0,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram-LM log-perplexity — the workhorse of
+    CCNet-style LM filtering (documents whose word-to-word transitions
+    surprise the corpus model score high and get routed to drop):
+
+    ``log_ppl = -mean over bigrams of ln p̂(cur | prev)`` with add-k
+    smoothing ``p̂ = (c2 + k) / (cprev + k·V)``.
+
+    ``stats`` defaults to pass-1 over ``df`` itself (self-perplexity);
+    pass a held-out/high-quality corpus' ``corpus_bigram_stats`` to
+    score against a reference model — the actual CCNet setup.  Documents
+    under 2 tokens have no bigrams and drop out (nothing to score).
+
+    Scale shape: explode + ONE bigram-keyed join against the stats
+    table (broadcast while it fits, AQE skew-split beyond), then a
+    doc-keyed aggregate.  Returns ``id_cols`` + (n_bigrams, log_ppl).
+    """
+    if stats is None:
+        stats = corpus_bigram_stats(df, text_col)
+    t = text.tokens(text_col)
+    big = df.select(
+        *id_cols,
+        (F.size(t) - lit(1)).alias("__nb"),
+        F.explode(bigrams(t)).alias("bigram"),
+    )
+    logp = F.log((col("c2") + lit(k)) / (col("cprev") + lit(k) * col("V")))
+    return (
+        big.join(stats, "bigram")
+        .groupBy(*id_cols, "__nb")
+        .agg(F.sum(logp).alias("__s"))
+        .withColumn("log_ppl", -col("__s") / col("__nb"))
+        .withColumnRenamed("__nb", "n_bigrams")
+        .drop("__s")
+    )

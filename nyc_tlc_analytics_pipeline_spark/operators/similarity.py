@@ -381,3 +381,75 @@ def read_ivf_probe(
     probe = _probe_centroids(query_vec, centroids, n_probe)
     indexed = spark.read.parquet(path).filter(col("ivf_bucket").isin(probe))
     return cosine_topk(indexed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def margin_mine_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    planes: list[list[float]],
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext-style margin mining (Artetxe & Schwenk 2019, additive
+    margin): for every A-side vector, its best B-side partner scored by
+    ``margin = cos(x, y) − ½·(kA(x) + kB(y))`` where kA/kB are the mean
+    cosine of each side's top-``k`` candidates — the neighborhood
+    normalization that suppresses hubness (vectors cosine-close to
+    EVERYTHING) which raw-cosine alignment mining suffers from.
+
+    Candidates come from a shared hyperplane-LSH bucket join (the q43
+    posture), so the pair volume stays bucket-bounded, never |A|×|B|;
+    the neighborhood means are computed over the SAME candidate set, so
+    the whole statistic is reproducible from the plane literals alone.
+    A-side vectors with no same-bucket B-side candidate drop out
+    (nothing to mine against — use more/banded planes for recall).
+
+    All cosines are nudge-rounded to 6 dp BEFORE ranking and averaging,
+    so top-k membership, neighborhood means, and the final argmax are
+    deterministic cross-engine.  Returns one row per mined A vector:
+    (vec_a, vec_b, cos_sim, margin)."""
+    from pyspark.sql import Window
+
+    a = a_df.select(
+        col(id_col).alias("vec_a"), as_double_array(vec_col).alias("v_a")
+    ).withColumn("bucket", lsh_bucket(col("v_a"), planes))
+    b = b_df.select(
+        col(id_col).alias("vec_b"), as_double_array(vec_col).alias("v_b")
+    ).withColumn("bucket", lsh_bucket(col("v_b"), planes))
+    cand = (
+        a.join(b, "bucket")
+        .select(
+            "vec_a",
+            "vec_b",
+            rnd(cosine(col("v_a"), col("v_b")), 6).alias("cos_r"),
+        )
+    )
+    wa = Window.partitionBy("vec_a").orderBy(F.desc("cos_r"), "vec_b")
+    ka = (
+        cand.withColumn("rn", F.row_number().over(wa))
+        .filter(col("rn") <= k)
+        .groupBy("vec_a")
+        .agg(rnd(F.avg("cos_r"), 6).alias("k_a"))
+    )
+    wb = Window.partitionBy("vec_b").orderBy(F.desc("cos_r"), "vec_a")
+    kb = (
+        cand.withColumn("rn", F.row_number().over(wb))
+        .filter(col("rn") <= k)
+        .groupBy("vec_b")
+        .agg(rnd(F.avg("cos_r"), 6).alias("k_b"))
+    )
+    m = (
+        cand.join(ka, "vec_a")
+        .join(kb, "vec_b")
+        .withColumn(
+            "margin",
+            rnd(col("cos_r") - 0.5 * (col("k_a") + col("k_b")), 6),
+        )
+    )
+    wbest = Window.partitionBy("vec_a").orderBy(F.desc("margin"), "vec_b")
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .filter(col("rn") == 1)
+        .select("vec_a", "vec_b", col("cos_r").alias("cos_sim"), "margin")
+    )

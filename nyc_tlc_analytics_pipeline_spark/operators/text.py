@@ -198,3 +198,91 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (vocab-weighted — the scalable shape)
+# ---------------------------------------------------------------------------
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+):
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) with the
+    shape that scales: ONE corpus pass builds the frequency-weighted word
+    vocabulary (a token-keyed count — |vocab| rows, model-sized), and
+    every merge round then runs on that vocab frame alone, never
+    re-touching the corpus.  At 100 TB the corpus pass is the usual
+    explode+count shuffle; the per-round state (vocab × current
+    segmentation) is tokenizer-sized, exactly like k-means centroids.
+
+    Each word is kept as a wrapped-symbol string ``<h><e><l><l><o>`` so
+    a merge is a plain (non-regex) left-to-right ``replace`` of
+    ``<a><b>`` with ``<ab>`` — occurrences never share characters, so
+    both Spark and any SQL oracle apply identical non-overlapping
+    merges.  Pair counts weight by word frequency and count every
+    adjacent occurrence (the classic get_stats); the argmax merge
+    tie-breaks (count DESC, left, right) for a fully deterministic
+    trajectory.
+
+    Per round, the only driver-side data is the 1-row argmax (model-
+    sized, the k-means-centroid precedent).  Returns a list of
+    ``(round, left, right, pair_count, avg_symbols_after)`` — the
+    learned merge table plus the weighted mean symbols-per-word after
+    applying each merge (proof the merge was applied, not just
+    counted)."""
+    from ..functions.scalar import rnd as _rnd
+
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", "<$1>").alias("w"), "freq"
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        arr = F.split(F.expr("substring(w, 2, length(w) - 2)"), "><")
+        n = F.size(arr)
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(arr, lit(1), n - lit(1)),
+                F.slice(arr, lit(2), n - lit(1)),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            vocab.select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0].l, best[0].r, best[0].c
+        vocab = vocab.select(
+            F.replace(
+                col("w"),
+                lit(f"<{left}><{right}>"),
+                lit(f"<{left}{right}>"),
+            ).alias("w"),
+            "freq",
+        ).localCheckpoint()
+        stat = vocab.select(
+            _rnd(
+                F.sum(
+                    col("freq")
+                    * F.size(F.split(F.expr("substring(w, 2, length(w) - 2)"), "><"))
+                )
+                / F.sum("freq"),
+                6,
+            ).alias("s")
+        ).collect()[0].s
+        merges.append((r, left, right, int(cnt), float(stat)))
+    return merges

@@ -6126,3 +6126,285 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — bigram-LM perplexity filter (CCNet-style, one order above q56)
+# ---------------------------------------------------------------------------
+
+_Q117_K = 1.0
+_Q117_HIGH = 3.4  # rounded log-perplexity above this → "filter" tier
+
+_Q117_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+),
+big AS (
+    SELECT doc_id, source, len(t) - 1 AS nb,
+           unnest(list_transform(range(2, len(t) + 1),
+                  i -> t[i - 1] || ' ' || t[i])) AS bigram
+    FROM toks
+    WHERE len(t) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY bigram),
+cp AS (
+    SELECT split_part(bigram, ' ', 1) AS prev, count(*) AS cprev
+    FROM big GROUP BY prev
+),
+vocab AS (
+    SELECT count(DISTINCT token) AS V
+    FROM (SELECT unnest(t) AS token FROM toks)
+),
+scored AS (
+    SELECT b.doc_id, b.source,
+           round(-sum(ln((c2.c2 + {_Q117_K})
+                         / (cp.cprev + {_Q117_K} * vocab.V))) / b.nb
+                 + 1e-9, 6) AS log_ppl
+    FROM big b
+    JOIN c2 USING (bigram)
+    JOIN cp ON split_part(b.bigram, ' ', 1) = cp.prev
+    CROSS JOIN vocab
+    GROUP BY b.doc_id, b.source, b.nb
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(log_ppl) + 1e-9, 6) AS avg_log_ppl,
+       round(quantile_cont(log_ppl, 0.9) + 1e-9, 6) AS p90_log_ppl,
+       CAST(sum(CASE WHEN log_ppl > {_Q117_HIGH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filtered
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q117_bigram_perplexity",
+    _Q117_ORACLE,
+    "Bigram-LM perplexity filtering (the CCNet recipe one order above "
+    "q56's unigram): corpus bigram + context counts and vocab V (two "
+    "token-keyed aggregates + a 1-row broadcast), add-1-smoothed "
+    "-mean-ln p(cur|prev) per document (rounded 6 dp so the filter "
+    "threshold compares deterministically cross-engine), per-source "
+    "mean / exact p90 / filtered count.  Sub-2-token docs have no "
+    "bigrams and drop out in both engines.",
+    operators=("lm-bigram", "A3", "A6", "J1"),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    scored = lm.doc_bigram_perplexity(
+        docs, ["doc_id", "source"], k=_Q117_K
+    ).withColumn("log_ppl", rnd(col("log_ppl"), 6))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("log_ppl"), 6).alias("avg_log_ppl"),
+            rnd(pct("log_ppl", lit(0.9), False), 6).alias("p90_log_ppl"),
+            F.sum((col("log_ppl") > lit(_Q117_HIGH)).cast("long")).alias(
+                "n_filtered"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — bitext-style margin mining between two embedding populations
+# ---------------------------------------------------------------------------
+
+_Q118_K = 4
+_Q118_MARGIN = 0.05  # mined = margin above this on the rounded value
+_Q118_PLANES = _PLANES_8x64[:4]  # 16 buckets → bigger cross-side candidate sets
+
+
+def _bucket4_sql(vexpr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vexpr}, {_plane_sql(p)}) > 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(_Q118_PLANES)
+    )
+    return f"({terms})"
+
+
+_Q118_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+a AS (
+    SELECT vec_id AS vec_a, v AS v_a, {_bucket4_sql("v")} AS bucket
+    FROM e WHERE label < 5
+),
+bb AS (
+    SELECT vec_id AS vec_b, v AS v_b, {_bucket4_sql("v")} AS bucket
+    FROM e WHERE label >= 5
+),
+cand AS (
+    SELECT vec_a, vec_b,
+           round(list_cosine_similarity(v_a, v_b) + 1e-9, 6) AS cos_r
+    FROM a JOIN bb USING (bucket)
+),
+ka AS (
+    SELECT vec_a, round(avg(cos_r) + 1e-9, 6) AS k_a
+    FROM (
+        SELECT vec_a, cos_r,
+               row_number() OVER (PARTITION BY vec_a
+                                  ORDER BY cos_r DESC, vec_b) AS rn
+        FROM cand
+    )
+    WHERE rn <= {_Q118_K}
+    GROUP BY vec_a
+),
+kb AS (
+    SELECT vec_b, round(avg(cos_r) + 1e-9, 6) AS k_b
+    FROM (
+        SELECT vec_b, cos_r,
+               row_number() OVER (PARTITION BY vec_b
+                                  ORDER BY cos_r DESC, vec_a) AS rn
+        FROM cand
+    )
+    WHERE rn <= {_Q118_K}
+    GROUP BY vec_b
+),
+m AS (
+    SELECT c.vec_a, c.vec_b, c.cos_r,
+           round(c.cos_r - 0.5 * (ka.k_a + kb.k_b) + 1e-9, 6) AS margin
+    FROM cand c
+    JOIN ka USING (vec_a)
+    JOIN kb USING (vec_b)
+),
+best AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY vec_a
+                              ORDER BY margin DESC, vec_b) AS rn
+    FROM m
+)
+SELECT vec_a,
+       vec_b,
+       cos_r AS cos_sim,
+       margin,
+       margin > {_Q118_MARGIN} AS mined
+FROM best
+WHERE rn = 1
+ORDER BY vec_a
+"""
+
+
+@register(
+    "q118_margin_mining",
+    _Q118_ORACLE,
+    "Bitext-style margin mining (Artetxe & Schwenk additive margin) "
+    "between two embedding populations (labels 0-4 vs 5-9): candidates "
+    "from a shared 4-hyperplane LSH bucket join (never |A|×|B|), "
+    "neighborhood top-4 mean cosines normalize away hubness, each "
+    "A-vector keeps its best B partner by rounded margin.  The oracle "
+    "recomputes identical buckets from the shared plane literals and "
+    "replays the same rounded top-k windows.",
+    operators=("similarity-margin-mining", "W1", "J7"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    mined = similarity.margin_mine_pairs(
+        emb.filter(col("label") < 5),
+        emb.filter(col("label") >= 5),
+        planes=_Q118_PLANES,
+        k=_Q118_K,
+    )
+    return mined.withColumn(
+        "mined", col("margin") > lit(_Q118_MARGIN)
+    ).orderBy("vec_a")
+
+
+# ---------------------------------------------------------------------------
+# q119 — BPE tokenizer training: learned merge table (vocab-weighted)
+# ---------------------------------------------------------------------------
+
+_Q119_MERGES = 6
+
+
+def _q119_oracle(n_merges: int = _Q119_MERGES) -> str:
+    """Unrolled merge rounds: each round counts adjacent symbol pairs on
+    the CURRENT vocab segmentation, picks the (count DESC, l, r) argmax
+    and applies it with the same wrapped-symbol plain replace the Spark
+    operator uses."""
+    ctes = [
+        """w0 AS (
+    SELECT regexp_replace(token, '(.)', '<\\1>', 'g') AS w,
+           count(*) AS freq
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+)"""
+    ]
+    finals = []
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+    SELECT p.l AS l, p.r AS r, sum(freq) AS c
+    FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> {{'l': arr[i], 'r': arr[i + 1]}})) AS p
+        FROM (
+            SELECT freq,
+                   string_split(substr(w, 2, length(w) - 2), '><') AS arr
+            FROM w{r - 1}
+        )
+    )
+    GROUP BY l, r
+)""")
+        ctes.append(
+            f"best{r} AS (SELECT l, r, c FROM p{r} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"""w{r} AS (
+    SELECT replace(w, '<' || b.l || '><' || b.r || '>',
+                   '<' || b.l || b.r || '>') AS w,
+           freq
+    FROM w{r - 1}, best{r} b
+)""")
+        ctes.append(f"""stat{r} AS (
+    SELECT round(sum(freq * len(string_split(substr(w, 2, length(w) - 2),
+                                             '><'))) * 1.0
+                 / sum(freq) + 1e-9, 6) AS s
+    FROM w{r}
+)""")
+        finals.append(
+            f"SELECT {r} AS merge_round, b.l AS merge_left, "
+            f"b.r AS merge_right, CAST(b.c AS BIGINT) AS pair_count, "
+            f"st.s AS avg_symbols_after FROM best{r} b, stat{r} st"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY merge_round"
+    )
+
+
+@register(
+    "q119_bpe_train",
+    _q119_oracle(),
+    "BPE tokenizer training (Sennrich et al. 2016) with the scalable "
+    "shape: ONE corpus pass builds the frequency-weighted word vocab; "
+    "every merge round then runs on that model-sized vocab frame alone "
+    "(adjacent-pair explode + weighted count + 1-row argmax, k-means-"
+    "centroid-style driver state).  Wrapped-symbol words make each "
+    "merge a plain non-overlapping replace, identical in both engines; "
+    "the oracle unrolls all 6 rounds as CTEs.  avg_symbols_after "
+    "proves each merge was APPLIED, not just counted.",
+    operators=("text-bpe-train", "A3", "O1"),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(docs, n_merges=_Q119_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, merge_left string, merge_right string, "
+        "pair_count long, avg_symbols_after double",
+    ).orderBy("merge_round")

@@ -96,6 +96,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q102_event_pmi",  # 1-row context-count frame onto the k^2 matrix
         "q111_dsir_selection",  # 1-row N_T/N_R/V totals onto the vocab table
         "q112_gapfill_forward",  # 1-row min/max day bounds onto distinct keys
+        "q117_bigram_perplexity",  # 1-row vocab-size V onto the bigram stats
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

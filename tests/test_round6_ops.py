@@ -447,3 +447,107 @@ def test_canonical_keep_best_tie_breaks_on_min_id(spark):
     out = dedup.canonical_keep_best(docs, pairs, "doc_id", "score")
     keepers = sorted(r.doc_id for r in out.collect() if r.keep)
     assert keepers == [7]
+
+
+# ---------------------------------------------------------------------------
+# lm.doc_bigram_perplexity (q117's operator)
+# ---------------------------------------------------------------------------
+
+def test_bigram_perplexity_hand_computed(spark):
+    import math
+
+    from nyc_tlc_analytics_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in lm.doc_bigram_perplexity(docs, ["doc_id"]).collect()}
+    # corpus bigrams: d1: (a b),(b a),(a b); d2: (a a)
+    # c2: ab=2, ba=1, aa=1 ; cprev: a=3, b=1 ; V=2 ; k=1
+    p_ab = (2 + 1) / (3 + 2)
+    p_ba = (1 + 1) / (1 + 2)
+    p_aa = (1 + 1) / (3 + 2)
+    want1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    want2 = -math.log(p_aa) / 1
+    assert abs(out[1].log_ppl - want1) < 1e-9
+    assert abs(out[2].log_ppl - want2) < 1e-9
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+
+
+def test_bigram_perplexity_short_docs_drop_and_heldout_stats(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame([(1, "x y x y x y")], "doc_id long, text string")
+    stats = lm.corpus_bigram_stats(ref)
+    docs = spark.createDataFrame(
+        [(10, "x y"), (11, "q"), (12, "y x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            lm.doc_bigram_perplexity(docs, ["doc_id"], stats=stats).collect()}
+    assert 11 not in rows  # single token: no bigrams to score
+    # "x y" is the reference's dominant transition: strictly less
+    # surprising than the reverse "y x"
+    assert rows[10].log_ppl < rows[12].log_ppl
+
+
+# ---------------------------------------------------------------------------
+# similarity.margin_mine_pairs (q118's operator)
+# ---------------------------------------------------------------------------
+
+def test_margin_mining_finds_planted_alignment(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    dim = 8
+    planes = similarity.random_hyperplanes(2, dim, seed=7)
+
+    def vec(seed):
+        import random
+
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    base = vec(1)
+    a_rows = [(0, base)] + [(i, vec(100 + i)) for i in range(1, 6)]
+    # b-side 10 is a near-copy of a-side 0; rest random
+    b_rows = [(10, [x + 0.01 for x in base])] + [
+        (10 + i, vec(200 + i)) for i in range(1, 6)
+    ]
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    mined = {
+        r.vec_a: r for r in similarity.margin_mine_pairs(a, b, planes, k=3).collect()
+    }
+    assert mined[0].vec_b == 10
+    assert mined[0].cos_sim > 0.99
+    # the near-copy clears its neighborhood mean by a solid margin
+    assert mined[0].margin > 0.05
+
+
+# ---------------------------------------------------------------------------
+# text.bpe_train_merges (q119's operator)
+# ---------------------------------------------------------------------------
+
+def test_bpe_learns_and_applies_merges(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import text as T
+
+    # classic BPE toy: "ab" dominates, then "abc" builds ON the merge
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abd"), (2, "abc abd xy")],
+        "doc_id long, text string",
+    )
+    merges = T.bpe_train_merges(docs, n_merges=3)
+    assert [(m[1], m[2]) for m in merges[:2]] == [("a", "b"), ("ab", "c")]
+    # counts: ab appears in every abc/abd token occurrence = 6
+    assert merges[0][3] == 6
+    # avg symbols strictly decreases while merges apply
+    avgs = [m[4] for m in merges]
+    assert all(x > y for x, y in zip(avgs, avgs[1:]))
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import text as T
+
+    # "xy" and "ab" both occur exactly twice -> (count DESC, l, r) picks ab
+    docs = spark.createDataFrame([(1, "xy xy ab ab")], "doc_id long, text string")
+    merges = T.bpe_train_merges(docs, n_merges=1)
+    assert (merges[0][1], merges[0][2]) == ("a", "b")
