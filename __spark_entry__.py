@@ -146,6 +146,8 @@ _SWEEP_COST = {
     "q117_bigram_perplexity": 4.50,
     "q118_margin_mining": 4.20,
     "q119_bpe_train": 7.00,
+    "q120_bpe_encode": 8.00,
+    "q121_epoch_allocation": 3.50,
 }
 
 
@@ -178,6 +180,8 @@ _NEVER_RECORDED = [
     "q117_bigram_perplexity",
     "q118_margin_mining",
     "q119_bpe_train",
+    "q120_bpe_encode",
+    "q121_epoch_allocation",
 ]
 
 # One sub-second query registered ahead of everything: the first query

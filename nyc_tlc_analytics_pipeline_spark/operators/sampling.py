@@ -404,3 +404,94 @@ def mixture_sample_temperature(
         .filter(col("__rn") <= col("__n"))
         .drop("__rn", "__n")
     )
+
+
+def epoch_allocation(
+    counts: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget: float,
+    max_epochs: float,
+) -> DataFrame:
+    """Data-constrained epoch planner (the Muennighoff-style question
+    "how many epochs of each domain fill a B-token budget?"): allocate
+    ``budget`` tokens across domains toward the target mixture
+    ``weights``, capping every domain at ``max_epochs`` passes over its
+    available tokens and redistributing capped-domain overflow to the
+    rest in proportion to their weights — exact waterfilling, solved in
+    one pass over the |domains|-row counts frame.
+
+    Mechanics: with cap_d = max_epochs·c_d and fill rate s, domain d
+    caps iff r_d = cap_d / w_d ≤ s.  Sorting by r_d makes capping a
+    PREFIX property, so per-row prefix cumsums give the candidate rate
+    s_j = (B − Σ_prefix cap) / (W − Σ_prefix w); the first row whose
+    r exceeds its s_j starts the uncapped region, whose common rate s*
+    is that row's s_j.  All boundary compares use nudge-rounded values
+    so the prefix cut is cross-engine deterministic.  Every window runs
+    on the bounded domains frame (the q52/q80 quota posture); s* joins
+    back as a 1-row broadcast.
+
+    Returns per domain: tokens available, weight, capped flag,
+    tokens_alloc, epochs.  If the budget exceeds total capacity, every
+    domain caps and the residual budget simply goes unallocated."""
+    from ..functions.scalar import rnd
+
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    tot = sum(weights.values())
+    if tot <= 0:
+        raise ValueError("at least one weight must be positive")
+    norm = {d: w / tot for d, w in weights.items() if w > 0}
+    wmap = F.create_map(*[x for d, w in norm.items() for x in (lit(d), lit(w))])
+
+    d = (
+        counts.withColumn("__w", wmap[col(domain_col)])
+        .filter(col("__w").isNotNull())
+        .withColumn("__cap", lit(float(max_epochs)) * col(tokens_col))
+        .withColumn("__r", rnd(col("__cap") / col("__w"), 6))
+    )
+    w_ord = Window.orderBy("__r", domain_col)
+    prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = (
+        d.withColumn("__pE", F.coalesce(F.sum("__cap").over(prev), lit(0.0)))
+        .withColumn("__pW", F.coalesce(F.sum("__w").over(prev), lit(0.0)))
+        .withColumn("__tW", F.sum("__w").over(full))
+        .withColumn(
+            "__s",
+            rnd(
+                (lit(float(budget)) - col("__pE"))
+                / F.nullif(col("__tW") - col("__pW"), lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.min((col("__r") <= col("__s")).cast("int")).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            == lit(1),
+        )
+    )
+    # the first uncapped row's rate IS the max: removing a capped row
+    # (ratio above the running average) always lowers later candidates,
+    # so max() needs no tie-break even when rounded r values collide
+    s_star = d.filter(~col("capped")).agg(F.max("__s").alias("__sstar"))
+    alloc = F.when(col("capped"), col("__cap")).otherwise(
+        rnd(col("__w") * col("__sstar"), 4)
+    )
+    return (
+        d.crossJoin(F.broadcast(s_star))
+        .select(
+            col(domain_col).alias("domain"),
+            col(tokens_col).cast("long").alias("tokens_avail"),
+            rnd(col("__w"), 6).alias("weight"),
+            "capped",
+            rnd(alloc, 4).alias("tokens_alloc"),
+            rnd(alloc / col(tokens_col), 4).alias("epochs"),
+        )
+        .orderBy("domain")
+    )

@@ -286,3 +286,26 @@ def bpe_train_merges(
         ).collect()[0].s
         merges.append((r, left, right, int(cnt), float(stat)))
     return merges
+
+
+def bpe_encode_symbol_count(
+    text: Column | str, merges: list[tuple]
+) -> Column:
+    """Symbols-per-document under a learned BPE merge table — the
+    ENCODE side of :func:`bpe_train_merges`, fully map-side: wrap every
+    non-space character (``<a><b> <c>``, so merges can never cross a
+    word boundary), apply the merges in learned order as plain
+    non-overlapping replaces (the Sennrich encode loop), and count the
+    remaining symbols.  The merge table is model-sized and baked into
+    the expression as literals — tokenization of a 100 TB corpus is a
+    pure scan-side projection, no shuffle, no UDF."""
+    c = col(text) if isinstance(text, str) else text
+    s = F.regexp_replace(F.lower(c), r"(\S)", "<$1>")
+    for m in merges:
+        left, right = m[1], m[2]
+        s = F.replace(
+            s, lit(f"<{left}><{right}>"), lit(f"<{left}{right}>")
+        )
+    return (F.length(s) - F.length(F.replace(s, lit("<"), lit("")))).cast(
+        "long"
+    )

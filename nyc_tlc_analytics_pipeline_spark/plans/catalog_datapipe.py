@@ -6408,3 +6408,175 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, merge_left string, merge_right string, "
         "pair_count long, avg_symbols_after double",
     ).orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# q120 — BPE encoding at corpus scale (the map-only encode side of q119)
+# ---------------------------------------------------------------------------
+
+
+def _q120_oracle() -> str:
+    """q119's unrolled training CTEs re-derive the merge table, then the
+    corpus is encoded with the same in-order non-overlapping replaces
+    (b1 innermost = applied first) and counted per source."""
+    train = _q119_oracle(_Q119_MERGES)
+    # everything up to the final UNION ALL selects = the training CTEs
+    ctes = train.split("\nSELECT 1 AS merge_round")[0][len("WITH "):]
+    enc = "regexp_replace(lower(d.text), '(\\S)', '<\\1>', 'g')"
+    for r in range(1, _Q119_MERGES + 1):
+        enc = (
+            f"replace({enc}, '<' || b{r}.l || '><' || b{r}.r || '>', "
+            f"'<' || b{r}.l || b{r}.r || '>')"
+        )
+    froms = ", ".join(f"best{r} b{r}" for r in range(1, _Q119_MERGES + 1))
+    return f"""WITH {ctes},
+enc AS (
+    SELECT d.source,
+           len(string_split_regex(lower(d.text), '\\s+')) AS ws_tokens,
+           length({enc}) - length(replace({enc}, '<', '')) AS bpe_symbols
+    FROM documents d, {froms}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_symbols) AS BIGINT) AS total_bpe_symbols,
+       round(sum(bpe_symbols) * 1.0 / sum(ws_tokens) + 1e-9, 6)
+           AS symbols_per_token
+FROM enc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q120_bpe_encode",
+    _q120_oracle(),
+    "BPE encoding of the whole corpus under the q119-learned merge "
+    "table — the production tokenize step: merges collect driver-side "
+    "(model-sized, the centroid precedent) and bake into a pure "
+    "scan-side expression chain (wrap chars, in-order non-overlapping "
+    "replaces, count symbols) — NO shuffle, no UDF; per-source "
+    "symbols-per-token compression report.  The oracle re-derives the "
+    "merge table with q119's unrolled CTEs and applies the identical "
+    "replace chain.",
+    operators=("text-bpe-encode", "A3"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(docs, n_merges=_Q119_MERGES)
+    bpe = text.bpe_encode_symbol_count("text", merges)
+    return (
+        docs.select(
+            "source",
+            text.token_count("text").alias("ws_tokens"),
+            bpe.alias("bpe_symbols"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.sum("bpe_symbols").cast("long").alias("total_bpe_symbols"),
+            rnd(F.sum("bpe_symbols") / F.sum("ws_tokens"), 6).alias(
+                "symbols_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — data-constrained epoch allocation (token-budget waterfilling)
+# ---------------------------------------------------------------------------
+
+_Q121_WEIGHTS = {"en": 0.5, "fr": 0.15, "es": 0.15, "de": 0.1, "zh": 0.1}
+_Q121_BUDGET = 50_000.0
+_Q121_MAX_EPOCHS = 2.0
+
+_Q121_WMAP = " ".join(
+    f"WHEN '{d}' THEN {w}" for d, w in sorted(_Q121_WEIGHTS.items())
+)
+
+_Q121_ORACLE = f"""
+WITH c AS (
+    SELECT lang AS domain,
+           sum(len(string_split_regex(lower(text), '\\s+'))) AS tokens
+    FROM documents
+    GROUP BY lang
+),
+d AS (
+    SELECT domain, tokens,
+           CASE domain {_Q121_WMAP} ELSE NULL END AS w,
+           {_Q121_MAX_EPOCHS} * tokens AS cap
+    FROM c
+    WHERE CASE domain {_Q121_WMAP} ELSE NULL END IS NOT NULL
+),
+r AS (
+    SELECT *, round(cap / w + 1e-9, 6) AS rr FROM d
+),
+s AS (
+    SELECT *,
+           coalesce(sum(cap) OVER (ORDER BY rr, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pE,
+           coalesce(sum(w) OVER (ORDER BY rr, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pW,
+           sum(w) OVER () AS tW
+    FROM r
+),
+f AS (
+    SELECT *,
+           round(({_Q121_BUDGET} - pE) / nullif(tW - pW, 0) + 1e-9, 6) AS sj
+    FROM s
+),
+g AS (
+    SELECT *,
+           min(CASE WHEN rr <= sj THEN 1 ELSE 0 END) OVER (
+               ORDER BY rr, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               AS capped
+    FROM f
+),
+st AS (SELECT max(sj) AS sstar FROM g WHERE NOT capped),
+a AS (
+    SELECT g.*,
+           CASE WHEN capped THEN cap
+                ELSE round(w * st.sstar + 1e-9, 4) END AS alloc
+    FROM g, st
+)
+SELECT domain,
+       CAST(tokens AS BIGINT) AS tokens_avail,
+       round(w + 1e-9, 6) AS weight,
+       capped,
+       round(alloc + 1e-9, 4) AS tokens_alloc,
+       round(alloc / tokens + 1e-9, 4) AS epochs
+FROM a
+ORDER BY domain
+"""
+
+
+@register(
+    "q121_epoch_allocation",
+    _Q121_ORACLE,
+    "Data-constrained epoch planning (Muennighoff-style): fill a "
+    "50k-token budget toward a target language mixture with every "
+    "domain capped at 2 epochs, overflow redistributed by weight — "
+    "exact waterfilling solved in one pass over the |domains|-row "
+    "frame (capping is a prefix of the r = cap/w order, so prefix "
+    "cumsums expose the fill rate; boundary compares on nudge-rounded "
+    "values).  The oracle replays the identical windows.",
+    operators=("sampling-epochs", "W2", "A4"),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    counts = docs.groupBy(col("lang").alias("domain")).agg(
+        F.sum(text.token_count("text")).alias("tokens")
+    )
+    return sampling.epoch_allocation(
+        counts,
+        "domain",
+        "tokens",
+        _Q121_WEIGHTS,
+        budget=_Q121_BUDGET,
+        max_epochs=_Q121_MAX_EPOCHS,
+    )

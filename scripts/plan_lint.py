@@ -37,6 +37,7 @@ GLOBAL_WINDOW_OK = {
     "q69_zipf_fit",
     "q80_temperature_mixture",
     "q116_serpentine_shards",
+    "q121_epoch_allocation",  # waterfilling cumsums over the |domains| frame
 }
 
 

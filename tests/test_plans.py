@@ -97,6 +97,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q111_dsir_selection",  # 1-row N_T/N_R/V totals onto the vocab table
         "q112_gapfill_forward",  # 1-row min/max day bounds onto distinct keys
         "q117_bigram_perplexity",  # 1-row vocab-size V onto the bigram stats
+        "q121_epoch_allocation",  # 1-row fill-rate s* onto the domains frame
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

@@ -551,3 +551,91 @@ def test_bpe_tie_break_is_lexicographic(spark):
     docs = spark.createDataFrame([(1, "xy xy ab ab")], "doc_id long, text string")
     merges = T.bpe_train_merges(docs, n_merges=1)
     assert (merges[0][1], merges[0][2]) == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# text.bpe_encode_symbol_count (q120's operator)
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import text as T
+
+    docs = spark.createDataFrame([(1, "abc ab x")], "doc_id long, text string")
+    # merge tuples follow bpe_train_merges shape: (round, l, r, count, stat)
+    merges = [(1, "a", "b", 0, 0.0), (2, "ab", "c", 0, 0.0)]
+    n = docs.select(T.bpe_encode_symbol_count("text", merges).alias("n")).head().n
+    # "abc" -> <abc> (1), "ab" -> <ab> (1), "x" -> <x> (1)
+    assert n == 3
+    # without the second merge, "abc" stays <ab><c>
+    n1 = docs.select(
+        T.bpe_encode_symbol_count("text", merges[:1]).alias("n")
+    ).head().n
+    assert n1 == 4
+
+
+def test_bpe_encode_matches_training_stat(spark):
+    """Encoding the SAME corpus the merges were trained on must
+    reproduce the trainer's weighted avg_symbols_after for the final
+    round (the trainer computes it on the vocab, the encoder on docs)."""
+    from nyc_tlc_analytics_pipeline_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    merges = T.bpe_train_merges(docs, n_merges=3)
+    got = docs.select(
+        T.bpe_encode_symbol_count("text", merges).alias("bpe"),
+        T.token_count("text").alias("ws"),
+    ).agg((F.sum("bpe") / F.sum("ws")).alias("spw")).head().spw
+    assert abs(got - merges[-1][4]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# sampling.epoch_allocation (q121's operator)
+# ---------------------------------------------------------------------------
+
+def test_epoch_allocation_waterfills_exactly(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 1000)], "domain string, tokens long"
+    )
+    # budget 1500, equal thirds, cap 2 epochs: a caps at 200, b/c share
+    # the rest at rate (1500-200)/(2/3) = 1950 -> 650 each
+    out = {r.domain: r for r in sampling.epoch_allocation(
+        counts, "domain", "tokens", {"a": 1, "b": 1, "c": 1}, 1500, 2
+    ).collect()}
+    assert out["a"].capped and out["a"].tokens_alloc == 200.0
+    assert not out["b"].capped and abs(out["b"].tokens_alloc - 650.0) < 0.01
+    assert abs(out["c"].tokens_alloc - 650.0) < 0.01
+    total = sum(r.tokens_alloc for r in out.values())
+    assert abs(total - 1500.0) < 0.1
+
+
+def test_epoch_allocation_all_capped_leaves_budget_unfilled(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling
+
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 10)], "domain string, tokens long"
+    )
+    out = {r.domain: r for r in sampling.epoch_allocation(
+        counts, "domain", "tokens", {"a": 1, "b": 1}, 10_000, 3
+    ).collect()}
+    assert all(r.capped for r in out.values())
+    assert all(r.epochs == 3.0 for r in out.values())
+
+
+def test_epoch_allocation_zero_weight_domain_dropped(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("junk", 999)], "domain string, tokens long"
+    )
+    out = sampling.epoch_allocation(
+        counts, "domain", "tokens", {"a": 1.0}, 50, 2
+    ).collect()
+    assert [r.domain for r in out] == ["a"]
+    with pytest.raises(ValueError):
+        sampling.epoch_allocation(counts, "domain", "tokens", {}, 50, 2)
