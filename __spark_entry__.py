@@ -148,6 +148,7 @@ _SWEEP_COST = {
     "q119_bpe_train": 7.00,
     "q120_bpe_encode": 8.00,
     "q121_epoch_allocation": 3.50,
+    "q122_curation_funnel_v3": 19.00,
 }
 
 
@@ -182,6 +183,7 @@ _NEVER_RECORDED = [
     "q119_bpe_train",
     "q120_bpe_encode",
     "q121_epoch_allocation",
+    "q122_curation_funnel_v3",
 ]
 
 # One sub-second query registered ahead of everything: the first query

@@ -6580,3 +6580,189 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_Q121_BUDGET,
         max_epochs=_Q121_MAX_EPOCHS,
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — curation funnel v3: the round-6 operators composing end-to-end
+# (rule gate → bigram-perplexity filter → keep-best canonical dedup →
+#  serpentine shard balancing)
+# ---------------------------------------------------------------------------
+
+_Q122_PPL = 3.41   # keep docs with rounded self log-perplexity ≤ this
+_Q122_SHARDS = 4
+
+
+def _q122_oracle() -> str:
+    from ..operators import rules as R
+
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT doc_id, text,
+           string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+gated AS (
+    -- rule battery (same expressions as q49/q55)
+    SELECT doc_id, text, tk
+    FROM base
+    WHERE NOT (len(tk) < {R.MIN_TOKENS} OR len(tk) > {R.MAX_TOKENS})
+      AND 1.0 * list_sum(list_transform(tk, x -> length(x)))
+          / nullif(len(tk), 0) BETWEEN {R.MEAN_LEN_LO} AND {R.MEAN_LEN_HI}
+      AND 1.0 * len(list_filter(tk, x -> regexp_matches(x, '[^0-9\\s[:punct:]]')))
+          / nullif(len(tk), 0) >= {R.ALPHA_MIN}
+      AND coalesce(1.0 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+          / nullif(length(text), 0), 0) <= {R.SYMBOL_MAX}
+      AND 1.0 - 1.0 * len(list_distinct(tk)) / nullif(len(tk), 0) <= {R.REPEAT_MAX}
+      AND 2.0 * list_max(list_transform(list_distinct(
+                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])),
+            g -> len(list_filter(
+                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]),
+                x -> x = g)))) / nullif(len(tk), 0) <= {R.TOP_BIGRAM_MAX}
+),
+big AS (
+    -- self bigram model over the GATED pool (q117 posture)
+    SELECT doc_id, len(tk) - 1 AS nb,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+    FROM gated
+    WHERE len(tk) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY bigram),
+cp AS (
+    SELECT split_part(bigram, ' ', 1) AS prev, count(*) AS cprev
+    FROM big GROUP BY prev
+),
+vocab AS (
+    SELECT count(DISTINCT t) AS V
+    FROM (SELECT unnest(tk) AS t FROM gated)
+),
+scored AS (
+    SELECT b.doc_id,
+           round(-sum(ln((c2.c2 + 1.0) / (cp.cprev + 1.0 * vocab.V))) / b.nb
+                 + 1e-9, 6) AS log_ppl
+    FROM big b
+    JOIN c2 USING (bigram)
+    JOIN cp ON split_part(b.bigram, ' ', 1) = cp.prev
+    CROSS JOIN vocab
+    GROUP BY b.doc_id, b.nb
+),
+kept AS (
+    SELECT g.doc_id, g.tk, len(g.tk) AS n_tokens
+    FROM gated g JOIN scored s ON g.doc_id = s.doc_id
+    WHERE s.log_ppl <= {_Q122_PPL}
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                  i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS shingle
+    FROM kept
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+canon AS (
+    SELECT k.doc_id, k.n_tokens,
+           coalesce(c.cluster_id, k.doc_id) AS cluster_id
+    FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+),
+keepers AS (
+    SELECT doc_id, n_tokens
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_tokens DESC, doc_id) AS krn
+        FROM canon
+    )
+    WHERE krn = 1
+),
+dealt AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank,
+           CASE WHEN (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                     % {2 * _Q122_SHARDS} < {_Q122_SHARDS}
+                THEN (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                     % {2 * _Q122_SHARDS}
+                ELSE {2 * _Q122_SHARDS - 1}
+                     - (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                       % {2 * _Q122_SHARDS}
+           END AS shard
+    FROM keepers
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS largest_doc
+FROM dealt
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register(
+    "q122_curation_funnel_v3",
+    _q122_oracle(),
+    "Curation funnel v3 — the round-6 operators composing in ONE plan: "
+    "Gopher/C4 rule gate → self-bigram-LM perplexity filter (q117, "
+    f"rounded log-ppl ≤ {_Q122_PPL}) → exact-Jaccard near-dup clusters "
+    "keeping the LONGEST member (q114 keep-best) → serpentine shard "
+    "balancing (q116) into 4 training shards.  The oracle replays the "
+    "entire funnel: rule SQL, bigram CTEs, recursive-CTE closure, the "
+    "same keep-best and serpentine windows.",
+    operators=("funnel-v3", "rules", "lm-bigram", "dedup-canonical",
+               "layout-shards"),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout, lm, rules, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tk = docs.withColumn("tk", T.tokens("text"))
+    gated = (
+        rules.filter_by_rules(tk, "text", toks="tk")
+        .select("doc_id", "text", F.size("tk").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    scored = lm.doc_bigram_perplexity(gated, ["doc_id"]).withColumn(
+        "log_ppl", rnd(col("log_ppl"), 6)
+    )
+    kept = gated.join(
+        scored.filter(col("log_ppl") <= lit(_Q122_PPL)).select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.jaccard_pairs(
+        kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    keepers = dedup.canonical_keep_best(
+        kept.select("doc_id", "n_tokens"), pairs, "doc_id", "n_tokens"
+    ).filter(col("keep"))
+    dealt = layout.serpentine_shards(
+        keepers.select("doc_id", "n_tokens"), "n_tokens", "doc_id",
+        _Q122_SHARDS,
+    )
+    return (
+        dealt.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.max("n_tokens").cast("long").alias("largest_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -38,6 +38,7 @@ GLOBAL_WINDOW_OK = {
     "q80_temperature_mixture",
     "q116_serpentine_shards",
     "q121_epoch_allocation",  # waterfilling cumsums over the |domains| frame
+    "q122_curation_funnel_v3",  # q116's offsets window (shard stage)
 }
 
 

@@ -98,6 +98,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q112_gapfill_forward",  # 1-row min/max day bounds onto distinct keys
         "q117_bigram_perplexity",  # 1-row vocab-size V onto the bigram stats
         "q121_epoch_allocation",  # 1-row fill-rate s* onto the domains frame
+        "q122_curation_funnel_v3",  # q117's 1-row vocab-size V (funnel stage)
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
