@@ -149,6 +149,8 @@ _SWEEP_COST = {
     "q120_bpe_encode": 8.00,
     "q121_epoch_allocation": 3.50,
     "q122_curation_funnel_v3": 19.00,
+    "q123_psi_drift": 3.20,
+    "q124_hill_tail_index": 2.36,
 }
 
 
@@ -157,7 +159,7 @@ _SWEEP_COST = {
 # r5 ordering cost-sorted WITHIN the unrecorded group, losing exactly
 # the expensive tail), 2 that errored in r5 on array<string> result
 # columns (now stringified), and the queries new in round 6
-# (q110-q116).  These must register absolutely first, regardless of
+# (q110-q124).  These must register absolutely first, regardless of
 # cost, so the cap cannot push them out again.
 _NEVER_RECORDED = [
     "q51_sequence_packing",
@@ -184,6 +186,8 @@ _NEVER_RECORDED = [
     "q120_bpe_encode",
     "q121_epoch_allocation",
     "q122_curation_funnel_v3",
+    "q123_psi_drift",
+    "q124_hill_tail_index",
 ]
 
 # One sub-second query registered ahead of everything: the first query

