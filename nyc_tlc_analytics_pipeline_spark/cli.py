@@ -147,6 +147,22 @@ def main(argv: list[str] | None = None) -> int:
         "(operators.decontam.redact_contaminated_spans)",
     )
 
+    tz = sub.add_parser(
+        "tokenize",
+        help="train a BPE merge table on the corpus (one word-count "
+        "pass; merges learned on the model-sized vocab frame) and "
+        "report per-source encoded compression",
+    )
+    tz.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    tz.add_argument("--merges", type=int, default=6, help="merge rounds")
+    tz.add_argument(
+        "--out", default=None, help="optional path to write merges JSON"
+    )
+
     args = p.parse_args(argv)
 
     if args.command == "download":
@@ -336,6 +352,37 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(json.dumps({"total": sum(summary.values()), "shards": summary}, indent=2, sort_keys=True))
+    elif args.command == "tokenize":
+        from pyspark.sql import functions as F
+
+        from .operators import text as T
+        from .sources.testdata import load_table_parallel
+
+        docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
+        merges = T.bpe_train_merges(docs, n_merges=args.merges)
+        stats = (
+            docs.select(
+                "source",
+                T.token_count("text").alias("ws"),
+                T.bpe_encode_symbol_count("text", merges).alias("bpe"),
+            )
+            .groupBy("source")
+            .agg(F.sum("ws").alias("ws"), F.sum("bpe").alias("bpe"))
+            .collect()
+        )
+        out = {
+            "merges": [
+                {"round": r, "pair": [a, b], "count": c, "avg_symbols": s}
+                for r, a, b, c, s in merges
+            ],
+            "per_source": {
+                row.source: round(row.bpe / row.ws, 4) for row in stats
+            },
+        }
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(out["merges"], fh, indent=2)
+        print(json.dumps(out, indent=2, sort_keys=True))
     return 0
 
 

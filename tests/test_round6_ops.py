@@ -686,3 +686,25 @@ def test_hill_alpha_on_exact_pareto_frequencies(spark):
         docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
         out = QUERIES["q124_hill_tail_index"].build(spark, td).head()
     assert 0.8 < out.alpha < 1.25, out.alpha
+
+
+# ---------------------------------------------------------------------------
+# CLI: tokenize verb (BPE train + encode report)
+# ---------------------------------------------------------------------------
+
+def test_cli_tokenize_reports_merges_and_compression(spark, tmp_path, capsys):
+    import json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    out_json = str(tmp_path / "merges.json")
+    rc = main([
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "tokenize", "--sf-dir", SF, "--merges", "3", "--out", out_json,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert len(rep["merges"]) == 3
+    assert all(v > 1.0 for v in rep["per_source"].values())
+    saved = json.load(open(out_json))
+    assert [m["round"] for m in saved] == [1, 2, 3]
