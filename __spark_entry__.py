@@ -136,21 +136,21 @@ _SWEEP_COST = {
     "q107_lang_similarity_matrix": 1.48,
     "q108_snapshot_novelty": 2.50,
     "q109_duplication_profile": 1.00,
-    "q110_sliding_hll_audit": 2.85,
-    "q111_dsir_selection": 4.37,
-    "q112_gapfill_forward": 3.26,
-    "q113_cdc_chunk_dedup": 2.51,
-    "q114_canonical_keep_best": 9.44,
-    "q115_zorder_layout": 4.20,
-    "q116_serpentine_shards": 4.55,
-    "q117_bigram_perplexity": 4.50,
-    "q118_margin_mining": 4.20,
-    "q119_bpe_train": 7.00,
-    "q120_bpe_encode": 8.00,
-    "q121_epoch_allocation": 3.50,
-    "q122_curation_funnel_v3": 19.00,
-    "q123_psi_drift": 3.20,
-    "q124_hill_tail_index": 2.36,
+    "q110_sliding_hll_audit": 2.02,
+    "q111_dsir_selection": 1.66,
+    "q112_gapfill_forward": 1.07,
+    "q113_cdc_chunk_dedup": 2.49,
+    "q114_canonical_keep_best": 3.66,
+    "q115_zorder_layout": 0.99,
+    "q116_serpentine_shards": 1.14,
+    "q117_bigram_perplexity": 1.80,
+    "q118_margin_mining": 3.24,
+    "q119_bpe_train": 4.78,
+    "q120_bpe_encode": 2.69,
+    "q121_epoch_allocation": 1.12,
+    "q122_curation_funnel_v3": 12.40,
+    "q123_psi_drift": 1.86,
+    "q124_hill_tail_index": 2.28,
 }
 
 

@@ -57,3 +57,85 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (shared by batch q123 and the streaming drift monitor)
+# ---------------------------------------------------------------------------
+
+def value_bucket_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """(group, bucket, c) counts over fixed equal-width edge-clipped
+    value buckets.  Data-INDEPENDENT edges — the binning is a map-side
+    expression, deterministic at any scale, and the counts are an
+    ADDITIVE partial (mergeable by sum), which is what lets the
+    streaming drift monitor maintain them incrementally."""
+    bucket = F.least(
+        lit(n_buckets - 1),
+        F.greatest(
+            lit(0), F.floor((col(value_col) - lit(lo)) / lit(width)).cast("int")
+        ),
+    )
+    return (
+        df.select(col(group_col).alias("grp"), bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def psi_from_counts(
+    cur: DataFrame,
+    ref: DataFrame,
+    eps: float = 1e-6,
+    alert: float = 0.1,
+) -> DataFrame:
+    """Population Stability Index per group from two (grp, bucket, c)
+    count frames: PSI = Σ_buckets (p_cur − p_ref)·ln(p_cur/p_ref) with
+    add-ε smoothing for empty buckets; ``drifted`` flags PSI above the
+    classic action threshold on the nudge-rounded value.
+
+    Count frames are |groups|×|buckets| rows (bounded), so every join
+    and aggregate here is frame-sized regardless of corpus scale — the
+    scan cost lives in :func:`value_bucket_counts`."""
+    from ..functions.scalar import rnd
+
+    tot_c = cur.groupBy("grp").agg(F.sum("c").alias("n_cur"))
+    tot_r = ref.groupBy("grp").agg(F.sum("c").alias("n_ref"))
+    joined = (
+        cur.select("grp", "bucket", col("c").alias("cc"))
+        .join(
+            ref.select("grp", "bucket", col("c").alias("cr")),
+            ["grp", "bucket"],
+            "full_outer",
+        )
+        .join(tot_c, "grp")
+        .join(tot_r, "grp")
+        .select(
+            "grp",
+            "n_ref",
+            "n_cur",
+            (F.coalesce(col("cc"), lit(0)) / col("n_cur") + lit(eps)).alias("pc"),
+            (F.coalesce(col("cr"), lit(0)) / col("n_ref") + lit(eps)).alias("pr"),
+        )
+    )
+    return (
+        joined.groupBy("grp", "n_ref", "n_cur")
+        .agg(
+            rnd(
+                F.sum((col("pc") - col("pr")) * F.log(col("pc") / col("pr"))), 6
+            ).alias("psi")
+        )
+        .select(
+            "grp",
+            col("n_ref").cast("long"),
+            col("n_cur").cast("long"),
+            "psi",
+            (col("psi") > lit(alert)).alias("drifted"),
+        )
+    )

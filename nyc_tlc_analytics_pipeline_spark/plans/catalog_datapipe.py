@@ -6836,68 +6836,20 @@ ORDER BY p.event_type
     operators=("drift-psi", "A3", "A8"),
 )
 def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile
+
     ev = load_table_parallel(spark, sf_dir, "events")
-    bucket = F.least(
-        lit(_Q123_NB - 1),
-        F.greatest(
-            lit(0),
-            F.floor((col("value") - lit(_Q123_LO)) / lit(_Q123_W)).cast("int"),
-        ),
+    split = F.to_timestamp(lit(_Q123_SPLIT))
+    buckets = lambda frame: profile.value_bucket_counts(  # noqa: E731
+        frame, "value", "event_type", _Q123_LO, _Q123_W, _Q123_NB
     )
-    tagged = ev.select(
-        "event_type",
-        F.when(col("ts") < F.to_timestamp(lit(_Q123_SPLIT)), "ref")
-        .otherwise("cur")
-        .alias("era"),
-        bucket.alias("bucket"),
+    report = profile.psi_from_counts(
+        buckets(ev.filter(col("ts") >= split)),
+        buckets(ev.filter(col("ts") < split)),
+        eps=_Q123_EPS,
+        alert=_Q123_ALERT,
     )
-    cnt = tagged.groupBy("event_type", "era", "bucket").agg(
-        F.count("*").alias("c")
-    )
-    tot = cnt.groupBy("event_type", "era").agg(F.sum("c").alias("n"))
-    props = (
-        cnt.join(tot, ["event_type", "era"])
-        .groupBy("event_type", "bucket")
-        .agg(
-            (
-                F.coalesce(
-                    F.max(F.when(col("era") == "ref", col("c") / col("n"))),
-                    lit(0.0),
-                )
-                + lit(_Q123_EPS)
-            ).alias("pr"),
-            (
-                F.coalesce(
-                    F.max(F.when(col("era") == "cur", col("c") / col("n"))),
-                    lit(0.0),
-                )
-                + lit(_Q123_EPS)
-            ).alias("pc"),
-        )
-    )
-    psi = props.groupBy("event_type").agg(
-        rnd(
-            F.sum((col("pc") - col("pr")) * F.log(col("pc") / col("pr"))), 6
-        ).alias("psi")
-    )
-    ref = tot.filter(col("era") == "ref").select(
-        "event_type", col("n").alias("n_ref")
-    )
-    cur = tot.filter(col("era") == "cur").select(
-        "event_type", col("n").alias("n_cur")
-    )
-    return (
-        psi.join(ref, "event_type")
-        .join(cur, "event_type")
-        .select(
-            "event_type",
-            col("n_ref").cast("long"),
-            col("n_cur").cast("long"),
-            "psi",
-            (col("psi") > lit(_Q123_ALERT)).alias("drifted"),
-        )
-        .orderBy("event_type")
-    )
+    return report.withColumnRenamed("grp", "event_type").orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

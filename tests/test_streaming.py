@@ -433,3 +433,58 @@ def test_streaming_bloom_decontamination_gate_matches_batch(spark, tmp_path):
         .collect()
     }
     assert exact <= streamed
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Streaming PSI drift monitor: bucket counts are ADDITIVE partials,
+    so run_incremental_gold maintains the current-era histogram across
+    micro-batches and profile.psi_from_counts over the maintained gold
+    must equal the one-shot batch computation — the streaming face of
+    q123."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_incremental_gold,
+    )
+
+    ev = _batch_events(spark)
+    split = ev.agg(F.min("ts")).head()[0]
+    import datetime
+
+    split = split + datetime.timedelta(hours=1)
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    assert ref.count() > 0 and cur.count() > 0
+
+    src = str(tmp_path / "cur_src")
+    cur.repartition(5).write.mode("overwrite").parquet(src)
+    gold, ckpt = str(tmp_path / "gold"), str(tmp_path / "ckpt")
+
+    def to_partial(batch_df):
+        return profile.value_bucket_counts(
+            batch_df, "value", "event_type", 0.0, 50.0, 10
+        )
+
+    run_incremental_gold(
+        read_event_stream(spark, src, max_files_per_trigger=2),
+        gold, ckpt, to_partial, ["grp", "bucket"], {"c": "sum"},
+    )
+
+    ref_counts = profile.value_bucket_counts(ref, "value", "event_type", 0.0, 50.0, 10)
+    got = {
+        r.grp: (r.n_ref, r.n_cur, r.psi, r.drifted)
+        for r in profile.psi_from_counts(
+            ManifestTable(spark, gold).read(), ref_counts
+        ).collect()
+    }
+    want = {
+        r.grp: (r.n_ref, r.n_cur, r.psi, r.drifted)
+        for r in profile.psi_from_counts(
+            profile.value_bucket_counts(cur, "value", "event_type", 0.0, 50.0, 10),
+            ref_counts,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
