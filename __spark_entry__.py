@@ -151,6 +151,7 @@ _SWEEP_COST = {
     "q122_curation_funnel_v3": 12.40,
     "q123_psi_drift": 1.86,
     "q124_hill_tail_index": 2.28,
+    "q125_rendezvous_sharding": 2.50,
 }
 
 
@@ -188,6 +189,7 @@ _NEVER_RECORDED = [
     "q122_curation_funnel_v3",
     "q123_psi_drift",
     "q124_hill_tail_index",
+    "q125_rendezvous_sharding",
 ]
 
 # One sub-second query registered ahead of everything: the first query

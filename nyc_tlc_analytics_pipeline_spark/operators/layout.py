@@ -196,3 +196,38 @@ def serpentine_shards(
         .otherwise(lit(2 * n_shards - 1) - r)
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (highest-random-weight) consistent sharding
+# ---------------------------------------------------------------------------
+
+def rendezvous_shard(
+    id_col: Column | str,
+    n_shards: int,
+    salt: str = "hrw",
+) -> Column:
+    """Rendezvous / highest-random-weight shard assignment: the shard
+    whose ``md5(salt:id:shard)`` digest is lexicographically largest
+    wins.  The HRW property is what matters for a growing corpus:
+    adding shard N+1 steals exactly the keys whose new digest beats all
+    prior ones — an expected 1/(N+1) of the data moves and NOTHING else
+    reshuffles (modulo hashing would move ~half).
+
+    Pure unrolled column expressions (greatest over n md5 strings +
+    a CASE to recover the argmax) — portable to any engine, no UDF,
+    no shuffle; md5 hex strings compare identically everywhere and
+    make ties impossible in practice (the first-match CASE breaks a
+    digest collision toward the smaller shard id deterministically)."""
+    c = col(id_col) if isinstance(id_col, str) else id_col
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    digests = [
+        F.md5(F.concat(lit(f"{salt}:"), c.cast("string"), lit(f":{s}")))
+        for s in range(n_shards)
+    ]
+    best = digests[0] if n_shards == 1 else F.greatest(*digests)
+    out = lit(n_shards - 1)
+    for s in range(n_shards - 2, -1, -1):
+        out = F.when(digests[s] == best, lit(s)).otherwise(out)
+    return out.cast("long")

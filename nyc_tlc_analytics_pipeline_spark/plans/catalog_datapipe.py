@@ -6930,3 +6930,86 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("h").alias("hill_h"),
         rnd(lit(1.0) / col("h"), 6).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — rendezvous (HRW) consistent sharding + minimal-resharding report
+# ---------------------------------------------------------------------------
+
+_Q125_N = 8
+_Q125_SALT = "hrw"
+
+
+def _hrw_sql(id_expr: str, n: int) -> str:
+    """DuckDB twin of layout.rendezvous_shard: greatest md5 + first-match
+    CASE argmax, digests compared as hex strings in both engines."""
+    digs = [
+        f"md5('{_Q125_SALT}:' || CAST({id_expr} AS VARCHAR) || ':{s}')"
+        for s in range(n)
+    ]
+    best = digs[0] if n == 1 else "greatest(" + ", ".join(digs) + ")"
+    cases = " ".join(
+        f"WHEN {digs[s]} = __best THEN {s}" for s in range(n - 1)
+    )
+    return (
+        f"(SELECT CASE {cases} ELSE {n - 1} END "
+        f"FROM (SELECT {best} AS __best))"
+    )
+
+
+_Q125_ORACLE = f"""
+WITH assigned AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+           {_hrw_sql('doc_id', _Q125_N)} AS shard,
+           {_hrw_sql('doc_id', _Q125_N + 1)} AS shard_next
+    FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(sum(CASE WHEN shard_next <> shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved,
+       round(1.0 * sum(CASE WHEN shard_next <> shard THEN 1 ELSE 0 END)
+             / count(*) + 1e-9, 6) AS moved_share
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register(
+    "q125_rendezvous_sharding",
+    _Q125_ORACLE,
+    "Rendezvous (highest-random-weight) consistent sharding: each doc "
+    "goes to the shard with the lexicographically largest md5(salt:id:"
+    "shard) digest — pure unrolled scan-side expressions.  The report "
+    "computes the assignment at N=8 AND N=9 shards: only docs whose "
+    "new digest beats all old ones move (expected 1/9 ≈ 11% per "
+    "shard), versus ~50% under modulo hashing — the property that "
+    "makes growing a sharded corpus cheap.  The oracle replays the "
+    "same greatest+CASE argmax.",
+    operators=("layout-rendezvous", "A3", "A4"),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    assigned = docs.select(
+        text.token_count("text").alias("n_tokens"),
+        layout.rendezvous_shard("doc_id", _Q125_N, _Q125_SALT).alias("shard"),
+        layout.rendezvous_shard("doc_id", _Q125_N + 1, _Q125_SALT).alias(
+            "shard_next"
+        ),
+    )
+    moved = (col("shard_next") != col("shard")).cast("long")
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.sum(moved).cast("long").alias("n_moved"),
+            rnd(F.sum(moved) / F.count("*"), 6).alias("moved_share"),
+        )
+        .orderBy("shard")
+    )

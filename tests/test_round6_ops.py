@@ -708,3 +708,49 @@ def test_cli_tokenize_reports_merges_and_compression(spark, tmp_path, capsys):
     assert all(v > 1.0 for v in rep["per_source"].values())
     saved = json.load(open(out_json))
     assert [m["round"] for m in saved] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# layout.rendezvous_shard (q125's operator)
+# ---------------------------------------------------------------------------
+
+def test_rendezvous_minimal_resharding_vs_modulo(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    n = 2000
+    df = spark.range(n).select(F.col("id"))
+    moved_hrw = df.select(
+        (layout.rendezvous_shard("id", 8) != layout.rendezvous_shard("id", 9))
+        .cast("long").alias("m")
+    ).agg(F.sum("m")).head()[0]
+    moved_mod = df.select(
+        ((F.col("id") % 8) != (F.col("id") % 9)).cast("long").alias("m")
+    ).agg(F.sum("m")).head()[0]
+    # HRW moves ~1/9 of keys; modulo moves ~8/9
+    assert moved_hrw / n < 0.2
+    assert moved_mod / n > 0.7
+    # every key either stays or moves TO the new shard (nothing
+    # reshuffles between old shards — the defining HRW property)
+    bad = df.select(
+        layout.rendezvous_shard("id", 8).alias("a"),
+        layout.rendezvous_shard("id", 9).alias("b"),
+    ).filter((F.col("a") != F.col("b")) & (F.col("b") != 8)).count()
+    assert bad == 0
+
+
+def test_rendezvous_uniform_and_deterministic(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    df = spark.range(4000)
+    per = {
+        r.s: r.n
+        for r in df.select(layout.rendezvous_shard("id", 8).alias("s"))
+        .groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(per) == list(range(8))
+    assert max(per.values()) < 2 * min(per.values())
+    a = df.select("id", layout.rendezvous_shard("id", 8).alias("s")).collect()
+    b = df.coalesce(1).select("id", layout.rendezvous_shard("id", 8).alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        layout.rendezvous_shard("id", 0)
