@@ -152,6 +152,7 @@ _SWEEP_COST = {
     "q123_psi_drift": 1.86,
     "q124_hill_tail_index": 2.28,
     "q125_rendezvous_sharding": 2.50,
+    "q126_power_iteration_pca": 8.00,
 }
 
 
@@ -190,6 +191,7 @@ _NEVER_RECORDED = [
     "q123_psi_drift",
     "q124_hill_tail_index",
     "q125_rendezvous_sharding",
+    "q126_power_iteration_pca",
 ]
 
 # One sub-second query registered ahead of everything: the first query

@@ -7013,3 +7013,99 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — power-iteration PCA: top principal component of the embeddings
+# ---------------------------------------------------------------------------
+
+_Q126_DIM = 64
+_Q126_ITER = 6
+
+
+def _q126_oracle(dim: int = _Q126_DIM, n_iter: int = _Q126_ITER) -> str:
+    """Unrolled power iterations.  Mirrors operators.linalg exactly:
+    v₀ = nudge-rounded 1/√dim, per-iteration μ/w/v rounded 9 dp, final
+    sign fixed by the largest-|loading| component (ties → smallest i),
+    applied as plain negation (no re-round)."""
+    v0 = round(1.0 / dim**0.5 + 1e-9, 9)
+    ctes = [
+        "e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "nn AS (SELECT count(*) AS n FROM e)",
+        f"dims AS (SELECT unnest(range({dim})) AS i)",
+        """msum AS MATERIALIZED (
+    SELECT i, sum(v[i + 1]) AS s, sum(v[i + 1] * v[i + 1]) AS s2
+    FROM e, dims GROUP BY i
+)""",
+        "mu AS MATERIALIZED (SELECT i, round(s / nn.n + 1e-9, 9) AS m FROM msum, nn)",
+        """tv AS (
+    SELECT round(sum(s2 / nn.n - m * m) + 1e-9, 9) AS totvar
+    FROM msum JOIN mu USING (i), nn
+)""",
+        f"v0 AS (SELECT i, {v0!r} AS val FROM dims)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        ctes += [
+            f"l{p} AS (SELECT list(val ORDER BY i) AS l FROM v{p})",
+            f"c{k} AS (SELECT sum(mu.m * vk.val) AS c0 "
+            f"FROM mu JOIN v{p} vk USING (i))",
+            f"s{k} AS MATERIALIZED (SELECT list_dot_product(e.v, l{p}.l) - c{k}.c0 AS s, "
+            f"e.v AS v FROM e, l{p}, c{k})",
+            f"""w{k} AS (
+    SELECT i,
+           round(sum(s{k}.v[i + 1] * s{k}.s) / nn.n
+                 - mu.m * (sum(s{k}.s) / nn.n) + 1e-9, 9) AS w
+    FROM s{k}, dims JOIN mu USING (i), nn
+    GROUP BY i, mu.m, nn.n
+)""",
+            f"n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{k})",
+            f"v{k} AS MATERIALIZED (SELECT i, round(w / n{k}.nrm + 1e-9, 9) AS val "
+            f"FROM w{k}, n{k})",
+        ]
+    last = n_iter
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sgn AS (
+    SELECT CASE WHEN (SELECT val FROM v{last}
+                      ORDER BY abs(val) DESC, i LIMIT 1) < 0
+                THEN -1.0 ELSE 1.0 END AS g
+),
+eig AS (SELECT round(nrm + 1e-9, 9) AS e FROM n{last})
+SELECT v{last}.i AS dim,
+       v{last}.val * sgn.g AS loading,
+       eig.e AS eigenvalue,
+       round(eig.e / tv.totvar + 1e-9, 9) AS explained_share
+FROM v{last}, sgn, eig, tv
+ORDER BY dim
+"""
+    )
+
+
+@register(
+    "q126_power_iteration_pca",
+    _q126_oracle(),
+    "Top principal component of the embedding corpus by power "
+    "iteration — the covariance matrix is NEVER materialized: each "
+    "iteration computes C·v as one scan (per-row scalar s = (x−μ)·v, "
+    "then per-dimension sums of x_i·s), with μ/v as literal arrays "
+    "(model-sized driver state, the k-means-centroid precedent).  "
+    "Every per-iteration artifact is 9-dp nudge-rounded in both "
+    "engines so the 6-iteration trajectory is cross-engine exact; "
+    "sign fixed by the largest-|loading| component.",
+    operators=("linalg-pca", "A3", "iterative"),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import linalg
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    vec, eig, share = linalg.power_iteration_top_pc(
+        emb, "embedding", dim=_Q126_DIM, n_iter=_Q126_ITER
+    )
+    rows = [(i, v, eig, share) for i, v in enumerate(vec)]
+    return spark.createDataFrame(
+        rows,
+        "dim int, loading double, eigenvalue double, explained_share double",
+    ).orderBy("dim")

@@ -754,3 +754,42 @@ def test_rendezvous_uniform_and_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     with pytest.raises(ValueError):
         layout.rendezvous_shard("id", 0)
+
+
+# ---------------------------------------------------------------------------
+# linalg.power_iteration_top_pc (q126's operator)
+# ---------------------------------------------------------------------------
+
+def test_power_iteration_recovers_planted_direction(spark):
+    import math
+    import random
+
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators import linalg
+
+    rng = random.Random(11)
+    dim, n = 16, 400
+    u = [1.0 if i < 4 else 0.0 for i in range(dim)]  # planted axis
+    rows = []
+    for _ in range(n):
+        a = rng.gauss(0, 3)
+        rows.append(([a * ui + rng.gauss(0, 0.3) for ui in u],))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    vec, eig, share = linalg.power_iteration_top_pc(
+        df, "embedding", dim=dim, n_iter=8
+    )
+    # compare against numpy's exact top eigenvector of the covariance
+    X = np.array([r[0] for r in rows])
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    cos = abs(float(np.dot(vec, top) / (np.linalg.norm(vec))))
+    assert cos > 0.99, cos
+    assert abs(eig - evals[-1]) / evals[-1] < 0.05
+    assert share > 0.5  # the planted axis dominates total variance
+    # deterministic sign: largest-|loading| component is positive
+    j = max(range(dim), key=lambda i: (abs(vec[i]), -i))
+    assert vec[j] > 0
+    with pytest.raises(ValueError):
+        linalg.power_iteration_top_pc(df.limit(0), "embedding", dim=dim)
