@@ -153,6 +153,7 @@ _SWEEP_COST = {
     "q124_hill_tail_index": 2.28,
     "q125_rendezvous_sharding": 2.50,
     "q126_power_iteration_pca": 8.00,
+    "q127_vocab_coverage": 3.00,
 }
 
 
@@ -192,6 +193,7 @@ _NEVER_RECORDED = [
     "q124_hill_tail_index",
     "q125_rendezvous_sharding",
     "q126_power_iteration_pca",
+    "q127_vocab_coverage",
 ]
 
 # One sub-second query registered ahead of everything: the first query

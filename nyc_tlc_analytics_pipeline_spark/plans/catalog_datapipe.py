@@ -7109,3 +7109,112 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "dim int, loading double, eigenvalue double, explained_share double",
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q127 — vocabulary-size planner: coverage thresholds over the frequency
+# histogram (the "how big must the tokenizer vocab be" question)
+# ---------------------------------------------------------------------------
+
+_Q127_TARGETS = (0.90, 0.95, 0.99)
+
+_Q127_ORACLE = f"""
+WITH freq AS (
+    SELECT gram, count(*) AS f
+    FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+              FROM documents)
+    )
+    GROUP BY gram
+),
+hist AS (
+    -- one row per DISTINCT frequency value: the walk frame is bounded
+    -- (|distinct freqs| = O(sqrt(total occurrences)), never |vocab|)
+    SELECT f,
+           count(*) AS n_tokens,
+           count(*) * f AS occ
+    FROM freq GROUP BY f
+),
+tot AS (SELECT sum(occ) AS t FROM hist),
+walk AS (
+    SELECT f, n_tokens, occ,
+           sum(occ) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occ,
+           sum(n_tokens) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM hist
+),
+targets(target) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _Q127_TARGETS)}),
+picked AS (
+    SELECT t.target,
+           max(w.f) AS freq_threshold
+    FROM targets t, tot, walk w
+    WHERE 1.0 * w.cum_occ / tot.t >= t.target
+    GROUP BY t.target
+)
+SELECT p.target,
+       CAST(p.freq_threshold AS BIGINT) AS freq_threshold,
+       CAST(w.cum_tokens AS BIGINT) AS vocab_size,
+       round(1.0 * w.cum_occ / tot.t + 1e-9, 6) AS coverage,
+       round(1.0 - 1.0 * w.cum_occ / tot.t + 1e-9, 6) AS oov_rate
+FROM picked p, tot, walk w
+WHERE w.f = p.freq_threshold
+ORDER BY p.target
+"""
+
+
+@register(
+    "q127_vocab_coverage",
+    _Q127_ORACLE,
+    "Tokenizer-vocab sizing over the word-BIGRAM vocabulary (a rich "
+    "Zipf distribution): for coverage targets 90/95/99%, the highest "
+    "frequency threshold f* whose grams (freq ≥ f*) cover the "
+    "target share of all occurrences, with the resulting vocab size "
+    "and OOV rate.  Scale shape: the cumulative walk runs over one row "
+    "per DISTINCT frequency VALUE (O(√total) rows — the q96 histogram-"
+    "walk posture), never a |vocab|-wide global window.",
+    operators=("text-vocab-planner", "A3", "W2"),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(text.word_ngrams("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("f"))
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.count("*") * col("f")).alias("occ"),
+        )
+    )
+    w = Window.orderBy(col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = hist.select(
+        "f",
+        F.sum("occ").over(w).alias("cum_occ"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("occ").alias("t"))))
+    targets = spark.createDataFrame(
+        [(t,) for t in _Q127_TARGETS], "target double"
+    )
+    picked = (
+        targets.join(walk, (col("cum_occ") / col("t")) >= col("target"))
+        .groupBy("target")
+        .agg(F.max("f").alias("freq_threshold"))
+    )
+    return (
+        picked.join(walk, col("freq_threshold") == walk["f"])
+        .select(
+            "target",
+            col("freq_threshold").cast("long"),
+            col("cum_tokens").cast("long").alias("vocab_size"),
+            rnd(col("cum_occ") / col("t"), 6).alias("coverage"),
+            rnd(lit(1.0) - col("cum_occ") / col("t"), 6).alias("oov_rate"),
+        )
+        .orderBy("target")
+    )

@@ -40,6 +40,7 @@ GLOBAL_WINDOW_OK = {
     "q121_epoch_allocation",  # waterfilling cumsums over the |domains| frame
     "q122_curation_funnel_v3",  # q116's offsets window (shard stage)
     "q124_hill_tail_index",  # rank window ABOVE TakeOrdered(k+1), q69 posture
+    "q127_vocab_coverage",  # cumulative walk over the distinct-freq histogram
 }
 
 

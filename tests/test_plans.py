@@ -100,6 +100,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q121_epoch_allocation",  # 1-row fill-rate s* onto the domains frame
         "q122_curation_funnel_v3",  # q117's 1-row vocab-size V (funnel stage)
         "q124_hill_tail_index",  # 1-row f_(k+1) reference onto the top-k frame
+        "q127_vocab_coverage",  # 1-row total-occurrences onto the freq histogram
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

@@ -793,3 +793,35 @@ def test_power_iteration_recovers_planted_direction(spark):
     assert vec[j] > 0
     with pytest.raises(ValueError):
         linalg.power_iteration_top_pc(df.limit(0), "embedding", dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# q127 vocab coverage planner
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_picks_largest_qualifying_threshold(spark, tmp_path):
+    """Hand-built bigram distribution: 'a a' x9, 'b b' x6, 'c c' x4,
+    'd d' x1 (20 gram occurrences).  Coverage by threshold: f>=9 ->
+    0.45, f>=6 -> 0.75, f>=4 -> 0.95, f>=1 -> 1.0.  Target 0.9 must
+    pick f*=4 (the LARGEST qualifying threshold - smallest vocab), not
+    f*=1."""
+    import os
+
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    def rep(tok, n):  # n occurrences of bigram (tok tok) = n+1 tokens
+        return " ".join([tok] * (n + 1))
+
+    docs = spark.createDataFrame(
+        [(1, rep("a", 9)), (2, rep("b", 6)), (3, rep("c", 4)), (4, rep("d", 1))],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r.target: r for r in QUERIES["q127_vocab_coverage"].build(
+        spark, str(tmp_path)
+    ).collect()}
+    assert out[0.9].freq_threshold == 4
+    assert out[0.9].vocab_size == 3
+    assert abs(out[0.9].coverage - 0.95) < 1e-6
+    assert out[0.99].freq_threshold == 1
+    assert out[0.99].vocab_size == 4
