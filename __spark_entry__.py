@@ -154,6 +154,7 @@ _SWEEP_COST = {
     "q125_rendezvous_sharding": 2.50,
     "q126_power_iteration_pca": 8.00,
     "q127_vocab_coverage": 3.00,
+    "q128_seasonal_anomalies": 3.00,
 }
 
 
@@ -194,6 +195,7 @@ _NEVER_RECORDED = [
     "q125_rendezvous_sharding",
     "q126_power_iteration_pca",
     "q127_vocab_coverage",
+    "q128_seasonal_anomalies",
 ]
 
 # One sub-second query registered ahead of everything: the first query

@@ -7218,3 +7218,139 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("target")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — seasonal anomaly detection on the event series (weekday
+# baseline + MAD modified-z) — the q112/q101 machinery composed into a
+# monitoring report
+# ---------------------------------------------------------------------------
+
+_Q128_MZ = 2.5
+
+_Q128_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           round(sum(value) + 1e-9, 4) AS total
+    FROM events
+    GROUP BY event_type, day
+),
+wk AS (
+    SELECT event_type, dayofweek(day) AS dow,
+           round(avg(total) + 1e-9, 6) AS wk_mean
+    FROM daily GROUP BY event_type, dow
+),
+resid AS (
+    SELECT d.event_type, d.day, d.total,
+           round(d.total - w.wk_mean + 1e-9, 6) AS r
+    FROM daily d JOIN wk w
+      ON d.event_type = w.event_type AND dayofweek(d.day) = w.dow
+),
+med AS (
+    SELECT event_type, round(quantile_cont(r, 0.5) + 1e-9, 6) AS med_r
+    FROM resid GROUP BY event_type
+),
+mad AS (
+    SELECT r.event_type,
+           round(quantile_cont(abs(r.r - m.med_r), 0.5) + 1e-9, 6) AS mad
+    FROM resid r JOIN med m ON r.event_type = m.event_type
+    GROUP BY r.event_type
+),
+mz AS (
+    SELECT r.event_type, r.day, r.r,
+           round(0.6745 * (r.r - m.med_r) / nullif(d.mad, 0) + 1e-9, 4) AS mz
+    FROM resid r
+    JOIN med m ON r.event_type = m.event_type
+    JOIN mad d ON r.event_type = d.event_type
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(mz) DESC, day) AS rk
+    FROM mz
+)
+SELECT z.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN abs(z.mz) > {_Q128_MZ} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       max(d.mad) AS mad,
+       CAST(max(CASE WHEN z.rk = 1 THEN z.day END) AS VARCHAR) AS worst_day,
+       max(CASE WHEN z.rk = 1 THEN z.mz END) AS worst_mz
+FROM ranked z JOIN mad d ON z.event_type = d.event_type
+GROUP BY z.event_type
+ORDER BY z.event_type
+"""
+
+
+@register(
+    "q128_seasonal_anomalies",
+    _Q128_ORACLE,
+    "Seasonal anomaly monitoring on the event series: daily totals vs "
+    "the same-weekday baseline, residual MAD modified-z (Iglewicz-"
+    f"Hoaglin, |mz| > {_Q128_MZ}), per-type anomaly counts and the "
+    "worst day — q101's robust-stats machinery composed with the "
+    "weekday seasonality model.  All shuffles keyed by event_type "
+    "(grouped exact medians, the A6 posture).",
+    operators=("monitor-anomaly", "A6", "W1"),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.scalar import day_of_week
+
+    ev = load_table_parallel(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", col("ts").cast("date").alias("day"))
+        .agg(rnd(F.sum("value"), 4).alias("total"))
+        .withColumn("dow", day_of_week("day"))
+    )
+    wk = daily.groupBy("event_type", "dow").agg(
+        rnd(F.avg("total"), 6).alias("wk_mean")
+    )
+    resid = daily.join(wk, ["event_type", "dow"]).select(
+        "event_type", "day", rnd(col("total") - col("wk_mean"), 6).alias("r")
+    )
+    med = resid.groupBy("event_type").agg(
+        rnd(pct("r", lit(0.5), False), 6).alias("med_r")
+    )
+    mad = (
+        resid.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            rnd(pct(F.abs(col("r") - col("med_r")), lit(0.5), False), 6).alias(
+                "mad"
+            )
+        )
+    )
+    mz = (
+        resid.join(med, "event_type")
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "mad",
+            rnd(
+                lit(0.6745)
+                * (col("r") - col("med_r"))
+                / F.nullif(col("mad"), lit(0.0)),
+                4,
+            ).alias("mz"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.abs(col("mz")).desc(), "day")
+    ranked = mz.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum((F.abs(col("mz")) > lit(_Q128_MZ)).cast("long")).alias(
+                "n_anomalies"
+            ),
+            F.max("mad").alias("mad"),
+            F.max(F.when(col("rk") == 1, col("day").cast("string"))).alias(
+                "worst_day"
+            ),
+            F.max(F.when(col("rk") == 1, col("mz"))).alias("worst_mz"),
+        )
+        .orderBy("event_type")
+    )
