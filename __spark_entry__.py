@@ -155,6 +155,9 @@ _SWEEP_COST = {
     "q126_power_iteration_pca": 8.00,
     "q127_vocab_coverage": 3.00,
     "q128_seasonal_anomalies": 3.00,
+    "q129_markov_stationary": 5.00,
+    "q130_wilson_source_gate": 2.00,
+    "q131_ht_estimation": 1.70,
 }
 
 
@@ -196,6 +199,9 @@ _NEVER_RECORDED = [
     "q126_power_iteration_pca",
     "q127_vocab_coverage",
     "q128_seasonal_anomalies",
+    "q129_markov_stationary",
+    "q130_wilson_source_gate",
+    "q131_ht_estimation",
 ]
 
 # One sub-second query registered ahead of everything: the first query

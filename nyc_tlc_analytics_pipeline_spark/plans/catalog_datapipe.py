@@ -7354,3 +7354,317 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — Markov stationary distribution (power iteration on the q103
+# transition matrix — model-sized k×k state, linalg posture)
+# ---------------------------------------------------------------------------
+
+_Q129_ITER = 8
+
+
+def _q129_oracle(n_iter: int = _Q129_ITER) -> str:
+    ctes = [
+        """ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+)""",
+        """trans AS MATERIALIZED (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+)""",
+        """pmat AS MATERIALIZED (
+    SELECT t.from_type, t.to_type,
+           round(1.0 * t.c / o.total + 1e-9, 6) AS p
+    FROM trans t
+    JOIN (SELECT from_type, sum(c) AS total FROM trans GROUP BY from_type) o
+      USING (from_type)
+)""",
+        """states AS MATERIALIZED (
+    SELECT DISTINCT event_type FROM events
+)""",
+        """pi0 AS (
+    SELECT event_type,
+           1.0 / (SELECT count(*) FROM states) AS val
+    FROM states
+)""",
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        ctes += [
+            f"""raw{t} AS (
+    SELECT p.to_type AS event_type, sum(pi.val * p.p) AS raw
+    FROM pi{p} pi JOIN pmat p ON pi.event_type = p.from_type
+    GROUP BY p.to_type
+)""",
+            f"n{t} AS (SELECT sum(raw) AS s FROM raw{t})",
+            f"pi{t} AS (SELECT event_type, "
+            f"round(raw / n{t}.s + 1e-9, 9) AS val FROM raw{t}, n{t})",
+        ]
+    last = n_iter
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.event_type,
+       round(coalesce(pi.val, 0) + 1e-9, 6) AS stationary_prob,
+       CAST(coalesce(o.total, 0) AS BIGINT) AS n_out
+FROM states s
+LEFT JOIN pi{last} pi USING (event_type)
+LEFT JOIN (SELECT from_type AS event_type, sum(c) AS total
+           FROM trans GROUP BY from_type) o USING (event_type)
+ORDER BY s.event_type
+"""
+    )
+
+
+@register(
+    "q129_markov_stationary",
+    _q129_oracle(),
+    "Stationary distribution of the q103 event-transition Markov chain "
+    "by power iteration: the k×k row-normalized matrix (rounded 6 dp) "
+    "collects driver-side (model-sized, the k-means/PCA precedent) and "
+    "π ← normalize(πP) runs 8 rounds with 9-dp rounded state — the "
+    "long-run share of time a user spends in each event state.  The "
+    "oracle unrolls the identical iterations.",
+    operators=("markov-stationary", "iterative", "W-lead"),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(col("next_type").isNotNull())
+        .groupBy(
+            col("event_type").alias("from_type"),
+            col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    outc = trans.groupBy("from_type").agg(F.sum("c").alias("total"))
+    pmat = {
+        (r.from_type, r.to_type): round(r.c / r.total + 1e-9, 6)
+        for r in trans.join(outc, "from_type").collect()
+    }
+    n_out = {r.from_type: r.total for r in outc.collect()}
+    states = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(_Q129_ITER):
+        raw = {}
+        for s in states:
+            for t_ in states:
+                p = pmat.get((s, t_))
+                if p is not None:
+                    raw[t_] = raw.get(t_, 0.0) + pi.get(s, 0.0) * p
+        tot = sum(raw[t_] for t_ in sorted(raw))
+        pi = {t_: round(v / tot + 1e-9, 9) for t_, v in raw.items()}
+    rows = [
+        (s, round(pi.get(s, 0.0) + 1e-9, 6), int(n_out.get(s, 0)))
+        for s in states
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, stationary_prob double, n_out long"
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q130 — confidence-gated source filtering (Wilson score intervals)
+# ---------------------------------------------------------------------------
+
+_Q130_Z = 1.96
+_Q130_KEEP = 0.45   # keep if the LOWER bound clears this pass-rate
+_Q130_DROP = 0.55   # drop if the UPPER bound can't reach this
+
+_Q130_ORACLE = f"""
+WITH t AS (
+    SELECT source,
+           string_split_regex(lower(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           round((least(1.0 * len(toks) / 200.0, 1.0)
+            + (1.0 - least(5.0 * n_punct / nullif(n_chars, 0), 1.0))
+            + least(4.0 * len(list_filter(toks, x -> list_contains([{_EN}], x)))
+                    / nullif(len(toks), 0), 1.0)) / 3.0 + 1e-9, 6) AS quality
+    FROM t
+),
+agg AS (
+    SELECT source,
+           count(*) AS n,
+           sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS k
+    FROM scored GROUP BY source
+),
+wilson AS (
+    SELECT source, n, k,
+           round(1.0 * k / n + 1e-9, 6) AS p,
+           round(((1.0 * k / n + {_Q130_Z} * {_Q130_Z} / (2 * n))
+                  - {_Q130_Z} * sqrt((1.0 * k / n) * (1 - 1.0 * k / n) / n
+                        + {_Q130_Z} * {_Q130_Z} / (4.0 * n * n)))
+                 / (1 + {_Q130_Z} * {_Q130_Z} / n) + 1e-9, 6) AS lo,
+           round(((1.0 * k / n + {_Q130_Z} * {_Q130_Z} / (2 * n))
+                  + {_Q130_Z} * sqrt((1.0 * k / n) * (1 - 1.0 * k / n) / n
+                        + {_Q130_Z} * {_Q130_Z} / (4.0 * n * n)))
+                 / (1 + {_Q130_Z} * {_Q130_Z} / n) + 1e-9, 6) AS hi
+    FROM agg
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(k AS BIGINT) AS n_pass,
+       p AS pass_rate,
+       lo AS wilson_lo,
+       hi AS wilson_hi,
+       CASE WHEN lo > {_Q130_KEEP} THEN 'keep'
+            WHEN hi < {_Q130_DROP} THEN 'drop'
+            ELSE 'undecided' END AS verdict
+FROM wilson
+ORDER BY source
+"""
+
+
+@register(
+    "q130_wilson_source_gate",
+    _Q130_ORACLE,
+    "Confidence-gated source filtering: per-source quality pass rates "
+    "with Wilson score intervals (z=1.96) — a source is kept only when "
+    "the LOWER bound clears the bar and dropped only when the UPPER "
+    "bound cannot reach it, so small sources land in 'undecided' "
+    "instead of being gated on noise.  Bounds compare on nudge-rounded "
+    "values; one source-keyed aggregate.",
+    operators=("quality-wilson-gate", "A4", "A8"),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    z = _Q130_Z
+    scored = docs.select(
+        "source", rnd(text.quality_score("text"), 6).alias("quality")
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum((col("quality") >= 0.5).cast("long")).alias("k"),
+    )
+    p = col("k") / col("n")
+    denom = lit(1.0) + lit(z * z) / col("n")
+    center = p + lit(z * z) / (lit(2.0) * col("n"))
+    half = lit(z) * F.sqrt(
+        p * (lit(1.0) - p) / col("n")
+        + lit(z * z) / (lit(4.0) * col("n") * col("n"))
+    )
+    lo = rnd((center - half) / denom, 6)
+    hi = rnd((center + half) / denom, 6)
+    return (
+        agg.select(
+            "source",
+            col("n").cast("long").alias("n_docs"),
+            col("k").cast("long").alias("n_pass"),
+            rnd(p, 6).alias("pass_rate"),
+            lo.alias("wilson_lo"),
+            hi.alias("wilson_hi"),
+            F.when(lo > lit(_Q130_KEEP), "keep")
+            .when(hi < lit(_Q130_DROP), "drop")
+            .otherwise("undecided")
+            .alias("verdict"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — estimate-from-sample with Horvitz–Thompson weights (compute
+# expensive corpus stats on a deterministic sample, report realized error)
+# ---------------------------------------------------------------------------
+
+_Q131_RATE = 0.2
+_Q131_SALT = "ht"
+
+_Q131_ORACLE = f"""
+WITH t AS (
+    SELECT lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+           ('0x' || substr(md5('{_Q131_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+    FROM documents
+),
+truth AS (
+    SELECT lang, count(*) AS true_docs, sum(n_tokens) AS true_tokens
+    FROM t GROUP BY lang
+),
+est AS (
+    SELECT lang,
+           round(sum(1.0 / {_Q131_RATE}) + 1e-9, 4) AS est_docs,
+           round(sum(n_tokens / {_Q131_RATE}) + 1e-9, 4) AS est_tokens
+    FROM t WHERE u < {_Q131_RATE}
+    GROUP BY lang
+)
+SELECT tr.lang,
+       CAST(tr.true_docs AS BIGINT) AS true_docs,
+       coalesce(e.est_docs, 0) AS est_docs,
+       CAST(tr.true_tokens AS BIGINT) AS true_tokens,
+       coalesce(e.est_tokens, 0) AS est_tokens,
+       round(abs(coalesce(e.est_tokens, 0) - tr.true_tokens)
+             / tr.true_tokens + 1e-9, 6) AS token_rel_err
+FROM truth tr LEFT JOIN est e USING (lang)
+ORDER BY tr.lang
+"""
+
+
+@register(
+    "q131_ht_estimation",
+    _Q131_ORACLE,
+    "Estimate-from-sample with Horvitz–Thompson weighting: corpus "
+    "token totals per language computed on the deterministic md5-"
+    f"bernoulli {_Q131_RATE:.0%} sample (q47 convention), each sampled "
+    "row weighted 1/rate, with the realized relative error against the "
+    "full-scan truth — the pattern that prices expensive stats on "
+    "samples before running them on 100 TB.",
+    operators=("sampling-ht-estimator", "A3", "A4"),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_fraction
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+        hash_fraction("doc_id", _Q131_SALT).alias("u"),
+    )
+    truth = t.groupBy("lang").agg(
+        F.count("*").alias("true_docs"),
+        F.sum("n_tokens").alias("true_tokens"),
+    )
+    est = (
+        t.filter(col("u") < lit(_Q131_RATE))
+        .groupBy("lang")
+        .agg(
+            rnd(F.sum(lit(1.0) / lit(_Q131_RATE)), 4).alias("est_docs"),
+            rnd(F.sum(col("n_tokens") / lit(_Q131_RATE)), 4).alias(
+                "est_tokens"
+            ),
+        )
+    )
+    return (
+        truth.join(est, "lang", "left")
+        .select(
+            "lang",
+            col("true_docs").cast("long"),
+            F.coalesce("est_docs", lit(0.0)).alias("est_docs"),
+            col("true_tokens").cast("long"),
+            F.coalesce("est_tokens", lit(0.0)).alias("est_tokens"),
+            rnd(
+                F.abs(F.coalesce("est_tokens", lit(0.0)) - col("true_tokens"))
+                / col("true_tokens"),
+                6,
+            ).alias("token_rel_err"),
+        )
+        .orderBy("lang")
+    )
