@@ -158,6 +158,7 @@ _SWEEP_COST = {
     "q129_markov_stationary": 5.00,
     "q130_wilson_source_gate": 2.00,
     "q131_ht_estimation": 1.70,
+    "q132_funnel_attribution": 20.00,
 }
 
 
@@ -202,6 +203,7 @@ _NEVER_RECORDED = [
     "q129_markov_stationary",
     "q130_wilson_source_gate",
     "q131_ht_estimation",
+    "q132_funnel_attribution",
 ]
 
 # One sub-second query registered ahead of everything: the first query

@@ -7668,3 +7668,105 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — curation funnel ATTRIBUTION: which stage dropped each document
+# (the observability face of q122 — per-source drop-reason breakdown)
+# ---------------------------------------------------------------------------
+
+
+def _q132_oracle() -> str:
+    """Reuses q122's funnel CTEs verbatim (everything through the
+    keep-best ``keepers``), then attributes every document to the stage
+    that removed it."""
+    prefix = _q122_oracle().split(",\ndealt AS (")[0]
+    return f"""{prefix},
+attr AS (
+    SELECT d.doc_id, d.source,
+           len(string_split_regex(lower(d.text), '\\s+')) AS n_tokens,
+           CASE WHEN g.doc_id IS NULL THEN 'rules'
+                WHEN s.log_ppl IS NULL OR s.log_ppl > {_Q122_PPL}
+                    THEN 'perplexity'
+                WHEN k.doc_id IS NULL THEN 'duplicate'
+                ELSE 'kept' END AS stage
+    FROM documents d
+    LEFT JOIN gated g ON d.doc_id = g.doc_id
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    LEFT JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT source, stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM attr
+GROUP BY source, stage
+ORDER BY source, stage
+"""
+
+
+@register(
+    "q132_funnel_attribution",
+    _q132_oracle(),
+    "Curation observability: every document attributed to the funnel "
+    "stage that removed it (rules gate / perplexity filter / duplicate "
+    "loser / kept), per source with token mass — the audit report a "
+    "production pipeline ships next to its curated corpus.  Shares "
+    "q122's stages and oracle CTEs verbatim; the attribution itself is "
+    "three LEFT JOINs on doc_id.",
+    operators=("funnel-attribution", "rules", "lm-bigram",
+               "dedup-canonical", "A4"),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm, rules, text as T
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tk = docs.withColumn("tk", T.tokens("text"))
+    flagged = rules.apply_rules(tk, "text", toks="tk")
+    gated = (
+        flagged.filter(col("rules_pass"))
+        .select("doc_id", "text", F.size("tk").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    scored = lm.doc_bigram_perplexity(gated, ["doc_id"]).withColumn(
+        "log_ppl", rnd(col("log_ppl"), 6)
+    )
+    kept = gated.join(
+        scored.filter(col("log_ppl") <= lit(_Q122_PPL)).select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.jaccard_pairs(
+        kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    keepers = (
+        dedup.canonical_keep_best(
+            kept.select("doc_id", "n_tokens"), pairs, "doc_id", "n_tokens"
+        )
+        .filter(col("keep"))
+        .select("doc_id", lit(1).alias("__k"))
+    )
+    attr = (
+        docs.select(
+            "doc_id", "source", text.token_count("text").alias("n_tokens")
+        )
+        .join(gated.select("doc_id", lit(1).alias("__g")), "doc_id", "left")
+        .join(scored.select("doc_id", "log_ppl"), "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .withColumn(
+            "stage",
+            F.when(col("__g").isNull(), "rules")
+            .when(
+                col("log_ppl").isNull() | (col("log_ppl") > lit(_Q122_PPL)),
+                "perplexity",
+            )
+            .when(col("__k").isNull(), "duplicate")
+            .otherwise("kept"),
+        )
+    )
+    return (
+        attr.groupBy("source", "stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "stage")
+    )

@@ -101,6 +101,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q122_curation_funnel_v3",  # q117's 1-row vocab-size V (funnel stage)
         "q124_hill_tail_index",  # 1-row f_(k+1) reference onto the top-k frame
         "q127_vocab_coverage",  # 1-row total-occurrences onto the freq histogram
+        "q132_funnel_attribution",  # q117's 1-row vocab-size V (funnel stage)
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
