@@ -163,6 +163,21 @@ def main(argv: list[str] | None = None) -> int:
         "--out", default=None, help="optional path to write merges JSON"
     )
 
+    dr = sub.add_parser(
+        "drift",
+        help="PSI drift report between a reference and a current "
+        "parquet table (fixed deterministic value bins, operators."
+        "profile.psi_from_counts)",
+    )
+    dr.add_argument("--ref", required=True, help="reference parquet path")
+    dr.add_argument("--cur", required=True, help="current parquet path")
+    dr.add_argument("--value-col", default="value")
+    dr.add_argument("--group-col", default="event_type")
+    dr.add_argument("--lo", type=float, default=0.0)
+    dr.add_argument("--width", type=float, default=50.0)
+    dr.add_argument("--buckets", type=int, default=10)
+    dr.add_argument("--alert", type=float, default=0.1)
+
     args = p.parse_args(argv)
 
     if args.command == "download":
@@ -383,6 +398,33 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.out, "w") as fh:
                 json.dump(out["merges"], fh, indent=2)
         print(json.dumps(out, indent=2, sort_keys=True))
+    elif args.command == "drift":
+        from .operators import profile
+
+        def buckets(path: str):
+            return profile.value_bucket_counts(
+                pl.spark.read.parquet(path),
+                args.value_col,
+                args.group_col,
+                args.lo,
+                args.width,
+                args.buckets,
+            )
+
+        rows = profile.psi_from_counts(
+            buckets(args.cur), buckets(args.ref), alert=args.alert
+        ).collect()
+        report = {
+            r.grp: {
+                "n_ref": r.n_ref,
+                "n_cur": r.n_cur,
+                "psi": r.psi,
+                "drifted": r.drifted,
+            }
+            for r in rows
+        }
+        print(json.dumps(report, indent=2, sort_keys=True))
+        return 0 if not any(v["drifted"] for v in report.values()) else 4
     return 0
 
 

@@ -825,3 +825,27 @@ def test_vocab_coverage_picks_largest_qualifying_threshold(spark, tmp_path):
     assert abs(out[0.9].coverage - 0.95) < 1e-6
     assert out[0.99].freq_threshold == 1
     assert out[0.99].vocab_size == 4
+
+
+def test_cli_drift_reports_psi_and_exit_code(spark, tmp_path, capsys):
+    import json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    ref = spark.createDataFrame(
+        [("a", float(v % 50)) for v in range(200)], "event_type string, value double"
+    )
+    # current shifted far right -> must drift
+    cur = spark.createDataFrame(
+        [("a", 400.0 + v % 50) for v in range(200)], "event_type string, value double"
+    )
+    rp, cp = str(tmp_path / "ref"), str(tmp_path / "cur")
+    ref.write.parquet(rp); cur.write.parquet(cp)
+    rc = main(["--warehouse-dir", str(tmp_path / "wh"), "drift",
+               "--ref", rp, "--cur", cp])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 4 and rep["a"]["drifted"] and rep["a"]["psi"] > 1.0
+    rc2 = main(["--warehouse-dir", str(tmp_path / "wh"), "drift",
+                "--ref", rp, "--cur", rp])
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rc2 == 0 and not rep2["a"]["drifted"]
