@@ -159,6 +159,7 @@ _SWEEP_COST = {
     "q130_wilson_source_gate": 2.00,
     "q131_ht_estimation": 1.70,
     "q132_funnel_attribution": 20.00,
+    "q133_counterfactual_leakage": 7.00,
 }
 
 
@@ -204,6 +205,7 @@ _NEVER_RECORDED = [
     "q130_wilson_source_gate",
     "q131_ht_estimation",
     "q132_funnel_attribution",
+    "q133_counterfactual_leakage",
 ]
 
 # One sub-second query registered ahead of everything: the first query

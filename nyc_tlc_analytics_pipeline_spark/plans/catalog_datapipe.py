@@ -7770,3 +7770,142 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — counterfactual leakage report: cluster-aware split vs naive
+# hash split on the SAME corpus (why q77 exists, quantified)
+# ---------------------------------------------------------------------------
+
+_Q133_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+grp AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS g
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+cl AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('{_Q77_SALT}' || CAST(g AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.9 THEN 'train'
+                WHEN ('0x' || substr(md5('{_Q77_SALT}' || CAST(g AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM grp
+),
+nv AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('{_Q77_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.9 THEN 'train'
+                WHEN ('0x' || substr(md5('{_Q77_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+ex AS (
+    SELECT m.mode, p.doc_a, p.doc_b,
+           CASE WHEN m.mode = 'cluster'
+                THEN (SELECT split FROM cl WHERE cl.doc_id = p.doc_a)
+                ELSE (SELECT split FROM nv WHERE nv.doc_id = p.doc_a) END AS sa,
+           CASE WHEN m.mode = 'cluster'
+                THEN (SELECT split FROM cl WHERE cl.doc_id = p.doc_b)
+                ELSE (SELECT split FROM nv WHERE nv.doc_id = p.doc_b) END AS sb
+    FROM pairs p CROSS JOIN (VALUES ('cluster'), ('naive')) m(mode)
+),
+ed AS (
+    SELECT mode,
+           CASE WHEN sa <> sb THEN 1 ELSE 0 END AS straddle,
+           unnest([doc_a, doc_b]) AS d
+    FROM ex
+)
+SELECT mode,
+       CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+       CAST(sum(straddle) / 2 AS BIGINT) AS n_straddling,
+       round(1.0 * sum(straddle) / count(*) + 1e-9, 6) AS straddle_share,
+       CAST(count(DISTINCT CASE WHEN straddle = 1 THEN d END) AS BIGINT)
+           AS n_leaked_docs
+FROM ed
+GROUP BY mode
+ORDER BY mode
+"""
+
+
+@register(
+    "q133_counterfactual_leakage",
+    _Q133_ORACLE,
+    "Why leakage-safe splits exist, quantified: the SAME near-dup pair "
+    "set evaluated under q77's cluster-keyed assignment (zero pairs "
+    "may straddle splits, by construction) versus a naive per-doc hash "
+    "split (every cross-assigned near-dup pair is train/test "
+    "contamination) — pair counts, straddle share, and distinct leaked "
+    "docs per mode.",
+    operators=("sampling-leakage-counterfactual", "dedup-jaccard", "A2"),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    cl = sampling.leakage_safe_splits(
+        docs, "doc_id", "text", weights, salt=_Q77_SALT,
+        pair_source="jaccard", n=3, threshold=_Q25_THRESHOLD,
+    ).select("doc_id", "split")
+    nv = sampling.assign_split(
+        docs.select("doc_id"), "doc_id", weights, salt=_Q77_SALT
+    ).select("doc_id", "split")
+
+    def mode_stats(assign: DataFrame, mode: str) -> DataFrame:
+        a = assign.select(col("doc_id").alias("doc_a"), col("split").alias("sa"))
+        b = assign.select(col("doc_id").alias("doc_b"), col("split").alias("sb"))
+        ed = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                (col("sa") != col("sb")).cast("long").alias("straddle"),
+                F.explode(F.array("doc_a", "doc_b")).alias("d"),
+            )
+        )
+        return ed.agg(
+            lit(mode).alias("mode"),
+            (F.count("*") / 2).cast("long").alias("n_pairs"),
+            (F.sum("straddle") / 2).cast("long").alias("n_straddling"),
+            rnd(F.sum("straddle") / F.count("*"), 6).alias("straddle_share"),
+            F.count_distinct(
+                F.when(col("straddle") == 1, col("d"))
+            ).cast("long").alias("n_leaked_docs"),
+        )
+
+    return (
+        mode_stats(cl, "cluster")
+        .unionByName(mode_stats(nv, "naive"))
+        .orderBy("mode")
+    )
