@@ -160,6 +160,7 @@ _SWEEP_COST = {
     "q131_ht_estimation": 1.70,
     "q132_funnel_attribution": 20.00,
     "q133_counterfactual_leakage": 7.00,
+    "q134_deflated_second_pc": 15.00,
 }
 
 
@@ -206,6 +207,7 @@ _NEVER_RECORDED = [
     "q131_ht_estimation",
     "q132_funnel_attribution",
     "q133_counterfactual_leakage",
+    "q134_deflated_second_pc",
 ]
 
 # One sub-second query registered ahead of everything: the first query

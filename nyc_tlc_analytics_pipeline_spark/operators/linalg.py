@@ -40,6 +40,7 @@ def power_iteration_top_pc(
     vec_col: str = "embedding",
     dim: int = 64,
     n_iter: int = 6,
+    deflate: tuple = (),
 ):
     """Top principal component of an embedding column by power
     iteration: v ← normalize(C·v), C the (uncentered-storage, centered-
@@ -54,7 +55,14 @@ def power_iteration_top_pc(
 
     Deterministic: v₀ = uniform 1/√dim, every μ/w/v component rounded
     9 dp, and the final sign is fixed so the largest-|loading|
-    component (ties → smallest index) is positive."""
+    component (ties → smallest index) is positive.
+
+    ``deflate``: previously-extracted ``(eigenvalue, loadings)`` pairs —
+    the iteration then runs on the deflated operator
+    ``C' = C − Σ_d λ_d v_d v_dᵀ`` (``C'·v = C·v − Σ λ_d (v_d·v) v_d``),
+    yielding the next component.  The correction is dim-sized driver
+    arithmetic applied to the collected C·v — the SCAN is identical, so
+    k components cost k×iterations scans with no new distributed code."""
     n = df.count()
     if n == 0:
         raise ValueError("empty input")
@@ -85,8 +93,13 @@ def power_iteration_top_pc(
             .orderBy("i")
             .collect()
         )
+        defl = [0.0] * dim
+        for lam, vd in deflate:
+            dot_d = sum(a * b for a, b in zip(vd, vec))
+            for i in range(dim):
+                defl[i] += lam * dot_d * vd[i]
         w = [
-            _rnd9(r.xs / n - mu[i] * (r.ss / n))
+            _rnd9(r.xs / n - mu[i] * (r.ss / n) - defl[i])
             for i, r in enumerate(parts)
         ]
         nrm = sum(x * x for x in w) ** 0.5

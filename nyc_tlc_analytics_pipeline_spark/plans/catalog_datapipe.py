@@ -7909,3 +7909,103 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mode_stats(nv, "naive"))
         .orderBy("mode")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — second principal component via deflation (q126 continued)
+# ---------------------------------------------------------------------------
+
+
+def _q134_oracle(dim: int = _Q126_DIM, n_iter: int = _Q126_ITER) -> str:
+    """q126's full first-component chain (verbatim prefix), then the
+    same iterations on the DEFLATED operator C' = C − λ₁v₁v₁ᵀ."""
+    base = _q126_oracle(dim, n_iter)
+    prefix = base.split(f"\nSELECT v{n_iter}.i AS dim")[0]
+    v0 = round(1.0 / dim**0.5 + 1e-9, 9)
+    ctes = [
+        f"pc1 AS MATERIALIZED (SELECT v{n_iter}.i AS i, "
+        f"v{n_iter}.val * sgn.g AS val FROM v{n_iter}, sgn)",
+        f"y0 AS (SELECT i, {v0!r} AS val FROM dims)",
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        ctes += [
+            f"ly{p} AS (SELECT list(val ORDER BY i) AS l FROM y{p})",
+            f"cy{t} AS (SELECT sum(mu.m * y.val) AS c0 "
+            f"FROM mu JOIN y{p} y USING (i))",
+            f"dly{t} AS (SELECT sum(p.val * y.val) AS dot1 "
+            f"FROM pc1 p JOIN y{p} y USING (i))",
+            f"sy{t} AS MATERIALIZED (SELECT list_dot_product(e.v, ly.l) "
+            f"- cy{t}.c0 AS s, e.v AS v FROM e, ly{p} ly, cy{t})",
+            f"""wy{t} AS (
+    SELECT i,
+           round(sum(sy.v[i + 1] * sy.s) / nn.n
+                 - mu.m * (sum(sy.s) / nn.n)
+                 - eig.e * dly{t}.dot1 * pc1.val + 1e-9, 9) AS w
+    FROM sy{t} sy, dims JOIN mu USING (i) JOIN pc1 USING (i),
+         nn, eig, dly{t}
+    GROUP BY i, mu.m, pc1.val, nn.n, eig.e, dly{t}.dot1
+)""",
+            f"ny{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM wy{t})",
+            f"y{t} AS MATERIALIZED (SELECT i, "
+            f"round(w / ny{t}.nrm + 1e-9, 9) AS val FROM wy{t}, ny{t})",
+        ]
+    last = n_iter
+    return (
+        prefix
+        + ",\n"
+        + ",\n".join(ctes)
+        + f""",
+sgn2 AS (
+    SELECT CASE WHEN (SELECT val FROM y{last}
+                      ORDER BY abs(val) DESC, i LIMIT 1) < 0
+                THEN -1.0 ELSE 1.0 END AS g
+),
+eig2 AS (SELECT round(nrm + 1e-9, 9) AS e FROM ny{last}),
+orth AS (
+    SELECT round(sum(p.val * y.val) + 1e-9, 6) AS d
+    FROM pc1 p JOIN y{last} y USING (i)
+)
+SELECT y{last}.i AS dim,
+       y{last}.val * sgn2.g AS loading2,
+       eig2.e AS eigenvalue2,
+       round(orth.d * sgn2.g + 1e-9, 6) AS dot_pc1
+FROM y{last}, sgn2, eig2, orth
+ORDER BY dim
+"""
+    )
+
+
+@register(
+    "q134_deflated_second_pc",
+    _q134_oracle(),
+    "Second principal component by DEFLATION: q126's power iteration "
+    "re-run on C' = C − λ₁v₁v₁ᵀ — the deflation correction is dim-"
+    "sized driver arithmetic on the collected C·v, the SCAN is "
+    "unchanged, so k components cost k×iterations scans.  dot_pc1 "
+    "reports the residual overlap with the first component (→0 with "
+    "iterations; exactly orthogonal in the planted-direction test — "
+    "this near-isotropic fixture's tiny eigengap converges slowly).  "
+    "Oracle: q126's chain verbatim plus the deflated chain, every "
+    "artifact 9-dp rounded.",
+    operators=("linalg-pca-deflation", "A3", "iterative"),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import linalg
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    v1, eig1, _ = linalg.power_iteration_top_pc(
+        emb, "embedding", dim=_Q126_DIM, n_iter=_Q126_ITER
+    )
+    v2, eig2, _ = linalg.power_iteration_top_pc(
+        emb,
+        "embedding",
+        dim=_Q126_DIM,
+        n_iter=_Q126_ITER,
+        deflate=((eig1, v1),),
+    )
+    dot = round(sum(a * b for a, b in zip(v1, v2)) + 1e-9, 6)
+    rows = [(i, x, eig2, dot) for i, x in enumerate(v2)]
+    return spark.createDataFrame(
+        rows, "dim int, loading2 double, eigenvalue2 double, dot_pc1 double"
+    ).orderBy("dim")

@@ -849,3 +849,34 @@ def test_cli_drift_reports_psi_and_exit_code(spark, tmp_path, capsys):
                 "--ref", rp, "--cur", rp])
     rep2 = json.loads(capsys.readouterr().out)
     assert rc2 == 0 and not rep2["a"]["drifted"]
+
+
+def test_deflated_second_pc_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators import linalg
+
+    rng = random.Random(5)
+    dim, n = 12, 400
+    u1 = [1.0 if i < 3 else 0.0 for i in range(dim)]
+    u2 = [1.0 if 3 <= i < 6 else 0.0 for i in range(dim)]
+    rows = []
+    for _ in range(n):
+        a, b = rng.gauss(0, 4), rng.gauss(0, 2)
+        rows.append((
+            [a * x + b * y + rng.gauss(0, 0.2) for x, y in zip(u1, u2)],
+        ))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    v1, e1, _ = linalg.power_iteration_top_pc(df, "embedding", dim=dim, n_iter=10)
+    v2, e2, _ = linalg.power_iteration_top_pc(
+        df, "embedding", dim=dim, n_iter=10, deflate=((e1, v1),)
+    )
+    X = np.array([r[0] for r in rows])
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    assert abs(float(np.dot(v2, evecs[:, -2]))) > 0.99
+    assert abs(e2 - evals[-2]) / evals[-2] < 0.05
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-3  # orthogonal
+    assert e2 < e1
