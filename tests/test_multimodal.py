@@ -368,3 +368,64 @@ def test_phash_banded_join_is_equi_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _make_mix_wav(freqs, rate=8000, secs=0.5, amp=0.3, noise=0.0, seed=0):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(rate * secs)) / rate
+    x = sum(np.sin(2 * np.pi * f * t) for f in freqs) * amp / len(freqs)
+    if noise:
+        x = x + rng.normal(0, noise, len(t))
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative():
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+    )
+
+    a, _ = decode_wav(_make_mix_wav((440, 1200), amp=0.3))
+    loud, _ = decode_wav(_make_mix_wav((440, 1200), amp=0.9))
+    other, _ = decode_wav(_make_mix_wav((523, 2000, 3100)))
+    fa = audio_fingerprint(a, 8000)
+    assert fa == audio_fingerprint(a, 8000)  # deterministic
+    ham_loud = bin((fa ^ audio_fingerprint(loud, 8000)) & (2**64 - 1)).count("1")
+    ham_other = bin((fa ^ audio_fingerprint(other, 8000)) & (2**64 - 1)).count("1")
+    assert ham_loud <= 4  # volume change barely moves the fingerprint
+    assert ham_other > 10  # different content is far
+
+
+def test_audio_near_dup_via_banded_join(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        audio_fp_kernel,
+        near_dup_media_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "wav", bytearray(_make_mix_wav((440, 1200)))),
+            (2, "wav", bytearray(_make_mix_wav((440, 1200), noise=0.004, seed=7))),
+            (3, "wav", bytearray(_make_mix_wav((523, 2000, 3100)))),
+        ],
+        "media_id long, format string, content binary",
+    )
+    fp = df.mapInPandas(audio_fp_kernel(), PHASH_SCHEMA)
+    pairs = {(r.a, r.b) for r in near_dup_media_pairs(fp, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
