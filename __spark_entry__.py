@@ -161,6 +161,7 @@ _SWEEP_COST = {
     "q132_funnel_attribution": 10.54,
     "q133_counterfactual_leakage": 4.08,
     "q134_deflated_second_pc": 6.91,
+    "q135_feature_hashing_calibration": 6.00,
 }
 
 
@@ -211,6 +212,7 @@ _NEVER_RECORDED = [
     "q132_funnel_attribution",
     "q133_counterfactual_leakage",
     "q134_deflated_second_pc",
+    "q135_feature_hashing_calibration",
 ]
 
 # One sub-second query registered ahead of everything: the first query

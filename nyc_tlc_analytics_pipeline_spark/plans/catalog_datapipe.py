@@ -8009,3 +8009,140 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading2 double, eigenvalue2 double, dot_pc1 double"
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q135 — feature-hashing (hashing-trick) text vectors + representation
+# calibration: hashed-cosine vs exact Jaccard on the near-dup pairs
+# ---------------------------------------------------------------------------
+
+_Q135_DIM = 64
+_Q135_TH = 0.05  # far wider than q25's 0.5: this corpus is bimodal
+# (planted near-dups at j>=0.9, background at j~0.1) — the low band is
+# what makes the calibration curve show separation
+
+_Q135_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+jp AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           round(1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+                 + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q135_TH}
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+hv AS MATERIALIZED (
+    SELECT doc_id,
+           ('0x' || substr(md5(token), 1, 8))::BIGINT % {_Q135_DIM} AS bucket,
+           sum(CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END) AS val
+    FROM tok
+    GROUP BY doc_id, bucket
+),
+nrm AS MATERIALIZED (
+    SELECT doc_id, sqrt(sum(val * val)) AS n FROM hv GROUP BY doc_id
+),
+dots AS (
+    SELECT j.doc_a, j.doc_b, j.jaccard,
+           sum(a.val * b.val) AS dot
+    FROM jp j
+    JOIN hv a ON a.doc_id = j.doc_a
+    JOIN hv b ON b.doc_id = j.doc_b AND a.bucket = b.bucket
+    GROUP BY j.doc_a, j.doc_b, j.jaccard
+),
+scored AS (
+    SELECT round(jaccard + 0.05 + 1e-9, 1) - 0.1 AS jacc_bucket,
+           round(d.dot / nullif(na.n * nb.n, 0) + 1e-9, 6) AS cos
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+)
+SELECT round(jacc_bucket + 1e-9, 1) AS jacc_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(cos) + 1e-9, 6) AS avg_hashed_cosine,
+       round(min(cos) + 1e-9, 6) AS min_hashed_cosine
+FROM scored
+GROUP BY jacc_bucket
+ORDER BY jacc_bucket
+"""
+
+
+@register(
+    "q135_feature_hashing_calibration",
+    _Q135_ORACLE,
+    "Hashing-trick featurizer (Weinberger et al.): every document "
+    f"maps to a {_Q135_DIM}-dim signed-count vector via md5 bucket + "
+    "sign bits — the model-free text→vector bridge whose dimensionality "
+    "is FIXED regardless of vocabulary.  Calibration report: exact-"
+    "Jaccard near-dup pairs bucketed by Jaccard, each bucket's mean/min "
+    "hashed-vector cosine — how faithfully the cheap representation "
+    "preserves the expensive similarity.  Vector frames are (doc, "
+    "bucket)-sparse; the pair dot product joins on (doc, bucket).",
+    operators=("text-feature-hashing", "similarity-calibration", "J7"),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    bucket = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
+        "long"
+    ) % _Q135_DIM
+    sign = F.when(
+        F.conv(F.substring(F.md5("token"), 9, 1), 16, 10).cast("long") % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    hv = (
+        tok.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.sum(sign).alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    nrm = hv.groupBy("doc_id").agg(
+        F.sqrt(F.sum(col("val") * col("val"))).alias("n")
+    )
+    jp = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q135_TH
+    ).select("doc_a", "doc_b", rnd("jaccard", 6).alias("jaccard"))
+    a = hv.select(col("doc_id").alias("doc_a"), "bucket", col("val").alias("va"))
+    b = hv.select(col("doc_id").alias("doc_b"), "bucket", col("val").alias("vb"))
+    dots = (
+        jp.join(a, "doc_a")
+        .join(b, ["doc_b", "bucket"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(F.sum(col("va") * col("vb")).alias("dot"))
+    )
+    na = nrm.select(col("doc_id").alias("doc_a"), col("n").alias("na"))
+    nb = nrm.select(col("doc_id").alias("doc_b"), col("n").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            (rnd(col("jaccard") + 0.05, 1) - lit(0.1)).alias("jb"),
+            rnd(col("dot") / F.nullif(col("na") * col("nb"), lit(0.0)), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(rnd(col("jb"), 1).alias("jacc_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rnd(F.avg("cos"), 6).alias("avg_hashed_cosine"),
+            rnd(F.min("cos"), 6).alias("min_hashed_cosine"),
+        )
+        .orderBy("jacc_bucket")
+    )
