@@ -24,8 +24,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Measured warm per-query sweep cost (seconds, Spark+oracle, sf0.01
-# local[8], scripts/sweep.py round 5).  Used ONLY for scoreboard-aware
-# ordering below; queries missing an entry default to 1.0s.
+# local[8], scripts/sweep.py — q110+ re-measured round 6).  Used ONLY
+# for scoreboard-aware ordering below; missing entries default to 1.0s.
 _SWEEP_COST = {
     "q01_top_nations_by_revenue": 0.71,
     "q02_hourly_event_patterns": 0.62,
