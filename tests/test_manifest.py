@@ -299,3 +299,42 @@ def test_compact_writes_a_checkpoint(spark, tmp_path):
     assert sorted(r.id for r in mt.read().collect()) == list(range(12))
     # and tags still survive through checkpoint + compact
     assert mt.append(spark.range(2).toDF("id"), tag="f1") is None
+
+
+def test_diff_change_feed_between_versions(spark, tmp_path):
+    """CDF-style diff: full-row multiset mode reports inserts/deletes
+    with counts; key mode reports an update as delete+insert."""
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    v1_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    v1 = mt.overwrite(v1_df)
+    v2_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "CHANGED"), (4, "d")], "id long, val string"
+    )
+    v2 = mt.overwrite(v2_df)
+
+    rows = {(r.id, r.val, r._change): r._n for r in mt.diff(v1, v2).collect()}
+    assert rows == {
+        (2, "b", "deleted"): 1,       # one of the two dup rows went away
+        (3, "c", "deleted"): 1,
+        (3, "CHANGED", "inserted"): 1,
+        (4, "d", "inserted"): 1,
+    }
+    # key mode: id=3 content changed -> updated (new row returned);
+    # id=2 lost a duplicate copy -> its content multiset changed -> updated;
+    # id=4 is new -> inserted
+    by_key = {(r.id, r.val, r._change)
+              for r in mt.diff(v1, v2, key_cols=["id"]).collect()}
+    assert by_key == {
+        (2, "b", "updated"),
+        (3, "CHANGED", "updated"),
+        (4, "d", "inserted"),
+    }
+    # key-mode delete: diff in the reverse direction
+    rev = {(r.id, r._change) for r in mt.diff(v2, v1, key_cols=["id"]).collect()}
+    assert (4, "deleted") in rev
+    # no-op diff is empty
+    assert mt.diff(v2, v2).count() == 0
