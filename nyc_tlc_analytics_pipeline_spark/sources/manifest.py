@@ -35,8 +35,8 @@ tag when it retries).
 
 Scale note: the log is O(#commits) tiny JSON files and each entry holds
 only paths — listing it is a metadata operation, and data I/O is
-unchanged parquet.  The two maintenance operations complete the
-Delta-style triad:
+unchanged parquet.  The maintenance operations complete the Delta-style
+set:
 
 - DATA small-file compaction — ``compact()``: a keep-tags overwrite
   published with an ``expect_parent`` compare-and-swap, so a concurrent
@@ -45,7 +45,13 @@ Delta-style triad:
   idea): reads replay O(commits since last checkpoint), not
   O(all commits); race-safe by determinism + no-clobber, and a
   successful compact checkpoints automatically (its state is one
-  directory, the minimal checkpoint).
+  directory, the minimal checkpoint);
+- HISTORY retention — ``expire(before_version)`` (Delta VACUUM's
+  retention window as an explicit verb): reclaims data only
+  pre-watermark snapshots reference, gates time travel below the
+  watermark with a clear error, and rides the normal commit log;
+- CHANGE FEED — ``diff(v1, v2)``: multiset or keyed
+  inserted/deleted/updated between any two committed snapshots.
 """
 
 from __future__ import annotations
@@ -111,6 +117,7 @@ class ManifestTable:
         dirs: list[str] = []
         tags: dict[str, int] = {}
         top = 0
+        exp = 0
         cps = [
             c for c in self._checkpoints() if version is None or c <= version
         ]
@@ -121,12 +128,19 @@ class ManifestTable:
             ) as f:
                 cp = json.load(f)
             dirs, tags, top = list(cp["dirs"]), dict(cp["tags"]), cp["version"]
+            exp = cp.get("expired_before", 0)
         for v in self._versions():
             if v <= top:
                 continue
             if version is not None and v > version:
                 break
             e = self._read_entry(v)
+            if e["action"] == "expire":
+                # retention watermark: data below it is reclaimed; the
+                # entry carries no dirs and never touches tags
+                exp = max(exp, e["before"])
+                top = v
+                continue
             if e["action"] == "overwrite":
                 # keep_tags: compaction rewrites DATA but must not forget
                 # idempotency tags, or already-loaded source files would
@@ -136,7 +150,19 @@ class ManifestTable:
             if e.get("tag") is not None:
                 tags[e["tag"]] = v
             top = v
-        return {"version": top, "dirs": dirs, "tags": tags}
+        if version is not None:
+            # a time-traveling reader must honor the GLOBAL watermark —
+            # expire entries can postdate the requested version, so the
+            # replay above may never have seen them
+            wm = self.snapshot()["expired_before"]
+            if version < wm:
+                raise ValueError(
+                    f"version {version} of {self.path} was expired "
+                    f"(retention watermark {wm}); time travel below the "
+                    f"watermark is gone by design"
+                )
+        return {"version": top, "dirs": dirs, "tags": tags,
+                "expired_before": exp}
 
     def write_checkpoint(self) -> int | None:
         """Materialize the current replayed state as
@@ -262,9 +288,9 @@ class ManifestTable:
         Pre-compact directories stay referenced by committed history and
         therefore SURVIVE ``vacuum`` (which only removes never-committed
         staging leftovers — see :meth:`vacuum`), so time travel to
-        pre-compact versions keeps working indefinitely; reclaiming that
-        history would need an explicit retention/expire operation, which
-        this format deliberately does not ship."""
+        pre-compact versions keeps working until an EXPLICIT
+        :meth:`expire` reclaims history below a chosen watermark —
+        retention never happens implicitly."""
         import shutil
 
         snap = self.snapshot()
@@ -288,6 +314,58 @@ class ManifestTable:
             # is one directory, so the checkpoint is minimal
             self.write_checkpoint()
         return v
+
+    def expire(self, before_version: int) -> dict:
+        """Retention: reclaim data directories that ONLY snapshots below
+        ``before_version`` reference — the explicit expire operation the
+        compact/vacuum docstrings point to (Delta's retention-window
+        VACUUM, made an explicit verb instead of a time default).
+
+        After expire, ``read(version < before_version)`` and
+        ``snapshot(version < before_version)`` raise; the log entries
+        themselves stay (audit trail), and the watermark rides the
+        normal commit log (an ``expire`` entry + checkpoints), so
+        concurrent readers converge on it like any other commit.
+
+        Safe against concurrent writers: new commits only ever
+        reference directories they staged themselves, so the
+        reclaimable set (dirs referenced below the watermark and by no
+        snapshot at-or-above it) cannot gain new references while we
+        compute it.  The watermark entry publishes BEFORE deletion —
+        a crash in between leaves unreachable-but-present dirs that the
+        next expire run reclaims (idempotent)."""
+        import shutil
+
+        latest = self.latest_version()
+        if before_version > latest:
+            raise ValueError(
+                f"before_version {before_version} is beyond the head "
+                f"({latest})"
+            )
+        # expiring below an existing watermark is a no-op region — clamp
+        # so the keep-set scan never time-travels under the old watermark
+        before_version = max(
+            before_version, self.snapshot()["expired_before"]
+        )
+        keep: set[str] = set()
+        for u in self._versions():
+            if u >= before_version:
+                keep.update(self.snapshot(u)["dirs"])
+        referenced_old: set[str] = set()
+        for u in self._versions():
+            if u < before_version:
+                referenced_old.update(self._read_entry(u).get("dirs", []))
+        doomed = sorted(
+            d
+            for d in referenced_old - keep
+            if os.path.isdir(os.path.join(self.data_dir, d))
+        )
+        self._publish({"action": "expire", "before": before_version,
+                       "dirs": []})
+        for d in doomed:
+            shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+        self.write_checkpoint()
+        return {"expired_before": before_version, "removed_dirs": doomed}
 
     def history(self) -> list[dict]:
         """The committed log, oldest first (audit / debugging surface)."""
@@ -401,8 +479,9 @@ class ManifestTable:
         staged by the committing writer itself.  Directories referenced
         by ANY committed entry — including pre-compact / pre-overwrite
         history — are deliberately preserved, so vacuum never breaks
-        time travel and never reclaims historical data (that would need
-        an explicit retention/expire operation)."""
+        time travel and never reclaims historical data — that is
+        :meth:`expire`'s job, an explicit verb with a watermark, never
+        a side effect of vacuum."""
         import shutil
 
         live = set(self.snapshot()["dirs"])

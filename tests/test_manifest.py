@@ -338,3 +338,53 @@ def test_diff_change_feed_between_versions(spark, tmp_path):
     assert (4, "deleted") in rev
     # no-op diff is empty
     assert mt.diff(v2, v2).count() == 0
+
+
+def test_expire_reclaims_history_and_gates_time_travel(spark, tmp_path):
+    import os
+
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    one = spark.createDataFrame([(1,)], "id long")
+    two = spark.createDataFrame([(2,)], "id long")
+    v1 = mt.append(one, tag="f1")
+    mt.overwrite(two)  # v1's dir now lives only in history
+    three = spark.createDataFrame([(3,)], "id long")
+    v3 = mt.append(three, tag="f3")
+    assert sorted(r.id for r in mt.read().collect()) == [2, 3]
+
+    n_dirs_before = len(os.listdir(mt.data_dir))
+    out = mt.expire(before_version=v3)
+    assert out["removed_dirs"], "the pre-overwrite dir must be reclaimed"
+    assert len(os.listdir(mt.data_dir)) < n_dirs_before
+    # current snapshot unaffected; idempotency tags survive expire
+    # (the expire entry never touches tags)
+    assert sorted(r.id for r in mt.read().collect()) == [2, 3]
+    assert mt.append(three, tag="f3") is None  # tag still refuses a reload
+    # time travel below the watermark is gone, with a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        mt.read(version=v1)
+    # the watermark survives checkpoints and fresh handles
+    mt.write_checkpoint()
+    fresh = ManifestTable(spark, str(tmp_path / "t"))
+    assert fresh.snapshot()["expired_before"] == v3
+    with _pytest.raises(ValueError, match="expired"):
+        fresh.snapshot(version=v1)
+    # re-running expire is a no-op (idempotent)
+    assert fresh.expire(before_version=v3)["removed_dirs"] == []
+
+
+def test_expire_keeps_dirs_still_referenced_at_or_above_watermark(spark, tmp_path):
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    mt.append(spark.createDataFrame([(1,)], "id long"))
+    v2 = mt.append(spark.createDataFrame([(2,)], "id long"))
+    # append-only history: v1's dir is still part of the HEAD snapshot,
+    # so expiring below v2 must reclaim nothing and reads keep working
+    out = mt.expire(before_version=v2)
+    assert out["removed_dirs"] == []
+    assert sorted(r.id for r in mt.read().collect()) == [1, 2]
