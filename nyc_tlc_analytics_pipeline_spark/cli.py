@@ -110,6 +110,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     vc.add_argument("--table", required=True, help="manifest table path")
 
+    xp = sub.add_parser(
+        "expire",
+        help="reclaim manifest history below a version watermark "
+        "(explicit retention; time travel below it is gone)",
+    )
+    xp.add_argument("--table", required=True, help="manifest table path")
+    xp.add_argument("--before-version", type=int, required=True)
+
+    df_ = sub.add_parser(
+        "table-diff",
+        help="change feed between two manifest versions (full-row "
+        "multiset, or keyed inserted/deleted/updated with --keys)",
+    )
+    df_.add_argument("--table", required=True, help="manifest table path")
+    df_.add_argument("--from-version", type=int, required=True)
+    df_.add_argument("--to-version", type=int, default=None)
+    df_.add_argument("--keys", default=None, help="comma-separated key columns")
+    df_.add_argument("--limit", type=int, default=100)
+
     sk = sub.add_parser(
         "diagnose-skew",
         help="per-key count distribution + skew factor for a parquet "
@@ -311,6 +330,27 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = ManifestTable(pl.spark, args.table).vacuum()
         print(json.dumps({"table": args.table, "removed_dirs": removed}))
+    elif args.command == "expire":
+        from .sources.manifest import ManifestTable
+
+        out = ManifestTable(pl.spark, args.table).expire(args.before_version)
+        print(json.dumps({"table": args.table, **out}))
+    elif args.command == "table-diff":
+        from .sources.manifest import ManifestTable
+
+        keys = args.keys.split(",") if args.keys else None
+        changes = ManifestTable(pl.spark, args.table).diff(
+            args.from_version, args.to_version, key_cols=keys
+        )
+        rows = changes.limit(args.limit).collect()
+        print(json.dumps(
+            {
+                "table": args.table,
+                "n_changes": changes.count(),
+                "changes": [r.asDict() for r in rows],
+            },
+            indent=2, sort_keys=True, default=str,
+        ))
     elif args.command == "diagnose-skew":
         from .operators.skew import skew_report
 

@@ -388,3 +388,29 @@ def test_expire_keeps_dirs_still_referenced_at_or_above_watermark(spark, tmp_pat
     out = mt.expire(before_version=v2)
     assert out["removed_dirs"] == []
     assert sorted(r.id for r in mt.read().collect()) == [1, 2]
+
+
+def test_cli_expire_and_table_diff(spark, tmp_path, capsys):
+    import json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    t = str(tmp_path / "t")
+    mt = ManifestTable(spark, t)
+    v1 = mt.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v2 = mt.overwrite(
+        spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string")
+    )
+    wh = str(tmp_path / "wh")
+    rc = main(["--warehouse-dir", wh, "table-diff", "--table", t,
+               "--from-version", str(v1), "--to-version", str(v2),
+               "--keys", "id"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and rep["n_changes"] == 2
+    changes = {(c["id"], c["_change"]) for c in rep["changes"]}
+    assert changes == {(1, "updated"), (2, "inserted")}
+    rc = main(["--warehouse-dir", wh, "expire", "--table", t,
+               "--before-version", str(v2)])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and rep["expired_before"] == v2 and rep["removed_dirs"]
