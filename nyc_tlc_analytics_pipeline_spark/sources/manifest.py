@@ -403,9 +403,20 @@ class ManifestTable:
             raise ValueError(
                 f"schema changed between versions: {cols} vs {new.columns}"
             )
-        row_fp = F.md5(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-        )
+        # NULL-safe fingerprint: concat_ws SKIPS nulls, which would make
+        # (null, 'a') and ('a', null) collide — encode null explicitly
+        def _fp_over(columns: list[str]):
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                        for c in columns
+                    ],
+                )
+            )
+
+        row_fp = _fp_over(cols)
         if key_cols is None:
             def counted(df: DataFrame, side: str) -> DataFrame:
                 return (
@@ -436,9 +447,7 @@ class ManifestTable:
                     F.abs("__delta").cast("long").alias("_n"),
                 )
             )
-        kfp = F.md5(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-        )
+        kfp = _fp_over(key_cols)
 
         def keyed(df: DataFrame, side: str) -> DataFrame:
             return (

@@ -414,3 +414,22 @@ def test_cli_expire_and_table_diff(spark, tmp_path, capsys):
                "--before-version", str(v2)])
     rep = json.loads(capsys.readouterr().out)
     assert rc == 0 and rep["expired_before"] == v2 and rep["removed_dirs"]
+
+
+def test_diff_distinguishes_null_positions(spark, tmp_path):
+    """concat_ws skips nulls — the fingerprint must not let
+    (null, 'a') and ('a', null) collide."""
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "t"))
+    v1 = mt.overwrite(
+        spark.createDataFrame([(1, None, "a")], "id long, x string, y string")
+    )
+    v2 = mt.overwrite(
+        spark.createDataFrame([(1, "a", None)], "id long, x string, y string")
+    )
+    ch = {(r.x, r.y, r._change) for r in mt.diff(v1, v2).collect()}
+    assert ch == {(None, "a", "deleted"), ("a", None, "inserted")}
+    assert {(r.id, r._change) for r in mt.diff(v1, v2, key_cols=["id"]).collect()} == {
+        (1, "updated")
+    }
