@@ -72,7 +72,10 @@ def zorder_file_profile(
     data), then report each file's row count and per-dimension min/max —
     exactly the parquet footer stats a scan's predicate pushdown prunes
     against.  Static bucket edges (key-space, not data-dependent) keep
-    the assignment deterministic and oracle-checkable."""
+    the assignment deterministic and oracle-checkable.  ``n_buckets``
+    is effectively rounded UP to a power of two (file id = the key's
+    top ceil(log2(n_buckets)) bits) — non-power-of-two values get the
+    next wider split, never a silent mis-bucketing."""
     total_bits = bits * len(dims)
     shift = total_bits - max(n_buckets - 1, 1).bit_length()
     zb = F.shiftright(zorder_key(list(dims), bits), shift).alias("file_id")
