@@ -1,7 +1,11 @@
-"""Round-6 hardening tests: the MinHash pair source for leakage-safe
-splits, the approx-percentile 100 TB escape hatch, the banded-phash
-completeness guard, and multiset semantics of the keyless interval
-join."""
+"""Round-6 tests: the MinHash pair source for leakage-safe splits, the
+approx-percentile 100 TB escape hatch, the banded-phash completeness
+guard, multiset semantics of the keyless interval join, and the round-6
+operators — Z-order layout + zordered writes, scalable global
+row_number, serpentine shards, keep-best canonical dedup, bigram-LM
+perplexity, margin mining, BPE train/encode, epoch waterfilling, PSI /
+Hill statistics, power-iteration PCA (+ deflation), rendezvous
+sharding, vocab-coverage planning, and the tokenize/drift CLI verbs."""
 
 from __future__ import annotations
 
