@@ -162,6 +162,7 @@ _SWEEP_COST = {
     "q133_counterfactual_leakage": 4.08,
     "q134_deflated_second_pc": 6.91,
     "q135_feature_hashing_calibration": 6.00,
+    "q136_dedup_threshold_curve": 6.00,
 }
 
 
@@ -213,6 +214,7 @@ _NEVER_RECORDED = [
     "q133_counterfactual_leakage",
     "q134_deflated_second_pc",
     "q135_feature_hashing_calibration",
+    "q136_dedup_threshold_curve",
 ]
 
 # One sub-second query registered ahead of everything: the first query

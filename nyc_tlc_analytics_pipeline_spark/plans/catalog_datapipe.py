@@ -8146,3 +8146,82 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jacc_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — dedup-savings threshold curve: one exact pair pass, every
+# candidate threshold's pair volume + removable-doc estimate
+# ---------------------------------------------------------------------------
+
+_Q136_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+_Q136_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+jp AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           round(1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+                 + 1e-9, 6) AS j
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {min(_Q136_THRESHOLDS)}
+),
+th(threshold) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _Q136_THRESHOLDS)}),
+curve AS (
+    SELECT t.threshold,
+           count(jp.j) AS n_pairs,
+           count(DISTINCT jp.doc_b) AS n_removable
+    FROM th t LEFT JOIN jp ON jp.j >= t.threshold
+    GROUP BY t.threshold
+)
+SELECT threshold,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(n_removable, 0) AS BIGINT) AS n_removable
+FROM curve
+ORDER BY threshold
+"""
+
+
+@register(
+    "q136_dedup_threshold_curve",
+    _Q136_ORACLE,
+    "Dedup knob tuning in ONE pair pass: pairs computed once at the "
+    "loosest candidate threshold, then every threshold's near-dup pair "
+    "volume and removable-doc estimate (distinct larger-id pair "
+    "members — exact for star clusters, an upper bound in general, the "
+    "standard quick what-if before a full keep-first run).  The join "
+    "to the thresholds frame is |pairs|×|thresholds| with 4 literal "
+    "thresholds — bounded.",
+    operators=("dedup-threshold-curve", "A2", "A4"),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    jp = (
+        dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=min(_Q136_THRESHOLDS)
+        )
+        .select("doc_a", "doc_b", rnd("jaccard", 6).alias("j"))
+        .localCheckpoint(eager=False)
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _Q136_THRESHOLDS], "threshold double"
+    )
+    return (
+        th.join(jp, jp["j"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("j").cast("long").alias("n_pairs"),
+            F.count_distinct("doc_b").cast("long").alias("n_removable"),
+        )
+        .orderBy("threshold")
+    )
