@@ -171,7 +171,7 @@ _SWEEP_COST = {
 # r5 ordering cost-sorted WITHIN the unrecorded group, losing exactly
 # the expensive tail), 2 that errored in r5 on array<string> result
 # columns (now stringified), and the queries new in round 6
-# (q110-q134).  These must register absolutely first, regardless of
+# (q110-q136).  These must register absolutely first, regardless of
 # cost, so the cap cannot push them out again.  (The block now exceeds
 # 25 entries: with the warmup it fills ~2/3 of the 50-row cap, leaving
 # the cheapest previously-green queries to fill the rest — prior
