@@ -1,0 +1,144 @@
+"""End-to-end curation funnel compositions: rule gate → bigram-LM
+perplexity filter → keep-best canonical dedup — the pipeline shape of
+published LLM-data curation stacks (C4/Gopher rule batteries, CCNet
+LM filtering, near-dup canonicalization), composed from this package's
+operators so every stage keeps its individual scale posture:
+
+- the rule gate is in-row codegen (``operators.rules``) — fused into
+  the scan, no shuffle;
+- perplexity is one bigram-keyed join (``operators.lm``), broadcast
+  when scoring against a fixed held-out model;
+- the dedup stage's pair source is PLUGGABLE through
+  :func:`dedup.near_dup_pairs` — MinHash-LSH by default (bucket-bounded
+  candidates, the 100 TB path), exact prefix-filtered Jaccard as the
+  oracle-gated verification mode.
+
+The funnel runs once; both consumers reuse its stage frames: q122-style
+shard building consumes the keepers, q132-style attribution left-joins
+the stage frames back onto the full corpus so every document is charged
+to the stage that removed it.  The gated pool is localCheckpointed
+because three stages (scoring, dedup, attribution) would otherwise each
+re-run the rule battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..functions.scalar import rnd
+from . import dedup, lm, rules, text
+
+
+def curation_funnel_stages(
+    docs: DataFrame,
+    ppl_cutoff: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+    lm_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared funnel stages, returned separately so callers compose
+    them (sharding consumes ``keepers``; attribution joins all three):
+
+    - ``gated``: rule-passing docs — (id, text, n_tokens);
+    - ``scored``: per-doc bigram log-perplexity rounded 6 dp (self-model
+      over the gated pool by default; pass ``lm_stats`` — a
+      :func:`lm.corpus_bigram_stats` frame from a held-out corpus — for
+      the production CCNet shape where the model side is a fixed
+      broadcastable table);
+    - ``keepers``: perplexity-surviving docs after keep-best canonical
+      dedup (longest member of each near-dup cluster wins) — (id,
+      n_tokens).
+
+    The near-dup pair source is :func:`dedup.near_dup_pairs`'s knob:
+    MinHash-LSH default, ``pair_source="jaccard"`` for the exact
+    oracle-gated mode, or any precomputed ``pairs=``."""
+    tk = docs.withColumn("__tk", text.tokens(text_col))
+    gated = (
+        rules.apply_rules(tk, text_col, toks="__tk")
+        .filter(col("rules_pass"))
+        .select(id_col, text_col, F.size("__tk").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    scored = lm.doc_bigram_perplexity(
+        gated, [id_col], text_col, stats=lm_stats
+    ).withColumn("log_ppl", rnd(col("log_ppl"), 6))
+    kept = gated.join(
+        scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
+        id_col,
+    )
+    p = dedup.near_dup_pairs(
+        kept, id_col, text_col, pairs=pairs, pair_source=pair_source,
+        n=n, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        hash_mode=hash_mode,
+    ).select("doc_a", "doc_b")
+    keepers = (
+        dedup.canonical_keep_best(
+            kept.select(id_col, "n_tokens"), p, id_col, "n_tokens"
+        )
+        .filter(col("keep"))
+        .select(id_col, "n_tokens")
+    )
+    return gated, scored, keepers
+
+
+def funnel_attribution(
+    docs: DataFrame,
+    ppl_cutoff: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+    lm_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Every document attributed to the funnel stage that removed it —
+    'rules' (failed the gate), 'perplexity' (unscored or over the
+    cutoff), 'duplicate' (lost keep-best), or 'kept' — the audit report
+    a production pipeline ships next to its curated corpus.
+
+    Returns one row per document: (id, group, n_tokens, stage).  The
+    attribution itself is three LEFT JOINs on the id key; all the heavy
+    lifting happens once inside :func:`curation_funnel_stages` (whose
+    pair source is pluggable — MinHash default, exact as oracle mode)."""
+    gated, scored, keepers = curation_funnel_stages(
+        docs, ppl_cutoff, id_col, text_col,
+        pairs=pairs, pair_source=pair_source, n=n, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, hash_mode=hash_mode,
+        lm_stats=lm_stats,
+    )
+    return (
+        docs.select(
+            id_col, group_col, text.token_count(text_col).alias("n_tokens")
+        )
+        .join(gated.select(id_col, lit(1).alias("__g")), id_col, "left")
+        .join(scored.select(id_col, "log_ppl"), id_col, "left")
+        .join(keepers.select(id_col, lit(1).alias("__k")), id_col, "left")
+        .withColumn(
+            "stage",
+            F.when(col("__g").isNull(), "rules")
+            .when(
+                col("log_ppl").isNull()
+                | (col("log_ppl") > lit(float(ppl_cutoff))),
+                "perplexity",
+            )
+            .when(col("__k").isNull(), "duplicate")
+            .otherwise("kept"),
+        )
+        .drop("__g", "__k")
+    )

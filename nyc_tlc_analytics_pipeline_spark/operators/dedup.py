@@ -1032,6 +1032,57 @@ def cdc_chunks(
 # duplicate-cluster canonical selection (keep-best, not keep-first)
 # ---------------------------------------------------------------------------
 
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """The shared near-dup pair SOURCE for every pair-consuming operator
+    (keep-best canonical dedup, leakage-safe splits, funnel attribution,
+    threshold curves, representation calibration).  That choice IS the
+    scale knob, so it is made in exactly one place:
+
+    - ``pair_source="minhash"`` (DEFAULT — the production path): banded
+      MinHash-LSH candidates verified by exact Jaccard
+      (:func:`minhash_dedup_pairs`).  Candidate volume is bucket-bounded
+      (~2.4× at 10× corpus growth measured), which is what survives the
+      reference's 370M-row scale and 100 TB.
+    - ``pair_source="jaccard"``: exact all-qualifying pairs via the
+      prefix-filtered shingle join (:func:`jaccard_pairs`) — recall 1.0
+      but super-linear pair-join growth (~5.6× at 10×); the oracle-gated
+      verification mode, not the scale default.
+    - ``pairs=<DataFrame>``: any precomputed (doc_a, doc_b[, jaccard])
+      frame (SimHash, embedding LSH, SemDeDup, CDC...) — overrides
+      ``pair_source`` entirely.
+
+    Returns (doc_a, doc_b, jaccard) — both built-in sources verify
+    candidates exactly, so ``jaccard`` is the true n-gram Jaccard and
+    MinHash-mode pairs are always a SUBSET of exact-mode pairs at the
+    same threshold (pytest-verified mode-equivalence)."""
+    if pairs is not None:
+        return pairs
+    if pair_source == "minhash":
+        return minhash_dedup_pairs(
+            df, id_col, text_col, n=n, num_hashes=num_hashes,
+            bands=bands, threshold=threshold, hash_mode=hash_mode,
+        )
+    if pair_source == "jaccard":
+        return jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+    raise ValueError(
+        f"unknown pair_source {pair_source!r} (minhash|jaccard, or pass pairs=)"
+    )
+
+
 def canonical_keep_best(
     df: DataFrame,
     pairs: DataFrame,
@@ -1079,4 +1130,84 @@ def canonical_keep_best(
         assigned.withColumn("cluster_size", F.count("*").over(w).cast("long"))
         .withColumn("keep", F.row_number().over(wo) == lit(1))
         .drop("__score")
+    )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: Column | str,
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Keep-best canonical dedup END TO END: resolve the near-dup pair
+    set (:func:`near_dup_pairs` — MinHash-LSH by DEFAULT, exact Jaccard
+    as the oracle-gated mode, or any precomputed ``pairs=``) and pick
+    each cluster's survivor by quality (:func:`canonical_keep_best`).
+    This is the operator entry point a 100 TB run calls; conformance
+    registrations pin ``pair_source="jaccard"`` so the DuckDB oracle can
+    replay the exact pair set.
+
+    ``df`` must carry ``id_col``, ``text_col`` and whatever ``score_col``
+    reads.  Returns ``df`` plus (cluster_id, cluster_size, keep)."""
+    p = near_dup_pairs(
+        df, id_col, text_col, pairs=pairs, pair_source=pair_source,
+        n=n, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        hash_mode=hash_mode,
+    ).select("doc_a", "doc_b")
+    return canonical_keep_best(df, p, id_col, score_col)
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[float, ...] | list[float],
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Dedup-savings threshold curve in ONE pair pass: pairs are
+    generated once at the LOOSEST candidate threshold
+    (``min(thresholds)``), then every threshold's qualifying pair volume
+    and removable-doc estimate (distinct larger-id members — exact for
+    star clusters, an upper bound in general) come from a
+    |pairs|×|thresholds| join with a literal thresholds frame.
+
+    Pair source is pluggable (:func:`near_dup_pairs`): MinHash-LSH by
+    default — the knob-tuning what-if a production run does BEFORE a
+    full keep-first pass should itself run at production scale — with
+    ``pair_source="jaccard"`` as the exact oracle-gated mode.
+
+    Returns (threshold, n_pairs, n_removable) sorted by threshold."""
+    lo = min(thresholds)
+    jp = near_dup_pairs(
+        df, id_col, text_col, pairs=pairs, pair_source=pair_source,
+        n=n, threshold=lo, num_hashes=num_hashes, bands=bands,
+        hash_mode=hash_mode,
+    ).select(
+        "doc_a", "doc_b", F.round(col("jaccard") + lit(1e-9), 6).alias("j")
+    ).localCheckpoint(eager=False)
+    th = df.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        th.join(jp, jp["j"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("j").cast("long").alias("n_pairs"),
+            F.count_distinct("doc_b").cast("long").alias("n_removable"),
+        )
+        .orderBy("threshold")
     )

@@ -110,26 +110,89 @@ def leakage_safe_splits(
     (:func:`assign_split` semantics)."""
     from . import dedup, graph
 
-    if pairs is None:
-        if pair_source == "minhash":
-            pairs = dedup.minhash_dedup_pairs(
-                docs, id_col, text_col, n=n, num_hashes=num_hashes,
-                bands=bands, threshold=threshold,
-            )
-        elif pair_source == "jaccard":
-            pairs = dedup.jaccard_pairs(
-                docs, id_col, text_col, n=n, threshold=threshold
-            )
-        else:
-            raise ValueError(
-                f"unknown pair_source {pair_source!r} (minhash|jaccard, "
-                f"or pass pairs=)"
-            )
+    pairs = dedup.near_dup_pairs(
+        docs, id_col, text_col, pairs=pairs, pair_source=pair_source,
+        n=n, threshold=threshold, num_hashes=num_hashes, bands=bands,
+    )
     cc = graph.connected_components(pairs.select("doc_a", "doc_b"))
     grouped = docs.join(
         cc.select(col("node").alias(id_col), col("component")), id_col, "left"
     ).withColumn("g", F.coalesce(col("component"), col(id_col)))
     return assign_split(grouped.drop("component"), "g", weights, salt=salt)
+
+
+def counterfactual_leakage_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Why :func:`leakage_safe_splits` exists, quantified on THIS corpus:
+    the same near-dup pair set is evaluated under the cluster-keyed
+    assignment (zero pairs may straddle splits, by construction) versus
+    a naive per-doc hash split (every cross-assigned near-dup pair is
+    train/test contamination).  One row per mode with pair counts,
+    straddle share, and distinct leaked docs.
+
+    The pair set is pluggable (:func:`dedup.near_dup_pairs`) and feeds
+    BOTH the cluster assignment and the audit join, so report and split
+    always agree on what counts as a near-duplicate.  MinHash-LSH is the
+    default — a leakage audit of a 100 TB corpus has to run at the same
+    scale as the split itself; exact Jaccard is the oracle-gated mode.
+
+    Scale shape: the pair frame is localCheckpointed once (it feeds the
+    closure, two split joins, and the audit aggregate), split assignment
+    is a map-side hash, and each mode is one pair-keyed join + a 1-row
+    aggregate."""
+    from . import dedup
+    from ..functions.scalar import rnd
+
+    p = dedup.near_dup_pairs(
+        docs, id_col, text_col, pairs=pairs, pair_source=pair_source,
+        n=n, threshold=threshold, num_hashes=num_hashes, bands=bands,
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    cl = leakage_safe_splits(
+        docs.select(id_col, text_col), id_col, text_col, weights,
+        salt=salt, pairs=p,
+    ).select(id_col, "split")
+    nv = assign_split(
+        docs.select(id_col), id_col, weights, salt=salt
+    ).select(id_col, "split")
+
+    def mode_stats(assign: DataFrame, mode: str) -> DataFrame:
+        a = assign.select(col(id_col).alias("doc_a"), col("split").alias("sa"))
+        b = assign.select(col(id_col).alias("doc_b"), col("split").alias("sb"))
+        ed = (
+            p.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                (col("sa") != col("sb")).cast("long").alias("straddle"),
+                F.explode(F.array("doc_a", "doc_b")).alias("d"),
+            )
+        )
+        return ed.agg(
+            lit(mode).alias("mode"),
+            (F.count("*") / 2).cast("long").alias("n_pairs"),
+            (F.sum("straddle") / 2).cast("long").alias("n_straddling"),
+            rnd(F.sum("straddle") / F.count("*"), 6).alias("straddle_share"),
+            F.count_distinct(
+                F.when(col("straddle") == 1, col("d"))
+            ).cast("long").alias("n_leaked_docs"),
+        )
+
+    return (
+        mode_stats(cl, "cluster")
+        .unionByName(mode_stats(nv, "naive"))
+        .orderBy("mode")
+    )
 
 
 def dsir_importance_select(

@@ -453,3 +453,76 @@ def margin_mine_pairs(
         .filter(col("rn") == 1)
         .select("vec_a", "vec_b", col("cos_r").alias("cos_sim"), "margin")
     )
+
+
+def hashed_cosine_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    *,
+    pairs: DataFrame | None = None,
+    pair_source: str = "minhash",
+    n: int = 3,
+    threshold: float = 0.05,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Representation-calibration report: near-dup pairs bucketed by
+    their n-gram Jaccard, each bucket's mean/min cosine between the
+    docs' feature-HASHED vectors (:func:`text.feature_hash_vectors`) —
+    how faithfully the cheap fixed-dim representation preserves the
+    expensive set similarity.
+
+    The pair source is pluggable (:func:`dedup.near_dup_pairs`):
+    MinHash-LSH by DEFAULT — calibrating a 100 TB corpus' featurizer
+    has to sample pairs at production scale — with exact prefix-filtered
+    Jaccard as the oracle-gated mode.  Vector frames stay (doc, bucket)
+    sparse; the pair dot product joins on (doc, bucket); norms are one
+    doc-keyed aggregate.
+
+    Returns (jacc_bucket, n_pairs, avg_hashed_cosine,
+    min_hashed_cosine) sorted by bucket."""
+    from . import dedup, text as T
+
+    hv = T.feature_hash_vectors(docs, id_col, text_col, dim).localCheckpoint(
+        eager=False
+    )
+    nrm = hv.groupBy(id_col).agg(
+        F.sqrt(F.sum(col("val") * col("val"))).alias("n")
+    )
+    jp = dedup.near_dup_pairs(
+        docs, id_col, text_col, pairs=pairs, pair_source=pair_source,
+        n=n, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        hash_mode=hash_mode,
+    ).select("doc_a", "doc_b", rnd("jaccard", 6).alias("jaccard"))
+    a = hv.select(col(id_col).alias("doc_a"), "bucket", col("val").alias("va"))
+    b = hv.select(col(id_col).alias("doc_b"), "bucket", col("val").alias("vb"))
+    dots = (
+        jp.join(a, "doc_a")
+        .join(b, ["doc_b", "bucket"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(F.sum(col("va") * col("vb")).alias("dot"))
+    )
+    na = nrm.select(col(id_col).alias("doc_a"), col("n").alias("na"))
+    nb = nrm.select(col(id_col).alias("doc_b"), col("n").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            (rnd(col("jaccard") + 0.05, 1) - lit(0.1)).alias("jb"),
+            rnd(
+                col("dot") / F.nullif(col("na") * col("nb"), lit(0.0)), 6
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.groupBy(rnd(col("jb"), 1).alias("jacc_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rnd(F.avg("cos"), 6).alias("avg_hashed_cosine"),
+            rnd(F.min("cos"), 6).alias("min_hashed_cosine"),
+        )
+        .orderBy("jacc_bucket")
+    )

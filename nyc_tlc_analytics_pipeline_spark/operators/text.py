@@ -186,6 +186,37 @@ def ngram_heavy_hitters(
     )
 
 
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick text vectors (Weinberger et al. 2009): each token
+    lands in bucket ``md5(token) % dim`` with a ±1 sign from another
+    digest bit, summed per (doc, bucket) — a model-free text→vector
+    bridge whose dimensionality is FIXED regardless of vocabulary, so
+    the output frame is (docs × ≤dim) sparse rows no matter how the
+    corpus grows.
+
+    Returns the SPARSE form (id, bucket, val) — dot products between
+    docs join on (id, bucket) and never materialize dense vectors; both
+    hashes are md5-derived, so any SQL oracle reproduces the exact
+    vectors.  One explode + one (doc, bucket)-keyed aggregate."""
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    bucket = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
+        "long"
+    ) % lit(int(dim))
+    sign = F.when(
+        F.conv(F.substring(F.md5("token"), 9, 1), 16, 10).cast("long") % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return tok.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.sum(sign).alias("val")
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document text metrics."""
     return df.withColumns(

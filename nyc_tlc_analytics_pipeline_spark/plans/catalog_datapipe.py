@@ -5932,19 +5932,24 @@ ORDER BY source
     "instead of the min-id — the production dedup rule that retains the "
     "best copy of each near-dup family.  Per-source retention report.  "
     "The oracle replays the closure with a recursive CTE and the same "
-    "(n_tokens DESC, doc_id) window.",
+    "(n_tokens DESC, doc_id) window.  This registration pins the EXACT "
+    "pair source so the oracle can replay it; the operator's default is "
+    "MinHash-LSH (q137 registers that production mode).",
     operators=("dedup-canonical", "graph-cc", "W1", "A4"),
 )
 def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
-    ).select("doc_a", "doc_b")
-    kept = dedup.canonical_keep_best(
-        docs.select("doc_id", "source", text.token_count("text").alias("n_tokens")),
-        pairs,
+    kept = dedup.canonical_dedup(
+        docs.select(
+            "doc_id", "source", "text",
+            text.token_count("text").alias("n_tokens"),
+        ),
         "doc_id",
+        "text",
         "n_tokens",
+        pair_source="jaccard",
+        n=3,
+        threshold=_Q25_THRESHOLD,
     )
     keep_tok = F.when(col("keep"), col("n_tokens")).otherwise(lit(0))
     return (
@@ -6731,28 +6736,12 @@ ORDER BY shard
                "layout-shards"),
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import layout, lm, rules, text as T
+    from ..operators import curation, layout
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    tk = docs.withColumn("tk", T.tokens("text"))
-    gated = (
-        rules.filter_by_rules(tk, "text", toks="tk")
-        .select("doc_id", "text", F.size("tk").alias("n_tokens"))
-        .localCheckpoint(eager=False)
+    _, _, keepers = curation.curation_funnel_stages(
+        docs, _Q122_PPL, pair_source="jaccard", threshold=_Q25_THRESHOLD
     )
-    scored = lm.doc_bigram_perplexity(gated, ["doc_id"]).withColumn(
-        "log_ppl", rnd(col("log_ppl"), 6)
-    )
-    kept = gated.join(
-        scored.filter(col("log_ppl") <= lit(_Q122_PPL)).select("doc_id"),
-        "doc_id",
-    )
-    pairs = dedup.jaccard_pairs(
-        kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
-    ).select("doc_a", "doc_b")
-    keepers = dedup.canonical_keep_best(
-        kept.select("doc_id", "n_tokens"), pairs, "doc_id", "n_tokens"
-    ).filter(col("keep"))
     dealt = layout.serpentine_shards(
         keepers.select("doc_id", "n_tokens"), "n_tokens", "doc_id",
         _Q122_SHARDS,
@@ -7717,50 +7706,11 @@ ORDER BY source, stage
                "dedup-canonical", "A4"),
 )
 def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import lm, rules, text as T
+    from ..operators import curation
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    tk = docs.withColumn("tk", T.tokens("text"))
-    flagged = rules.apply_rules(tk, "text", toks="tk")
-    gated = (
-        flagged.filter(col("rules_pass"))
-        .select("doc_id", "text", F.size("tk").alias("n_tokens"))
-        .localCheckpoint(eager=False)
-    )
-    scored = lm.doc_bigram_perplexity(gated, ["doc_id"]).withColumn(
-        "log_ppl", rnd(col("log_ppl"), 6)
-    )
-    kept = gated.join(
-        scored.filter(col("log_ppl") <= lit(_Q122_PPL)).select("doc_id"),
-        "doc_id",
-    )
-    pairs = dedup.jaccard_pairs(
-        kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
-    ).select("doc_a", "doc_b")
-    keepers = (
-        dedup.canonical_keep_best(
-            kept.select("doc_id", "n_tokens"), pairs, "doc_id", "n_tokens"
-        )
-        .filter(col("keep"))
-        .select("doc_id", lit(1).alias("__k"))
-    )
-    attr = (
-        docs.select(
-            "doc_id", "source", text.token_count("text").alias("n_tokens")
-        )
-        .join(gated.select("doc_id", lit(1).alias("__g")), "doc_id", "left")
-        .join(scored.select("doc_id", "log_ppl"), "doc_id", "left")
-        .join(keepers, "doc_id", "left")
-        .withColumn(
-            "stage",
-            F.when(col("__g").isNull(), "rules")
-            .when(
-                col("log_ppl").isNull() | (col("log_ppl") > lit(_Q122_PPL)),
-                "perplexity",
-            )
-            .when(col("__k").isNull(), "duplicate")
-            .otherwise("kept"),
-        )
+    attr = curation.funnel_attribution(
+        docs, _Q122_PPL, pair_source="jaccard", threshold=_Q25_THRESHOLD
     )
     return (
         attr.groupBy("source", "stage")
@@ -7872,42 +7822,9 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = dedup.jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
-    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
-    cl = sampling.leakage_safe_splits(
+    return sampling.counterfactual_leakage_report(
         docs, "doc_id", "text", weights, salt=_Q77_SALT,
         pair_source="jaccard", n=3, threshold=_Q25_THRESHOLD,
-    ).select("doc_id", "split")
-    nv = sampling.assign_split(
-        docs.select("doc_id"), "doc_id", weights, salt=_Q77_SALT
-    ).select("doc_id", "split")
-
-    def mode_stats(assign: DataFrame, mode: str) -> DataFrame:
-        a = assign.select(col("doc_id").alias("doc_a"), col("split").alias("sa"))
-        b = assign.select(col("doc_id").alias("doc_b"), col("split").alias("sb"))
-        ed = (
-            pairs.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                (col("sa") != col("sb")).cast("long").alias("straddle"),
-                F.explode(F.array("doc_a", "doc_b")).alias("d"),
-            )
-        )
-        return ed.agg(
-            lit(mode).alias("mode"),
-            (F.count("*") / 2).cast("long").alias("n_pairs"),
-            (F.sum("straddle") / 2).cast("long").alias("n_straddling"),
-            rnd(F.sum("straddle") / F.count("*"), 6).alias("straddle_share"),
-            F.count_distinct(
-                F.when(col("straddle") == 1, col("d"))
-            ).cast("long").alias("n_leaked_docs"),
-        )
-
-    return (
-        mode_stats(cl, "cluster")
-        .unionByName(mode_stats(nv, "naive"))
-        .orderBy("mode")
     )
 
 
@@ -8097,54 +8014,9 @@ ORDER BY jacc_bucket
 )
 def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
-    bucket = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
-        "long"
-    ) % _Q135_DIM
-    sign = F.when(
-        F.conv(F.substring(F.md5("token"), 9, 1), 16, 10).cast("long") % 2
-        == 0,
-        1,
-    ).otherwise(-1)
-    hv = (
-        tok.groupBy("doc_id", bucket.alias("bucket"))
-        .agg(F.sum(sign).alias("val"))
-        .localCheckpoint(eager=False)
-    )
-    nrm = hv.groupBy("doc_id").agg(
-        F.sqrt(F.sum(col("val") * col("val"))).alias("n")
-    )
-    jp = dedup.jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_Q135_TH
-    ).select("doc_a", "doc_b", rnd("jaccard", 6).alias("jaccard"))
-    a = hv.select(col("doc_id").alias("doc_a"), "bucket", col("val").alias("va"))
-    b = hv.select(col("doc_id").alias("doc_b"), "bucket", col("val").alias("vb"))
-    dots = (
-        jp.join(a, "doc_a")
-        .join(b, ["doc_b", "bucket"])
-        .groupBy("doc_a", "doc_b", "jaccard")
-        .agg(F.sum(col("va") * col("vb")).alias("dot"))
-    )
-    na = nrm.select(col("doc_id").alias("doc_a"), col("n").alias("na"))
-    nb = nrm.select(col("doc_id").alias("doc_b"), col("n").alias("nb"))
-    scored = (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            (rnd(col("jaccard") + 0.05, 1) - lit(0.1)).alias("jb"),
-            rnd(col("dot") / F.nullif(col("na") * col("nb"), lit(0.0)), 6).alias(
-                "cos"
-            ),
-        )
-    )
-    return (
-        scored.groupBy(rnd(col("jb"), 1).alias("jacc_bucket"))
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            rnd(F.avg("cos"), 6).alias("avg_hashed_cosine"),
-            rnd(F.min("cos"), 6).alias("min_hashed_cosine"),
-        )
-        .orderBy("jacc_bucket")
+    return similarity.hashed_cosine_calibration(
+        docs, "doc_id", "text", dim=_Q135_DIM,
+        pair_source="jaccard", n=3, threshold=_Q135_TH,
     )
 
 
@@ -8206,22 +8078,7 @@ ORDER BY threshold
 )
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    jp = (
-        dedup.jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=min(_Q136_THRESHOLDS)
-        )
-        .select("doc_a", "doc_b", rnd("jaccard", 6).alias("j"))
-        .localCheckpoint(eager=False)
-    )
-    th = spark.createDataFrame(
-        [(t,) for t in _Q136_THRESHOLDS], "threshold double"
-    )
-    return (
-        th.join(jp, jp["j"] >= th["threshold"], "left")
-        .groupBy("threshold")
-        .agg(
-            F.count("j").cast("long").alias("n_pairs"),
-            F.count_distinct("doc_b").cast("long").alias("n_removable"),
-        )
-        .orderBy("threshold")
+    return dedup.dedup_threshold_curve(
+        docs, "doc_id", "text", _Q136_THRESHOLDS,
+        pair_source="jaccard", n=3,
     )
