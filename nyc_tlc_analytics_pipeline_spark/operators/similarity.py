@@ -383,13 +383,58 @@ def read_ivf_probe(
     return cosine_topk(indexed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def estimated_rows(df: DataFrame, bytes_per_row: int = 400) -> int:
+    """Catalyst's optimizer row estimate for a plan — from parquet
+    row-count statistics when available, else the plan's size estimate
+    over an assumed row width.  Derived WITHOUT running a Spark job (an
+    extra count() to pick a strategy would itself be a full scan at
+    100 TB — the ``dedup._estimated_size_bytes`` precedent).  Falls back
+    to 'huge' when no estimate exists: over-partitioning is the safe
+    failure mode for an LSH sizing decision (more planes → fewer
+    comparisons), under-partitioning is the quadratic cliff."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        return max(1, int(stats.sizeInBytes()) // bytes_per_row)
+    except Exception:
+        return 1 << 30
+
+
+def auto_n_planes(
+    n_rows: int,
+    base: int = 4,
+    target_occupancy: int = 2048,
+    max_planes: int = 24,
+) -> int:
+    """Occupancy-holding hyperplane count:
+    ``base + ceil(log2(n / target_occupancy))``.  A single-table LSH
+    with a FIXED plane count is a scale cliff — expected bucket
+    occupancy grows linearly with the corpus, in-bucket candidate pairs
+    quadratically (measured 9.0× runtime at 10× data with 4 planes).
+    Adding one plane per doubling of the corpus holds occupancy at
+    ``target_occupancy``, making candidate volume grow LINEARLY.  Same
+    auto-sizing precedent as SemDeDup's auto-k (cluster.py) and
+    jaccard_pairs' plan-stats strategy pick."""
+    import math
+
+    extra = max(0, math.ceil(math.log2(max(1.0, n_rows / target_occupancy))))
+    return min(base + extra, max_planes)
+
+
 def margin_mine_pairs(
     a_df: DataFrame,
     b_df: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     k: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    dim: int | None = None,
+    seed: int = 42,
+    base_planes: int = 4,
+    target_occupancy: int = 2048,
 ) -> DataFrame:
     """Bitext-style margin mining (Artetxe & Schwenk 2019, additive
     margin): for every A-side vector, its best B-side partner scored by
@@ -408,9 +453,23 @@ def margin_mine_pairs(
     All cosines are nudge-rounded to 6 dp BEFORE ranking and averaging,
     so top-k membership, neighborhood means, and the final argmax are
     deterministic cross-engine.  Returns one row per mined A vector:
-    (vec_a, vec_b, cos_sim, margin)."""
+    (vec_a, vec_b, cos_sim, margin).
+
+    ``planes=None`` (the production default) AUTO-SCALES the plane
+    count from Catalyst's plan-stats row estimate
+    (:func:`auto_n_planes` — occupancy-holding, one extra plane per
+    corpus doubling, no Spark job spent on the decision); pass explicit
+    ``planes`` to pin the buckets for an external verifier (the
+    oracle-gated fixed-plane conformance mode)."""
     from pyspark.sql import Window
 
+    if planes is None:
+        if dim is None:
+            dim = len(a_df.select(vec_col).head()[0])
+        n_est = estimated_rows(a_df) + estimated_rows(b_df)
+        planes = random_hyperplanes(
+            auto_n_planes(n_est, base_planes, target_occupancy), dim, seed
+        )
     a = a_df.select(
         col(id_col).alias("vec_a"), as_double_array(vec_col).alias("v_a")
     ).withColumn("bucket", lsh_bucket(col("v_a"), planes))

@@ -257,14 +257,22 @@ def bpe_train_merges(
     tie-breaks (count DESC, left, right) for a fully deterministic
     trajectory.
 
-    Per round, the only driver-side data is the 1-row argmax (model-
-    sized, the k-means-centroid precedent).  Returns a list of
+    Per round, the only driver-side data is ONE 1-row aggregate: the
+    (count DESC, l, r) argmax via ``min_by`` over the (-count, l, r)
+    struct order AND the total weighted pair-occurrence count, in the
+    same job.  The total is what makes the per-round stat free: every
+    word's symbol count is its adjacent-pair count + 1, so
+
+        Σ_w freq·symbols(w) = Σ_w freq + Σ_pairs count = total_freq + tot
+
+    — the weighted mean symbols-per-word after merge r is computed
+    analytically from round r+1's pair totals (one trailing aggregate
+    covers the final merge), halving the Spark jobs per merge round vs
+    a separate post-merge stat pass.  Returns a list of
     ``(round, left, right, pair_count, avg_symbols_after)`` — the
     learned merge table plus the weighted mean symbols-per-word after
     applying each merge (proof the merge was applied, not just
     counted)."""
-    from ..functions.scalar import rnd as _rnd
-
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -274,8 +282,20 @@ def bpe_train_merges(
         )
         .localCheckpoint()
     )
-    merges = []
-    for r in range(1, n_merges + 1):
+    total_freq = int(
+        vocab.agg(F.sum("freq").alias("tf")).collect()[0].tf or 0
+    )
+
+    def stat_after(tot_pairs) -> float:
+        # nudge-rounded like functions/scalar.rnd so the value equals
+        # the oracle's round(sum(freq*symbols)/sum(freq) + 1e-9, 6)
+        if total_freq == 0:
+            return 0.0
+        return round(
+            (total_freq + int(tot_pairs or 0)) / total_freq + 1e-9, 6
+        )
+
+    def pair_summary(v):
         arr = F.split(F.expr("substring(w, 2, length(w) - 2)"), "><")
         n = F.size(arr)
         pairs = F.when(
@@ -286,17 +306,31 @@ def bpe_train_merges(
                 lambda a, b: F.struct(a.alias("l"), b.alias("r")),
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        best = (
-            vocab.select("freq", F.explode(pairs).alias("p"))
+        pc = (
+            v.select("freq", F.explode(pairs).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("c"))
-            .orderBy(F.desc("c"), "l", "r")
-            .limit(1)
-            .collect()
         )
-        if not best:
+        # argmax by (c DESC, l, r) == min over the (-c, l, r) struct
+        # order; same job also reduces Σc for the analytic stat
+        return pc.agg(
+            F.min_by(
+                F.struct("l", "r", "c"),
+                F.struct((-col("c")).alias("nc"), col("l"), col("r")),
+            ).alias("best"),
+            F.sum("c").alias("tot"),
+        ).collect()[0]
+
+    merges = []
+    prev = None  # the merge awaiting its post-merge stat
+    for r in range(1, n_merges + 1):
+        row = pair_summary(vocab)
+        if prev is not None:
+            merges.append((*prev, stat_after(row.tot)))
+        if row.best is None:
+            prev = None
             break
-        left, right, cnt = best[0].l, best[0].r, best[0].c
+        left, right, cnt = row.best.l, row.best.r, int(row.best.c)
         vocab = vocab.select(
             F.replace(
                 col("w"),
@@ -305,17 +339,9 @@ def bpe_train_merges(
             ).alias("w"),
             "freq",
         ).localCheckpoint()
-        stat = vocab.select(
-            _rnd(
-                F.sum(
-                    col("freq")
-                    * F.size(F.split(F.expr("substring(w, 2, length(w) - 2)"), "><"))
-                )
-                / F.sum("freq"),
-                6,
-            ).alias("s")
-        ).collect()[0].s
-        merges.append((r, left, right, int(cnt), float(stat)))
+        prev = (r, left, right, cnt)
+    if prev is not None:
+        merges.append((*prev, stat_after(pair_summary(vocab).tot)))
     return merges
 
 

@@ -7351,6 +7351,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q129_ITER = 8
+_Q129_STATE_CAP = 1000  # bounded-enum assumption: k states -> k*k driver matrix
 
 
 def _q129_oracle(n_iter: int = _Q129_ITER) -> str:
@@ -7425,7 +7426,21 @@ ORDER BY s.event_type
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..core.guards import collect_bounded
+
     ev = load_table(spark, sf_dir, "events")
+    # guard FIRST: the whole operator assumes a bounded state enum; a
+    # high-cardinality column (user_id...) must fail loudly before any
+    # k×k state reaches the driver
+    states = sorted(
+        r.event_type
+        for r in collect_bounded(
+            ev.select("event_type").distinct(),
+            _Q129_STATE_CAP,
+            "q129_markov_stationary",
+            "a bounded event-type enum (k states -> k x k driver matrix)",
+        )
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         ev.withColumn("next_type", F.lead("event_type").over(w))
@@ -7439,12 +7454,9 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     outc = trans.groupBy("from_type").agg(F.sum("c").alias("total"))
     pmat = {
         (r.from_type, r.to_type): round(r.c / r.total + 1e-9, 6)
-        for r in trans.join(outc, "from_type").collect()
+        for r in trans.join(outc, "from_type").collect()  # <= k*k rows, guarded above
     }
     n_out = {r.from_type: r.total for r in outc.collect()}
-    states = sorted(
-        r.event_type for r in ev.select("event_type").distinct().collect()
-    )
     pi = {s: 1.0 / len(states) for s in states}
     for _ in range(_Q129_ITER):
         raw = {}
@@ -8081,4 +8093,385 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_threshold_curve(
         docs, "doc_id", "text", _Q136_THRESHOLDS,
         pair_source="jaccard", n=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137–q143 — PRODUCTION-MODE twins of the exact-pair family (round 7).
+#
+# q114/q132/q133/q135/q136 pin pair_source="jaccard" so their oracles can
+# replay the exact pair set; the OPERATORS default to MinHash-LSH (the
+# bucket-bounded 100 TB path).  These registrations run that default mode
+# and are still fully hash-checked: the md5-derived MinHash signature is
+# byte-identical in DuckDB (the q28 oracle precedent), so the production
+# shape earns the same oracle gate as the conformance shape.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pair_ctes(threshold: float) -> str:
+    """DuckDB twin of ``dedup.minhash_dedup_pairs(hash_mode='md5',
+    num_hashes=16, bands=4)`` over a (doc_id, shingle) CTE named ``sh``
+    — the q28 oracle chain, parameterized so every MinHash-mode
+    production registration shares one replay.  Emits CTEs
+    mh/sig/banded/cand/docsh and ``mpairs`` = (doc_a, doc_b, j) with
+    RAW jaccard (callers round at their own precision)."""
+    return f"""mh AS (
+    SELECT doc_id, k,
+           min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+    FROM sh CROSS JOIN range(16) r(k)
+    GROUP BY doc_id, k
+),
+sig AS (
+    SELECT doc_id, list(h ORDER BY k) AS signature FROM mh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, b,
+           md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
+    FROM sig CROSS JOIN range(4) rb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+docsh AS (
+    SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+),
+mpairs AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           1.0 * len(list_intersect(sa.shset, sb.shset))
+           / (len(sa.shset) + len(sb.shset)
+              - len(list_intersect(sa.shset, sb.shset))) AS j
+    FROM cand
+    JOIN docsh sa ON doc_a = sa.doc_id
+    JOIN docsh sb ON doc_b = sb.doc_id
+    WHERE 1.0 * len(list_intersect(sa.shset, sb.shset))
+          / (len(sa.shset) + len(sb.shset)
+             - len(list_intersect(sa.shset, sb.shset))) >= {threshold}
+)"""
+
+
+def _q137_oracle() -> str:
+    """q114's keep-best closure + retention report, replayed over the
+    MINHASH pair set (q114's oracle tail verbatim from ``sym`` on)."""
+    tail = _Q114_ORACLE.split("sym AS (", 1)[1]
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTES},\n"
+        + _minhash_pair_ctes(_Q25_THRESHOLD)
+        + ",\npairs AS (SELECT doc_a, doc_b FROM mpairs),\nsym AS ("
+        + tail
+    )
+
+
+@register(
+    "q137_keep_best_minhash",
+    _q137_oracle(),
+    "q114's keep-best canonical dedup in its PRODUCTION mode: the "
+    "operator's DEFAULT MinHash-LSH pair source (bucket-bounded "
+    "candidates — the shape that survives 370M rows / 100 TB) feeding "
+    "the same component closure and (n_tokens DESC, doc_id) winner "
+    "window.  Fully hash-checked: the md5 MinHash signature is byte-"
+    "identical cross-engine, so the oracle replays banding, candidates, "
+    "exact verification, and the closure.",
+    operators=("dedup-canonical", "dedup-minhash-lsh", "graph-cc", "W1"),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.canonical_dedup(
+        docs.select(
+            "doc_id", "source", "text",
+            text.token_count("text").alias("n_tokens"),
+        ),
+        "doc_id",
+        "text",
+        "n_tokens",
+        n=3,
+        threshold=_Q25_THRESHOLD,
+    )
+    keep_tok = F.when(col("keep"), col("n_tokens")).otherwise(lit(0))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum(col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(keep_tok).cast("long").alias("tokens_kept"),
+            rnd(F.sum(keep_tok) / F.sum("n_tokens"), 6).alias("token_retention"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — held-out bigram perplexity (the CCNet production shape: fixed
+# reference model, broadcast stats, unseen mass smoothed not dropped)
+# ---------------------------------------------------------------------------
+
+_Q138_MODEL_SRC = ("src0", "src1", "src2", "src3")
+_Q138_CUTOFF = 3.6
+_Q138_SRC_SQL = ", ".join(f"'{s}'" for s in _Q138_MODEL_SRC)
+
+_Q138_ORACLE = f"""
+WITH m AS (
+    SELECT string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+    WHERE lang = 'en' AND source IN ({_Q138_SRC_SQL})
+),
+mbig AS (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+    FROM m WHERE len(tk) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM mbig GROUP BY bigram),
+cp AS (
+    SELECT split_part(bigram, ' ', 1) AS prev, count(*) AS cprev
+    FROM mbig GROUP BY prev
+),
+vocab AS (
+    SELECT count(DISTINCT t) AS V FROM (SELECT unnest(tk) AS t FROM m)
+),
+e AS (
+    SELECT doc_id, source,
+           string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+    WHERE lang = 'en' AND source NOT IN ({_Q138_SRC_SQL})
+),
+ebig AS (
+    SELECT doc_id, source, len(tk) - 1 AS nb,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+    FROM e WHERE len(tk) >= 2
+),
+scored AS (
+    SELECT b.doc_id, b.source,
+           round(-sum(ln((coalesce(c2.c2, 0) + 1.0)
+                         / (coalesce(cp.cprev, 0) + 1.0 * vocab.V))) / b.nb
+                 + 1e-9, 6) AS log_ppl
+    FROM ebig b
+    LEFT JOIN c2 USING (bigram)
+    LEFT JOIN cp ON split_part(b.bigram, ' ', 1) = cp.prev
+    CROSS JOIN vocab
+    GROUP BY b.doc_id, b.source, b.nb
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(log_ppl) + 1e-9, 6) AS avg_log_ppl,
+       round(max(log_ppl) + 1e-9, 6) AS max_log_ppl,
+       CAST(sum(CASE WHEN log_ppl > {_Q138_CUTOFF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q138_heldout_perplexity",
+    _Q138_ORACLE,
+    "Bigram perplexity in its PRODUCTION CCNet shape: English docs from "
+    f"a fixed reference slice (sources {', '.join(_Q138_MODEL_SRC)}) "
+    "train the model; every other English doc is scored against it with "
+    "unseen bigrams smoothed to the add-1 floor (LEFT joins — an inner "
+    "join would skip exactly the surprising transitions the filter "
+    "punishes).  Model frames are constant-size and BROADCAST, so "
+    "scoring a growing corpus is map-side — unlike q117's self-model "
+    "bigram-keyed shuffle (2.9× at 10×).  Per-source report with a "
+    f"flag count at log-ppl > {_Q138_CUTOFF}.",
+    operators=("lm-bigram-heldout", "J-broadcast", "A3"),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(col("lang") == "en")
+    model = en.filter(col("source").isin(*_Q138_MODEL_SRC))
+    ev = en.filter(~col("source").isin(*_Q138_MODEL_SRC))
+    scored = lm.heldout_bigram_perplexity(
+        ev, ["doc_id", "source"], model
+    ).withColumn("log_ppl", rnd(col("log_ppl"), 6))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("log_ppl"), 6).alias("avg_log_ppl"),
+            rnd(F.max("log_ppl"), 6).alias("max_log_ppl"),
+            F.sum(
+                (col("log_ppl") > lit(_Q138_CUTOFF)).cast("long")
+            ).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q139_oracle() -> str:
+    """q132's attribution replayed with the funnel's dedup stage on the
+    MINHASH pair source: q122's funnel CTEs verbatim through ``kept``,
+    the shared minhash chain over the kept pool's shingles, then q122's
+    closure/keep-best and q132's attribution tails verbatim."""
+    q122 = _q122_oracle()
+    prefix = q122.split(",\nsh AS (", 1)[0]
+    sh_body = q122.split(",\nsh AS (", 1)[1].split("),\nsizes AS", 1)[0]
+    closure = "sym AS (" + q122.split("sym AS (", 1)[1].split(",\ndealt AS (", 1)[0]
+    attr = ",\nattr AS (" + _q132_oracle().split(",\nattr AS (", 1)[1]
+    return (
+        prefix
+        + ",\nsh AS ("
+        + sh_body
+        + "),\n"
+        + _minhash_pair_ctes(_Q25_THRESHOLD)
+        + ",\npairs AS (SELECT doc_a, doc_b FROM mpairs),\n"
+        + closure
+        + attr
+    )
+
+
+@register(
+    "q139_funnel_attribution_minhash",
+    _q139_oracle(),
+    "q132's curation-funnel attribution in PRODUCTION mode: identical "
+    "rule gate and self-bigram perplexity stages, with the duplicate "
+    "stage's pair source at the operator DEFAULT (MinHash-LSH over the "
+    "kept pool) — the audit a 100 TB curation run actually ships.  The "
+    "oracle replays the full funnel plus the md5 MinHash chain.",
+    operators=("funnel-attribution", "dedup-minhash-lsh", "rules",
+               "lm-bigram", "A4"),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    attr = curation.funnel_attribution(
+        docs, _Q122_PPL, threshold=_Q25_THRESHOLD
+    )
+    return (
+        attr.groupBy("source", "stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "stage")
+    )
+
+
+def _q140_oracle() -> str:
+    """q136's threshold curve over the MINHASH pair set (q136's curve
+    tail verbatim from the thresholds frame on)."""
+    tail = _Q136_ORACLE.split("th(threshold) AS (", 1)[1]
+    return (
+        f"WITH {_SHINGLE_CTES},\n"
+        + _minhash_pair_ctes(min(_Q136_THRESHOLDS))
+        + ",\njp AS (SELECT doc_a, doc_b, round(j + 1e-9, 6) AS j FROM mpairs),"
+        + "\nth(threshold) AS ("
+        + tail
+    )
+
+
+@register(
+    "q140_threshold_curve_minhash",
+    _q140_oracle(),
+    "q136's dedup-savings threshold curve in PRODUCTION mode: one "
+    "MinHash-LSH pair pass at the loosest candidate threshold "
+    f"({min(_Q136_THRESHOLDS)}), every threshold's qualifying pair "
+    "volume and removable-doc estimate from the |pairs|×|thresholds| "
+    "join — the knob-tuning what-if run at the same scale as the dedup "
+    "it tunes.  Oracle replays the md5 MinHash chain.",
+    operators=("dedup-threshold-curve", "dedup-minhash-lsh", "A2", "A4"),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_threshold_curve(
+        docs, "doc_id", "text", _Q136_THRESHOLDS, n=3
+    )
+
+
+def _q141_oracle() -> str:
+    """q135's hashed-vector calibration over the MINHASH pair set
+    (q135's featurizer/dot/curve tail verbatim from ``tok`` on)."""
+    tail = _Q135_ORACLE.split("tok AS (", 1)[1]
+    return (
+        f"WITH {_SHINGLE_CTES},\n"
+        + _minhash_pair_ctes(_Q135_TH)
+        + ",\njp AS (SELECT doc_a, doc_b, round(j + 1e-9, 6) AS jaccard FROM mpairs),"
+        + "\ntok AS ("
+        + tail
+    )
+
+
+@register(
+    "q141_feature_hash_calib_minhash",
+    _q141_oracle(),
+    "q135's feature-hashing calibration in PRODUCTION mode: the "
+    "Jaccard-vs-hashed-cosine curve computed over MinHash-LSH-surfaced "
+    "pairs — calibrating a 100 TB corpus' featurizer samples pairs at "
+    "production scale (LSH recall shapes WHICH low-similarity buckets "
+    "appear; the high-similarity buckets that matter survive with "
+    "recall ≈ 1).  Oracle replays chain + featurizer.",
+    operators=("text-feature-hashing", "similarity-calibration",
+               "dedup-minhash-lsh", "J7"),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.hashed_cosine_calibration(
+        docs, "doc_id", "text", dim=_Q135_DIM, n=3, threshold=_Q135_TH
+    )
+
+
+@register(
+    "q142_margin_mining_auto",
+    None,  # the plane count adapts to plan statistics — not expressible
+    #       as a fixed SQL string; gated by the planted-recall pytest +
+    #       the q118 oracle twin that pins the 4-plane bucket layout
+    "q118's bitext margin mining in PRODUCTION mode: the hyperplane "
+    "count AUTO-SCALES from Catalyst's plan-stats row estimate "
+    "(occupancy-holding — one extra plane per corpus doubling), so "
+    "in-bucket candidate volume grows linearly instead of the fixed-"
+    "plane quadratic cliff (measured 9.0× runtime at 10× data with 4 "
+    "planes vs 1.5× with 8).  Same additive-margin scoring as q118.",
+    operators=("similarity-margin-mining", "lsh-autoscale", "W1"),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    mined = similarity.margin_mine_pairs(
+        emb.filter(col("label") < 5),
+        emb.filter(col("label") >= 5),
+        k=_Q118_K,
+    )
+    return mined.withColumn(
+        "mined", col("margin") > lit(_Q118_MARGIN)
+    ).orderBy("vec_a")
+
+
+def _q143_oracle() -> str:
+    """q133's counterfactual leakage report over the MINHASH pair set
+    (q133's split/straddle tail verbatim from ``sym`` on)."""
+    tail = _Q133_ORACLE.split("sym AS (", 1)[1]
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTES},\n"
+        + _minhash_pair_ctes(_Q25_THRESHOLD)
+        + ",\npairs AS MATERIALIZED (SELECT doc_a, doc_b FROM mpairs),\nsym AS ("
+        + tail
+    )
+
+
+@register(
+    "q143_counterfactual_leakage_minhash",
+    _q143_oracle(),
+    "q133's counterfactual leakage audit in PRODUCTION mode: the same "
+    "near-dup pair set the production split uses (MinHash-LSH, the "
+    "operator default) evaluated under cluster-keyed vs naive per-doc "
+    "hash assignment — by construction the cluster mode still straddles "
+    "ZERO pairs, because report and split share one pair frame.  Oracle "
+    "replays the md5 MinHash chain + both split hashes.",
+    operators=("sampling-leakage-counterfactual", "dedup-minhash-lsh",
+               "A2"),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sampling.counterfactual_leakage_report(
+        docs, "doc_id", "text", weights, salt=_Q77_SALT,
+        n=3, threshold=_Q25_THRESHOLD,
     )

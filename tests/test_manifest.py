@@ -137,6 +137,74 @@ def test_concurrent_same_tag_race_single_commit(spark, tmp_path):
     assert t.latest_version() == 1
 
 
+def test_expire_races_concurrent_append_and_boundary_read(spark, tmp_path):
+    """expire vs a concurrent append vs time-travel readers at the
+    retention boundary (VERDICT r6 item 6).  Documented outcome: the
+    APPEND wins the version race — expire's watermark entry retries
+    above it (append v5, expire entry v6), its doomed set (computed
+    before the race) never touches the racer's freshly staged dir, and
+    the boundary snapshot (v3) survives while sub-watermark reads fail
+    only AFTER the watermark publishes: both mid-race reads succeed."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"), tag="a")        # v1 (10 rows)
+    t.append(_df(spark, 10, 20, "b"), tag="b")       # v2 (10 rows)
+    t.overwrite(_df(spark, 100, 103, "c"))           # v3 (3 rows) — frees a+b
+    t.append(_df(spark, 200, 204, "d"), tag="d")     # v4 (4 rows)
+
+    real_link = os.link
+    mid = {}
+
+    def racing_link(src, dst):
+        # fires on expire's FIRST publish attempt (v5): land an append
+        # and run both time-travel reads inside the window where the
+        # doomed set is computed but the watermark is not yet committed
+        if not mid and dst.endswith("00000000000000000005.json"):
+            mid["done"] = True
+            t2 = ManifestTable(spark, str(tmp_path / "t"))
+            mid["append_v"] = t2.append(_df(spark, 300, 302, "racer"), tag="r")
+            mid["read_boundary"] = t2.read(3).count()   # at the watermark
+            mid["read_below"] = t2.read(2).count()      # below, pre-publish
+        return real_link(src, dst)
+
+    os.link = racing_link
+    try:
+        res = t.expire(3)
+    finally:
+        os.link = real_link
+
+    # the append won version 5; expire retried and published at 6
+    assert mid["append_v"] == 5
+    assert res["expired_before"] == 3
+    hist = t.history()
+    assert hist[-1]["action"] == "expire" and hist[-1]["version"] == 6
+    assert hist[-1]["parent"] == 5
+    # mid-race reads: both succeeded (watermark not yet published, data
+    # not yet deleted)
+    assert mid["read_boundary"] == 3
+    assert mid["read_below"] == 20
+    # post-race: the boundary snapshot survives, below-watermark is gone
+    assert t.read(3).count() == 3
+    with pytest.raises(ValueError, match="expired"):
+        t.read(2)
+    # only the dirs referenced exclusively below the watermark died; the
+    # racer's dir (staged during the race) was never in the doomed set
+    assert sorted(res["removed_dirs"]) == sorted(
+        t._read_entry(1)["dirs"] + t._read_entry(2)["dirs"]
+    )
+    assert t.read().count() == 3 + 4 + 2  # c + d + racer
+    assert {r["src"] for r in t.read().select("src").distinct().collect()} == {
+        "c", "d", "racer",
+    }
+    # checkpoint interaction: expire checkpointed the post-race head; a
+    # FRESH replay (new table object) agrees with the incremental state
+    cp = os.path.join(t.log_dir, "00000000000000000006.checkpoint.json")
+    assert os.path.exists(cp)
+    t3 = ManifestTable(spark, str(tmp_path / "t"))
+    snap = t3.snapshot()
+    assert snap["expired_before"] == 3 and snap["version"] == 6
+    assert t3.read(3).count() == 3
+
+
 def test_commit_conflict_exhausts(spark, tmp_path):
     t = ManifestTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 2, "a"), tag="a")

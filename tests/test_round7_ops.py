@@ -159,6 +159,94 @@ def test_funnel_attribution_partitions_corpus(docs):
         assert counts["minhash"].get(stage, 0) == counts["jaccard"].get(stage, 0)
 
 
+def test_heldout_perplexity_smooths_unseen_mass(spark):
+    """The production CCNet property: a bigram absent from the model
+    gets the add-1 floor instead of being silently dropped — the doc
+    with the unseen transition must score STRICTLY worse, and its
+    n_bigrams must count every bigram, seen or not."""
+    import math
+
+    from nyc_tlc_analytics_pipeline_spark.operators import lm
+
+    model = spark.createDataFrame(
+        [("m1", "a b a b a b"), ("m2", "a b c")], "doc_id string, text string"
+    )
+    ev = spark.createDataFrame(
+        [("seen", "a b"), ("unseen", "a z")], "doc_id string, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in lm.heldout_bigram_perplexity(ev, ["doc_id"], model).collect()
+    }
+    # model stats: bigrams {a b:4, b a:2, b c:1}, cprev {a:4, b:3}, V=3
+    assert got["seen"].n_bigrams == 1
+    assert got["unseen"].n_bigrams == 1
+    exp_seen = -math.log((4 + 1) / (4 + 3))
+    exp_unseen = -math.log((0 + 1) / (4 + 3))
+    assert abs(got["seen"].log_ppl - exp_seen) < 1e-9
+    assert abs(got["unseen"].log_ppl - exp_unseen) < 1e-9
+    assert got["unseen"].log_ppl > got["seen"].log_ppl
+    # unseen CONTEXT too: cprev coalesces to 0
+    ev2 = spark.createDataFrame([("ctx", "z q")], "doc_id string, text string")
+    (r,) = lm.heldout_bigram_perplexity(ev2, ["doc_id"], model).collect()
+    assert abs(r.log_ppl - -math.log((0 + 1) / (0 + 3))) < 1e-9
+
+
+def test_auto_n_planes_occupancy_holding():
+    """One extra plane per corpus doubling above the target occupancy,
+    floored at base, capped at max_planes."""
+    assert similarity.auto_n_planes(1) == 4
+    assert similarity.auto_n_planes(2048) == 4
+    assert similarity.auto_n_planes(2049) == 5
+    assert similarity.auto_n_planes(20480) == 8  # the measured-good 10x dial
+    assert similarity.auto_n_planes(2048 * 2**30) == 24  # capped
+    for n in (10, 1000, 5000, 50_000, 1_000_000):
+        assert similarity.auto_n_planes(2 * n) <= similarity.auto_n_planes(n) + 1
+
+
+def test_margin_mining_auto_equals_fixed_at_small_scale(spark):
+    """Plan-stats row estimate for the smoke embeddings is under the
+    occupancy target, so auto mode resolves to the base 4 planes — and
+    random_hyperplanes is per-index deterministic, so the auto result
+    must EQUAL the fixed-4-plane (q118 oracle) result exactly."""
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a, b = emb.filter(col("label") < 5), emb.filter(col("label") >= 5)
+    fixed = similarity.margin_mine_pairs(
+        a, b, similarity.random_hyperplanes(8, 64, seed=42)[:4], k=4
+    )
+    auto = similarity.margin_mine_pairs(a, b, k=4)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, fixed.collect())
+    )
+
+
+def test_collect_bounded_guards_model_sized_state(spark):
+    """The cardinality guard: under-cap frames collect normally; an
+    over-cap frame raises BEFORE materializing more than cap+1 rows,
+    naming the operator and its bounded-enum assumption."""
+    from nyc_tlc_analytics_pipeline_spark.core.guards import collect_bounded
+
+    small = spark.range(10)
+    assert len(collect_bounded(small, 10, "op", "ten rows")) == 10
+    big = spark.range(10_000)
+    with pytest.raises(ValueError, match="op.*model-size cap.*enum"):
+        collect_bounded(big, 100, "op", "a bounded enum")
+
+
+def test_power_iteration_guard_catches_dim_mismatch(spark):
+    """Pointing the dim-sized-state operator at wider vectors than
+    declared must fail loudly, not silently collect the wide state."""
+    from nyc_tlc_analytics_pipeline_spark.operators import linalg
+
+    df = spark.createDataFrame(
+        [([float(i) for i in range(64)],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="power_iteration_top_pc"):
+        linalg.power_iteration_top_pc(df, "embedding", dim=2, n_iter=1)
+
+
 def test_hashed_cosine_calibration_modes(docs):
     """The calibration curve exists in both modes; MinHash-mode buckets
     are a subset with never-larger pair counts, and planted near-dups
