@@ -102,6 +102,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "q124_hill_tail_index",  # 1-row f_(k+1) reference onto the top-k frame
         "q127_vocab_coverage",  # 1-row total-occurrences onto the freq histogram
         "q132_funnel_attribution",  # q117's 1-row vocab-size V (funnel stage)
+        "q138_heldout_perplexity",  # 1-row model vocab-size V broadcast onto scoring
+        "q139_funnel_attribution_minhash",  # q132's funnel stage (1-row V)
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
