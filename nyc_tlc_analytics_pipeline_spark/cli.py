@@ -182,6 +182,49 @@ def main(argv: list[str] | None = None) -> int:
         "--out", default=None, help="optional path to write merges JSON"
     )
 
+    at = sub.add_parser(
+        "attribution",
+        help="curation-funnel attribution report: every document "
+        "charged to the stage that removed it (rules / perplexity / "
+        "duplicate / kept), per source with token mass "
+        "(operators.curation.funnel_attribution)",
+    )
+    at.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    at.add_argument("--ppl-cutoff", type=float, default=3.41)
+    at.add_argument(
+        "--pair-mode",
+        default="minhash",
+        choices=["minhash", "jaccard"],
+        help="near-dup pair source for the duplicate stage: minhash = "
+        "the bucket-bounded production default, jaccard = exact "
+        "(oracle-verification mode)",
+    )
+    at.add_argument("--threshold", type=float, default=0.5)
+
+    dc = sub.add_parser(
+        "dedup-curve",
+        help="dedup-savings threshold what-if: each candidate "
+        "threshold's near-dup pair volume and removable-doc estimate "
+        "from ONE pair pass (operators.dedup.dedup_threshold_curve)",
+    )
+    dc.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    dc.add_argument(
+        "--thresholds",
+        default="0.3,0.5,0.7,0.9",
+        help="comma-separated Jaccard thresholds to evaluate",
+    )
+    dc.add_argument(
+        "--pair-mode", default="minhash", choices=["minhash", "jaccard"]
+    )
+
     dr = sub.add_parser(
         "drift",
         help="PSI drift report between a reference and a current "
@@ -438,6 +481,52 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.out, "w") as fh:
                 json.dump(out["merges"], fh, indent=2)
         print(json.dumps(out, indent=2, sort_keys=True))
+    elif args.command == "attribution":
+        from pyspark.sql import functions as F
+
+        from .operators import curation
+        from .sources.testdata import load_table_parallel
+
+        docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
+        attr = curation.funnel_attribution(
+            docs, args.ppl_cutoff, pair_source=args.pair_mode,
+            threshold=args.threshold,
+        )
+        rows = (
+            attr.groupBy("source", "stage")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .collect()
+        )
+        report: dict = {}
+        for r in rows:
+            report.setdefault(r.source, {})[r.stage] = {
+                "n_docs": r.n_docs, "n_tokens": r.n_tokens,
+            }
+        print(json.dumps(report, indent=2, sort_keys=True))
+    elif args.command == "dedup-curve":
+        from .operators import dedup
+        from .sources.testdata import load_table_parallel
+
+        docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
+        ts = tuple(float(x) for x in args.thresholds.split(","))
+        rows = dedup.dedup_threshold_curve(
+            docs, "doc_id", "text", ts, pair_source=args.pair_mode
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    str(r.threshold): {
+                        "n_pairs": r.n_pairs, "n_removable": r.n_removable
+                    }
+                    for r in rows
+                },
+                indent=2,
+                sort_keys=True,
+            )
+        )
     elif args.command == "drift":
         from .operators import profile
 

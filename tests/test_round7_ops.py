@@ -247,6 +247,35 @@ def test_power_iteration_guard_catches_dim_mismatch(spark):
         linalg.power_iteration_top_pc(df, "embedding", dim=2, n_iter=1)
 
 
+def test_cli_attribution_and_dedup_curve(spark, tmp_path, capsys):
+    """The new CLI verbs: `attribution` partitions the corpus into
+    funnel stages; `dedup-curve` reports a monotone savings curve —
+    both run in the MinHash production mode by default and accept
+    --pair-mode jaccard for the exact oracle mode."""
+    import json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    rc = main(["--warehouse-dir", wh, "attribution", "--sf-dir", SF_SMOKE])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    total = sum(v["n_docs"] for stages in rep.values() for v in stages.values())
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert total == n_docs
+    assert all(
+        set(stages) <= {"rules", "perplexity", "duplicate", "kept"}
+        for stages in rep.values()
+    )
+    rc = main(
+        ["--warehouse-dir", wh, "dedup-curve", "--sf-dir", SF_SMOKE,
+         "--thresholds", "0.4,0.8"]
+    )
+    curve = json.loads(capsys.readouterr().out)
+    assert rc == 0 and set(curve) == {"0.4", "0.8"}
+    assert curve["0.8"]["n_pairs"] <= curve["0.4"]["n_pairs"]
+
+
 def test_hashed_cosine_calibration_modes(docs):
     """The calibration curve exists in both modes; MinHash-mode buckets
     are a subset with never-larger pair counts, and planted near-dups
