@@ -163,13 +163,13 @@ _SWEEP_COST = {
     "q134_deflated_second_pc": 6.91,
     "q135_feature_hashing_calibration": 6.00,
     "q136_dedup_threshold_curve": 6.00,
-    "q137_keep_best_minhash": 17.35,
-    "q138_heldout_perplexity": 2.10,
-    "q139_funnel_attribution_minhash": 24.28,
-    "q140_threshold_curve_minhash": 3.83,
-    "q141_feature_hash_calib_minhash": 2.72,
-    "q142_margin_mining_auto": 1.40,
-    "q143_counterfactual_leakage_minhash": 5.32,
+    "q137_keep_best_minhash": 5.20,
+    "q138_heldout_perplexity": 4.51,
+    "q139_funnel_attribution_minhash": 11.17,
+    "q140_threshold_curve_minhash": 4.23,
+    "q141_feature_hash_calib_minhash": 4.49,
+    "q142_margin_mining_auto": 6.93,
+    "q143_counterfactual_leakage_minhash": 5.84,
 }
 
 
