@@ -180,7 +180,7 @@ _SWEEP_COST = {
 _WARMUP = "q67_weighted_sample"
 
 
-def _last_green_round() -> dict[str, int]:
+def _last_green_round(base: str | None = None) -> dict[str, int]:
     """Most recent round each query earned a green driver row, read from
     the committed CORRECTNESS_r*.json ledgers next to this file.  A row
     is green when it has no err and no explicit *_match=false (rows-only
@@ -191,7 +191,8 @@ def _last_green_round() -> dict[str, int]:
     import json
     import os
 
-    base = os.path.dirname(os.path.abspath(__file__))
+    if base is None:
+        base = os.path.dirname(os.path.abspath(__file__))
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
         try:

@@ -247,6 +247,51 @@ def test_power_iteration_guard_catches_dim_mismatch(spark):
         linalg.power_iteration_top_pc(df, "embedding", dim=2, n_iter=1)
 
 
+def test_driver_ledger_rotation(tmp_path):
+    """The scoreboard ordering is self-maintaining: green rows are read
+    from CORRECTNESS ledgers (err -> not green, explicit false -> not
+    green, null hash fields on rows-only entries -> green), the newest
+    round wins, and the real ordering puts never-green queries ahead of
+    everything except the warmup, then stalest-first."""
+    import json
+
+    import __spark_entry__ as e
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "qA": {"rows_match": True, "schema_match": True, "hash_match": True,
+               "err": None},
+        "qB": {"rows_match": True, "schema_match": True, "hash_match": False,
+               "err": None},
+        "qC": {"rows_match": True, "schema_match": True, "hash_match": None,
+               "err": None},
+        "qD": {"rows_match": None, "schema_match": None, "hash_match": None,
+               "err": "boom"},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "qB": {"rows_match": True, "schema_match": True, "hash_match": True,
+               "err": None},
+    }))
+    (tmp_path / "not_a_ledger.json").write_text("junk")
+    got = e._last_green_round(str(tmp_path))
+    # qA green in r1; qB failed r1 but green r3; qC rows-only green; qD err
+    assert got == {"qA": 1, "qB": 3, "qC": 1}
+    # and the live ordering: warmup first, then the round-7 queries
+    # (never green in any committed ledger), then stale-first
+    names = e._ordered_names()
+    assert names[0] == "q67_weighted_sample"
+    fresh = {n for n in names[1:8]}
+    assert fresh == {
+        "q137_keep_best_minhash", "q138_heldout_perplexity",
+        "q139_funnel_attribution_minhash", "q140_threshold_curve_minhash",
+        "q141_feature_hash_calib_minhash", "q142_margin_mining_auto",
+        "q143_counterfactual_leakage_minhash",
+    }
+    live = e._last_green_round()
+    rest = names[8:]
+    stale_rounds = [live[n] for n in rest]
+    assert stale_rounds == sorted(stale_rounds)  # stalest-first
+
+
 def test_cli_attribution_and_dedup_curve(spark, tmp_path, capsys):
     """The new CLI verbs: `attribution` partitions the corpus into
     funnel stages; `dedup-curve` reports a monotone savings curve —
