@@ -28,11 +28,26 @@ def main() -> int:
     scaled = materialize_scaled(spark, SRC, N_COPIES)
     QUERIES[names[0]].build(spark, SRC).collect()  # JVM warmup
 
+    def _quiesce() -> None:
+        # bench.py's measurement hygiene, which at BENCH_SCALE=100 is
+        # also a CORRECTNESS condition: each 100x query's broadcast
+        # blocks + codegen classes linger on the 8g driver heap until
+        # the async ContextCleaner runs, and five back-to-back 100x
+        # queries can fail the NEXT broadcast build with
+        # "Not enough memory to build and broadcast" (observed on q28
+        # after q137/q140/q138/q142 — q28 alone in a fresh session
+        # passes in 27s).  GC between queries, outside timed windows.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.7)
+
     def warm_time(name: str, sf_dir: str) -> float:
         QUERIES[name].build(spark, sf_dir).collect()  # cold (JIT) pass
+        _quiesce()
         t0 = time.perf_counter()
         QUERIES[name].build(spark, sf_dir).collect()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        _quiesce()
+        return dt
 
     print(f"{'query':35s} {'sf0.1 warm':>11s} {f'{N_COPIES}x warm':>9s}  growth")
     for name in names:
