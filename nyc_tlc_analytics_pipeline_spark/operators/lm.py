@@ -74,7 +74,17 @@ def doc_logprob_scores(
     )
     logp = F.log((col("cnt") + lit(k)) / (col("N") + lit(k) * col("V")))
     return (
-        toks.join(F.broadcast(stats), "token")
+        # merge hint — BOTH naive strategies break at scale here: a
+        # forced broadcast of the CORPUS-derived stats (|vocab| rows)
+        # fails the driver once the vocab outgrows it, and the
+        # hint-free plan is worse — Catalyst's size estimate for the
+        # exploded-token side is file-size based and blind to the
+        # explode fan-out, so at BENCH_SCALE=100 the planner statically
+        # broadcast the 3.9 GiB EXPLODED CORPUS (estimated < 64 MB).
+        # Sort-merge on the token key is the shape the module docstring
+        # promises: corpus side shuffles by token, AQE splits the Zipf
+        # head, nothing is ever built in one memory.
+        toks.join(stats.hint("merge"), "token")
         .groupBy(*id_cols, "__n_tokens")
         .agg(F.sum(logp).alias("__sum_logp"))
         .withColumn("avg_logprob", col("__sum_logp") / col("__n_tokens"))
@@ -122,7 +132,12 @@ def corpus_bigram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         c2.withColumn("prev", F.substring_index("bigram", " ", 1))
-        .join(F.broadcast(cp), "prev")
+        # cp is corpus-derived (|unigram vocab| rows): merge hint for
+        # the same estimate-blindness reason as doc_logprob_scores —
+        # never broadcast a frame that grows with the corpus, never let
+        # the planner broadcast the bigger side off a bad estimate; v is
+        # a 1-row reduce, always safe to broadcast
+        .join(cp.hint("merge"), "prev")
         .crossJoin(F.broadcast(v))
     )
 
@@ -150,8 +165,6 @@ def doc_bigram_perplexity(
     table (broadcast while it fits, AQE skew-split beyond), then a
     doc-keyed aggregate.  Returns ``id_cols`` + (n_bigrams, log_ppl).
     """
-    if stats is None:
-        stats = corpus_bigram_stats(df, text_col)
     t = text.tokens(text_col)
     big = df.select(
         *id_cols,
@@ -159,8 +172,15 @@ def doc_bigram_perplexity(
         F.explode(bigrams(t)).alias("bigram"),
     )
     logp = F.log((col("c2") + lit(k)) / (col("cprev") + lit(k) * col("V")))
+    heldout = stats is not None
+    if not heldout:
+        stats = corpus_bigram_stats(df, text_col)
     return (
-        big.join(stats, "bigram")
+        # self-model stats are corpus-sized: merge hint (see
+        # doc_logprob_scores — the estimate-blind static planner
+        # otherwise broadcasts the exploded corpus at 100x); a caller-
+        # provided held-out model is bounded, so AQE may broadcast it
+        big.join(stats if heldout else stats.hint("merge"), "bigram")
         .groupBy(*id_cols, "__nb")
         .agg(F.sum(logp).alias("__s"))
         .withColumn("log_ppl", -col("__s") / col("__nb"))

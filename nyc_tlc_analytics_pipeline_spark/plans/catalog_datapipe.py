@@ -1901,7 +1901,9 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
-    enriched = o.join(F.broadcast(c), col("o_custkey") == col("c_custkey")).join(
+    # customer scales WITH the fact tables (TPC-H SF) — no forced
+    # broadcast (AQE decides); nation is a bounded 25-row dim
+    enriched = o.join(c, col("o_custkey") == col("c_custkey")).join(
         F.broadcast(nat), col("c_nationkey") == col("n_nationkey")
     )
 
@@ -2271,9 +2273,11 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nat.select(col("n_nationkey").alias("sn_key"), col("n_name").alias("dst"))
     edges = (
         li.join(o, col("l_orderkey") == col("o_orderkey"))
-        .join(F.broadcast(c), col("o_custkey") == col("c_custkey"))
+        # customer/supplier scale with SF — AQE decides their joins;
+        # the nation role frames stay broadcast (25 rows, bounded)
+        .join(c, col("o_custkey") == col("c_custkey"))
         .join(F.broadcast(cn), col("c_nationkey") == col("cn_key"))
-        .join(F.broadcast(s), col("l_suppkey") == col("s_suppkey"))
+        .join(s, col("l_suppkey") == col("s_suppkey"))
         .join(F.broadcast(sn), col("s_nationkey") == col("sn_key"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
