@@ -170,6 +170,7 @@ _SWEEP_COST = {
     "q141_feature_hash_calib_minhash": 4.49,
     "q142_margin_mining_auto": 6.93,
     "q143_counterfactual_leakage_minhash": 5.84,
+    "q144_dedup_clusters_minhash": 5.50,
 }
 
 
