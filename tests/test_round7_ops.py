@@ -279,15 +279,15 @@ def test_driver_ledger_rotation(tmp_path):
     # (never green in any committed ledger), then stale-first
     names = e._ordered_names()
     assert names[0] == "q67_weighted_sample"
-    fresh = {n for n in names[1:8]}
+    fresh = {n for n in names[1:9]}
     assert fresh == {
         "q137_keep_best_minhash", "q138_heldout_perplexity",
         "q139_funnel_attribution_minhash", "q140_threshold_curve_minhash",
         "q141_feature_hash_calib_minhash", "q142_margin_mining_auto",
-        "q143_counterfactual_leakage_minhash",
+        "q143_counterfactual_leakage_minhash", "q144_dedup_clusters_minhash",
     }
     live = e._last_green_round()
-    rest = names[8:]
+    rest = names[9:]
     stale_rounds = [live[n] for n in rest]
     assert stale_rounds == sorted(stale_rounds)  # stalest-first
 
