@@ -47,6 +47,77 @@ def test_minhash_pairs_subset_of_exact_any_corpus(spark, corpus):
     assert all(j >= 0.3 for j in mh.values())
 
 
+def _bpe_reference(words: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich BPE reference: freq-weighted adjacent pair
+    counts (every occurrence), argmax by (count DESC, l, r), plain
+    left-to-right non-overlapping merge — the semantics
+    text.bpe_train_merges implements distributively."""
+    vocab = {tuple(w): f for w, f in words.items()}
+    out = []
+    total = sum(vocab.values())
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, rr), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            new = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == rr:
+                    new.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            key = tuple(new)
+            merged[key] = merged.get(key, 0) + f
+        vocab = merged
+        n_sym = sum(len(sym) * f for sym, f in vocab.items())
+        out.append((r, l, rr, c, round(n_sym / total + 1e-9, 6)))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=2,
+            max_size=15,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_bpe_trainer_matches_python_reference(spark, corpus):
+    """The single-job-per-round trainer (min_by argmax + analytic stat
+    from pair-count totals) must follow the classic Sennrich trajectory
+    exactly — merges, counts, AND the weighted avg-symbols stat — on
+    arbitrary corpora."""
+    from nyc_tlc_analytics_pipeline_spark.operators import text as T
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words: dict[str, int] = {}
+    for toks in corpus:
+        for w in toks:
+            words[w.lower()] = words.get(w.lower(), 0) + 1
+    expect = _bpe_reference(words, 4)
+    got = T.bpe_train_merges(df, n_merges=4)
+    assert [(r, l, rr, c) for r, l, rr, c, _ in got] == [
+        (r, l, rr, c) for r, l, rr, c, _ in expect
+    ]
+    for (_, _, _, _, sg), (_, _, _, _, se) in zip(got, expect):
+        assert abs(sg - se) < 1e-9
+
+
 @settings(max_examples=5, deadline=None)
 @given(corpus=_corpus)
 def test_threshold_curve_monotone_any_corpus(spark, corpus):
