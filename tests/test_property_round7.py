@@ -119,6 +119,65 @@ def test_bpe_trainer_matches_python_reference(spark, corpus):
 
 
 @settings(max_examples=5, deadline=None)
+@given(
+    model=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    evals=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "z"]), min_size=2, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_heldout_perplexity_matches_python_reference(spark, model, evals):
+    """lm.heldout_bigram_perplexity == a direct add-1-smoothed Python
+    computation on arbitrary model/eval corpora, including unseen
+    bigrams and unseen contexts (the LEFT-join smoothing floor)."""
+    import math
+
+    from nyc_tlc_analytics_pipeline_spark.operators import lm
+
+    c2: dict[tuple[str, str], int] = {}
+    cp: dict[str, int] = {}
+    vocab = set()
+    for toks in model:
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            cp[a] = cp.get(a, 0) + 1
+    V = len(vocab)
+
+    def ref_ppl(toks):
+        lps = [
+            math.log(
+                (c2.get((a, b), 0) + 1.0) / (cp.get(a, 0) + 1.0 * V)
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        return -sum(lps) / len(lps)
+
+    mdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(model)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(evals)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.log_ppl)
+        for r in lm.heldout_bigram_perplexity(edf, ["doc_id"], mdf).collect()
+    }
+    assert set(got) == set(range(len(evals)))
+    for i, toks in enumerate(evals):
+        nb, ppl = got[i]
+        assert nb == len(toks) - 1
+        assert abs(ppl - ref_ppl(toks)) < 1e-9
+
+
+@settings(max_examples=5, deadline=None)
 @given(corpus=_corpus)
 def test_threshold_curve_monotone_any_corpus(spark, corpus):
     """The savings curve is monotone non-increasing in the threshold in
