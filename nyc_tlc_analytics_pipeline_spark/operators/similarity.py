@@ -64,6 +64,109 @@ def cosine_topk(
     return out.orderBy(F.desc("cos_sim"), id_col).limit(k).drop(vec_col)
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the ANN memory/IO scale path
+# ---------------------------------------------------------------------------
+
+#: symmetric int8 code range.  ±127 (not 128) keeps the code book
+#: symmetric so negating a vector negates its codes exactly.
+QMAX = 127
+
+
+def quantize_codes(vec: Column | str, qmax: int = QMAX) -> Column:
+    """Symmetric per-vector int8 quantization of a float vector column.
+
+    ``scale = max_i |x_i| / qmax``; ``code_i = clamp(floor(x_i / scale
+    + 0.5 + 1e-9), -qmax, qmax)`` — round-half-up with the repo's nudge
+    so the integer codes are bit-identical cross-engine (floor is exact
+    on both; the nudge breaks representational .5 ties the same way).
+    All-zero vectors get scale 1e-12 → all-zero codes, never a ÷0.
+
+    Why int8 at 100 TB: a 64-dim float32 embedding column is 256 B/row;
+    the codes are 64 B logical (and dictionary/bit-packed far smaller on
+    parquet), so the similarity scan reads ~4× less and the dot products
+    run in exact integer arithmetic — no FP summation-order drift, which
+    also makes every downstream score hash-checkable without rounding
+    tricks.  Cosine over codes needs NO scales: cosine(s_a·a, s_b·b) =
+    cosine(a, b), the per-vector scale cancels."""
+    v = as_double_array(vec)
+    scale = F.greatest(F.array_max(F.transform(v, F.abs)) / lit(float(qmax)), lit(1e-12))
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.least(F.floor(x / scale + lit(0.5) + lit(1e-9)), lit(qmax).cast("long")),
+            lit(-qmax).cast("long"),
+        ),
+    )
+
+
+def quantize_query(query_vec: list[float], qmax: int = QMAX) -> list[int]:
+    """Driver-side twin of :func:`quantize_codes` for a literal query
+    vector — same formula, same nudge, so a query quantized here matches
+    the column expression (and the DuckDB oracle) exactly."""
+    import math
+
+    scale = max(max(abs(float(x)) for x in query_vec) / float(qmax), 1e-12)
+    return [
+        max(min(math.floor(float(x) / scale + 0.5 + 1e-9), qmax), -qmax)
+        for x in query_vec
+    ]
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two code arrays (no FP anywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+    qmax: int = QMAX,
+) -> DataFrame:
+    """Brute-force top-k under int8-quantized cosine, beside the exact
+    float cosine for the same rows (the registered form doubles as a
+    quantization-error audit).
+
+    Dot products and squared norms are computed on the integer codes —
+    exact, associative, order-independent — and only the final ratio is
+    a (rounded) double.  Plans exactly like :func:`cosine_topk`: scan →
+    project → TakeOrderedAndProject; at scale the scan reads the 4×
+    smaller code column instead of the float vectors."""
+    qc = quantize_query(query_vec, qmax)
+    qlit = F.array(*[lit(int(c)).cast("long") for c in qc])
+    nq = sum(c * c for c in qc)
+    codes = quantize_codes(vec_col, qmax)
+    d = int_dot(codes, qlit)
+    ncodes = F.aggregate(
+        F.transform(codes, lambda x: x * x),
+        lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qf = F.array(*[lit(float(x)) for x in query_vec])
+    out = df.select(
+        col(id_col),
+        "label",
+        d.alias("q_dot"),
+        rnd(
+            d.cast("double")
+            / F.sqrt((ncodes * lit(int(nq)).cast("long")).cast("double")),
+            6,
+        ).alias("q_cos"),
+        rnd(cosine(as_double_array(vec_col), qf), 6).alias("cos_exact"),
+    )
+    if exclude_ids:
+        out = out.filter(~col(id_col).isin(*exclude_ids))
+    return out.orderBy(F.desc("q_cos"), id_col).limit(k)
+
+
 def _plane_component(seed: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-gaussian hyperplane component from md5 —
     reproducible across runs without Date/random (sum of 4 uniforms − 2)."""

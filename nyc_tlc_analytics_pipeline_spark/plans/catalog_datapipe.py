@@ -8525,3 +8525,66 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — int8-quantized cosine top-k (the ANN memory/IO scale path)
+# ---------------------------------------------------------------------------
+
+_Q146_ORACLE = """
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+),
+qq AS (
+    SELECT list_transform(v, x -> greatest(least(CAST(floor(
+               x / greatest(list_max(list_transform(v, y -> abs(y))) / 127.0,
+                            1e-12) + 0.5 + 1e-9) AS BIGINT), 127), -127)) AS qv,
+           v AS fv
+    FROM q
+),
+c AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+               x -> greatest(least(CAST(floor(
+                   x / greatest(list_max(list_transform(
+                           CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0,
+                       1e-12) + 0.5 + 1e-9) AS BIGINT), 127), -127)) AS cv
+    FROM embeddings
+    WHERE vec_id <> 0
+)
+SELECT vec_id,
+       label,
+       CAST(list_sum(list_transform(range(1, len(cv) + 1),
+                                    i -> cv[i] * qv[i])) AS BIGINT) AS q_dot,
+       round(1.0 * list_sum(list_transform(range(1, len(cv) + 1),
+                                           i -> cv[i] * qv[i]))
+             / sqrt(1.0 * list_sum(list_transform(cv, x -> x * x))
+                    * list_sum(list_transform(qv, x -> x * x))) + 1e-9, 6)
+           AS q_cos,
+       round(list_cosine_similarity(v, fv) + 1e-9, 6) AS cos_exact
+FROM c CROSS JOIN qq
+ORDER BY q_cos DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "q146_quantized_cosine_topk",
+    _Q146_ORACLE,
+    "q26's brute-force cosine top-10 under symmetric int8 scalar "
+    "quantization — the similarity-search memory/IO scale path: codes "
+    "are 4× smaller on the scan than float32 vectors, dot products and "
+    "squared norms run in EXACT integer arithmetic (no FP summation-"
+    "order drift; per-vector scales cancel out of the cosine), and the "
+    "exact float cosine rides beside the quantized score so the "
+    "registered row doubles as the quantization-error audit.  Same "
+    "scan → project → TakeOrderedAndProject plan as q26.",
+    operators=("sim-quantized", "sim-cosine-topk", "O1"),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.quantized_cosine_topk(emb, qvec, k=10, exclude_ids=(0,))
