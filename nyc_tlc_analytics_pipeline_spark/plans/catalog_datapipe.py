@@ -8588,3 +8588,118 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]
     ]
     return similarity.quantized_cosine_topk(emb, qvec, k=10, exclude_ids=(0,))
+
+
+# ---------------------------------------------------------------------------
+# q145 — quality-classifier TRAINING (full-batch GD, trajectory oracle)
+# ---------------------------------------------------------------------------
+
+_Q145_ITERS = 4
+_Q145_LR = 2.0
+
+#: exact-double clamp bounds for the log-loss (2^-20 and 1 - 2^-20):
+#: finite decimal expansions parse to bit-identical doubles everywhere.
+_Q145_CLAMP = (
+    "greatest(least(p, CAST('0.99999904632568359375' AS DOUBLE)), "
+    "CAST('9.5367431640625e-07' AS DOUBLE))"
+)
+
+
+def _q145_oracle(iters: int = _Q145_ITERS, lr: float = _Q145_LR) -> str:
+    """GD iterations unrolled as chained CTEs: wi{i} (post-update
+    weights) and g{i} (gradient + pre-update loss) per step, every
+    artifact nudge-rounded 6 dp exactly as ``train.logreg_train``."""
+    toks = "string_split_regex(lower(text), '\\s+')"
+    parts = [
+        f"""f AS MATERIALIZED (
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           round(coalesce(least(len({toks}) / 200.0, 1.0), 0.0) + 1e-9, 6) AS f1,
+           round(coalesce(least(list_sum(list_transform({toks}, x -> length(x)))
+                 / nullif(len({toks}), 0) / 10.0, 1.0), 0.0) + 1e-9, 6) AS f2,
+           round(coalesce(1.0 * len(list_filter({toks}, x -> list_contains([{_EN}], x)))
+                 / nullif(len({toks}), 0), 0.0) + 1e-9, 6) AS f3,
+           round(coalesce(1.0 * length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0), 0.0) + 1e-9, 6) AS f4
+    FROM documents
+)""",
+        "wi0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS b)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""p{i} AS (
+    SELECT y, f1, f2, f3, f4,
+           round(1.0 / (1.0 + exp(-(w.b + w.w1 * f1 + w.w2 * f2
+                                    + w.w3 * f3 + w.w4 * f4))) + 1e-9, 6) AS p
+    FROM f CROSS JOIN wi{i - 1} w
+)""")
+        parts.append(f"""g{i} AS (
+    SELECT round(avg((p - y) * f1) + 1e-9, 6) AS g1,
+           round(avg((p - y) * f2) + 1e-9, 6) AS g2,
+           round(avg((p - y) * f3) + 1e-9, 6) AS g3,
+           round(avg((p - y) * f4) + 1e-9, 6) AS g4,
+           round(avg(p - y) + 1e-9, 6) AS gb,
+           round(avg(-(y * ln({_Q145_CLAMP})
+                 + (1.0 - y) * ln(1.0 - {_Q145_CLAMP}))) + 1e-9, 6) AS loss
+    FROM p{i}
+)""")
+        parts.append(f"""wi{i} AS (
+    SELECT round(w.w1 - {lr} * g.g1 + 1e-9, 6) AS w1,
+           round(w.w2 - {lr} * g.g2 + 1e-9, 6) AS w2,
+           round(w.w3 - {lr} * g.g3 + 1e-9, 6) AS w3,
+           round(w.w4 - {lr} * g.g4 + 1e-9, 6) AS w4,
+           round(w.b - {lr} * g.gb + 1e-9, 6) AS b
+    FROM wi{i - 1} w CROSS JOIN g{i} g
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, w.w1, w.w2, w.w3, w.w4, "
+        f"w.b AS bias, g.loss FROM wi{i} w CROSS JOIN g{i} g"
+        for i in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + steps + "\nORDER BY step"
+
+
+@register(
+    "q145_logreg_training",
+    _q145_oracle(),
+    "TRAINING for q79's filter-tier classifier: full-batch gradient "
+    "descent for binary logistic regression (label: lang = 'en') over "
+    "the same 4 in-row document features, 4 iterations at lr=2.  Each "
+    "step is ONE corpus scan → a 6-value aggregate (per-feature "
+    "gradients, bias gradient, log-loss); driver state is the 5-double "
+    "weight vector (the k-means/PCA posture, collect_bounded-guarded). "
+    "Per-row sigmoids, aggregates, and updates are nudge-rounded 6 dp "
+    "in both engines, so the oracle replays the ENTIRE training "
+    "trajectory, not just the final fit; the log-loss clamp bounds are "
+    "exact powers of two so no engine parses a different boundary.",
+    operators=("train-logreg", "quality-classifier", "A3", "A11"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rules as R
+    from ..operators import train
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    feats = docs.select(
+        F.when(col("lang") == "en", lit(1.0)).otherwise(lit(0.0)).alias("y"),
+        rnd(
+            F.coalesce(F.least(F.size(toks) / lit(200.0), lit(1.0)), lit(0.0)), 6
+        ).alias("f1"),
+        rnd(
+            F.coalesce(
+                F.least(R.mean_token_length(toks) / lit(10.0), lit(1.0)), lit(0.0)
+            ),
+            6,
+        ).alias("f2"),
+        rnd(
+            F.coalesce(text.stopword_ratio("text", text.LANG_STOPWORDS["en"]), lit(0.0)),
+            6,
+        ).alias("f3"),
+        rnd(F.coalesce(text.punct_ratio("text"), lit(0.0)), 6).alias("f4"),
+    )
+    # one tokenization pass, not one per GD step: the 5-column feature
+    # frame (~1/50 the corpus bytes) is materialized once and the four
+    # iteration scans read it — the q122 localCheckpoint precedent
+    feats = feats.localCheckpoint(eager=True)
+    traj = train.logreg_train(
+        feats, ["f1", "f2", "f3", "f4"], "y", iters=_Q145_ITERS, lr=_Q145_LR
+    )
+    return train.trajectory_df(spark, traj)
