@@ -288,17 +288,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band the signature and emit pairs sharing any band bucket.
-
-    Bucket key = (band index, md5 of the band slice) → equi-join on the
-    bucket key; distinct pairs. Probability a pair with Jaccard s collides:
-    1 − (1 − s^rows)^bands (the standard S-curve)."""
-    banded = signatures.select(
+    """Band a signature frame into its LSH bucket table: one row per
+    (doc, band) with bucket = md5 of the band's signature slice.  This
+    IS the persistable dedup index — docs×bands rows of fixed-width
+    strings; write it partitioned by ``band`` and an incremental batch
+    probes it with one equi-join (see ``incremental_minhash_report``)."""
+    return signatures.select(
         "doc",
         F.explode_outer(  # outer: skip InferFiltersFromGenerate re-evaluation
             F.transform(
@@ -318,6 +318,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", col("bb.band").alias("band"), col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and emit pairs sharing any band bucket.
+
+    Bucket key = (band index, md5 of the band slice) → equi-join on the
+    bucket key; distinct pairs. Probability a pair with Jaccard s collides:
+    1 − (1 − s^rows)^bands (the standard S-curve)."""
+    banded = banded_buckets(signatures, bands, rows_per_band)
     a = banded.select(col("doc").alias("doc_a"), "band", "bucket")
     b = banded.select(col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -858,6 +871,149 @@ def incremental_dedup_report(
                 - F.coalesce("n_new", lit(0))
             ).cast("long").alias("n_dup_in_batch"),
             F.coalesce("n_new", lit(0)).cast("long").alias("n_new"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """The corpus' MinHash-LSH INDEX: one (doc, band, bucket) row per
+    signature band — the artifact a production dedup PERSISTS (write
+    partitioned by ``band``) so later increments never re-touch the
+    standing corpus' text.  docs×bands rows of fixed-width md5 strings:
+    at 370M docs × 4 bands that's a ~50 GB table vs re-shingling 100 TB
+    of text on every refresh."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+    return banded_buckets(sigs, bands, num_hashes // bands)
+
+
+def incremental_minhash_classify(
+    batch: DataFrame,
+    standing: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+    standing_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Classify an incoming batch against the standing corpus by NEAR-
+    duplicate (MinHash-LSH) — q78's incremental-refresh shape upgraded
+    from exact fingerprints to near-dup semantics.  Returns the batch
+    keyed frame with a ``status`` column:
+
+    * ``dup_vs_corpus`` — a verified (exact Jaccard ≥ threshold) near-
+      match to a standing document exists;
+    * ``dup_in_batch`` — otherwise, a verified near-match to an EARLIER
+      batch document (smaller id) exists; the earlier doc's survivor
+      represents it transitively (keep-first, q78's convention);
+    * ``new`` — genuinely novel content.
+
+    Scale shape — the whole point of the persisted index: the standing
+    corpus contributes its band table (``standing_bands``, normally read
+    from the persisted ``lsh_band_table`` output) plus the TEXT OF
+    CANDIDATE MATCHES ONLY (one left-semi prune before shingling), so
+    increment cost is O(batch + matched docs), never O(standing corpus).
+    Candidates come from one (band, bucket) equi-join against the index;
+    exact verification runs only on survivors, exactly as
+    ``minhash_dedup_pairs``.
+    """
+    rows_per_band = num_hashes // bands
+    b_bands = lsh_band_table(batch, id_col, text_col, n, num_hashes, bands, hash_mode)
+    if standing_bands is None:
+        standing_bands = lsh_band_table(
+            standing, id_col, text_col, n, num_hashes, bands, hash_mode
+        )
+    cand = (
+        b_bands.select(col("doc").alias("bd"), "band", "bucket")
+        .join(
+            standing_bands.select(col("doc").alias("sd"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("bd", "sd")
+        .distinct()
+    )
+    bsh = doc_shingles(batch, id_col, text_col, n)
+    sd_ids = cand.select(col("sd").alias(id_col)).distinct()
+    ssh = doc_shingles(standing.join(sd_ids, id_col, "left_semi"), id_col, text_col, n)
+    inter = F.size(F.array_intersect(col("sh_b"), col("sh_s")))
+    union = F.size(col("sh_b")) + F.size(col("sh_s")) - inter
+    vcross = (
+        cand.join(bsh.select(col("doc").alias("bd"), col("sh").alias("sh_b")), "bd")
+        .join(ssh.select(col("doc").alias("sd"), col("sh").alias("sh_s")), "sd")
+        .filter(inter / union >= threshold)
+        .select(col("bd").alias("__vs"))
+        .distinct()
+    )
+    vbatch = (
+        minhash_dedup_pairs(
+            batch, id_col, text_col, n, num_hashes, bands, threshold, hash_mode
+        )
+        .select(col("doc_b").alias("__vb"))
+        .distinct()
+    )
+    return (
+        batch.join(vcross, batch[id_col] == col("__vs"), "left")
+        .join(vbatch, batch[id_col] == col("__vb"), "left")
+        .withColumn(
+            "status",
+            F.when(col("__vs").isNotNull(), lit("dup_vs_corpus"))
+            .when(col("__vb").isNotNull(), lit("dup_in_batch"))
+            .otherwise(lit("new")),
+        )
+        .drop("__vs", "__vb")
+    )
+
+
+def incremental_minhash_report(
+    batch: DataFrame,
+    standing: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+    standing_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group report over :func:`incremental_minhash_classify` —
+    mirrors ``incremental_dedup_report``'s columns with near-dup
+    semantics: ``n_batch = n_dup_vs_corpus + n_dup_in_batch + n_new``."""
+    st = incremental_minhash_classify(
+        batch,
+        standing,
+        id_col,
+        text_col,
+        n,
+        num_hashes,
+        bands,
+        threshold,
+        hash_mode,
+        standing_bands,
+    )
+    return (
+        st.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum((col("status") == "dup_vs_corpus").cast("long"))
+            .cast("long")
+            .alias("n_dup_vs_corpus"),
+            F.sum((col("status") == "dup_in_batch").cast("long"))
+            .cast("long")
+            .alias("n_dup_in_batch"),
+            F.sum((col("status") == "new").cast("long")).cast("long").alias("n_new"),
         )
         .orderBy(group_col)
     )

@@ -8112,14 +8112,10 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_pair_ctes(threshold: float) -> str:
-    """DuckDB twin of ``dedup.minhash_dedup_pairs(hash_mode='md5',
-    num_hashes=16, bands=4)`` over a (doc_id, shingle) CTE named ``sh``
-    — the q28 oracle chain, parameterized so every MinHash-mode
-    production registration shares one replay.  Emits CTEs
-    mh/sig/banded/cand/docsh and ``mpairs`` = (doc_a, doc_b, j) with
-    RAW jaccard (callers round at their own precision)."""
-    return f"""mh AS (
+#: the md5 MinHash chain (num_hashes=16, bands=4) over a (doc_id,
+#: shingle) CTE named ``sh`` — shared by the pair replay below and the
+#: incremental-index replay (q147) so the two can never drift apart.
+_MINHASH_BANDED_CTES = """mh AS (
     SELECT doc_id, k,
            min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
     FROM sh CROSS JOIN range(16) r(k)
@@ -8132,7 +8128,17 @@ banded AS (
     SELECT doc_id, b,
            md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
     FROM sig CROSS JOIN range(4) rb(b)
-),
+)"""
+
+
+def _minhash_pair_ctes(threshold: float) -> str:
+    """DuckDB twin of ``dedup.minhash_dedup_pairs(hash_mode='md5',
+    num_hashes=16, bands=4)`` over a (doc_id, shingle) CTE named ``sh``
+    — the q28 oracle chain, parameterized so every MinHash-mode
+    production registration shares one replay.  Emits CTEs
+    mh/sig/banded/cand/docsh and ``mpairs`` = (doc_a, doc_b, j) with
+    RAW jaccard (callers round at their own precision)."""
+    return f"""{_MINHASH_BANDED_CTES},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
     FROM banded a
@@ -8703,3 +8709,91 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, ["f1", "f2", "f3", "f4"], "y", iters=_Q145_ITERS, lr=_Q145_LR
     )
     return train.trajectory_df(spark, traj)
+
+
+# ---------------------------------------------------------------------------
+# q147 — incremental near-dup refresh against the persisted LSH index
+# ---------------------------------------------------------------------------
+
+_Q147_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+{_MINHASH_BANDED_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS bd, s.doc_id AS sd
+    FROM banded a
+    JOIN banded s ON a.b = s.b AND a.bucket = s.bucket
+    WHERE a.doc_id % 3 = 0 AND s.doc_id % 3 <> 0
+),
+bcand AS (
+    SELECT DISTINCT a.doc_id AS da, s.doc_id AS db
+    FROM banded a
+    JOIN banded s ON a.b = s.b AND a.bucket = s.bucket
+    WHERE a.doc_id % 3 = 0 AND s.doc_id % 3 = 0 AND a.doc_id < s.doc_id
+),
+docsh AS (
+    SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+),
+vcross AS (
+    SELECT DISTINCT bd
+    FROM cand
+    JOIN docsh a ON bd = a.doc_id
+    JOIN docsh s ON sd = s.doc_id
+    WHERE 1.0 * len(list_intersect(a.shset, s.shset))
+          / (len(a.shset) + len(s.shset) - len(list_intersect(a.shset, s.shset)))
+          >= {_Q25_THRESHOLD}
+),
+vbatch AS (
+    SELECT DISTINCT db
+    FROM bcand
+    JOIN docsh a ON da = a.doc_id
+    JOIN docsh s ON db = s.doc_id
+    WHERE 1.0 * len(list_intersect(a.shset, s.shset))
+          / (len(a.shset) + len(s.shset) - len(list_intersect(a.shset, s.shset)))
+          >= {_Q25_THRESHOLD}
+),
+status AS (
+    SELECT d.source,
+           CASE WHEN vc.bd IS NOT NULL THEN 'dup_vs_corpus'
+                WHEN vb.db IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM documents d
+    LEFT JOIN vcross vc ON d.doc_id = vc.bd
+    LEFT JOIN vbatch vb ON d.doc_id = vb.db
+    WHERE d.doc_id % 3 = 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(sum(CASE WHEN status = 'dup_vs_corpus' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_in_batch,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM status
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q147_incremental_minhash",
+    _Q147_ORACLE,
+    "q78's incremental corpus refresh upgraded to NEAR-dup semantics "
+    "against the persisted LSH index: the new crawl (doc_id%3=0) is "
+    "classified per source as dup_vs_corpus / dup_in_batch / new by "
+    "MinHash-LSH + exact-Jaccard verification.  The standing corpus "
+    "contributes its (doc, band, bucket) band table — the artifact "
+    "lsh_band_table persists, partitioned by band — plus the text of "
+    "CANDIDATE matches only (one left-semi prune before shingling), so "
+    "refresh cost is O(batch + matches), never O(standing corpus): the "
+    "shape that keeps a 100 TB store's weekly refresh from re-pairing "
+    "the world.  Fully hash-checked — the oracle replays the shared md5 "
+    "MinHash chain for both populations.",
+    operators=("dedup-incremental", "dedup-minhash-lsh", "J8", "A4"),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(col("doc_id") % 3 == 0)
+    standing = docs.filter(col("doc_id") % 3 != 0)
+    return dedup.incremental_minhash_report(
+        batch, standing, "doc_id", "text", "source", threshold=_Q25_THRESHOLD
+    )
