@@ -171,6 +171,9 @@ _SWEEP_COST = {
     "q142_margin_mining_auto": 6.93,
     "q143_counterfactual_leakage_minhash": 5.84,
     "q144_dedup_clusters_minhash": 5.50,
+    "q145_logreg_training": 2.60,
+    "q146_quantized_cosine_topk": 1.10,
+    "q147_incremental_minhash": 4.20,
 }
 
 

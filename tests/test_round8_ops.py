@@ -1,0 +1,250 @@
+"""Round-8 operator tests: logistic-regression training (q145), int8
+embedding quantization (q146), and incremental MinHash dedup against
+the persisted LSH band index (q147)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from nyc_tlc_analytics_pipeline_spark.operators import dedup, similarity, train
+from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# q145 — logistic-regression training
+# ---------------------------------------------------------------------------
+
+
+def _rnd6(x: float) -> float:
+    return round(x + 1e-9, 6)
+
+
+def _sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+def _reference_logreg(rows, iters, lr):
+    """Pure-Python full-batch GD with the operator's exact rounding
+    discipline: rnd6 per-row sigmoid, rnd6 gradient averages, rnd6
+    updates, power-of-two loss clamp."""
+    lo, hi = 2.0**-20, 1.0 - 2.0**-20
+    nf = len(rows[0]) - 1
+    w, b = [0.0] * nf, 0.0
+    traj = []
+    for step in range(1, iters + 1):
+        gs, gb, ls = [0.0] * nf, 0.0, 0.0
+        for r in rows:
+            y, x = r[-1], r[:-1]
+            p = _rnd6(_sigmoid(b + sum(wj * xj for wj, xj in zip(w, x))))
+            pc = min(max(p, lo), hi)
+            for j in range(nf):
+                gs[j] += (p - y) * x[j]
+            gb += p - y
+            ls += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+        n = len(rows)
+        gs = [_rnd6(g / n) for g in gs]
+        gb, ls = _rnd6(gb / n), _rnd6(ls / n)
+        w = [_rnd6(wj - lr * gj) for wj, gj in zip(w, gs)]
+        b = _rnd6(b - lr * gb)
+        traj.append({"step": step, "weights": w[:], "bias": b, "loss": ls})
+    return traj
+
+
+@pytest.fixture(scope="module")
+def separable_feats(spark):
+    # y = 1 exactly when f1 > 0.5: linearly separable in one feature
+    rows = [
+        (0.9, 0.1, 1.0),
+        (0.8, 0.3, 1.0),
+        (0.7, 0.9, 1.0),
+        (0.95, 0.5, 1.0),
+        (0.1, 0.2, 0.0),
+        (0.2, 0.8, 0.0),
+        (0.3, 0.4, 0.0),
+        (0.05, 0.6, 0.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "f1 double, f2 double, y double"),
+        rows,
+    )
+
+
+def test_logreg_matches_python_reference(separable_feats):
+    df, rows = separable_feats
+    traj = train.logreg_train(df, ["f1", "f2"], "y", iters=5, lr=2.0)
+    ref = _reference_logreg(rows, iters=5, lr=2.0)
+    for got, exp in zip(traj, ref):
+        assert got["step"] == exp["step"]
+        assert got["weights"] == pytest.approx(exp["weights"], abs=2e-6)
+        assert got["bias"] == pytest.approx(exp["bias"], abs=2e-6)
+        assert got["loss"] == pytest.approx(exp["loss"], abs=2e-6)
+
+
+def test_logreg_loss_decreases_and_separates(separable_feats):
+    df, rows = separable_feats
+    traj = train.logreg_train(df, ["f1", "f2"], "y", iters=12, lr=2.0)
+    losses = [t["loss"] for t in traj]
+    assert losses[-1] < losses[0] < 0.6932  # below ln 2 after step 1
+    w, b = traj[-1]["weights"], traj[-1]["bias"]
+    # the learned boundary classifies the separable toy set perfectly
+    for r in rows:
+        z = b + sum(wj * xj for wj, xj in zip(w, r[:-1]))
+        assert (z > 0) == (r[-1] == 1.0)
+    # f1 carries the signal; it should dominate the noise feature
+    assert abs(w[0]) > abs(w[1])
+
+
+def test_trajectory_df_schema(spark, separable_feats):
+    df, _ = separable_feats
+    traj = train.logreg_train(df, ["f1", "f2"], "y", iters=2, lr=1.0)
+    out = train.trajectory_df(spark, traj)
+    assert out.columns == ["step", "w1", "w2", "bias", "loss"]
+    assert out.count() == 2
+    assert [r.step for r in out.collect()] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# q146 — int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_quantize_codes_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.codes
+        for r in df.select(
+            "vec_id", similarity.quantize_codes("embedding").alias("codes")
+        ).collect()
+    }
+    # scale = 1.0/127: codes are round(x*127)
+    assert got[1] == [64, -127, 32, 0]
+    assert got[2] == [0, 0, 0, 0]  # all-zero vector → zero codes, no ÷0
+    assert all(abs(c) <= 127 for cs in got.values() for c in cs)
+
+
+def test_quantize_query_matches_column_expression(spark, emb):
+    vec = [float(x) for x in emb.filter(col("vec_id") == 3).head()["embedding"]]
+    driver_codes = similarity.quantize_query(vec)
+    [row] = (
+        emb.filter(col("vec_id") == 3)
+        .select(similarity.quantize_codes("embedding").alias("c"))
+        .collect()
+    )
+    assert driver_codes == list(row.c)
+
+
+def test_quantized_reconstruction_error_within_half_step(spark, emb):
+    """|x − code·scale| ≤ scale/2 (+nudge) for every component."""
+    v = similarity.as_double_array("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / lit(127.0), lit(1e-12)
+    )
+    codes = similarity.quantize_codes("embedding")
+    worst = (
+        emb.select(
+            F.array_max(
+                F.zip_with(
+                    v, codes, lambda x, c: F.abs(x - c.cast("double") * scale) / scale
+                )
+            ).alias("w")
+        )
+        .agg(F.max("w"))
+        .first()[0]
+    )
+    assert worst <= 0.5 + 1e-6
+
+
+def test_quantized_topk_recall_and_score_error(emb):
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).head()["embedding"]]
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
+    }
+    qrows = similarity.quantized_cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
+    assert len({r.vec_id for r in qrows} & exact) >= 7
+    for r in qrows:
+        assert r.q_cos == pytest.approx(r.cos_exact, abs=0.02)
+
+
+# ---------------------------------------------------------------------------
+# q147 — incremental MinHash vs the persisted band index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def split(docs):
+    return (
+        docs.filter(col("doc_id") % 3 == 0).cache(),
+        docs.filter(col("doc_id") % 3 != 0).cache(),
+    )
+
+
+def test_incremental_statuses_partition_batch(split):
+    batch, standing = split
+    st = dedup.incremental_minhash_classify(batch, standing, "doc_id", "text")
+    counts = {r.status: r.n for r in st.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == batch.count()
+    assert set(counts) <= {"dup_vs_corpus", "dup_in_batch", "new"}
+
+
+def test_incremental_cross_matches_full_corpus_pairs(docs, split):
+    """A batch doc is dup_vs_corpus exactly when the FULL-corpus MinHash
+    pair set contains a verified pair linking it to a standing doc —
+    signatures are per-doc, so splitting the corpus cannot change them."""
+    batch, standing = split
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full_pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text").collect()
+    expected = set()
+    for p in full_pairs:
+        a_in, b_in = p.doc_a in batch_ids, p.doc_b in batch_ids
+        if a_in != b_in:
+            expected.add(p.doc_a if a_in else p.doc_b)
+    st = dedup.incremental_minhash_classify(batch, standing, "doc_id", "text")
+    got = {r.doc_id for r in st.filter(col("status") == "dup_vs_corpus").collect()}
+    assert got == expected
+
+
+def test_incremental_report_consistent_with_classify(split):
+    batch, standing = split
+    rep = dedup.incremental_minhash_report(
+        batch, standing, "doc_id", "text", "source"
+    ).collect()
+    for r in rep:
+        assert r.n_batch == r.n_dup_vs_corpus + r.n_dup_in_batch + r.n_new
+
+
+def test_persisted_band_index_probe_equals_inline(tmp_path, spark, split):
+    """The production path: standing band table WRITTEN partitioned by
+    band, read back, and passed as standing_bands — identical report."""
+    batch, standing = split
+    path = str(tmp_path / "band_index")
+    dedup.lsh_band_table(standing, "doc_id", "text").write.partitionBy(
+        "band"
+    ).parquet(path)
+    persisted = spark.read.parquet(path).select("doc", "band", "bucket")
+    inline = dedup.incremental_minhash_report(
+        batch, standing, "doc_id", "text", "source"
+    ).collect()
+    probed = dedup.incremental_minhash_report(
+        batch, standing, "doc_id", "text", "source", standing_bands=persisted
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, probed))
