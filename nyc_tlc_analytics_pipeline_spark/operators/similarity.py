@@ -122,25 +122,14 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def quantized_cosine_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_ids: tuple[int, ...] = (),
-    qmax: int = QMAX,
+def _quantized_scores_expr(
+    df: DataFrame, qc: list[int], query_vec: list[float], vec_col: str, qmax: int
 ) -> DataFrame:
-    """Brute-force top-k under int8-quantized cosine, beside the exact
-    float cosine for the same rows (the registered form doubles as a
-    quantization-error audit).
-
-    Dot products and squared norms are computed on the integer codes —
-    exact, associative, order-independent — and only the final ratio is
-    a (rounded) double.  Plans exactly like :func:`cosine_topk`: scan →
-    project → TakeOrderedAndProject; at scale the scan reads the 4×
-    smaller code column instead of the float vectors."""
-    qc = quantize_query(query_vec, qmax)
+    """Pure-column-expression scoring twin (the oracle-shaped form):
+    per-row codes via :func:`quantize_codes`, integer dot/norms via
+    fold aggregates.  Correct at any scale but each array op is an
+    interpreted per-element lambda — the Arrow kernel is ~10× faster on
+    the same arithmetic (q62's kernel-vs-expression precedent)."""
     qlit = F.array(*[lit(int(c)).cast("long") for c in qc])
     nq = sum(c * c for c in qc)
     codes = quantize_codes(vec_col, qmax)
@@ -151,16 +140,99 @@ def quantized_cosine_topk(
         lambda acc, x: acc + x,
     )
     qf = F.array(*[lit(float(x)) for x in query_vec])
-    out = df.select(
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        d.alias("q_dot"),
+        (
+            d.cast("double")
+            / F.sqrt((ncodes * lit(int(nq)).cast("long")).cast("double"))
+        ).alias("q_cos_raw"),
+        cosine(as_double_array(vec_col), qf).alias("cos_exact_raw"),
+    )
+
+
+def _quantized_scores_arrow(
+    df: DataFrame, qc: list[int], query_vec: list[float], vec_col: str, qmax: int
+) -> DataFrame:
+    """Arrow-batched numpy scoring kernel — identical arithmetic to the
+    expression twin, element-for-element: same floor/clamp quantization,
+    integer dot/norms are EXACT (so bit-equal however they're summed),
+    and the only FP steps (sqrt, divide) are IEEE correctly-rounded
+    single operations in both runtimes.  The float cos_exact_raw may
+    drift ~1e-15 from the fold form (numpy pairwise summation), far
+    under the rnd(…, 6) nudge.  Query codes ride the closure —
+    model-sized, pickled once per worker."""
+    keep = [c for c in df.columns if c != vec_col]
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"{c} {fields[c]}" for c in keep)
+        + ", q_dot long, q_cos_raw double, cos_exact_raw double"
+    )
+    qc_list, qf_list = list(qc), [float(x) for x in query_vec]
+
+    def kernel(batches):
+        import numpy as np
+
+        q = np.asarray(qc_list, dtype=np.int64)
+        nq = int((q * q).sum())
+        qf = np.asarray(qf_list, dtype=np.float64)
+        qn = float(np.sqrt((qf * qf).sum()))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            scale = np.maximum(np.abs(V).max(axis=1) / float(qmax), 1e-12)
+            C = np.clip(
+                np.floor(V / scale[:, None] + 0.5 + 1e-9), -qmax, qmax
+            ).astype(np.int64)
+            d = C @ q
+            na = (C * C).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                q_cos = d / np.sqrt((na * nq).astype(np.float64))
+                cos_exact = (V @ qf) / (np.sqrt((V * V).sum(axis=1)) * qn)
+            out = pdf[keep].copy()
+            out["q_dot"] = d
+            out["q_cos_raw"] = q_cos
+            out["cos_exact_raw"] = cos_exact
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+    qmax: int = QMAX,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Brute-force top-k under int8-quantized cosine, beside the exact
+    float cosine for the same rows (the registered form doubles as a
+    quantization-error audit).
+
+    Dot products and squared norms are computed on the integer codes —
+    exact, associative, order-independent — and only the final ratio is
+    a (rounded) double.  Plans exactly like :func:`cosine_topk`: scan →
+    kernel/project → TakeOrderedAndProject; at scale the scan reads the
+    4× smaller code column instead of the float vectors.
+
+    ``kernel="arrow"`` (default) scores with the vectorized numpy
+    kernel; ``kernel="expr"`` is the pure-expression twin — an equality
+    test pins the two to identical output, so the DuckDB oracle covers
+    both (the q62 assignment-kernel pattern)."""
+    qc = quantize_query(query_vec, qmax)
+    base = df.select(col(id_col), "label", col(vec_col))
+    score = _quantized_scores_arrow if kernel == "arrow" else _quantized_scores_expr
+    scored = score(base, qc, query_vec, vec_col, qmax)
+    out = scored.select(
         col(id_col),
         "label",
-        d.alias("q_dot"),
-        rnd(
-            d.cast("double")
-            / F.sqrt((ncodes * lit(int(nq)).cast("long")).cast("double")),
-            6,
-        ).alias("q_cos"),
-        rnd(cosine(as_double_array(vec_col), qf), 6).alias("cos_exact"),
+        "q_dot",
+        rnd(col("q_cos_raw"), 6).alias("q_cos"),
+        rnd(col("cos_exact_raw"), 6).alias("cos_exact"),
     )
     if exclude_ids:
         out = out.filter(~col(id_col).isin(*exclude_ids))
