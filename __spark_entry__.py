@@ -174,6 +174,7 @@ _SWEEP_COST = {
     "q145_logreg_training": 2.60,
     "q146_quantized_cosine_topk": 1.10,
     "q147_incremental_minhash": 4.20,
+    "q148_kneser_ney_perplexity": 3.00,
 }
 
 

@@ -247,3 +247,83 @@ def heldout_bigram_perplexity(
         .withColumnRenamed("__nb", "n_bigrams")
         .drop("__s")
     )
+
+
+def kneser_ney_perplexity(
+    df: DataFrame,
+    id_cols: list[str],
+    model_df: DataFrame,
+    text_col: str = "text",
+    d: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity against a held-out
+    model — the smoothing KenLM actually ships (the real CCNet filter
+    backend), upgrading :func:`heldout_bigram_perplexity`'s add-k floor
+    with absolute discounting + a continuation-probability backoff:
+
+    ``p(w|v) = max(c(vw)−d, 0)/c(v) + (d·N1+(v,·)/c(v))·Pcont(w)``
+    when context v is seen, else ``Pcont(w)``; the continuation
+    probability ``Pcont(w) = (N1+(·,w) + 1)/(T + V)`` carries add-1 on
+    the continuation TYPE counts so unseen words still score (T =
+    distinct bigram types, V = vocab size).  d = 0.75 (Chen & Goodman's
+    fixed discount) — 3/4, exactly representable, so both engines hold
+    the identical constant.
+
+    Scale shape — identical to the held-out add-k scorer: every model
+    frame (bigram counts, per-context totals + continuation fan-outs,
+    per-word continuation counts, the 1-row T/V) is bounded BY
+    CONSTRUCTION by the held-out corpus, so all four joins broadcast
+    and scoring any corpus size is explode → map-side hash joins →
+    doc-keyed aggregate.
+
+    Returns ``id_cols`` + (n_bigrams, n_unseen, log_ppl): ``n_unseen``
+    counts eval bigrams absent from the model (the KN diagnostic — a
+    high unseen share means the discount mass, not the ML estimate, is
+    doing the scoring).  Documents under 2 tokens drop out."""
+    t_m = text.tokens(text_col)
+    big_m = model_df.select(F.explode(bigrams(t_m)).alias("bigram")).select(
+        "bigram",
+        F.substring_index("bigram", " ", 1).alias("__prev"),
+        F.substring_index("bigram", " ", -1).alias("__cur"),
+    )
+    c2 = big_m.groupBy("bigram").agg(F.count("*").alias("c2"))
+    ctx = big_m.groupBy("__prev").agg(
+        F.count("*").alias("cprev"), F.count_distinct("__cur").alias("n1f")
+    )
+    cont = big_m.groupBy("__cur").agg(F.count_distinct("__prev").alias("n1b"))
+    consts = big_m.agg(
+        F.count_distinct("bigram").alias("T")
+    ).crossJoin(
+        model_df.select(F.explode(text.tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").alias("V"))
+    )
+    t_e = text.tokens(text_col)
+    big_e = df.select(
+        *id_cols,
+        (F.size(t_e) - lit(1)).alias("__nb"),
+        F.explode(bigrams(t_e)).alias("bigram"),
+    ).select(
+        "*",
+        F.substring_index("bigram", " ", 1).alias("__prev"),
+        F.substring_index("bigram", " ", -1).alias("__cur"),
+    )
+    pcont = (F.coalesce(col("n1b"), lit(0)) + lit(1.0)) / (col("T") + col("V"))
+    p = F.when(
+        col("cprev").isNotNull(),
+        F.greatest(F.coalesce(col("c2"), lit(0)) - lit(d), lit(0.0)) / col("cprev")
+        + lit(d) * col("n1f") / col("cprev") * pcont,
+    ).otherwise(pcont)
+    return (
+        big_e.join(F.broadcast(c2), "bigram", "left")
+        .join(F.broadcast(ctx), "__prev", "left")
+        .join(F.broadcast(cont), "__cur", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(*id_cols, "__nb")
+        .agg(
+            F.sum(F.log(p)).alias("__s"),
+            F.sum(col("c2").isNull().cast("long")).alias("n_unseen"),
+        )
+        .withColumn("log_ppl", -col("__s") / col("__nb"))
+        .withColumnRenamed("__nb", "n_bigrams")
+        .drop("__s")
+    )

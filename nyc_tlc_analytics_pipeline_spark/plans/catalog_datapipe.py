@@ -8797,3 +8797,125 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_report(
         batch, standing, "doc_id", "text", "source", threshold=_Q25_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — interpolated Kneser–Ney perplexity (KenLM's smoothing, held-out)
+# ---------------------------------------------------------------------------
+
+_Q148_D = "CAST(0.75 AS DOUBLE)"
+_Q148_PCONT = (
+    "((coalesce(cont.n1b, 0) + CAST(1.0 AS DOUBLE)) / (consts.T + consts.V))"
+)
+
+_Q148_ORACLE = f"""
+WITH m AS (
+    SELECT string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+    WHERE lang = 'en' AND source IN ({_Q138_SRC_SQL})
+),
+mbig AS (
+    SELECT bigram,
+           split_part(bigram, ' ', 1) AS prev,
+           split_part(bigram, ' ', 2) AS cur
+    FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        FROM m WHERE len(tk) >= 2
+    )
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM mbig GROUP BY bigram),
+ctx AS (
+    SELECT prev, count(*) AS cprev, count(DISTINCT cur) AS n1f
+    FROM mbig GROUP BY prev
+),
+cont AS (SELECT cur, count(DISTINCT prev) AS n1b FROM mbig GROUP BY cur),
+consts AS (
+    SELECT (SELECT count(DISTINCT bigram) FROM mbig) AS T,
+           (SELECT count(DISTINCT t) FROM (SELECT unnest(tk) AS t FROM m)) AS V
+),
+e AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+    WHERE lang = 'en' AND source NOT IN ({_Q138_SRC_SQL})
+),
+ebig AS (
+    SELECT doc_id, source, len(tk) - 1 AS nb, bigram,
+           split_part(bigram, ' ', 1) AS prev,
+           split_part(bigram, ' ', 2) AS cur
+    FROM (
+        SELECT doc_id, source, tk,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        FROM e WHERE len(tk) >= 2
+    )
+),
+scored AS (
+    SELECT b.doc_id, b.source,
+           round(-sum(ln(CASE WHEN ctx.cprev IS NOT NULL THEN
+                 greatest(coalesce(c2.c2, 0) - {_Q148_D}, CAST(0.0 AS DOUBLE))
+                     / ctx.cprev
+                 + {_Q148_D} * ctx.n1f / ctx.cprev * {_Q148_PCONT}
+               ELSE {_Q148_PCONT} END)) / b.nb + 1e-9, 6) AS log_ppl,
+           round(1.0 * sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END) / b.nb
+                 + 1e-9, 6) AS unseen_rate
+    FROM ebig b
+    LEFT JOIN c2 USING (bigram)
+    LEFT JOIN ctx ON b.prev = ctx.prev
+    LEFT JOIN cont ON b.cur = cont.cur
+    CROSS JOIN consts
+    GROUP BY b.doc_id, b.source, b.nb
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(log_ppl) + 1e-9, 6) AS avg_log_ppl,
+       round(max(log_ppl) + 1e-9, 6) AS max_log_ppl,
+       round(avg(unseen_rate) + 1e-9, 6) AS avg_unseen_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q148_kneser_ney_perplexity",
+    _Q148_ORACLE,
+    "q138's held-out LM filter upgraded to interpolated Kneser–Ney — "
+    "the smoothing KenLM ships, i.e. what a real CCNet deployment "
+    "scores with: absolute discounting (d = 0.75, an exactly-"
+    "representable power-of-two constant) backs off to the CONTINUATION "
+    "probability (how many distinct contexts a word completes), not the "
+    "raw unigram — the classic 'san Francisco' correction.  All model "
+    "frames (bigram counts, context totals + fan-outs, continuation "
+    "counts, the 1-row T/V) are bounded by the held-out corpus and "
+    "BROADCAST; scoring any corpus size is explode → four map-side "
+    "hash joins → doc-keyed aggregate.  Per-source report includes the "
+    "unseen-bigram rate — the KN diagnostic for how much of the score "
+    "is discount mass.",
+    operators=("lm-kneser-ney", "lm-bigram-heldout", "J-broadcast", "A3"),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(col("lang") == "en")
+    model = en.filter(col("source").isin(*_Q138_MODEL_SRC))
+    ev = en.filter(~col("source").isin(*_Q138_MODEL_SRC))
+    scored = lm.kneser_ney_perplexity(ev, ["doc_id", "source"], model).select(
+        "doc_id",
+        "source",
+        rnd(col("log_ppl"), 6).alias("log_ppl"),
+        rnd(col("n_unseen").cast("double") / col("n_bigrams"), 6).alias(
+            "unseen_rate"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("log_ppl"), 6).alias("avg_log_ppl"),
+            rnd(F.max("log_ppl"), 6).alias("max_log_ppl"),
+            rnd(F.avg("unseen_rate"), 6).alias("avg_unseen_rate"),
+        )
+        .orderBy("source")
+    )

@@ -262,3 +262,106 @@ def test_persisted_band_index_probe_equals_inline(tmp_path, spark, split):
         batch, standing, "doc_id", "text", "source", standing_bands=persisted
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, probed))
+
+
+# ---------------------------------------------------------------------------
+# q148 — Kneser–Ney perplexity
+# ---------------------------------------------------------------------------
+
+
+def _kn_reference(model_docs, eval_docs, d=0.75):
+    """Pure-Python interpolated KN bigram scorer with the operator's
+    exact formula (add-1 continuation, unseen context → Pcont)."""
+    from collections import Counter, defaultdict
+
+    c2, ctx_tot = Counter(), Counter()
+    fanout, contset = defaultdict(set), defaultdict(set)
+    vocab = set()
+    for doc in model_docs:
+        toks = doc.lower().split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            ctx_tot[a] += 1
+            fanout[a].add(b)
+            contset[b].add(a)
+    T, V = len(c2), len(vocab)
+
+    def pcont(w):
+        return (len(contset.get(w, ())) + 1.0) / (T + V)
+
+    out = []
+    for doc in eval_docs:
+        toks = doc.lower().split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        s, unseen = 0.0, 0
+        for a, b in bgs:
+            if (a, b) not in c2:
+                unseen += 1
+            if a in ctx_tot:
+                cv = ctx_tot[a]
+                p = (
+                    max(c2.get((a, b), 0) - d, 0.0) / cv
+                    + d * len(fanout[a]) / cv * pcont(b)
+                )
+            else:
+                p = pcont(b)
+            s += math.log(p)
+        out.append((len(bgs), unseen, -s / len(bgs)))
+    return out
+
+
+def test_kneser_ney_matches_hand_reference(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import lm
+
+    model_texts = ["a b c", "a b d", "e b c", "a f"]
+    eval_texts = [
+        "a b c",      # all seen
+        "a q",        # seen context, unseen word
+        "z b",        # unseen context, seen word
+        "z q",        # nothing seen
+    ]
+    model = spark.createDataFrame([(t,) for t in model_texts], "text string")
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(eval_texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_unseen, r.log_ppl)
+        for r in lm.kneser_ney_perplexity(ev, ["doc_id"], model).collect()
+    }
+    ref = _kn_reference(model_texts, eval_texts)
+    assert len(got) == len(ref)
+    for i, (nb, unseen, lp) in enumerate(ref):
+        assert got[i][0] == nb
+        assert got[i][1] == unseen
+        assert got[i][2] == pytest.approx(lp, abs=1e-9)
+
+
+def test_kneser_ney_probabilities_sum_to_at_most_one(spark):
+    """For a seen context, Σ_w p(w|v) over the model VOCAB stays ≤ 1
+    (the discount redistributes mass it first removed; the +1
+    continuation floor only leaks mass to out-of-vocab words)."""
+    from collections import Counter, defaultdict
+
+    model_texts = ["a b c a b d a c", "b a c d"]
+    c2, ctx_tot = Counter(), Counter()
+    fanout, contset = defaultdict(set), defaultdict(set)
+    vocab = set()
+    for doc in model_texts:
+        toks = doc.split()
+        vocab.update(toks)
+        for x, y in zip(toks, toks[1:]):
+            c2[(x, y)] += 1
+            ctx_tot[x] += 1
+            fanout[x].add(y)
+            contset[y].add(x)
+    T, V, d = len(c2), len(vocab), 0.75
+    for v in ctx_tot:
+        tot = sum(
+            max(c2.get((v, w), 0) - d, 0.0) / ctx_tot[v]
+            + d * len(fanout[v]) / ctx_tot[v] * (len(contset[w]) + 1.0) / (T + V)
+            for w in vocab
+        )
+        assert tot <= 1.0 + 1e-12
