@@ -1,0 +1,112 @@
+"""Streaming near-duplicate ingest: the streaming face of the
+incremental MinHash refresh (``dedup.incremental_minhash_classify``,
+conformance q147).
+
+Each document micro-batch is classified against the ACCUMULATED survivor
+store — dup_vs_corpus / dup_in_batch / new — and only the survivors
+(status ``new``) join the store and its persisted (doc, band, bucket)
+LSH index, so the index a batch probes is exactly the set of documents
+an offline keep-first dedup would have kept at that point in the
+arrival order.  Per-batch cost is O(batch + candidate matches): the
+probe is one (band, bucket) equi-join against the index and standing
+text is only shingled for candidates (left-semi prune), never the whole
+store — the property that lets a 100 TB corpus ingest continuously
+instead of re-pairing weekly.
+
+Exactly-once across at-least-once foreachBatch replays follows
+``run_incremental_gold``'s manifest discipline: each of the three
+stores (statuses, survivor docs, band index) commits the batch under an
+idempotency tag, and the standing snapshot is filtered to
+``__batch_id < current`` so a replay that finds some tables committed
+and others not can never classify a batch against its own survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..operators import dedup
+from ..sources.manifest import ManifestTable
+
+
+def run_streaming_near_dup(
+    doc_stream: DataFrame,
+    status_path: str,
+    docs_path: str,
+    bands_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """Drain ``doc_stream`` (availableNow) through the near-dup ingest.
+
+    Writes three manifest tables: ``status_path`` — every input doc with
+    its batch id and status; ``docs_path`` — the survivor store (the
+    deduplicated corpus); ``bands_path`` — the survivors' LSH band
+    index, the only thing future batches probe."""
+    spark = doc_stream.sparkSession
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"batch-{batch_id:020d}"
+        status_t = ManifestTable(spark, status_path)
+        docs_t = ManifestTable(spark, docs_path)
+        bands_t = ManifestTable(spark, bands_path)
+
+        # replay-safe standing snapshot: strictly earlier batches only
+        snap = docs_t.snapshot()
+        if snap["dirs"]:
+            standing = docs_t.read(version=snap["version"]).filter(
+                col("__batch_id") < lit(batch_id)
+            )
+            standing_bands = (
+                ManifestTable(spark, bands_path)
+                .read()
+                .filter(col("__batch_id") < lit(batch_id))
+                .select("doc", "band", "bucket")
+            )
+        else:
+            standing = batch_df.limit(0)
+            standing_bands = None
+
+        # a micro-batch is small by construction; classifying it uses it
+        # several times (bands, shingles, within-batch pairs) — pin it
+        batch_df = batch_df.localCheckpoint(eager=True)
+        st = dedup.incremental_minhash_classify(
+            batch_df,
+            standing.drop("__batch_id"),
+            id_col,
+            text_col,
+            n,
+            num_hashes,
+            bands,
+            threshold,
+            standing_bands=standing_bands,
+        ).withColumn("__batch_id", lit(batch_id))
+        st = st.localCheckpoint(eager=True)
+
+        status_t.append(st.select(id_col, "status", "__batch_id"), tag=tag)
+        survivors = st.filter(col("status") == "new").drop("status")
+        docs_t.append(survivors, tag=tag)
+        bands_t.append(
+            dedup.lsh_band_table(
+                survivors, id_col, text_col, n, num_hashes, bands
+            ).withColumn("__batch_id", lit(batch_id)),
+            tag=tag,
+        )
+
+    (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(classify_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -365,3 +365,93 @@ def test_kneser_ney_probabilities_sum_to_at_most_one(spark):
             for w in vocab
         )
         assert tot <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup ingest (the streaming face of q147)
+# ---------------------------------------------------------------------------
+
+
+def _write_doc_batches(spark, docs, src, n_files=3):
+    """Split documents into n deterministic slices, one parquet FILE per
+    slice with strictly increasing mtimes so the file stream processes
+    them as ordered micro-batches."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    slices = []
+    for k in range(n_files):
+        sl = docs.filter(col("doc_id") % n_files == k)
+        slices.append(sl)
+        tmp = f"{src}__tmp{k}"
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src, f"{k:03d}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time() + k * 10, time.time() + k * 10))
+    return slices
+
+
+def test_streaming_near_dup_matches_sequential_batches(spark, docs, tmp_path):
+    """Draining the doc directory through the streaming near-dup ingest
+    equals the sequential batch chain (classify each slice against the
+    accumulated survivors), and a same-checkpoint re-run is a no-op."""
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.near_dup import (
+        run_streaming_near_dup,
+    )
+
+    src = str(tmp_path / "docs_src")
+    slices = _write_doc_batches(spark, docs, src, n_files=3)
+
+    status_p = str(tmp_path / "status")
+    docs_p = str(tmp_path / "store")
+    bands_p = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_streaming_near_dup(stream, status_p, docs_p, bands_p, ckpt)
+
+    run()
+    got = {
+        r.doc_id: r.status
+        for r in ManifestTable(spark, status_p).read().collect()
+    }
+
+    # sequential batch reference over the same slices in the same order
+    expected = {}
+    standing = docs.limit(0)
+    for sl in slices:
+        st = dedup.incremental_minhash_classify(sl, standing, "doc_id", "text")
+        for r in st.select("doc_id", "status").collect():
+            expected[r.doc_id] = r.status
+        standing = standing.unionByName(
+            st.filter(col("status") == "new").drop("status")
+        ).localCheckpoint(eager=True)
+    assert got == expected
+
+    # survivor store holds exactly the 'new' docs
+    store_ids = {
+        r.doc_id for r in ManifestTable(spark, docs_p).read().collect()
+    }
+    assert store_ids == {d for d, s in expected.items() if s == "new"}
+
+    # band index covers exactly the survivors
+    band_ids = {
+        r.doc for r in ManifestTable(spark, bands_p).read().collect()
+    }
+    assert band_ids == store_ids
+
+    # replay with the same checkpoint: availableNow finds nothing new
+    v_before = ManifestTable(spark, status_p).latest_version()
+    run()
+    assert ManifestTable(spark, status_p).latest_version() == v_before
