@@ -175,6 +175,7 @@ _SWEEP_COST = {
     "q146_quantized_cosine_topk": 1.10,
     "q147_incremental_minhash": 4.20,
     "q148_kneser_ney_perplexity": 3.00,
+    "q149_binary_rerank_topk": 1.20,
 }
 
 

@@ -239,6 +239,100 @@ def quantized_cosine_topk(
     return out.orderBy(F.desc("q_cos"), id_col).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# 1-bit sign quantization + Hamming prefilter → exact re-rank
+# ---------------------------------------------------------------------------
+
+#: bits packed per code word.  32 (not 64) so every shift stays well
+#: inside BIGINT positive range in BOTH engines — a 64-bit pack would
+#: put bit 63 in the sign position, where Spark and DuckDB disagree on
+#: display/overflow semantics.
+WORD_BITS = 32
+
+
+def sign_codes(vec: Column | str, dim: int) -> Column:
+    """1-bit sign quantization: bit i = (x_i > 0), packed little-endian
+    into ``ceil(dim/32)`` long words — 64× smaller than float64 storage.
+    The extreme end of the quantization ladder (float32 → int8 → 1-bit):
+    at 100 TB the packed codes live beside the vectors and the Hamming
+    prefilter scans ONLY them; angular similarity survives sign-coding
+    well enough to shortlist (Charikar's SimHash bound: P[bit match] =
+    1 − θ/π) and the exact re-rank repairs the rest."""
+    v = as_double_array(vec)
+    words = []
+    for w in range((dim + WORD_BITS - 1) // WORD_BITS):
+        bits = F.zip_with(
+            F.slice(v, w * WORD_BITS + 1, WORD_BITS),
+            F.sequence(lit(0), lit(WORD_BITS - 1)),
+            lambda x, i: F.when(
+                x > lit(0.0), F.pow(lit(2.0), i.cast("double")).cast("long")
+            ).otherwise(lit(0).cast("long")),
+        )
+        words.append(
+            F.aggregate(bits, lit(0).cast("long"), lambda acc, b: acc + b)
+        )
+    return F.array(*words)
+
+
+def sign_codes_query(query_vec: list[float]) -> list[int]:
+    """Driver-side twin of :func:`sign_codes` for a literal query."""
+    out = []
+    for w in range((len(query_vec) + WORD_BITS - 1) // WORD_BITS):
+        chunk = query_vec[w * WORD_BITS : (w + 1) * WORD_BITS]
+        out.append(sum(1 << i for i, x in enumerate(chunk) if float(x) > 0.0))
+    return out
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed code-word arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Two-stage retrieval: Hamming distance on 1-bit sign codes
+    shortlists ``m`` candidates (deterministic (hamming, id) order), the
+    exact float cosine re-ranks the shortlist to top-``k`` — the classic
+    binary-quantization pipeline (faiss IndexBinaryFlat + refine).
+
+    Stage 1 plans as scan → project → TakeOrderedAndProject over the
+    2-word code column (at scale, a persisted codes table 64× smaller
+    than the vectors); stage 2 touches float vectors for only ``m``
+    rows.  Fully deterministic: both stage boundaries tie-break on the
+    id."""
+    dim = len(query_vec)
+    qw = sign_codes_query(query_vec)
+    ham = hamming_words(
+        sign_codes(vec_col, dim), F.array(*[lit(int(w)).cast("long") for w in qw])
+    )
+    base = df.select(col(id_col), "label", col(vec_col), ham.alias("hamming"))
+    if exclude_ids:
+        base = base.filter(~col(id_col).isin(*exclude_ids))
+    shortlist = base.orderBy("hamming", id_col).limit(m)
+    qf = F.array(*[lit(float(x)) for x in query_vec])
+    return (
+        shortlist.select(
+            col(id_col),
+            "label",
+            col("hamming"),
+            rnd(cosine(as_double_array(vec_col), qf), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def _plane_component(seed: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-gaussian hyperplane component from md5 —
     reproducible across runs without Date/random (sum of 4 uniforms − 2)."""

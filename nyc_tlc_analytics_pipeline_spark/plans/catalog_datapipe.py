@@ -8919,3 +8919,73 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — 1-bit sign codes: Hamming prefilter → exact cosine re-rank
+# ---------------------------------------------------------------------------
+
+_Q149_M = 50
+
+
+def _q149_oracle(dim: int = 64, m: int = _Q149_M, k: int = 10) -> str:
+    words = (dim + 31) // 32
+    pack = (
+        "list_transform(range(0, {w}), wd -> CAST(list_sum("
+        "list_transform(range(1, 33), j -> CASE WHEN {v}[wd * 32 + j] > 0 "
+        "THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT))"
+    )
+    ham = " + ".join(
+        f"bit_count(xor(cw[{j + 1}], qq.qw[{j + 1}]))" for j in range(words)
+    )
+    return f"""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+),
+qq AS (
+    SELECT {pack.format(w=words, v='v')} AS qw, v AS fv FROM q
+),
+c AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           {pack.format(w=words, v='CAST(embedding AS DOUBLE[])')} AS cw
+    FROM embeddings
+    WHERE vec_id <> 0
+),
+shortlist AS (
+    SELECT vec_id, label, v, CAST({ham} AS BIGINT) AS hamming
+    FROM c CROSS JOIN qq
+    ORDER BY hamming, vec_id
+    LIMIT {m}
+)
+SELECT s.vec_id, s.label, s.hamming,
+       round(list_cosine_similarity(s.v, qq.fv) + 1e-9, 6) AS cos_sim
+FROM shortlist s CROSS JOIN qq
+ORDER BY cos_sim DESC, s.vec_id
+LIMIT {k}
+"""
+
+
+@register(
+    "q149_binary_rerank_topk",
+    _q149_oracle(),
+    "Two-stage similarity search at the far end of the quantization "
+    "ladder: 1-bit sign codes (dim/8 bytes — 64× smaller than float64) "
+    "scanned with a Hamming-distance TakeOrdered shortlist of "
+    f"{_Q149_M}, then exact float cosine re-ranks the shortlist to "
+    "top-10 (faiss IndexBinaryFlat+refine shape).  Stage 1 reads only "
+    "the packed code words; stage 2 touches float vectors for 50 rows "
+    "regardless of corpus size.  Codes pack 32 bits/word so every "
+    "shift stays in BIGINT positive range in both engines; both stage "
+    "boundaries tie-break on vec_id, so the whole cascade is "
+    "hash-checkable.",
+    operators=("sim-binary-rerank", "sim-quantized", "O1"),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.binary_rerank_topk(
+        emb, qvec, k=10, m=_Q149_M, exclude_ids=(0,)
+    )

@@ -455,3 +455,55 @@ def test_streaming_near_dup_matches_sequential_batches(spark, docs, tmp_path):
     v_before = ManifestTable(spark, status_p).latest_version()
     run()
     assert ManifestTable(spark, status_p).latest_version() == v_before
+
+
+# ---------------------------------------------------------------------------
+# q149 — binary sign codes + Hamming re-rank
+# ---------------------------------------------------------------------------
+
+
+def test_sign_codes_driver_matches_column(spark, emb):
+    vec = [float(x) for x in emb.filter(col("vec_id") == 5).head()["embedding"]]
+    [row] = (
+        emb.filter(col("vec_id") == 5)
+        .select(similarity.sign_codes("embedding", len(vec)).alias("c"))
+        .collect()
+    )
+    assert similarity.sign_codes_query(vec) == list(row.c)
+
+
+def test_hamming_self_is_zero_and_symmetric(spark):
+    df = spark.createDataFrame(
+        [([1.0, -2.0, 0.5, -0.1] * 16,), ([-1.0, 2.0, -0.5, 0.1] * 16,)],
+        "embedding array<double>",
+    )
+    codes = similarity.sign_codes("embedding", 64)
+    rows = df.select(codes.alias("c")).collect()
+    a, b = list(rows[0].c), list(rows[1].c)
+    pair = spark.createDataFrame([(a, b)], "ca array<long>, cb array<long>")
+    [r] = pair.select(
+        similarity.hamming_words(col("ca"), col("cb")).alias("h_ab"),
+        similarity.hamming_words(col("cb"), col("ca")).alias("h_ba"),
+        similarity.hamming_words(col("ca"), col("ca")).alias("h_aa"),
+    ).collect()
+    assert r.h_aa == 0
+    assert r.h_ab == r.h_ba == 64  # exact sign flips everywhere
+
+
+def test_binary_rerank_recall_vs_exact(emb):
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).head()["embedding"]]
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
+    }
+    got = similarity.binary_rerank_topk(
+        emb, qvec, k=10, m=50, exclude_ids=(0,)
+    ).collect()
+    assert len({r.vec_id for r in got} & exact) >= 6
+    # wider shortlist → recall can only improve (candidate set is a superset)
+    wide = similarity.binary_rerank_topk(
+        emb, qvec, k=10, m=200, exclude_ids=(0,)
+    ).collect()
+    assert len({r.vec_id for r in wide} & exact) >= len(
+        {r.vec_id for r in got} & exact
+    )
