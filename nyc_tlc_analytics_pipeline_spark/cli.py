@@ -225,6 +225,49 @@ def main(argv: list[str] | None = None) -> int:
         "--pair-mode", default="minhash", choices=["minhash", "jaccard"]
     )
 
+    tc = sub.add_parser(
+        "train-classifier",
+        help="train the quality-filter logistic classifier by "
+        "distributed full-batch GD over the document features "
+        "(operators.train.logreg_train); prints the per-step "
+        "weight/loss trajectory",
+    )
+    tc.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    tc.add_argument("--iters", type=int, default=4)
+    tc.add_argument("--lr", type=float, default=2.0)
+    tc.add_argument("--label-lang", default="en")
+
+    nr = sub.add_parser(
+        "neardup-refresh",
+        help="incremental near-dup refresh: classify a new batch "
+        "against the standing corpus via the MinHash band index "
+        "(operators.dedup.incremental_minhash_report); optionally "
+        "persist the standing band index partitioned by band",
+    )
+    nr.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="dir containing documents.parquet",
+    )
+    nr.add_argument(
+        "--batch-mod",
+        type=int,
+        default=3,
+        help="doc_id %% N == 0 forms the incoming batch",
+    )
+    nr.add_argument("--threshold", type=float, default=0.5)
+    nr.add_argument(
+        "--bands-out",
+        default=None,
+        help="if set, write the standing (doc, band, bucket) index "
+        "here partitioned by band and probe THAT instead of deriving "
+        "bands inline",
+    )
+
     dr = sub.add_parser(
         "drift",
         help="PSI drift report between a reference and a current "
@@ -523,6 +566,77 @@ def main(argv: list[str] | None = None) -> int:
                     }
                     for r in rows
                 },
+                indent=2,
+                sort_keys=True,
+            )
+        )
+    elif args.command == "train-classifier":
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import col, lit
+
+        from .functions.scalar import rnd
+        from .operators import rules as R
+        from .operators import text as T
+        from .operators import train
+        from .sources.testdata import load_table_parallel
+
+        docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
+        toks = T.tokens("text")
+        feats = docs.select(
+            F.when(col("lang") == args.label_lang, lit(1.0))
+            .otherwise(lit(0.0))
+            .alias("y"),
+            rnd(F.coalesce(F.least(F.size(toks) / lit(200.0), lit(1.0)), lit(0.0)), 6).alias("f1"),
+            rnd(
+                F.coalesce(
+                    F.least(R.mean_token_length(toks) / lit(10.0), lit(1.0)),
+                    lit(0.0),
+                ),
+                6,
+            ).alias("f2"),
+            rnd(
+                F.coalesce(
+                    T.stopword_ratio("text", T.LANG_STOPWORDS["en"]), lit(0.0)
+                ),
+                6,
+            ).alias("f3"),
+            rnd(F.coalesce(T.punct_ratio("text"), lit(0.0)), 6).alias("f4"),
+        ).localCheckpoint(eager=True)
+        traj = train.logreg_train(
+            feats, ["f1", "f2", "f3", "f4"], "y", iters=args.iters, lr=args.lr
+        )
+        print(json.dumps(traj, indent=2))
+    elif args.command == "neardup-refresh":
+        from pyspark.sql.functions import col
+
+        from .operators import dedup
+        from .sources.testdata import load_table_parallel
+
+        docs = load_table_parallel(pl.spark, args.sf_dir, "documents")
+        batch = docs.filter(col("doc_id") % args.batch_mod == 0)
+        standing = docs.filter(col("doc_id") % args.batch_mod != 0)
+        standing_bands = None
+        if args.bands_out:
+            dedup.lsh_band_table(standing, "doc_id", "text").write.mode(
+                "overwrite"
+            ).partitionBy("band").parquet(args.bands_out)
+            standing_bands = pl.spark.read.parquet(args.bands_out).select(
+                "doc", "band", "bucket"
+            )
+        rows = dedup.incremental_minhash_report(
+            batch,
+            standing,
+            "doc_id",
+            "text",
+            "source",
+            threshold=args.threshold,
+            standing_bands=standing_bands,
+        ).collect()
+        print(
+            json.dumps(
+                {r.source: {k: r[k] for k in
+                            ("n_batch", "n_dup_vs_corpus", "n_dup_in_batch", "n_new")}
+                 for r in rows},
                 indent=2,
                 sort_keys=True,
             )
