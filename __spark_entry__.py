@@ -176,6 +176,7 @@ _SWEEP_COST = {
     "q147_incremental_minhash": 4.20,
     "q148_kneser_ney_perplexity": 3.00,
     "q149_binary_rerank_topk": 1.20,
+    "q150_ivf_quantized_topk": 5.60,
 }
 
 

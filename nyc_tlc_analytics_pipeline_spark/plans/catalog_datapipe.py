@@ -8989,3 +8989,68 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.binary_rerank_topk(
         emb, qvec, k=10, m=_Q149_M, exclude_ids=(0,)
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — IVF pruning × int8 scoring: the combined ANN production stack
+# ---------------------------------------------------------------------------
+
+_Q150_INT8 = (
+    "list_transform({v}, x -> greatest(least(CAST(floor("
+    "x / greatest(list_max(list_transform({v}, y -> abs(y))) / 127.0, 1e-12)"
+    " + 0.5 + 1e-9) AS BIGINT), 127), -127))"
+)
+
+
+def _q150_oracle() -> str:
+    """q31's IVF CTE chain (centroids, probe list, nearest-centroid
+    assignment) verbatim, with q146's int8 quantization scoring the
+    probed buckets — the oracle checks BOTH the pruning set and the
+    integer arithmetic."""
+    prefix = _Q31_ORACLE.rsplit("SELECT vec_id, label,", 1)[0].rstrip()
+    return f"""{prefix},
+qq AS (
+    SELECT {_Q150_INT8.format(v='qv')} AS qw, qv FROM q
+),
+pruned AS (
+    SELECT vec_id, label, v, {_Q150_INT8.format(v='v')} AS cw
+    FROM assigned
+    WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label,
+       CAST(list_sum(list_transform(range(1, len(cw) + 1),
+                                    i -> cw[i] * qq.qw[i])) AS BIGINT) AS q_dot,
+       round(1.0 * list_sum(list_transform(range(1, len(cw) + 1),
+                                           i -> cw[i] * qq.qw[i]))
+             / sqrt(1.0 * list_sum(list_transform(cw, x -> x * x))
+                    * list_sum(list_transform(qq.qw, x -> x * x))) + 1e-9, 6)
+           AS q_cos,
+       round(list_cosine_similarity(v, qq.qv) + 1e-9, 6) AS cos_exact
+FROM pruned CROSS JOIN qq
+ORDER BY q_cos DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "q150_ivf_quantized_topk",
+    _q150_oracle(),
+    "The combined similarity-search production stack: IVF pruning "
+    "(probe the 4 nearest of 16 md5-ordered centroids — with the "
+    "persisted write_ivf_index layout this is parquet PARTITION "
+    "pruning) × int8 quantized scoring (4× smaller column, exact "
+    "integer dot products in the Arrow kernel) with the exact float "
+    "cosine beside as the audit.  Read fewer rows AND smaller rows in "
+    "one plan; the oracle replays q31's probe/assignment chain plus "
+    "q146's quantization arithmetic end-to-end.",
+    operators=("sim-ann-ivf", "sim-quantized", "O1"),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    rest = emb.filter(col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    cents = similarity.ivf_centroids(rest, k=16)
+    return similarity.ivf_quantized_topk(rest, qvec, cents, k=10, n_probe=4)

@@ -507,3 +507,39 @@ def test_binary_rerank_recall_vs_exact(emb):
     assert len({r.vec_id for r in wide} & exact) >= len(
         {r.vec_id for r in got} & exact
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — IVF × int8 combined stack
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_quantized_full_probe_equals_quantized_brute(emb):
+    """With n_probe == n_centroids the IVF prune is a no-op, so the
+    combined stack must equal the plain quantized brute top-k — the
+    q31 correctness contract carried over to the quantized path."""
+    rest = emb.filter(col("vec_id") != 0)
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).head()["embedding"]]
+    cents = similarity.ivf_centroids(rest, k=8)
+    full = similarity.ivf_quantized_topk(
+        rest, qvec, cents, k=10, n_probe=8
+    ).collect()
+    brute = similarity.quantized_cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in brute]
+
+
+def test_ivf_quantized_probe_recall(emb):
+    rest = emb.filter(col("vec_id") != 0)
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).head()["embedding"]]
+    cents = similarity.ivf_centroids(rest, k=16)
+    pruned = {
+        r.vec_id
+        for r in similarity.ivf_quantized_topk(
+            rest, qvec, cents, k=10, n_probe=4
+        ).collect()
+    }
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
+    }
+    assert len(pruned & exact) >= 5  # probing 1/4 of buckets keeps most
