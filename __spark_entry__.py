@@ -177,6 +177,7 @@ _SWEEP_COST = {
     "q148_kneser_ney_perplexity": 3.00,
     "q149_binary_rerank_topk": 1.20,
     "q150_ivf_quantized_topk": 5.60,
+    "q151_neardup_triangles": 6.00,
 }
 
 

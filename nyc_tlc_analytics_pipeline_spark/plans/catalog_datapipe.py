@@ -9054,3 +9054,78 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cents = similarity.ivf_centroids(rest, k=16)
     return similarity.ivf_quantized_topk(rest, qvec, cents, k=10, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# q151 — triangle participation over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_Q151_THRESHOLD = 0.3
+
+_Q151_ORACLE = (
+    f"WITH {_SHINGLE_CTES},\n"
+    + _minhash_pair_ctes(_Q151_THRESHOLD)
+    + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM mpairs),
+deg AS (
+    SELECT node, count(*) AS deg
+    FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+    GROUP BY node
+),
+ranked AS (
+    SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                THEN u ELSE v END AS lo,
+           CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                THEN v ELSE u END AS hi
+    FROM edges
+    JOIN deg d1 ON u = d1.node
+    JOIN deg d2 ON v = d2.node
+),
+wedges AS (
+    SELECT w1.lo AS pv, w1.hi AS a, w2.hi AS b
+    FROM ranked w1
+    JOIN ranked w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+),
+tris AS (
+    SELECT pv, a, b FROM wedges JOIN edges ON a = u AND b = v
+),
+per AS (
+    SELECT node, count(*) AS n
+    FROM (SELECT pv AS node FROM tris
+          UNION ALL SELECT a FROM tris
+          UNION ALL SELECT b FROM tris)
+    GROUP BY node
+)
+SELECT deg.node AS node,
+       CAST(deg.deg AS BIGINT) AS degree,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN per ON deg.node = per.node
+ORDER BY node
+"""
+)
+
+
+@register(
+    "q151_neardup_triangles",
+    _Q151_ORACLE,
+    "Triangle participation over the MinHash near-dup pair graph "
+    "(threshold 0.3) — the cohesion diagnostic that separates true "
+    "duplicate groups (members all pair with each other → many "
+    "triangles) from boilerplate template stars (one hub, no closing "
+    "edges).  Node-iterator++ orientation (Suri–Vassilvitskii): every "
+    "edge points from its lower-(degree, id) endpoint, so each "
+    "triangle is emitted by exactly one wedge and per-vertex wedge "
+    "fan-out is bounded by the ORIENTED out-degree (≤ √|E|), killing "
+    "the hub-key blowup of a raw adjacency self-join.  Three shuffles "
+    "total; the oracle replays the md5 MinHash chain and the same "
+    "orientation.",
+    operators=("graph-triangles", "dedup-minhash-lsh", "J7"),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q151_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return graph.triangle_count(pairs, "doc_a", "doc_b").orderBy("node")

@@ -543,3 +543,44 @@ def test_ivf_quantized_probe_recall(emb):
         for r in similarity.cosine_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
     }
     assert len(pruned & exact) >= 5  # probing 1/4 of buckets keeps most
+
+
+# ---------------------------------------------------------------------------
+# q151 — triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_truth_table(spark):
+    """A 4-clique (4 triangles, each node in 3), a star (0 triangles),
+    and a disconnected triangle — with duplicate and reversed edges
+    thrown in to exercise canonicalization."""
+    from nyc_tlc_analytics_pipeline_spark.operators import graph
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(10, 11), (10, 12), (10, 13), (12, 10)]  # reversed dup
+    tri = [(20, 21), (21, 22), (22, 20), (20, 21)]  # duplicate edge
+    edges = spark.createDataFrame(
+        clique + star + tri, "src long, dst long"
+    )
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in graph.triangle_count(edges).collect()
+    }
+    for n in range(4):
+        assert got[n] == (3, 3)
+    assert got[10] == (3, 0)
+    for n in (11, 12, 13):
+        assert got[n] == (1, 0)
+    for n in (20, 21, 22):
+        assert got[n] == (2, 1)
+
+
+def test_triangle_count_global_sum_is_three_per_triangle(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import graph
+
+    # two triangles sharing an edge: (0,1,2) and (1,2,3)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    rows = graph.triangle_count(edges).collect()
+    assert sum(r.n_triangles for r in rows) == 2 * 3
