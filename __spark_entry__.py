@@ -178,6 +178,7 @@ _SWEEP_COST = {
     "q149_binary_rerank_topk": 1.20,
     "q150_ivf_quantized_topk": 5.60,
     "q151_neardup_triangles": 6.00,
+    "q152_neyman_stratified_sample": 2.00,
 }
 
 

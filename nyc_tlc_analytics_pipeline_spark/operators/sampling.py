@@ -558,3 +558,69 @@ def epoch_allocation(
         )
         .orderBy("domain")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h ∝ N_h·S_h —
+    variance-minimizing for a fixed budget (the survey-sampling
+    counterpart of q131's Horvitz–Thompson estimation: spend the sample
+    where the strata are big AND noisy, not merely big).
+
+    One aggregate over the stratum key (|strata| rows, the
+    mixture_sample posture), the normalizer a global window over that
+    bounded frame.  Per-stratum S_h is the sample stddev of
+    ``value_col`` nudge-rounded 6 dp (cross-engine determinism), the
+    allocation ``clamp(round(total_n·N_h·S_h/Σ), 1, N_h)`` — rounded
+    independently per stratum, so Σn_h may differ from ``total_n`` by
+    the rounding (documented, deterministic).  Zero/NULL-variance
+    strata (constant or single-row) get the floor allocation of 1."""
+    from ..functions.scalar import rnd
+
+    st = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_pop"),
+        rnd(F.coalesce(F.stddev_samp(col(value_col)), lit(0.0)), 6).alias("__s"),
+    )
+    z = F.sum(col("n_pop") * col("__s")).over(Window.partitionBy())
+    return st.select(
+        stratum_col,
+        col("n_pop").cast("long").alias("n_pop"),
+        col("__s").alias("stddev_value"),
+        F.least(
+            F.greatest(
+                F.floor(lit(float(total_n)) * col("n_pop") * col("__s") / z
+                        + lit(0.5) + lit(1e-9)),
+                lit(1).cast("long"),
+            ),
+            col("n_pop"),
+        ).cast("long").alias("n_alloc"),
+    )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    id_col: str,
+) -> DataFrame:
+    """Draw the Neyman-allocated sample: within each stratum keep the
+    ``n_alloc`` smallest md5-hash ranks (deterministic,
+    layout-independent — the repo's standard hash-order selection).
+    Returns the sampled rows with their stratum's allocation columns
+    attached; the stratified estimator of any population mean is then
+    ``Σ_h (N_h/N)·ȳ_h`` over this frame."""
+    alloc = neyman_allocation(df, stratum_col, value_col, total_n)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(col(id_col).cast("string")), col(id_col)
+    )
+    return (
+        df.join(alloc, stratum_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(col("__rn") <= col("n_alloc"))
+        .drop("__rn")
+    )

@@ -9129,3 +9129,93 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=_Q151_THRESHOLD
     ).select("doc_a", "doc_b")
     return graph.triangle_count(pairs, "doc_a", "doc_b").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q152 — Neyman-allocated stratified sampling (variance-optimal budget)
+# ---------------------------------------------------------------------------
+
+_Q152_N = 200
+
+_Q152_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           1.0 * len(string_split_regex(lower(text), '\\s+')) AS v
+    FROM documents
+),
+st AS (
+    SELECT lang, count(*) AS n_pop,
+           round(coalesce(stddev_samp(v), 0.0) + 1e-9, 6) AS s
+    FROM t GROUP BY lang
+),
+tot AS (SELECT sum(n_pop * s) AS z FROM st),
+alloc AS (
+    SELECT lang, n_pop, s,
+           CAST(least(greatest(floor({_Q152_N}.0 * n_pop * s / tot.z
+                                     + 0.5 + 1e-9), 1), n_pop) AS BIGINT)
+               AS n_alloc
+    FROM st, tot
+),
+ranked AS (
+    SELECT lang, v,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM t
+),
+sampled AS (
+    SELECT r.lang, r.v
+    FROM ranked r JOIN alloc a ON r.lang = a.lang
+    WHERE r.rn <= a.n_alloc
+)
+SELECT a.lang,
+       CAST(a.n_pop AS BIGINT) AS n_pop,
+       a.s AS stddev_tokens,
+       a.n_alloc,
+       round(avg(s2.v) + 1e-9, 6) AS sample_mean_tokens,
+       round((SELECT avg(v) FROM t WHERE t.lang = a.lang) + 1e-9, 6)
+           AS pop_mean_tokens
+FROM alloc a JOIN sampled s2 ON a.lang = s2.lang
+GROUP BY a.lang, a.n_pop, a.s, a.n_alloc
+ORDER BY a.lang
+"""
+
+
+@register(
+    "q152_neyman_stratified_sample",
+    _Q152_ORACLE,
+    "Neyman-optimal stratified sampling over the corpus (budget "
+    f"{_Q152_N} docs, strata = lang, value = token count): allocate "
+    "n_h ∝ N_h·S_h — the variance-minimizing split of a fixed "
+    "measurement budget, the design-of-experiments companion to "
+    "q131's Horvitz–Thompson estimation.  One |strata|-row aggregate "
+    "+ a per-stratum hash-order rank window; selection is "
+    "deterministic and layout-independent.  The report carries the "
+    "population mean beside the realized sample mean per stratum — "
+    "the allocation audit.",
+    operators=("sample-neyman", "sample-stratified", "A5", "W2"),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", text.token_count("text").cast("double").alias("v")
+    )
+    samp = sampling.neyman_stratified_sample(t, "lang", "v", _Q152_N, "doc_id")
+    pop = t.groupBy("lang").agg(rnd(F.avg("v"), 6).alias("pop_mean_tokens"))
+    return (
+        samp.groupBy("lang", "n_pop", "stddev_value", "n_alloc")
+        .agg(rnd(F.avg("v"), 6).alias("sample_mean_tokens"))
+        .join(pop, "lang")
+        .select(
+            "lang",
+            "n_pop",
+            col("stddev_value").alias("stddev_tokens"),
+            "n_alloc",
+            "sample_mean_tokens",
+            "pop_mean_tokens",
+        )
+        .orderBy("lang")
+    )

@@ -584,3 +584,39 @@ def test_triangle_count_global_sum_is_three_per_triangle(spark):
     )
     rows = graph.triangle_count(edges).collect()
     assert sum(r.n_triangles for r in rows) == 2 * 3
+
+
+# ---------------------------------------------------------------------------
+# q152 — Neyman allocation
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_favors_noisy_strata(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling
+
+    rows = []
+    # stratum A: 100 rows, constant value (S=0) → floor allocation 1
+    rows += [(i, "A", 50.0) for i in range(100)]
+    # stratum B: 100 rows, high variance → gets nearly all the budget
+    rows += [(100 + i, "B", float((i % 10) * 100)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    alloc = {
+        r.s: (r.n_pop, r.n_alloc)
+        for r in sampling.neyman_allocation(df, "s", "v", 50).collect()
+    }
+    assert alloc["A"] == (100, 1)  # zero variance → floor of 1
+    assert alloc["B"][1] >= 45  # essentially the whole budget
+    samp = sampling.neyman_stratified_sample(df, "s", "v", 50, "id")
+    by = {r.s: r.n for r in samp.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by["A"] == 1 and by["B"] == alloc["B"][1]
+
+
+def test_neyman_sample_is_layout_independent(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sampling
+
+    rows = [(i, "x" if i % 3 else "y", float(i % 7)) for i in range(60)]
+    df1 = spark.createDataFrame(rows, "id long, s string, v double")
+    df2 = spark.createDataFrame(rows[::-1], "id long, s string, v double").repartition(7)
+    ids1 = {r.id for r in sampling.neyman_stratified_sample(df1, "s", "v", 20, "id").collect()}
+    ids2 = {r.id for r in sampling.neyman_stratified_sample(df2, "s", "v", 20, "id").collect()}
+    assert ids1 == ids2
