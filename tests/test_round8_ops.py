@@ -620,3 +620,41 @@ def test_neyman_sample_is_layout_independent(spark):
     ids1 = {r.id for r in sampling.neyman_stratified_sample(df1, "s", "v", 20, "id").collect()}
     ids2 = {r.id for r in sampling.neyman_stratified_sample(df2, "s", "v", 20, "id").collect()}
     assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# plan audits — the round-8 shapes the scale story depends on
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q146_plan_is_kernel_plus_takeordered_no_shuffle(emb):
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).head()["embedding"]]
+    plan = _plan(similarity.quantized_cosine_topk(emb, qvec, k=10, exclude_ids=(0,)))
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan  # scan→score→topk only
+
+
+def test_q149_stage1_reads_codes_with_takeordered(emb):
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 0).head()["embedding"]]
+    plan = _plan(
+        similarity.binary_rerank_topk(emb, qvec, k=10, m=50, exclude_ids=(0,))
+    )
+    # both stage boundaries are TakeOrdered / top-k sorts, never a full
+    # shuffle of the table
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_incremental_classify_prunes_standing_with_semi_join(split):
+    batch, standing = split
+    plan = _plan(
+        dedup.incremental_minhash_classify(batch, standing, "doc_id", "text")
+    )
+    assert "LeftSemi" in plan  # standing text shingled only for candidates
