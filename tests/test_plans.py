@@ -104,6 +104,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q132_funnel_attribution",  # q117's 1-row vocab-size V (funnel stage)
         "q138_heldout_perplexity",  # 1-row model vocab-size V broadcast onto scoring
         "q139_funnel_attribution_minhash",  # q132's funnel stage (1-row V)
+        "q148_kneser_ney_perplexity",  # 1-row T/V continuation constants onto scoring
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

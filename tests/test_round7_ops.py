@@ -275,19 +275,22 @@ def test_driver_ledger_rotation(tmp_path):
     got = e._last_green_round(str(tmp_path))
     # qA green in r1; qB failed r1 but green r3; qC rows-only green; qD err
     assert got == {"qA": 1, "qB": 3, "qC": 1}
-    # and the live ordering: warmup first, then the round-7 queries
-    # (never green in any committed ledger), then stale-first
+    # and the live ordering: warmup first, then every query with NO
+    # green row in any committed ledger (derived live, so newly
+    # registered queries join the block without editing this test),
+    # then stale-first
     names = e._ordered_names()
     assert names[0] == "q67_weighted_sample"
-    fresh = {n for n in names[1:9]}
-    assert fresh == {
-        "q137_keep_best_minhash", "q138_heldout_perplexity",
-        "q139_funnel_attribution_minhash", "q140_threshold_curve_minhash",
-        "q141_feature_hash_calib_minhash", "q142_margin_mining_auto",
-        "q143_counterfactual_leakage_minhash", "q144_dedup_clusters_minhash",
-    }
     live = e._last_green_round()
-    rest = names[9:]
+    expected_fresh = {
+        n for n in names if n not in live and n != "q67_weighted_sample"
+    }
+    # the round-7 production twins are never-green until a ledger lands
+    assert "q137_keep_best_minhash" in expected_fresh
+    assert "q144_dedup_clusters_minhash" in expected_fresh
+    n_fresh = len(expected_fresh)
+    assert set(names[1 : 1 + n_fresh]) == expected_fresh
+    rest = names[1 + n_fresh :]
     stale_rounds = [live[n] for n in rest]
     assert stale_rounds == sorted(stale_rounds)  # stalest-first
 
