@@ -41,6 +41,7 @@ GLOBAL_WINDOW_OK = {
     "q122_curation_funnel_v3",  # q116's offsets window (shard stage)
     "q124_hill_tail_index",  # rank window ABOVE TakeOrdered(k+1), q69 posture
     "q127_vocab_coverage",  # cumulative walk over the distinct-freq histogram
+    "q152_neyman_stratified_sample",  # Σ N_h·S_h normalizer over the |strata| frame (q52 posture)
 }
 
 
