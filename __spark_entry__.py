@@ -179,6 +179,7 @@ _SWEEP_COST = {
     "q150_ivf_quantized_topk": 5.60,
     "q151_neardup_triangles": 6.00,
     "q152_neyman_stratified_sample": 2.00,
+    "q153_cms_join_cardinality": 3.50,
 }
 
 

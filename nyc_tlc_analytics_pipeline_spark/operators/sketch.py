@@ -279,3 +279,32 @@ def bloom_probe(
 def bloom_fpp(bits_set: Column, m: int, k: int) -> Column:
     """Measured-occupancy false-positive estimate ``(bits_set/m)^k``."""
     return F.pow(bits_set.cast("double") / m, lit(k))
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    over the join keys with the SAME (d, w, salt): the classic CM
+    inner-product estimator (Cormode & Muthukrishnan §4.2) —
+    ``|A ⋈ B| = Σ_k cA(k)·cB(k) ≈ min_i Σ_b cntA[i][b]·cntB[i][b]`` —
+    an upper bound that exceeds the truth only by collision mass.
+
+    This is optimizer-grade statistics machinery: the sketches are
+    model-sized (≤ d·w rows each), mergeable across shards/days like
+    every sketch in this module, and the estimate itself is one
+    (row_i, bucket)-keyed join over two tiny frames — so a 100 TB
+    engine can keep per-column/per-day CM sketches in its catalog and
+    price candidate joins without touching the fact tables.  Returns
+    one row: ``join_size_estimate``."""
+    a = sketch_a.select("row_i", "bucket", col("cnt").alias("__ca"))
+    b = sketch_b.select("row_i", "bucket", col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(col("__ca") * col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(
+        F.min("__ip").cast("long").alias("join_size_estimate")
+    )

@@ -9219,3 +9219,84 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — sketch-priced join: CM inner-product cardinality estimate
+# ---------------------------------------------------------------------------
+
+_Q153_D = 4
+_Q153_W = 512
+
+
+def _q153_cms_sql(src: str, key: str) -> str:
+    """DuckDB twin of cms_partials(d=4, w=512, salt='cms') over a table."""
+    return f"""(
+    SELECT i.i AS row_i,
+           ('0x' || substr(md5('cms:' || i.i || ':' || CAST({key} AS VARCHAR)),
+                           1, 8))::BIGINT % {_Q153_W} AS bucket,
+           count(*) AS cnt
+    FROM {src} CROSS JOIN range({_Q153_D}) i(i)
+    GROUP BY row_i, bucket
+)"""
+
+
+_Q153_ORACLE = f"""
+WITH sa AS {_q153_cms_sql('orders', 'o_orderkey')},
+sb AS {_q153_cms_sql('lineitem', 'l_orderkey')},
+est AS (
+    SELECT CAST(min(ip) AS BIGINT) AS join_size_estimate
+    FROM (
+        SELECT sa.row_i, sum(sa.cnt * sb.cnt) AS ip
+        FROM sa JOIN sb ON sa.row_i = sb.row_i AND sa.bucket = sb.bucket
+        GROUP BY sa.row_i
+    )
+),
+truth AS (
+    SELECT CAST(count(*) AS BIGINT) AS true_join_rows
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT t.true_join_rows,
+       e.join_size_estimate,
+       round(1.0 * (e.join_size_estimate - t.true_join_rows)
+             / t.true_join_rows + 1e-9, 6) AS rel_overestimate
+FROM truth t CROSS JOIN est e
+"""
+
+
+@register(
+    "q153_cms_join_cardinality",
+    _Q153_ORACLE,
+    "Optimizer-grade join pricing from sketches: the Count-Min "
+    "inner-product estimator (Cormode–Muthukrishnan) prices "
+    "|orders ⋈ lineitem| on the order key from two d=4×w=512 sketches "
+    "— model-sized, mergeable across shards/days, so a catalog can "
+    "keep per-column CM sketches and estimate candidate join "
+    "cardinalities WITHOUT touching the fact tables.  Never "
+    "underestimates (collision mass only adds); the registered row "
+    "carries the exact join count beside the estimate as the realized "
+    "error audit.  Bit-identical md5 cells cross-engine (the q66 "
+    "chain), so even the approximation is hash-checked.",
+    operators=("sketch-cms-join", "A1", "J7"),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sa = sketch.cms_partials(orders, "o_orderkey", d=_Q153_D, w=_Q153_W)
+    sb = sketch.cms_partials(li, "l_orderkey", d=_Q153_D, w=_Q153_W)
+    est = sketch.cms_join_size(sa, sb)
+    truth = (
+        orders.join(li, col("o_orderkey") == col("l_orderkey"))
+        .agg(F.count("*").cast("long").alias("true_join_rows"))
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_join_rows",
+        "join_size_estimate",
+        rnd(
+            (col("join_size_estimate") - col("true_join_rows"))
+            / col("true_join_rows"),
+            6,
+        ).alias("rel_overestimate"),
+    )

@@ -658,3 +658,49 @@ def test_incremental_classify_prunes_standing_with_semi_join(split):
         dedup.incremental_minhash_classify(batch, standing, "doc_id", "text")
     )
     assert "LeftSemi" in plan  # standing text shingled only for candidates
+
+
+# ---------------------------------------------------------------------------
+# q153 — CMS join-cardinality estimate
+# ---------------------------------------------------------------------------
+
+
+def test_cms_join_size_never_underestimates_and_exact_when_sparse(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sketch
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7, 7]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 3, 3, 9]], "k long"
+    )
+    true_size = (
+        a.join(b, "k").count()
+    )  # 3*1 + 2*3 + 1*2 = 11
+    assert true_size == 11
+    # wide sketch → no collisions → the estimate is EXACT
+    sa = sketch.cms_partials(a, "k", d=4, w=4096)
+    sb = sketch.cms_partials(b, "k", d=4, w=4096)
+    assert sketch.cms_join_size(sa, sb).first()[0] == true_size
+    # narrow sketch → collisions only ADD mass (never underestimates)
+    sa2 = sketch.cms_partials(a, "k", d=4, w=4)
+    sb2 = sketch.cms_partials(b, "k", d=4, w=4)
+    assert sketch.cms_join_size(sa2, sb2).first()[0] >= true_size
+
+
+def test_cms_join_size_merges_shards_exactly(spark):
+    """Sketches built per shard and sum-merged price the join the same
+    as one whole-table sketch — the catalog-maintenance property."""
+    from nyc_tlc_analytics_pipeline_spark.operators import sketch
+
+    rows = [(i % 17,) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long")
+    whole = sketch.cms_partials(df, "k", d=4, w=64)
+    sh1 = sketch.cms_partials(df.filter(col("k") % 2 == 0), "k", d=4, w=64)
+    sh2 = sketch.cms_partials(df.filter(col("k") % 2 == 1), "k", d=4, w=64)
+    merged = sketch.cms_merge(sh1.unionAll(sh2))
+    other = sketch.cms_partials(df, "k", d=4, w=64)
+    assert (
+        sketch.cms_join_size(whole, other).first()[0]
+        == sketch.cms_join_size(merged, other).first()[0]
+    )
