@@ -171,15 +171,15 @@ _SWEEP_COST = {
     "q142_margin_mining_auto": 6.93,
     "q143_counterfactual_leakage_minhash": 5.84,
     "q144_dedup_clusters_minhash": 5.50,
-    "q145_logreg_training": 2.60,
+    "q145_logreg_training": 4.56,
     "q146_quantized_cosine_topk": 1.10,
-    "q147_incremental_minhash": 4.20,
-    "q148_kneser_ney_perplexity": 3.00,
-    "q149_binary_rerank_topk": 1.20,
-    "q150_ivf_quantized_topk": 5.60,
-    "q151_neardup_triangles": 6.00,
-    "q152_neyman_stratified_sample": 2.00,
-    "q153_cms_join_cardinality": 3.50,
+    "q147_incremental_minhash": 6.74,
+    "q148_kneser_ney_perplexity": 3.37,
+    "q149_binary_rerank_topk": 3.84,
+    "q150_ivf_quantized_topk": 3.48,
+    "q151_neardup_triangles": 9.51,
+    "q152_neyman_stratified_sample": 3.85,
+    "q153_cms_join_cardinality": 2.26,
 }
 
 
