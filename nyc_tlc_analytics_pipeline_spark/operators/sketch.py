@@ -300,11 +300,18 @@ def cms_join_size(
     one row: ``join_size_estimate``."""
     a = sketch_a.select("row_i", "bucket", col("cnt").alias("__ca"))
     b = sketch_b.select("row_i", "bucket", col("cnt").alias("__cb"))
+    n_rows = sketch_a.select("row_i").distinct().count()
     per_row = (
         a.join(b, ["row_i", "bucket"])
         .groupBy("row_i")
         .agg(F.sum(col("__ca") * col("__cb")).alias("__ip"))
     )
+    # a hash row whose buckets never overlap has inner product 0 and is
+    # ABSENT from the join — it must still win the min (disjoint key
+    # sets estimate 0, not NULL)
     return per_row.agg(
-        F.min("__ip").cast("long").alias("join_size_estimate")
+        F.when(F.count("*") < lit(n_rows), lit(0))
+        .otherwise(F.min("__ip"))
+        .cast("long")
+        .alias("join_size_estimate")
     )

@@ -158,3 +158,34 @@ def test_incremental_classify_partitions_and_matches_full_pairs(spark, texts):
             expected.add(p.doc_a if a_in else p.doc_b)
     got = {r.doc_id for r in st_rows if r.status == "dup_vs_corpus"}
     assert got == expected
+
+
+_keys = st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ka=_keys, kb=_keys)
+def test_cms_join_estimate_bounds_any_multisets(spark, ka, kb):
+    """On ANY pair of key multisets: estimate ≥ true join size, and a
+    collision-free-width sketch is exactly equal."""
+    from collections import Counter
+
+    from nyc_tlc_analytics_pipeline_spark.operators import sketch
+
+    a = spark.createDataFrame([(k,) for k in ka], "k long")
+    b = spark.createDataFrame([(k,) for k in kb], "k long")
+    ca, cb = Counter(ka), Counter(kb)
+    true_size = sum(ca[k] * cb[k] for k in ca)
+    wide_a = sketch.cms_partials(a, "k", d=4, w=8192)
+    wide_b = sketch.cms_partials(b, "k", d=4, w=8192)
+    est_wide = sketch.cms_join_size(wide_a, wide_b).first()[0]
+    narrow_a = sketch.cms_partials(a, "k", d=4, w=4)
+    narrow_b = sketch.cms_partials(b, "k", d=4, w=4)
+    est_narrow = sketch.cms_join_size(narrow_a, narrow_b).first()[0]
+    if true_size == 0:
+        # disjoint keys can still collide in a narrow sketch; the wide
+        # sketch must report (near-)zero — allow only collision mass
+        assert est_wide == 0
+    else:
+        assert est_wide == true_size
+        assert est_narrow >= true_size
