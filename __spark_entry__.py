@@ -180,6 +180,7 @@ _SWEEP_COST = {
     "q151_neardup_triangles": 9.51,
     "q152_neyman_stratified_sample": 3.85,
     "q153_cms_join_cardinality": 2.26,
+    "q154_hll_key_overlap": 2.50,
 }
 
 

@@ -315,3 +315,41 @@ def cms_join_size(
         .cast("long")
         .alias("join_size_estimate")
     )
+
+
+def hll_overlap(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    b: int = 9,
+) -> DataFrame:
+    """Distinct-key overlap between two register tables built with the
+    SAME (b, salt): inclusion–exclusion on HyperLogLog —
+    ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``, where the union sketch
+    is the max-merge of the registers (exact for the union, the HLL
+    closure property).  Clamped at 0: subtraction can go slightly
+    negative when the true overlap is tiny relative to the sketch
+    error.
+
+    The companion planning stat to ``cms_join_size``: CMS prices the
+    JOIN ROW COUNT (Σ cA·cB), this prices the DISTINCT KEY MATCH — the
+    pair an optimizer needs to choose between shuffle strategies and to
+    estimate semi-join selectivity.  All three estimates come from
+    model-sized mergeable register tables a catalog maintains
+    incrementally.  Returns one row: (distinct_a, distinct_b,
+    distinct_union, overlap_estimate), all raw doubles."""
+    union = hll_merge(sketch_a.unionByName(sketch_b), [])
+    ea = hll_estimate(sketch_a, [], b).select(col("hll_distinct").alias("da"))
+    eb = hll_estimate(sketch_b, [], b).select(col("hll_distinct").alias("db"))
+    eu = hll_estimate(union, [], b).select(col("hll_distinct").alias("du"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            col("da").alias("distinct_a"),
+            col("db").alias("distinct_b"),
+            col("du").alias("distinct_union"),
+            F.greatest(col("da") + col("db") - col("du"), lit(0.0)).alias(
+                "overlap_estimate"
+            ),
+        )
+    )

@@ -9300,3 +9300,106 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — HLL distinct-key overlap: semi-join selectivity from the catalog
+# ---------------------------------------------------------------------------
+
+_Q154_B = 9
+
+
+def _q154_oracle() -> str:
+    from ..operators.sketch import _alpha
+
+    m = 2**_Q154_B
+    w_bits = 32 - _Q154_B
+    alpha = _alpha(m)
+
+    def regs(name: str, src: str, key: str) -> str:
+        return f"""{name} AS (
+    SELECT hv // {2**w_bits} AS bucket,
+           max(CASE WHEN hv % {2**w_bits} = 0 THEN {w_bits + 1}
+                    ELSE instr(lpad(bin(hv % {2**w_bits}), {w_bits}, '0'), '1')
+               END) AS rho
+    FROM (SELECT ('0x' || substr(md5('hll' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM {src})
+    GROUP BY bucket
+)"""
+
+    def est(name: str, regs_name: str) -> str:
+        return f"""{name} AS (
+    SELECT CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND used < {m}
+                THEN CAST({float(m)!r} AS DOUBLE)
+                     * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - used))
+                ELSE raw END AS hll
+    FROM (SELECT count(*) AS used,
+                 CAST({alpha * m * m!r} AS DOUBLE)
+                     / (({m} - count(*)) + sum(pow(2.0, -rho))) AS raw
+          FROM {regs_name})
+)"""
+
+    return f"""
+WITH {regs('ra', 'orders', 'o_custkey')},
+{regs('rb', 'customer', 'c_custkey')},
+ru AS (
+    SELECT bucket, max(rho) AS rho
+    FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+    GROUP BY bucket
+),
+{est('ea', 'ra')},
+{est('eb', 'rb')},
+{est('eu', 'ru')},
+truth AS (
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_overlap
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT round(ea.hll + 1e-9, 4) AS distinct_order_custkeys,
+       round(eb.hll + 1e-9, 4) AS distinct_customers,
+       round(greatest(ea.hll + eb.hll - eu.hll, 0.0) + 1e-9, 4)
+           AS overlap_estimate,
+       t.true_overlap,
+       round(abs(greatest(ea.hll + eb.hll - eu.hll, 0.0) - t.true_overlap)
+             / t.true_overlap + 1e-9, 6) AS rel_error
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN truth t
+"""
+
+
+@register(
+    "q154_hll_key_overlap",
+    _q154_oracle(),
+    "Semi-join selectivity from the catalog: inclusion–exclusion on "
+    "portable HyperLogLog registers estimates how many DISTINCT "
+    "customer keys actually appear in orders — |A∩B| ≈ est(A)+est(B)"
+    "−est(A∪B), the union sketch an exact max-merge of the two "
+    "register tables.  The companion to q153's CM row-count pricing: "
+    "together they let a planner bound both the output rows and the "
+    "key-match selectivity of a candidate join from model-sized, "
+    "incrementally-maintained sketches — no fact scan.  Exact truth "
+    "rides beside the estimate as the realized-error audit; registers "
+    "are bit-identical cross-engine (the q54 chain).",
+    operators=("sketch-hll-overlap", "sketch-hll", "A2"),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pa = sketch.hll_partials(orders, "o_custkey", [], b=_Q154_B)
+    pb = sketch.hll_partials(cust, "c_custkey", [], b=_Q154_B)
+    ov = sketch.hll_overlap(pa, pb, b=_Q154_B)
+    truth = (
+        orders.join(cust, col("o_custkey") == col("c_custkey"))
+        .agg(F.count_distinct("o_custkey").cast("long").alias("true_overlap"))
+    )
+    return ov.crossJoin(F.broadcast(truth)).select(
+        rnd(col("distinct_a"), 4).alias("distinct_order_custkeys"),
+        rnd(col("distinct_b"), 4).alias("distinct_customers"),
+        rnd(col("overlap_estimate"), 4).alias("overlap_estimate"),
+        "true_overlap",
+        rnd(
+            F.abs(col("overlap_estimate") - col("true_overlap"))
+            / col("true_overlap"),
+            6,
+        ).alias("rel_error"),
+    )

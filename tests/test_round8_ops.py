@@ -704,3 +704,29 @@ def test_cms_join_size_merges_shards_exactly(spark):
         sketch.cms_join_size(whole, other).first()[0]
         == sketch.cms_join_size(merged, other).first()[0]
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — HLL distinct-key overlap
+# ---------------------------------------------------------------------------
+
+
+def test_hll_overlap_subset_disjoint_and_identical(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import sketch
+
+    big = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    sub = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    dis = spark.createDataFrame([(i,) for i in range(10000, 12000)], "k long")
+    pb = sketch.hll_partials(big, "k", [])
+    ps = sketch.hll_partials(sub, "k", [])
+    pd_ = sketch.hll_partials(dis, "k", [])
+    r = sketch.hll_overlap(pb, ps).first()
+    # subset: overlap ≈ |sub| (HLL standard error at b=9 is ~4.6%)
+    assert abs(r.overlap_estimate - 500) / 500 < 0.2
+    # identical: overlap ≈ distinct_a exactly (union merge is idempotent)
+    ri = sketch.hll_overlap(pb, pb).first()
+    assert ri.overlap_estimate == ri.distinct_a
+    # disjoint: near zero relative to either side, never negative
+    rd = sketch.hll_overlap(pb, pd_).first()
+    assert rd.overlap_estimate >= 0.0
+    assert rd.overlap_estimate < 0.25 * rd.distinct_a
