@@ -268,6 +268,20 @@ def main(argv: list[str] | None = None) -> int:
         "bands inline",
     )
 
+    ej = sub.add_parser(
+        "estimate-join",
+        help="price a candidate equi-join from catalog sketches WITHOUT "
+        "scanning it: CM inner-product row-count estimate "
+        "(sketch.cms_join_size) + HLL inclusion-exclusion distinct-key "
+        "overlap (sketch.hll_overlap)",
+    )
+    ej.add_argument("--left", required=True, help="left parquet path")
+    ej.add_argument("--right", required=True, help="right parquet path")
+    ej.add_argument("--left-key", required=True)
+    ej.add_argument("--right-key", required=True)
+    ej.add_argument("--cms-width", type=int, default=512)
+    ej.add_argument("--hll-b", type=int, default=9)
+
     dr = sub.add_parser(
         "drift",
         help="PSI drift report between a reference and a current "
@@ -637,6 +651,29 @@ def main(argv: list[str] | None = None) -> int:
                 {r.source: {k: r[k] for k in
                             ("n_batch", "n_dup_vs_corpus", "n_dup_in_batch", "n_new")}
                  for r in rows},
+                indent=2,
+                sort_keys=True,
+            )
+        )
+    elif args.command == "estimate-join":
+        from .operators import sketch
+
+        left = pl.spark.read.parquet(args.left)
+        right = pl.spark.read.parquet(args.right)
+        ca = sketch.cms_partials(left, args.left_key, d=4, w=args.cms_width)
+        cb = sketch.cms_partials(right, args.right_key, d=4, w=args.cms_width)
+        rows_est = sketch.cms_join_size(ca, cb).first()[0]
+        ha = sketch.hll_partials(left, args.left_key, [], b=args.hll_b)
+        hb = sketch.hll_partials(right, args.right_key, [], b=args.hll_b)
+        ov = sketch.hll_overlap(ha, hb, b=args.hll_b).first()
+        print(
+            json.dumps(
+                {
+                    "join_rows_estimate": rows_est,
+                    "distinct_left_keys": round(ov.distinct_a, 1),
+                    "distinct_right_keys": round(ov.distinct_b, 1),
+                    "distinct_key_overlap": round(ov.overlap_estimate, 1),
+                },
                 indent=2,
                 sort_keys=True,
             )
