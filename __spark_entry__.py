@@ -181,6 +181,7 @@ _SWEEP_COST = {
     "q152_neyman_stratified_sample": 3.85,
     "q153_cms_join_cardinality": 2.26,
     "q154_hll_key_overlap": 2.50,
+    "q155_k_anonymity_audit": 2.00,
 }
 
 

@@ -75,3 +75,36 @@ def scrub_documents(
     return out.withColumn(text_col, redact(text_col)).withColumn(
         "has_pii", any_pii
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k_threshold: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy companion to the PII regex scrub above: redaction removes
+    DIRECT identifiers, but a row can still be re-identified when its
+    quasi-identifier combination (source × language × length bucket …)
+    is rare.  A row's k is the size of its equivalence class; the
+    release risk lives in the classes with k < threshold.
+
+    One hash aggregate on the quasi-identifier key (group count =
+    |distinct combinations| ≪ rows for any sane quasi set), then a
+    bounded second aggregate over the class-size frame.  Returns one
+    row per distinct class size k: ``n_classes``, ``n_rows``,
+    ``below_threshold`` — the k-distribution a privacy review reads
+    directly (min k = first row; share at risk = Σ n_rows where
+    below_threshold)."""
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("__k"))
+    return (
+        classes.groupBy(col("__k").alias("k"))
+        .agg(F.count("*").cast("long").alias("n_classes"))
+        .select(
+            col("k").cast("long").alias("k"),
+            "n_classes",
+            (col("k") * col("n_classes")).cast("long").alias("n_rows"),
+            (col("k") < lit(k_threshold)).alias("below_threshold"),
+        )
+        .orderBy("k")
+    )

@@ -9403,3 +9403,58 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — k-anonymity audit of quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+_Q155_K = 5
+
+_Q155_ORACLE = f"""
+WITH classes AS (
+    SELECT source, lang,
+           CAST(least(len(string_split_regex(lower(text), '\\s+')) // 50, 8)
+                AS BIGINT) AS len_bucket,
+           count(*) AS k
+    FROM documents
+    GROUP BY source, lang, len_bucket
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(k * count(*) AS BIGINT) AS n_rows,
+       k < {_Q155_K} AS below_threshold
+FROM classes
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register(
+    "q155_k_anonymity_audit",
+    _Q155_ORACLE,
+    "k-anonymity audit — the privacy review PII regex-scrubbing (q53) "
+    "cannot do: even with direct identifiers redacted, a document is "
+    "re-identifiable when its QUASI-identifier combination (source × "
+    "lang × 50-token length bucket) is rare.  Reports the full "
+    "k-distribution (class sizes, class counts, row mass, below-"
+    f"threshold flag at k<{_Q155_K}) from one hash aggregate on the "
+    "quasi key + a bounded second aggregate over the class-size frame "
+    "— group count ≪ rows for any sane quasi set, so the audit is "
+    "scan-bound at 100 TB.",
+    operators=("privacy-k-anonymity", "A1", "A8"),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import redact
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    quasi = docs.select(
+        "source",
+        "lang",
+        F.least(F.floor(text.token_count("text") / lit(50)), lit(8))
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    return redact.k_anonymity_report(
+        quasi, ["source", "lang", "len_bucket"], k_threshold=_Q155_K
+    )

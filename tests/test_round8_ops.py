@@ -730,3 +730,27 @@ def test_hll_overlap_subset_disjoint_and_identical(spark):
     rd = sketch.hll_overlap(pb, pd_).first()
     assert rd.overlap_estimate >= 0.0
     assert rd.overlap_estimate < 0.25 * rd.distinct_a
+
+
+# ---------------------------------------------------------------------------
+# q155 — k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_report_truth_table(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import redact
+
+    rows = (
+        [("a", "en")] * 7      # one class of k=7
+        + [("b", "en")] * 2    # k=2 (below threshold 5)
+        + [("c", "fr")] * 2    # k=2
+        + [("d", "de")]        # k=1 (unique row — worst case)
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {
+        r.k: (r.n_classes, r.n_rows, r.below_threshold)
+        for r in redact.k_anonymity_report(df, ["src", "lang"], 5).collect()
+    }
+    assert got == {1: (1, 1, True), 2: (2, 4, True), 7: (1, 7, False)}
+    # total row mass is conserved
+    assert sum(v[1] for v in got.values()) == len(rows)
