@@ -68,8 +68,11 @@ def cosine_topk(
 # int8 scalar quantization — the ANN memory/IO scale path
 # ---------------------------------------------------------------------------
 
-#: symmetric int8 code range.  ±127 (not 128) keeps the code book
-#: symmetric so negating a vector negates its codes exactly.
+#: symmetric int8 code range.  ±127 (not 128) keeps the code RANGE
+#: symmetric (no -128 outlier); rounding itself is half-UP in both
+#: engines (floor(x/scale + 0.5 + 1e-9)), so representational half-ties
+#: break asymmetrically (2.5→3 but -2.5→-2) — the shared tie rule, not
+#: negation symmetry, is what guarantees cross-engine parity.
 QMAX = 127
 
 
@@ -222,14 +225,16 @@ def quantized_cosine_topk(
     ``kernel="arrow"`` (default) scores with the vectorized numpy
     kernel; ``kernel="expr"`` is the pure-expression twin — an equality
     test pins the two to identical output, so the DuckDB oracle covers
-    both (the q62 assignment-kernel pattern)."""
+    both (the q62 assignment-kernel pattern).
+
+    Schema-agnostic like :func:`cosine_topk`: every non-vector column
+    rides through to the output (no hard-coded payload columns)."""
     qc = quantize_query(query_vec, qmax)
-    base = df.select(col(id_col), "label", col(vec_col))
+    keep = [c for c in df.columns if c != vec_col]
     score = _quantized_scores_arrow if kernel == "arrow" else _quantized_scores_expr
-    scored = score(base, qc, query_vec, vec_col, qmax)
+    scored = score(df.select(*keep, col(vec_col)), qc, query_vec, vec_col, qmax)
     out = scored.select(
-        col(id_col),
-        "label",
+        *keep,
         "q_dot",
         rnd(col("q_cos_raw"), 6).alias("q_cos"),
         rnd(col("cos_exact_raw"), 6).alias("cos_exact"),
@@ -343,21 +348,22 @@ def binary_rerank_topk(
     2-word code column (at scale, a persisted codes table 64× smaller
     than the vectors); stage 2 touches float vectors for only ``m``
     rows.  Fully deterministic: both stage boundaries tie-break on the
-    id."""
+    id.  Schema-agnostic like :func:`cosine_topk`: every non-vector
+    column rides through to the output."""
     dim = len(query_vec)
     qw = sign_codes_query(query_vec)
     ham = hamming_words(
         sign_codes(vec_col, dim), F.array(*[lit(int(w)).cast("long") for w in qw])
     )
-    base = df.select(col(id_col), "label", col(vec_col), ham.alias("hamming"))
+    keep = [c for c in df.columns if c != vec_col]
+    base = df.select(*keep, col(vec_col), ham.alias("hamming"))
     if exclude_ids:
         base = base.filter(~col(id_col).isin(*exclude_ids))
     shortlist = base.orderBy("hamming", id_col).limit(m)
     qf = F.array(*[lit(float(x)) for x in query_vec])
     return (
         shortlist.select(
-            col(id_col),
-            "label",
+            *keep,
             col("hamming"),
             rnd(cosine(as_double_array(vec_col), qf), 6).alias("cos_sim"),
         )

@@ -297,10 +297,16 @@ def cms_join_size(
     (row_i, bucket)-keyed join over two tiny frames — so a 100 TB
     engine can keep per-column/per-day CM sketches in its catalog and
     price candidate joins without touching the fact tables.  Returns
-    one row: ``join_size_estimate``."""
+    one row: ``join_size_estimate``.
+
+    Fully lazy like every other builder in this module: the hash-row
+    count d rides as a 1-row broadcast aggregate inside the returned
+    plan — no job runs at construction time (an eager ``.count()``
+    here would scan the sketch lineage, i.e. the underlying fact
+    table, just to BUILD the frame)."""
     a = sketch_a.select("row_i", "bucket", col("cnt").alias("__ca"))
     b = sketch_b.select("row_i", "bucket", col("cnt").alias("__cb"))
-    n_rows = sketch_a.select("row_i").distinct().count()
+    nr = sketch_a.select("row_i").distinct().agg(F.count("*").alias("__nr"))
     per_row = (
         a.join(b, ["row_i", "bucket"])
         .groupBy("row_i")
@@ -309,11 +315,17 @@ def cms_join_size(
     # a hash row whose buckets never overlap has inner product 0 and is
     # ABSENT from the join — it must still win the min (disjoint key
     # sets estimate 0, not NULL)
-    return per_row.agg(
-        F.when(F.count("*") < lit(n_rows), lit(0))
-        .otherwise(F.min("__ip"))
-        .cast("long")
-        .alias("join_size_estimate")
+    return (
+        per_row.agg(
+            F.count("*").alias("__np"), F.min("__ip").alias("__mn")
+        )
+        .crossJoin(F.broadcast(nr))
+        .select(
+            F.when(col("__np") < col("__nr"), lit(0))
+            .otherwise(col("__mn"))
+            .cast("long")
+            .alias("join_size_estimate")
+        )
     )
 
 

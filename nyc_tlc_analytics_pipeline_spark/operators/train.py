@@ -60,7 +60,8 @@ def logreg_train(
     * per row: ``p = rnd6(sigmoid(w·x + b))``
     * aggregate: ``g_j = rnd6(avg((p − y)·x_j))``, ``g_b = rnd6(avg(p − y))``
       and ``loss = rnd6(avg(−y·ln(p̂) − (1−y)·ln(1−p̂)))`` with ``p̂``
-      clamped to ``[1e-6, 1−1e-6]``
+      clamped to ``[2⁻²⁰, 1−2⁻²⁰]`` (``_P_FLOOR`` — a power of two, so
+      both engines hold the identical clamp constant)
     * update (driver-side, model-sized): ``w_j ← rnd6(w_j − lr·g_j)``.
 
     Features should already be rounded (6 dp) map-side so the per-row z
