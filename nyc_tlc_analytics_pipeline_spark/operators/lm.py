@@ -37,6 +37,43 @@ from pyspark.sql.functions import col, lit
 
 from . import text
 
+#: broadcast cap for held-out-MODEL frames, in estimated model-corpus
+#: TOKENS (the bigram/context/continuation type tables are each bounded
+#: by the model's token count).  4M tokens ≈ a ~100 MB hash relation at
+#: the string-key row width — comfortably executor-sized.  Above the
+#: cap every model join falls back to a sort-merge on its key: "bounded
+#: by construction" holds only while the held-out corpus is actually
+#: small, and a wiki-sized reference corpus is tens of millions of
+#: bigram types — an unconditional broadcast there is the exact
+#: estimate-blind-broadcast bug class fixed in doc_logprob_scores.
+MODEL_BROADCAST_CAP_TOKENS = 4_000_000
+
+
+def _model_token_estimate(model_df: DataFrame) -> int:
+    """Optimizer-side (zero-job) estimate of the model corpus' token
+    count: plan size in BYTES over ~8 bytes/token (deliberately not the
+    optimizer's rowCount — that counts DOCUMENTS, and a 50-doc model
+    can still hold 50M tokens; bytes track token volume no matter the
+    doc split).  The type tables built from the model are each ≤ its
+    token count, so this one number gates ALL of a scorer's model-frame
+    joins.  Falls back to 'huge' (→ merge path) when no estimate
+    exists — the safe failure mode for a broadcast decision (same
+    posture as similarity.estimated_rows)."""
+    try:
+        stats = model_df._jdf.queryExecution().optimizedPlan().stats()
+        return max(1, int(stats.sizeInBytes()) // 8)
+    except Exception:
+        return 1 << 30
+
+
+def _model_side(bounded: bool):
+    """Join-side wrapper for a held-out-model frame: broadcast while
+    the model is provably small, merge-hint beyond (never let the
+    static planner guess — its estimate is blind to explode fan-out)."""
+    if bounded:
+        return F.broadcast
+    return lambda f: f.hint("merge")
+
 
 def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pass 1: (token, cnt) plus constant N (total tokens) and V (vocab
@@ -195,6 +232,7 @@ def heldout_bigram_perplexity(
     model_df: DataFrame,
     text_col: str = "text",
     k: float = 1.0,
+    broadcast_cap: int = MODEL_BROADCAST_CAP_TOKENS,
 ) -> DataFrame:
     """The PRODUCTION CCNet shape: score ``df`` against a bigram model
     trained on a FIXED held-out corpus ``model_df`` (the high-quality
@@ -208,15 +246,22 @@ def heldout_bigram_perplexity(
       surprising transitions the filter exists to punish;
     - **the join side is constant-size**: the model's bigram/context
       count frames and the 1-row vocab size depend only on the held-out
-      corpus, so they BROADCAST no matter how large the scored corpus
+      corpus, so they broadcast no matter how large the SCORED corpus
       grows — scoring a 100 TB corpus is explode + two map-side hash
       joins + a doc-keyed aggregate, with NO stats recomputation per
       batch (measured: the self-model mode's bigram-keyed shuffle join
       grows 2.9× at 10× data; this mode grows with the scan only).
+      Constant-size is NOT the same as small: the broadcast is gated on
+      the MODEL corpus' estimated token count (``broadcast_cap``,
+      zero-job plan-stats estimate) — a wiki-sized reference model is
+      tens of millions of bigram types, and above the cap the model
+      joins take a bigram-keyed sort-merge instead of OOMing the
+      executors on an unconditional broadcast.
 
     Returns ``id_cols`` + (n_bigrams, log_ppl), log-perplexity in nats;
     documents under 2 tokens drop out (nothing to score)."""
     t_m = text.tokens(text_col)
+    side = _model_side(_model_token_estimate(model_df) <= broadcast_cap)
     big_m = model_df.select(F.explode(bigrams(t_m)).alias("bigram"))
     c2 = big_m.groupBy("bigram").agg(F.count("*").alias("c2"))
     cp = (
@@ -238,8 +283,8 @@ def heldout_bigram_perplexity(
         / (F.coalesce(col("cprev"), lit(0)) + lit(k) * col("V"))
     )
     return (
-        big_e.join(F.broadcast(c2), "bigram", "left")
-        .join(F.broadcast(cp), "__prev", "left")
+        big_e.join(side(c2), "bigram", "left")
+        .join(side(cp), "__prev", "left")
         .crossJoin(F.broadcast(v))
         .groupBy(*id_cols, "__nb")
         .agg(F.sum(logp).alias("__s"))
@@ -255,6 +300,7 @@ def kneser_ney_perplexity(
     model_df: DataFrame,
     text_col: str = "text",
     d: float = 0.75,
+    broadcast_cap: int = MODEL_BROADCAST_CAP_TOKENS,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram perplexity against a held-out
     model — the smoothing KenLM actually ships (the real CCNet filter
@@ -272,15 +318,19 @@ def kneser_ney_perplexity(
     Scale shape — identical to the held-out add-k scorer: every model
     frame (bigram counts, per-context totals + continuation fan-outs,
     per-word continuation counts, the 1-row T/V) is bounded BY
-    CONSTRUCTION by the held-out corpus, so all four joins broadcast
-    and scoring any corpus size is explode → map-side hash joins →
-    doc-keyed aggregate.
+    CONSTRUCTION by the held-out corpus, so while the model's estimated
+    token count stays under ``broadcast_cap`` all the model joins
+    broadcast and scoring any corpus size is explode → map-side hash
+    joins → doc-keyed aggregate.  Above the cap (a wiki-sized reference
+    model) the type-table joins take a key-wise sort-merge instead —
+    bounded-by-construction is not the same as executor-sized.
 
     Returns ``id_cols`` + (n_bigrams, n_unseen, log_ppl): ``n_unseen``
     counts eval bigrams absent from the model (the KN diagnostic — a
     high unseen share means the discount mass, not the ML estimate, is
     doing the scoring).  Documents under 2 tokens drop out."""
     t_m = text.tokens(text_col)
+    side = _model_side(_model_token_estimate(model_df) <= broadcast_cap)
     big_m = model_df.select(F.explode(bigrams(t_m)).alias("bigram")).select(
         "bigram",
         F.substring_index("bigram", " ", 1).alias("__prev"),
@@ -314,9 +364,9 @@ def kneser_ney_perplexity(
         + lit(d) * col("n1f") / col("cprev") * pcont,
     ).otherwise(pcont)
     return (
-        big_e.join(F.broadcast(c2), "bigram", "left")
-        .join(F.broadcast(ctx), "__prev", "left")
-        .join(F.broadcast(cont), "__cur", "left")
+        big_e.join(side(c2), "bigram", "left")
+        .join(side(ctx), "__prev", "left")
+        .join(side(cont), "__cur", "left")
         .crossJoin(F.broadcast(consts))
         .groupBy(*id_cols, "__nb")
         .agg(

@@ -724,11 +724,43 @@ def auto_n_planes(
     Adding one plane per doubling of the corpus holds occupancy at
     ``target_occupancy``, making candidate volume grow LINEARLY.  Same
     auto-sizing precedent as SemDeDup's auto-k (cluster.py) and
-    jaccard_pairs' plan-stats strategy pick."""
-    import math
+    jaccard_pairs' plan-stats strategy pick.
 
-    extra = max(0, math.ceil(math.log2(max(1.0, n_rows / target_occupancy))))
-    return min(base + extra, max_planes)
+    Pure INTEGER arithmetic (smallest e with n ≤ occupancy·2^e), not
+    float ``ceil(log2(...))`` — so an external SQL verifier can restate
+    the decision as an integer threshold ladder with zero risk of an
+    FP boundary flip (the q142 oracle does exactly that)."""
+    extra, m = 0, target_occupancy
+    while n_rows > m and extra < max_planes - base:
+        m <<= 1
+        extra += 1
+    return base + extra
+
+
+def counted_planes(
+    *dfs: DataFrame,
+    dim: int,
+    seed: int = 42,
+    base: int = 4,
+    target_occupancy: int = 2048,
+    max_planes: int = 24,
+) -> list[list[float]]:
+    """Occupancy-holding hyperplane set sized from the EXACT row count
+    of the input frames — one cheap ``count()`` job each (parquet
+    footer metadata when the frame is a bare scan), then
+    :func:`auto_n_planes` on the sum.
+
+    The deterministic-by-data twin of the plan-stats auto mode in
+    :func:`margin_mine_pairs`: plan-stats estimates cost ZERO jobs but
+    depend on optimizer internals, so an external verifier can't replay
+    them; the exact count is replayable by any engine (the q142 oracle
+    recomputes the same ``COUNT(*)`` and unrolls the same plane
+    literals).  Use plan-stats in production where the extra count job
+    matters; use this where the decision must be auditable."""
+    n = sum(df.count() for df in dfs)
+    return random_hyperplanes(
+        auto_n_planes(n, base, target_occupancy, max_planes), dim, seed
+    )
 
 
 def margin_mine_pairs(

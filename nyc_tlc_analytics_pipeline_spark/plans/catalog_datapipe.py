@@ -8427,25 +8427,90 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q142_MAXP = 24
+_PLANES_24x64 = similarity.random_hyperplanes(_Q142_MAXP, 64, seed=42)
+
+
+def _q142_ladder_sql() -> str:
+    """auto_n_planes as an INTEGER threshold ladder — one branch per
+    corpus doubling (base 4 planes at ≤2048 rows, +1 per doubling,
+    capped at 24).  Exact-integer comparisons, so the SQL decision can
+    never FP-drift from the Python one (auto_n_planes is itself
+    integer arithmetic for the same reason)."""
+    branches = " ".join(
+        f"WHEN n <= {2048 << e} THEN {4 + e}" for e in range(_Q142_MAXP - 4)
+    )
+    return f"(CASE {branches} ELSE {_Q142_MAXP} END)"
+
+
+def _q142_bucket_sql(vexpr: str) -> str:
+    """LSH bucket over the FIRST ``n_planes`` of the 24 unrolled plane
+    literals: plane i contributes bit i only when ``i < n_planes`` —
+    the same first-n-planes prefix rule as random_hyperplanes (plane i
+    depends only on (seed, i, d), so the first n of 24 == the n the
+    Spark side generates)."""
+    terms = " + ".join(
+        f"(CASE WHEN {i} < n_planes AND "
+        f"list_dot_product({vexpr}, {_plane_sql(p)}) > 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(_PLANES_24x64)
+    )
+    return f"({terms})"
+
+
+def _q142_oracle() -> str:
+    """q118's margin-mining tail (verbatim from ``cand AS (`` on) under
+    COUNT-derived auto-scaled buckets: a 1-row COUNT(*) CTE feeds the
+    integer plane-count ladder, which gates the 24 unrolled plane
+    literals."""
+    tail = _Q118_ORACLE.split("cand AS (", 1)[1]
+    return (
+        "WITH nc AS (\n"
+        "    SELECT count(*) AS n FROM embeddings WHERE label IS NOT NULL\n"
+        "),\n"
+        f"np AS (SELECT {_q142_ladder_sql()} AS n_planes FROM nc),\n"
+        "e AS (\n"
+        "    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,"
+        " n_planes\n"
+        "    FROM embeddings, np\n"
+        "),\n"
+        "a AS (\n"
+        f"    SELECT vec_id AS vec_a, v AS v_a, {_q142_bucket_sql('v')}"
+        " AS bucket\n"
+        "    FROM e WHERE label < 5\n"
+        "),\n"
+        "bb AS (\n"
+        f"    SELECT vec_id AS vec_b, v AS v_b, {_q142_bucket_sql('v')}"
+        " AS bucket\n"
+        "    FROM e WHERE label >= 5\n"
+        "),\n"
+        "cand AS (" + tail
+    )
+
+
 @register(
     "q142_margin_mining_auto",
-    None,  # the plane count adapts to plan statistics — not expressible
-    #       as a fixed SQL string; gated by the planted-recall pytest +
-    #       the q118 oracle twin that pins the 4-plane bucket layout
+    _q142_oracle(),
     "q118's bitext margin mining in PRODUCTION mode: the hyperplane "
-    "count AUTO-SCALES from Catalyst's plan-stats row estimate "
-    "(occupancy-holding — one extra plane per corpus doubling), so "
-    "in-bucket candidate volume grows linearly instead of the fixed-"
-    "plane quadratic cliff (measured 9.0× runtime at 10× data with 4 "
-    "planes vs 1.5× with 8).  Same additive-margin scoring as q118.",
+    "count AUTO-SCALES with the corpus (occupancy-holding — one extra "
+    "plane per doubling over 2048 rows, integer ladder), so in-bucket "
+    "candidate volume grows linearly instead of the fixed-plane "
+    "quadratic cliff (measured 9.0× runtime at 10× data with 4 planes "
+    "vs 1.5× with 8).  This registration derives the count from a "
+    "deterministic COUNT(*) (one footer-metadata job) so the oracle "
+    "can replay the sizing decision exactly: same count → same integer "
+    "ladder → same plane prefix of the shared 24-plane literal set.  "
+    "The zero-job plan-stats auto mode (margin_mine_pairs planes=None) "
+    "remains the production option.  Same additive-margin scoring as "
+    "q118.",
     operators=("similarity-margin-mining", "lsh-autoscale", "W1"),
 )
 def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings")
+    a = emb.filter(col("label") < 5)
+    b = emb.filter(col("label") >= 5)
     mined = similarity.margin_mine_pairs(
-        emb.filter(col("label") < 5),
-        emb.filter(col("label") >= 5),
-        k=_Q118_K,
+        a, b, planes=similarity.counted_planes(a, b, dim=64), k=_Q118_K
     )
     return mined.withColumn(
         "mined", col("margin") > lit(_Q118_MARGIN)
