@@ -182,6 +182,7 @@ _SWEEP_COST = {
     "q153_cms_join_cardinality": 2.26,
     "q154_hll_key_overlap": 2.50,
     "q155_k_anonymity_audit": 2.00,
+    "q156_quantile_sketch": 2.50,
 }
 
 

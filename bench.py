@@ -126,6 +126,23 @@ def materialize_scaled(spark, src_dir: str, n_copies: int) -> str:
     return out
 
 
+def host_calibration(n: int = 300_000) -> float:
+    """Fixed single-thread CPU reference: seconds to md5 n short
+    strings in pure Python.  Workload-independent and deterministic, so
+    round-over-round BENCH totals can be normalized for host burst-
+    capacity variance (the r6/r8 lesson: two 'regressions' were the
+    HOST slowing down, not the plans — each cost a round of bench
+    signal to disprove).  Divide a round's total by (calibration /
+    reference-calibration) before comparing rounds."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for i in range(n):
+        h = hashlib.md5(h.digest() + str(i).encode())
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -243,6 +260,10 @@ def main() -> None:
         "ingest_rows_per_sec": ingest_rows_per_sec,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        # single-thread md5 reference (seconds; lower = faster host) —
+        # normalize cross-round totals through this before calling a
+        # delta a regression (BENCH_SCALING.md round-9 note)
+        "calibration": round(host_calibration(), 4),
     }
     if scale > 1:
         result["scale_copies"] = scale

@@ -75,6 +75,30 @@ def _model_side(bounded: bool):
     return lambda f: f.hint("merge")
 
 
+#: the OOV class every out-of-vocab token maps to under ``vocab_cap``.
+UNK = "<unk>"
+
+
+def _map_bigrams_unk(big: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Rewrite a bigram stream (bigram, __prev, __cur, …) so every
+    token outside ``vocab`` (single column ``t``) becomes :data:`UNK` —
+    two left joins against the V-row vocab, broadcast unconditionally
+    because V is bounded BY THE CAP, not by any corpus."""
+    kp = F.broadcast(vocab.select(col("t").alias("__kp")))
+    kc = F.broadcast(vocab.select(col("t").alias("__kc")))
+    keep = [c for c in big.columns if c not in ("bigram", "__prev", "__cur")]
+    return (
+        big.join(kp, col("__prev") == col("__kp"), "left")
+        .join(kc, col("__cur") == col("__kc"), "left")
+        .select(
+            *keep,
+            F.coalesce(col("__kp"), lit(UNK)).alias("__prev"),
+            F.coalesce(col("__kc"), lit(UNK)).alias("__cur"),
+        )
+        .withColumn("bigram", F.concat(col("__prev"), lit(" "), col("__cur")))
+    )
+
+
 def corpus_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pass 1: (token, cnt) plus constant N (total tokens) and V (vocab
     size) columns — a 1-row global aggregate broadcast back onto the
@@ -301,6 +325,7 @@ def kneser_ney_perplexity(
     text_col: str = "text",
     d: float = 0.75,
     broadcast_cap: int = MODEL_BROADCAST_CAP_TOKENS,
+    vocab_cap: int | None = None,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram perplexity against a held-out
     model — the smoothing KenLM actually ships (the real CCNet filter
@@ -328,7 +353,17 @@ def kneser_ney_perplexity(
     Returns ``id_cols`` + (n_bigrams, n_unseen, log_ppl): ``n_unseen``
     counts eval bigrams absent from the model (the KN diagnostic — a
     high unseen share means the discount mass, not the ML estimate, is
-    doing the scoring).  Documents under 2 tokens drop out."""
+    doing the scoring).  Documents under 2 tokens drop out.
+
+    ``vocab_cap`` (KenLM's actual deployment shape) keeps the top-V
+    model unigrams by (count desc, token asc) and maps every other
+    token — model AND eval side — to the single ``<unk>`` class BEFORE
+    bigram construction, so a genuinely large held-out corpus yields a
+    model bounded BY CONSTRUCTION (≤ (V+1)² bigram types): the
+    complement to ``broadcast_cap``'s join-side gate.  The vocab pick
+    plans as TakeOrderedAndProject (distributed per-partition top-V
+    merge, never a global window), and the mapping joins broadcast the
+    V-row vocab — bounded by the cap itself."""
     t_m = text.tokens(text_col)
     side = _model_side(_model_token_estimate(model_df) <= broadcast_cap)
     big_m = model_df.select(F.explode(bigrams(t_m)).alias("bigram")).select(
@@ -336,17 +371,33 @@ def kneser_ney_perplexity(
         F.substring_index("bigram", " ", 1).alias("__prev"),
         F.substring_index("bigram", " ", -1).alias("__cur"),
     )
+    vocab = None
+    if vocab_cap is not None:
+        vocab = (
+            model_df.select(F.explode(t_m).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("__c"))
+            .orderBy(F.desc("__c"), "t")
+            .limit(vocab_cap)
+            .select("t")
+        )
+        big_m = _map_bigrams_unk(big_m, vocab)
     c2 = big_m.groupBy("bigram").agg(F.count("*").alias("c2"))
     ctx = big_m.groupBy("__prev").agg(
         F.count("*").alias("cprev"), F.count_distinct("__cur").alias("n1f")
     )
     cont = big_m.groupBy("__cur").agg(F.count_distinct("__prev").alias("n1b"))
+    toks_m = model_df.select(F.explode(text.tokens(text_col)).alias("t"))
+    if vocab is not None:
+        # V under the cap: kept types + <unk> when anything fell outside
+        toks_m = toks_m.join(
+            F.broadcast(vocab.select(col("t").alias("__kp"))),
+            col("t") == col("__kp"),
+            "left",
+        ).select(F.coalesce(col("__kp"), lit(UNK)).alias("t"))
     consts = big_m.agg(
         F.count_distinct("bigram").alias("T")
-    ).crossJoin(
-        model_df.select(F.explode(text.tokens(text_col)).alias("t"))
-        .agg(F.count_distinct("t").alias("V"))
-    )
+    ).crossJoin(toks_m.agg(F.count_distinct("t").alias("V")))
     t_e = text.tokens(text_col)
     big_e = df.select(
         *id_cols,
@@ -357,6 +408,8 @@ def kneser_ney_perplexity(
         F.substring_index("bigram", " ", 1).alias("__prev"),
         F.substring_index("bigram", " ", -1).alias("__cur"),
     )
+    if vocab is not None:
+        big_e = _map_bigrams_unk(big_e, vocab)
     pcont = (F.coalesce(col("n1b"), lit(0)) + lit(1.0)) / (col("T") + col("V"))
     p = F.when(
         col("cprev").isNotNull(),

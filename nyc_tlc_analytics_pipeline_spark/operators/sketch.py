@@ -365,3 +365,145 @@ def hll_overlap(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch: HDR-style dyadic histogram partials
+# ---------------------------------------------------------------------------
+
+#: default sub-bucket bits: 2^s sub-buckets per octave → worst-case
+#: relative error 2^-s ≈ 3.1% per estimated quantile.
+QHIST_SUBBITS = 5
+
+
+def _qhist_width(a: Column, s: int) -> Column:
+    """Bucket width for an absolute scaled-integer magnitude ``a``:
+    ``2^max(0, bitlen(a) − 1 − s)`` — 1 (exact) below 2^(s+1), then one
+    power of two per octave.  bitlen via length(bin(x)), identical in
+    Spark and DuckDB; pow(2, e) is exactly representable in a double
+    far past any 64-bit magnitude, so the long cast is exact — the
+    oracle's ``1::BIGINT << e`` lands on the same integer."""
+    e = F.length(F.bin(a)).cast("int")
+    return F.pow(lit(2.0), F.greatest(e - lit(1 + s), lit(0)).cast("double")).cast(
+        "long"
+    )
+
+
+def qhist_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    precision: int = 2,
+    s: int = QHIST_SUBBITS,
+) -> DataFrame:
+    """The mergeable QUANTILE partial: one (group, bucket, cnt) row per
+    non-empty dyadic histogram bucket — the missing member of the
+    catalog-statistics sketch family (HLL = distincts, CMS =
+    frequencies, Bloom = membership, THIS = quantiles), so percentile
+    questions stop costing a data pass once partials are maintained
+    per shard/day and merged by summation.
+
+    Bucketing is HdrHistogram's (Tene, public domain) dyadic layout in
+    pure INTEGER arithmetic, chosen over DDSketch's ln-based buckets
+    deliberately: both give a bounded RELATIVE error, but ``ln`` is not
+    correctly-rounded identically across runtimes (a value a ulp from a
+    bucket boundary could land differently in Spark vs a verifier),
+    while bit-length/shift/mod are exact everywhere — the whole partial
+    table is bit-identical cross-engine (the q54/q66 conformance
+    posture):
+
+    * scale: ``v = floor(value·10^precision + 0.5 + 1e-9)`` (the
+      quantize_codes half-up nudge) — absolute resolution 10^-precision;
+    * magnitude ``a = |v| < 2^(s+1)``: bucket = v exactly (near-zero
+      values pay ZERO quantization error);
+    * larger: drop ``a`` to the multiple of ``2^(bitlen(a)-1-s)`` below
+      it — 2^s sub-buckets per power-of-two octave, worst-case relative
+      error 2^-s; signed values mirror (bucket key = sign·floor).
+
+    Merge is ``groupBy(bucket).sum(cnt)`` — associative, commutative,
+    exact, any shard/partition order (:func:`qhist_merge`); estimation
+    is :func:`qhist_quantiles`.  Bucket count per group is bounded by
+    ~2^s per octave × 64 octaves regardless of data size — model-sized
+    catalog state, never data-sized."""
+    v = F.floor(
+        col(value_col).cast("double") * lit(float(10**precision))
+        + lit(0.5)
+        + lit(1e-9)
+    ).cast("long")
+    a = F.abs(v)
+    w = _qhist_width(a, s)
+    lo = a - (a % w)
+    bucket = F.when(v < 0, -lo).otherwise(lo)
+    return (
+        df.where(col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def qhist_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Sum-merge any union of partial tables built with the same
+    (precision, s): merge(shards) == whole, exactly."""
+    return (
+        partials.groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def qhist_quantiles(
+    partials: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    precision: int = 2,
+    s: int = QHIST_SUBBITS,
+) -> DataFrame:
+    """Quantile estimates from a (group, bucket, cnt) partial table:
+    one row per (group, q) with ``q_est`` = linear interpolation inside
+    the bucket holding rank ``q·n`` of the cumulative walk — the q96
+    histogram-walk posture: the window runs over the BOUNDED bucket
+    frame (≤ ~2^s·64 rows per group), never the data.
+
+    Bucket bounds are reconstructed from the key alone (width from the
+    key's own bit length — the top bit survives the floor, so
+    bitlen(bucket) == bitlen(original magnitude)); negative buckets
+    mirror.  All interpolation arithmetic is doubles built from exact
+    integers in the same order both engines evaluate, rounded 6 dp."""
+    from pyspark.sql import Window
+
+    a = F.abs(col("bucket"))
+    w = _qhist_width(a, s)
+    lo = F.when(col("bucket") < 0, (-(a + w)).cast("double")).otherwise(
+        col("bucket").cast("double")
+    )
+    hi = lo + w.cast("double")
+    bounded = partials.select(*group_cols, "bucket", "cnt").withColumn(
+        "__lo", lo
+    ).withColumn("__hi", hi)
+    win = Window.partitionBy(*[col(c) for c in group_cols]).orderBy("__lo")
+    cum = bounded.withColumn("__cum", F.sum("cnt").over(win)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    qf = F.explode(F.array(*[lit(float(q)) for q in qs])).alias("q")
+    ranked = cum.select(*group_cols, "bucket", "cnt", "__lo", "__hi",
+                        "__cum", "__n", qf)
+    target = col("q") * col("__n").cast("double")
+    hit = ranked.filter(col("__cum").cast("double") >= target)
+    pick = Window.partitionBy(*group_cols, "q").orderBy("__lo")
+    scale = float(10**precision)
+    est = (
+        col("__lo")
+        + (col("__hi") - col("__lo"))
+        * (target - (col("__cum") - col("cnt")).cast("double"))
+        / col("cnt").cast("double")
+    ) / lit(scale)
+    return (
+        hit.withColumn("__rn", F.row_number().over(pick))
+        .filter(col("__rn") == 1)
+        .select(
+            *group_cols,
+            col("q"),
+            F.round(est + lit(1e-9), 6).alias("q_est"),
+            col("__n").alias("n_rows"),
+        )
+    )

@@ -9523,3 +9523,150 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact.k_anonymity_report(
         quasi, ["source", "lang", "len_bucket"], k_threshold=_Q155_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — mergeable quantile sketch (dyadic histogram partials)
+# ---------------------------------------------------------------------------
+
+_Q156_S = 5          # 2^5 sub-buckets per octave → ≤ 3.1% relative error
+_Q156_SCALE = 100.0  # precision=2: cents-exact scaled integers
+_Q156_QS_SQL = ", ".join(
+    f"CAST('{q}' AS DOUBLE)" for q in ("0.5", "0.9", "0.99")
+)
+
+_Q156_ORACLE = f"""
+WITH vals AS (
+    SELECT l_returnflag AS grp,
+           CAST(floor(l_extendedprice * {_Q156_SCALE} + 0.5 + 1e-9) AS BIGINT)
+               AS v
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+),
+bucketed AS (
+    SELECT grp,
+           CASE WHEN v < 0 THEN -(abs(v) - (abs(v) % w))
+                ELSE abs(v) - (abs(v) % w) END AS bucket
+    FROM (
+        SELECT grp, v,
+               (1::BIGINT << greatest(length(bin(abs(v))) - {1 + _Q156_S}, 0))
+                   AS w
+        FROM vals
+    )
+),
+partials AS (
+    SELECT grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM bucketed
+    GROUP BY grp, bucket
+),
+bounds AS (
+    SELECT grp, bucket, cnt,
+           CASE WHEN bucket < 0
+                THEN -CAST(abs(bucket) + w2 AS DOUBLE)
+                ELSE CAST(bucket AS DOUBLE) END AS lo,
+           CAST(w2 AS DOUBLE) AS wd
+    FROM (
+        SELECT grp, bucket, cnt,
+               (1::BIGINT
+                << greatest(length(bin(abs(bucket))) - {1 + _Q156_S}, 0))
+                   AS w2
+        FROM partials
+    )
+),
+cum AS (
+    SELECT grp, bucket, cnt, lo, lo + wd AS hi,
+           sum(cnt) OVER (PARTITION BY grp ORDER BY lo) AS cum,
+           sum(cnt) OVER (PARTITION BY grp) AS n
+    FROM bounds
+),
+hit AS (
+    SELECT grp, q, cnt, lo, hi, cum, n,
+           row_number() OVER (PARTITION BY grp, q ORDER BY lo) AS rn
+    FROM cum, (SELECT unnest([{_Q156_QS_SQL}]) AS q) qs
+    WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+),
+est AS (
+    SELECT grp, q, CAST(n AS BIGINT) AS n_rows,
+           round((lo + (hi - lo) * (q * CAST(n AS DOUBLE)
+                                    - CAST(cum - cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE)) / {_Q156_SCALE} + 1e-9, 6)
+               AS q_est
+    FROM hit WHERE rn = 1
+),
+exact AS (
+    SELECT l_returnflag AS grp, q,
+           round(ex + 1e-9, 6) AS q_exact
+    FROM (
+        SELECT l_returnflag,
+               unnest([{_Q156_QS_SQL}]) AS q,
+               unnest(quantile_cont(l_extendedprice,
+                                    [{_Q156_QS_SQL}])) AS ex
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+)
+SELECT est.grp AS l_returnflag, est.q AS q, est.n_rows, est.q_est,
+       exact.q_exact,
+       round((est.q_est - exact.q_exact) / exact.q_exact + 1e-9, 6)
+           AS rel_err
+FROM est JOIN exact ON est.grp = exact.grp AND est.q = exact.q
+ORDER BY l_returnflag, est.q
+"""
+
+
+@register(
+    "q156_quantile_sketch",
+    _Q156_ORACLE,
+    "Mergeable QUANTILE partials — the missing member of the catalog-"
+    "statistics sketch family (HLL distincts q54, CMS frequencies "
+    "q66/q153, Bloom membership q91): per-group dyadic-histogram "
+    "bucket tables (HdrHistogram's integer layout, chosen over "
+    "DDSketch's ln-buckets because bit-length/shift/mod are exact in "
+    "every engine while ln is not correctly-rounded identically) that "
+    "sum-merge across shards/days with merge == whole EXACTLY, so "
+    "p50/p90/p99 questions stop costing a data pass once partials are "
+    "maintained incrementally.  2^5 sub-buckets per octave bound the "
+    "relative error at 3.1%; the exact interpolated percentile rides "
+    "beside the estimate as the error audit (the q146 cos_exact "
+    "posture).  The oracle replays the integer bucket chain bit-for-"
+    "bit and the same cumulative walk.",
+    operators=("sketch-quantile", "A6", "W2"),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    part = sketch.qhist_partials(
+        li, "l_extendedprice", ["l_returnflag"], precision=2, s=_Q156_S
+    )
+    est = sketch.qhist_quantiles(
+        part, ["l_returnflag"], [0.5, 0.9, 0.99], precision=2, s=_Q156_S
+    )
+    qarr = F.array(lit(0.5), lit(0.9), lit(0.99))
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", qarr).alias("ex"))
+        .select(
+            "l_returnflag",
+            F.posexplode("ex").alias("pos", "ex_v"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at(qarr, col("pos") + 1).alias("q"),
+            rnd(col("ex_v"), 6).alias("q_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["l_returnflag", "q"])
+        .select(
+            "l_returnflag",
+            "q",
+            col("n_rows"),
+            "q_est",
+            "q_exact",
+            rnd((col("q_est") - col("q_exact")) / col("q_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("l_returnflag", "q")
+    )

@@ -110,3 +110,36 @@ def run_streaming_near_dup(
         .start()
         .awaitTermination()
     )
+
+
+def compact_near_dup_store(
+    spark,
+    docs_path: str,
+    bands_path: str,
+    status_path: str | None = None,
+    target_partitions: int = 8,
+) -> dict[str, int | None]:
+    """Maintenance pass for the streaming near-dup stores: N micro-
+    batches append N small file sets to each manifest table, and the
+    band INDEX is the one every future batch's (band, bucket) probe
+    reads — so its file count is a per-batch planning/IO tax that grows
+    without bound unless compacted.  Rewrites each table's current
+    snapshot into ``target_partitions`` files via
+    ``ManifestTable.compact`` (CAS-protected: a concurrent ingest
+    commit aborts the compaction, never loses rows; idempotency tags
+    survive, so replay safety is untouched).
+
+    The ``__batch_id`` column rides through the rewrite, so the
+    replay-safe ``< current batch`` snapshot filter keeps working on a
+    compacted store.  Returns {table: new_version_or_None} — None means
+    the CAS lost to a concurrent writer (retry at a quiet moment)."""
+    out: dict[str, int | None] = {}
+    for name, path in (
+        ("docs", docs_path),
+        ("bands", bands_path),
+        ("status", status_path),
+    ):
+        if path is None:
+            continue
+        out[name] = ManifestTable(spark, path).compact(target_partitions)
+    return out

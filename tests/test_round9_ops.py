@@ -165,3 +165,203 @@ def test_cms_join_size_runs_no_job_at_construction(spark):
     after = set(tracker.getJobIdsForGroup(None))
     assert before == after  # construction is a pure plan build
     assert est_df.first()[0] >= 50  # true overlap, CMS never under
+
+
+# ---------------------------------------------------------------------------
+# near-dup band-index compaction (the streaming store maintenance pass)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_store_compaction_probe_equality(spark, tmp_path):
+    """N micro-batches append N small file sets to the survivor/band
+    manifest tables; compaction must bound the file count WITHOUT
+    changing what any future batch's probe sees: the next increment
+    classifies identically against the compacted and uncompacted index,
+    and the store contents are row-for-row identical."""
+    import glob
+    import os
+
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.near_dup import (
+        compact_near_dup_store,
+        run_streaming_near_dup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60).cache()
+    from .test_round8_ops import _write_doc_batches
+
+    src = str(tmp_path / "docs_src")
+    _write_doc_batches(spark, docs, src, n_files=3)
+    status_p, docs_p, bands_p = (
+        str(tmp_path / t) for t in ("status", "store", "bands")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_streaming_near_dup(stream, status_p, docs_p, bands_p, str(tmp_path / "ckpt"))
+
+    def part_files(table):
+        snap = table.snapshot()
+        return [
+            f
+            for d in snap["dirs"]
+            for f in glob.glob(
+                os.path.join(table.data_dir, d, "**", "*.parquet"),
+                recursive=True,
+            )
+        ]
+
+    def next_batch_status(bands_t, docs_t):
+        nb = docs.withColumn("doc_id", col("doc_id") + 100000)
+        standing = docs_t.read().drop("__batch_id")
+        st = dedup.incremental_minhash_classify(
+            nb, standing, "doc_id", "text",
+            standing_bands=bands_t.read().select("doc", "band", "bucket"),
+        )
+        return {r.doc_id: r.status for r in st.select("doc_id", "status").collect()}
+
+    bands_t, docs_t = ManifestTable(spark, bands_p), ManifestTable(spark, docs_p)
+    pre_files = len(part_files(bands_t))
+    pre_status = next_batch_status(bands_t, docs_t)
+    pre_rows = sorted(map(tuple, bands_t.read().collect()))
+
+    got = compact_near_dup_store(spark, docs_p, bands_p, status_p,
+                                 target_partitions=2)
+    assert all(v is not None for v in got.values())  # CAS won everywhere
+
+    bands_t2, docs_t2 = ManifestTable(spark, bands_p), ManifestTable(spark, docs_p)
+    post_files = len(part_files(bands_t2))
+    assert post_files <= 2 < pre_files  # 3 appends -> bounded
+    assert sorted(map(tuple, bands_t2.read().collect())) == pre_rows
+    assert next_batch_status(bands_t2, docs_t2) == pre_status
+
+
+# ---------------------------------------------------------------------------
+# q156 — mergeable quantile sketch (dyadic histogram partials)
+# ---------------------------------------------------------------------------
+
+
+def test_qhist_merge_equals_whole_and_accuracy(spark):
+    """Shard partials sum-merged must equal the whole-data partial
+    table EXACTLY (the sketch-family closure law), and every estimated
+    quantile lands within the 2^-s relative-error bound of the exact
+    interpolated percentile — including negative and near-zero values,
+    where the dyadic layout degrades to EXACT unit buckets."""
+    import random
+
+    random.seed(11)
+    vals = (
+        [random.uniform(-500, 12000) for _ in range(4000)]
+        + [0.0, -0.004, 0.004, -0.5, 0.5]
+    )
+    df = spark.createDataFrame(
+        [("g%d" % (i % 2), v) for i, v in enumerate(vals)],
+        "g string, v double",
+    ).cache()
+    whole = sketch.qhist_partials(df, "v", ["g"])
+    sh = [
+        sketch.qhist_partials(df.filter(col("v") > 100), "v", ["g"]),
+        sketch.qhist_partials(
+            df.filter((col("v") <= 100) & (col("v") > -10)), "v", ["g"]
+        ),
+        sketch.qhist_partials(df.filter(col("v") <= -10), "v", ["g"]),
+    ]
+    merged = sketch.qhist_merge(sh[0].unionByName(sh[1]).unionByName(sh[2]), ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    qs = [0.05, 0.5, 0.9, 0.99]
+    est = {
+        (r.g, r.q): r.q_est
+        for r in sketch.qhist_quantiles(whole, ["g"], qs).collect()
+    }
+    import numpy as np
+
+    for g in ("g0", "g1"):
+        sub = sorted(v for i, v in enumerate(vals) if "g%d" % (i % 2) == g)
+        for q in qs:
+            exact = float(np.quantile(sub, q, method="linear"))
+            # bucket bound: 2^-s relative + the 10^-precision resolution
+            tol = abs(exact) * 2.0**-sketch.QHIST_SUBBITS + 0.02
+            assert abs(est[(g, q)] - exact) <= tol, (g, q, est[(g, q)], exact)
+
+
+def test_qhist_bucket_count_is_model_sized(spark):
+    """10x more rows must NOT mean 10x more buckets: the bucket table
+    is bounded by the value RANGE (≤ 2^s per octave), not the data —
+    the property that makes the partial a catalog statistic."""
+    small = spark.range(2_000).select(
+        (col("id") % 10_000).cast("double").alias("v")
+    )
+    big = spark.range(200_000).select(
+        (col("id") % 10_000).cast("double").alias("v")
+    )
+    n_small = sketch.qhist_partials(small, "v", [], precision=0).count()
+    n_big = sketch.qhist_partials(big, "v", [], precision=0).count()
+    assert n_big <= n_small * 1.5  # range-bounded, not data-bounded
+    assert n_big <= 64 * 2**sketch.QHIST_SUBBITS
+
+
+# ---------------------------------------------------------------------------
+# vocab-capped Kneser–Ney (KenLM's deployment shape)
+# ---------------------------------------------------------------------------
+
+
+def _kept_vocab(texts, cap):
+    """Top-``cap`` unigrams by (count desc, token asc) — the Python
+    twin of the operator's vocab pick (MODEL corpus only)."""
+    from collections import Counter
+
+    cnt = Counter(t for doc in texts for t in doc.lower().split())
+    return {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]}
+
+
+def _unk_map(texts, kept):
+    return [
+        " ".join(t if t in kept else "<unk>" for t in doc.lower().split())
+        for doc in texts
+    ]
+
+
+def test_kneser_ney_vocab_cap(spark):
+    """cap ≥ |vocab| must be the identity; a small cap must equal the
+    UNCAPPED operator run on texts pre-mapped to <unk> (so the whole
+    capped path — vocab pick, model+eval mapping, V counting — reduces
+    to the already-reference-checked math on the mapped streams), and
+    the capped model's bigram-type table is bounded by (cap+1)²."""
+    from .test_round8_ops import _kn_reference
+
+    model_texts = ["a b c a b d", "e b c a f", "g h a b"]
+    eval_texts = ["a b c", "a q z b", "g h q", "z q"]
+    model = spark.createDataFrame([(t,) for t in model_texts], "text string")
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(eval_texts)], "doc_id long, text string"
+    )
+
+    def run(cap):
+        return {
+            r.doc_id: (r.n_bigrams, r.n_unseen, round(r.log_ppl, 9))
+            for r in lm.kneser_ney_perplexity(
+                ev, ["doc_id"], model, vocab_cap=cap
+            ).collect()
+        }
+
+    uncapped = {
+        r.doc_id: (r.n_bigrams, r.n_unseen, round(r.log_ppl, 9))
+        for r in lm.kneser_ney_perplexity(ev, ["doc_id"], model).collect()
+    }
+    assert run(100) == uncapped  # cap above |vocab| is the identity
+
+    cap = 3
+    got = run(cap)
+    kept = _kept_vocab(model_texts, cap)  # the MODEL's vocab maps BOTH sides
+    ref = _kn_reference(_unk_map(model_texts, kept), _unk_map(eval_texts, kept))
+    assert len(got) == len(ref)
+    for i, (nb, unseen, lp) in enumerate(ref):
+        assert got[i][0] == nb
+        assert got[i][1] == unseen
+        assert got[i][2] == pytest.approx(lp, abs=1e-9)
