@@ -365,3 +365,29 @@ def test_kneser_ney_vocab_cap(spark):
         assert got[i][0] == nb
         assert got[i][1] == unseen
         assert got[i][2] == pytest.approx(lp, abs=1e-9)
+
+
+def test_catalog_percentiles_tracks_exact(spark):
+    """The catalog tier (qhist partials) lands within its 2^-s bound of
+    the exact gold-aggregate percentile on real fact-shaped data."""
+    from nyc_tlc_analytics_pipeline_spark.operators.aggregations import (
+        catalog_percentiles,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        (r.l_returnflag, r.q): r.q_est
+        for r in catalog_percentiles(
+            li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9]
+        ).collect()
+    }
+    exact = {
+        (r.l_returnflag, q): r["ex"][i]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.array(lit(0.5), lit(0.9))).alias("ex"))
+        .collect()
+        for i, q in enumerate([0.5, 0.9])
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= abs(exact[k]) * 2.0**-5 + 0.01, (k, est, exact[k])
