@@ -183,6 +183,7 @@ _SWEEP_COST = {
     "q154_hll_key_overlap": 2.50,
     "q155_k_anonymity_audit": 2.00,
     "q156_quantile_sketch": 2.50,
+    "q157_kneser_ney_vocab_capped": 3.50,
 }
 
 

@@ -9670,3 +9670,121 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — vocab-capped Kneser–Ney (KenLM's bounded-model deployment shape)
+# ---------------------------------------------------------------------------
+
+_Q157_CAP = 20
+
+
+def _q157_oracle() -> str:
+    """q148's oracle with the model vocabulary capped to the top-20
+    unigrams (count desc, token asc) and every other token — model AND
+    eval side — mapped to '<unk>' AT THE BIGRAM LEVEL via vocab joins
+    (exactly how the Spark operator maps __prev/__cur; DuckDB forbids
+    subqueries inside list lambdas): the entire KN chain (discount,
+    continuation backoff, T/V) then runs verbatim on the mapped
+    streams — q148's text with CTEs spliced in (the _q141_oracle
+    tail-splice pattern)."""
+    inject = f""",
+uni AS (
+    SELECT t, count(*) AS c
+    FROM (SELECT unnest(tk) AS t FROM m)
+    GROUP BY t
+),
+vocab AS (
+    SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY c DESC, t) AS r FROM uni
+    ) WHERE r <= {_Q157_CAP}
+)"""
+    map_mbig = """,
+mbig AS (
+    SELECT prev || ' ' || cur AS bigram, prev, cur
+    FROM (
+        SELECT CASE WHEN vp.t IS NOT NULL THEN raw.prev ELSE '<unk>' END
+                   AS prev,
+               CASE WHEN vc.t IS NOT NULL THEN raw.cur ELSE '<unk>' END
+                   AS cur
+        FROM mbig_raw raw
+        LEFT JOIN vocab vp ON raw.prev = vp.t
+        LEFT JOIN vocab vc ON raw.cur = vc.t
+    )
+),
+"""
+    map_ebig = """,
+ebig AS (
+    SELECT doc_id, source, nb, prev || ' ' || cur AS bigram, prev, cur
+    FROM (
+        SELECT raw.doc_id, raw.source, raw.nb,
+               CASE WHEN vp.t IS NOT NULL THEN raw.prev ELSE '<unk>' END
+                   AS prev,
+               CASE WHEN vc.t IS NOT NULL THEN raw.cur ELSE '<unk>' END
+                   AS cur
+        FROM ebig_raw raw
+        LEFT JOIN vocab vp ON raw.prev = vp.t
+        LEFT JOIN vocab vc ON raw.cur = vc.t
+    )
+),
+"""
+    v_capped = (
+        "(SELECT count(DISTINCT CASE WHEN v2.t IS NOT NULL THEN u.t"
+        " ELSE '<unk>' END)\n"
+        "            FROM (SELECT unnest(tk) AS t FROM m) u\n"
+        "            LEFT JOIN vocab v2 ON u.t = v2.t) AS V"
+    )
+    body = _Q148_ORACLE
+    body = body.replace("),\nmbig AS (", f"){inject},\nmbig_raw AS (", 1)
+    body = body.replace("),\nc2 AS (SELECT bigram", f"){map_mbig}c2 AS (SELECT bigram", 1)
+    body = body.replace(
+        "(SELECT count(DISTINCT t) FROM (SELECT unnest(tk) AS t FROM m)) AS V",
+        v_capped,
+    )
+    body = body.replace("),\nebig AS (", "),\nebig_raw AS (", 1)
+    body = body.replace("),\nscored AS (", f"){map_ebig}scored AS (", 1)
+    return body
+
+
+@register(
+    "q157_kneser_ney_vocab_capped",
+    _q157_oracle(),
+    "q148's Kneser–Ney filter in KenLM's actual DEPLOYMENT shape: the "
+    f"model vocabulary is capped to the top-{_Q157_CAP} unigrams "
+    "(count desc, token asc — the pick plans as TakeOrderedAndProject, "
+    "never a global window) and every out-of-vocab token on BOTH sides "
+    "maps to a single '<unk>' class before bigram construction, so the "
+    "model is bounded BY CONSTRUCTION (≤ (V+1)² bigram types) no "
+    "matter how large the held-out corpus grows — the structural "
+    "complement to the round-9 broadcast-cap join gate.  The oracle "
+    "splices the vocab pick + mapping into q148's SQL and replays the "
+    "identical KN chain on the mapped streams.",
+    operators=("lm-kneser-ney", "lm-vocab-cap", "J-broadcast", "A3"),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(col("lang") == "en")
+    model = en.filter(col("source").isin(*_Q138_MODEL_SRC))
+    ev = en.filter(~col("source").isin(*_Q138_MODEL_SRC))
+    scored = lm.kneser_ney_perplexity(
+        ev, ["doc_id", "source"], model, vocab_cap=_Q157_CAP
+    ).select(
+        "doc_id",
+        "source",
+        rnd(col("log_ppl"), 6).alias("log_ppl"),
+        rnd(col("n_unseen").cast("double") / col("n_bigrams"), 6).alias(
+            "unseen_rate"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            rnd(F.avg("log_ppl"), 6).alias("avg_log_ppl"),
+            rnd(F.max("log_ppl"), 6).alias("max_log_ppl"),
+            rnd(F.avg("unseen_rate"), 6).alias("avg_unseen_rate"),
+        )
+        .orderBy("source")
+    )
