@@ -53,6 +53,24 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--landing-dir", default="data/raw")
     d.add_argument("--services", default="yellow,green,hvfhv")
 
+    # reference QUICK_START convenience verbs (reference: src/cli.py:79-110
+    # `download_sample` / `load_zones`) — aliases over download/init-db so a
+    # user following the reference's QUICK_START verbatim lands here too
+    ds = sub.add_parser(
+        "download-sample",
+        help="download the reference's three sample months for testing",
+    )
+    ds.add_argument("--landing-dir", default="data/raw")
+    ds.add_argument("--services", default="yellow,green,hvfhv")
+    lz = sub.add_parser(
+        "load-zones", help="(re)load the taxi-zone dimension only"
+    )
+    lz.add_argument(
+        "--zones-csv",
+        required=True,
+        help="taxi_zone_lookup.csv path (the reference's load_zones input)",
+    )
+
     ld = sub.add_parser("load", help="load landing dir into bronze")
     ld.add_argument("--landing-dir", default="data/raw")
 
@@ -309,9 +327,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps([r.__dict__ for r in results], indent=2))
         return 0 if all(r.status != "failed" for r in results) else 1
 
+    if args.command == "download-sample":
+        from .sources.downloader import SAMPLE_MONTHS, download_months
+
+        results = download_months(
+            list(SAMPLE_MONTHS), args.landing_dir, tuple(args.services.split(","))
+        )
+        print(json.dumps([r.__dict__ for r in results], indent=2))
+        return 0 if all(r.status != "failed" for r in results) else 1
+
     pl = _pipeline(args)
     if args.command == "init-db":
         print(json.dumps(pl.init_dims(args.zones_csv)))
+    elif args.command == "load-zones":
+        from .operators import dimensions
+        from .sources import sinks
+        from .sources.readers import read_zones_csv
+
+        raw = read_zones_csv(pl.spark, args.zones_csv)
+        zones = dimensions.build_dim_zones(raw)
+        sinks.overwrite(zones, pl.dim("dim_zones"))
+        print(json.dumps(
+            {"dim_zones": pl.spark.read.parquet(pl.dim("dim_zones")).count()}
+        ))
     elif args.command == "load":
         print(json.dumps(pl.load_landing_dir(args.landing_dir), indent=2))
     elif args.command == "quality":

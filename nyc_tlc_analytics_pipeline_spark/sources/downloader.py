@@ -29,6 +29,11 @@ SERVICE_FILE_PATTERNS = {
     "hvfhv": "fhvhv_tripdata_{month}.parquet",
 }
 
+#: the reference's default testing months (reference:
+#: src/ingestion/downloader.py:294-307 ``download_sample_months`` /
+#: config ``date_range.sample_months``) — the `download-sample` CLI verb
+SAMPLE_MONTHS = ("2024-01", "2024-06", "2024-12")
+
 
 def generate_month_range(start: str, end: str) -> list[str]:
     """'2021-01'..'2021-03' → ['2021-01','2021-02','2021-03']

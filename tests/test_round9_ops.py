@@ -391,3 +391,38 @@ def test_catalog_percentiles_tracks_exact(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= abs(exact[k]) * 2.0**-5 + 0.01, (k, est, exact[k])
+
+
+# ---------------------------------------------------------------------------
+# reference QUICK_START convenience verbs (download-sample / load-zones)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_load_zones_and_download_sample_surface(spark, tmp_path, capsys):
+    """`load-zones` rebuilds ONLY dim_zones from a lookup CSV (the
+    reference's load_zones verb); `download-sample` exposes the
+    reference's three testing months.  Offline: the download verb is
+    checked at the parser/constant level (the HTTP path has its own
+    live-server tests)."""
+    import json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+    from nyc_tlc_analytics_pipeline_spark.sources.downloader import SAMPLE_MONTHS
+
+    from .tlc_synth import synth_zones
+
+    csv = tmp_path / "taxi_zones.csv"
+    synth_zones().to_csv(csv, index=False)
+    wh = str(tmp_path / "wh")
+    rc = main(["--warehouse-dir", wh, "load-zones", "--zones-csv", str(csv)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc in (0, None)
+    assert out["dim_zones"] == len(synth_zones())
+    zones = spark.read.parquet(f"{wh}/silver/dim_zones")
+    assert "zone_id" in zones.columns or "location_id" in zones.columns
+
+    assert SAMPLE_MONTHS == ("2024-01", "2024-06", "2024-12")
+    import argparse
+
+    with pytest.raises(SystemExit):  # --zones-csv is required
+        main(["--warehouse-dir", wh, "load-zones"])
