@@ -44,3 +44,33 @@ def collect_bounded(
             f"bounded-cardinality column or raise the cap explicitly."
         )
     return rows
+
+
+def estimated_source_units(df: DataFrame, bytes_per_unit: int = 8) -> int:
+    """Zero-job size proxy for a REFERENCE-corpus frame (a held-out LM
+    model, a benchmark gram set): the optimizer's plan size in BYTES
+    over an assumed unit width — deliberately not the rowCount (that
+    counts documents, and a 50-doc reference can still hold 50M
+    tokens/grams; bytes track unit volume no matter the row split).
+    Falls back to 'huge' when no estimate exists — the safe failure
+    mode for a broadcast decision (similarity.estimated_rows's
+    posture)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return max(1, int(stats.sizeInBytes()) // bytes_per_unit)
+    except Exception:
+        return 1 << 30
+
+
+def reference_join_side(bounded: bool):
+    """Join-side wrapper for a reference-corpus-derived frame:
+    broadcast while the source is provably small, merge-hint beyond.
+    Never let the static planner decide — its size estimate is blind
+    to explode fan-out, and 'bounded by construction' (by a reference
+    corpus) is not the same as executor-sized (the round-9 held-out-LM
+    bug class)."""
+    from pyspark.sql import functions as F
+
+    if bounded:
+        return F.broadcast
+    return lambda f: f.hint("merge")

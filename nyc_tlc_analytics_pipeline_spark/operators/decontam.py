@@ -32,6 +32,24 @@ from pyspark.sql.functions import col, lit
 
 from . import text
 
+#: broadcast cap for BENCHMARK-derived gram frames, in estimated
+#: benchmark tokens (each token starts ≤ 1 n-gram, so gram count ≤
+#: token count).  Same rationale and machinery as lm's held-out model
+#: cap: a typical eval suite is thousands of examples and broadcasts
+#: fine, but "bounded by the benchmark" is not the same as
+#: executor-sized once someone points this at a mega-benchmark union —
+#: above the cap the semi join falls back to a gram-keyed sort-merge.
+BENCH_BROADCAST_CAP_TOKENS = 4_000_000
+
+
+def _bench_side(bench: DataFrame):
+    from ..core.guards import estimated_source_units, reference_join_side
+
+    return reference_join_side(
+        estimated_source_units(bench, bytes_per_unit=8)
+        <= BENCH_BROADCAST_CAP_TOKENS
+    )
+
 
 def word_ngrams(
     text_col: Column | str, n: int, toks: Column | None = None
@@ -75,8 +93,10 @@ def flag_contaminated(
     broadcast benchmark gram set — corpus rows never shuffle.
     ``toks_col``: optional pre-computed token-array column on the CORPUS
     side (tokenize-once pipelines; the tiny benchmark side always
-    tokenizes from ``text_col``)."""
-    grams = F.broadcast(benchmark_grams(bench, n, text_col))
+    tokenizes from ``text_col``).  The gram set broadcasts while the
+    benchmark's size estimate stays under the cap; beyond it the semi
+    join takes a gram-keyed sort-merge instead of OOMing executors."""
+    grams = _bench_side(bench)(benchmark_grams(bench, n, text_col))
     corpus_toks = col(toks_col) if toks_col is not None else None
     return (
         corpus.select(
@@ -136,7 +156,7 @@ def redact_contaminated_spans(
         position_grams(bench_toks, n).select("gram").distinct()
     )
     starts = (
-        pos.join(F.broadcast(bench_grams), "gram", "left_semi")
+        pos.join(_bench_side(bench)(bench_grams), "gram", "left_semi")
         .groupBy("doc")
         .agg(F.collect_list("start").alias("__starts"))
     )

@@ -50,29 +50,25 @@ MODEL_BROADCAST_CAP_TOKENS = 4_000_000
 
 
 def _model_token_estimate(model_df: DataFrame) -> int:
-    """Optimizer-side (zero-job) estimate of the model corpus' token
-    count: plan size in BYTES over ~8 bytes/token (deliberately not the
-    optimizer's rowCount — that counts DOCUMENTS, and a 50-doc model
-    can still hold 50M tokens; bytes track token volume no matter the
-    doc split).  The type tables built from the model are each ≤ its
-    token count, so this one number gates ALL of a scorer's model-frame
-    joins.  Falls back to 'huge' (→ merge path) when no estimate
-    exists — the safe failure mode for a broadcast decision (same
-    posture as similarity.estimated_rows)."""
-    try:
-        stats = model_df._jdf.queryExecution().optimizedPlan().stats()
-        return max(1, int(stats.sizeInBytes()) // 8)
-    except Exception:
-        return 1 << 30
+    """Zero-job estimate of the model corpus' token count: plan bytes
+    over ~8 bytes/token (NOT rowCount — that counts documents; bytes
+    track token volume no matter the doc split).  The type tables built
+    from the model are each ≤ its token count, so this one number gates
+    ALL of a scorer's model-frame joins.  Shared machinery:
+    ``core.guards.estimated_source_units`` (fails open to 'huge' →
+    merge path)."""
+    from ..core.guards import estimated_source_units
+
+    return estimated_source_units(model_df, bytes_per_unit=8)
 
 
 def _model_side(bounded: bool):
-    """Join-side wrapper for a held-out-model frame: broadcast while
-    the model is provably small, merge-hint beyond (never let the
-    static planner guess — its estimate is blind to explode fan-out)."""
-    if bounded:
-        return F.broadcast
-    return lambda f: f.hint("merge")
+    """Join-side wrapper for a held-out-model frame — see
+    ``core.guards.reference_join_side`` (broadcast while provably
+    small, merge-hint beyond)."""
+    from ..core.guards import reference_join_side
+
+    return reference_join_side(bounded)
 
 
 #: the OOV class every out-of-vocab token maps to under ``vocab_cap``.

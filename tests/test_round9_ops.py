@@ -426,3 +426,31 @@ def test_cli_load_zones_and_download_sample_surface(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):  # --zones-csv is required
         main(["--warehouse-dir", wh, "load-zones"])
+
+
+def test_decontam_bench_broadcast_gate(spark, tmp_path):
+    """The benchmark-gram semi join is the same reference-corpus
+    broadcast class as the held-out LM model: an over-cap benchmark
+    must take the sort-merge path, with identical contaminated-id
+    results either way."""
+    from nyc_tlc_analytics_pipeline_spark.operators import decontam
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(col("doc_id") % 7 == 0).select("doc_id", "text")
+    corpus = docs.filter(col("doc_id") % 7 != 0).select("doc_id", "text")
+
+    flagged = decontam.flag_contaminated(corpus, bench, n=3)
+    assert "SortMergeJoin" not in _plan(flagged)
+
+    import nyc_tlc_analytics_pipeline_spark.operators.decontam as D
+
+    old = D.BENCH_BROADCAST_CAP_TOKENS
+    try:
+        D.BENCH_BROADCAST_CAP_TOKENS = 0
+        merged = decontam.flag_contaminated(corpus, bench, n=3)
+        assert "SortMergeJoin" in _plan(merged)
+        assert sorted(r.doc_id for r in merged.collect()) == sorted(
+            r.doc_id for r in flagged.collect()
+        )
+    finally:
+        D.BENCH_BROADCAST_CAP_TOKENS = old
