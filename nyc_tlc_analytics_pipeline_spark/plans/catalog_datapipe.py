@@ -4784,9 +4784,21 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("n_nationkey").alias("s_nk"), col("n_name").alias("dst")
     )
     edges = (
+        # nation (25 rows) is bounded by construction → forced broadcast;
+        # customer/supplier GROW with the scale factor, so their join
+        # strategy is left to the planner — a parquet scan's size
+        # estimate is reliable (unlike explode fan-out), AQE broadcasts
+        # them while they fit and shuffles beyond, never OOMing on a
+        # forced hint (the round-9 estimate-blind-broadcast class)
         li.join(o, col("l_orderkey") == col("o_orderkey"))
-        .join(F.broadcast(c), col("o_custkey") == col("c_custkey"))
-        .join(F.broadcast(s), col("l_suppkey") == col("s_suppkey"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            col("o_custkey") == col("c_custkey"),
+        )
+        .join(
+            s.select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") == col("s_suppkey"),
+        )
         .join(F.broadcast(cn), col("c_nationkey") == col("c_nk"))
         .join(F.broadcast(sn), col("s_nationkey") == col("s_nk"))
         .groupBy("src", "dst")
