@@ -24,6 +24,11 @@ def main() -> int:
     from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
 
     names = sys.argv[1:]
+    from bench import host_calibration
+
+    # single-thread CPU reference — makes probe tables comparable across
+    # sessions/hosts (see BENCH_SCALING.md round-9 calibration note)
+    print(f"host calibration: {host_calibration():.4f}s")
     spark = build_session(app_name="scale-probe", master=f"local[{CPUS}]")
     scaled = materialize_scaled(spark, SRC, N_COPIES)
     QUERIES[names[0]].build(spark, SRC).collect()  # JVM warmup
