@@ -184,6 +184,7 @@ _SWEEP_COST = {
     "q155_k_anonymity_audit": 2.00,
     "q156_quantile_sketch": 2.50,
     "q157_kneser_ney_vocab_capped": 3.50,
+    "q158_semantic_decontamination": 3.00,
 }
 
 

@@ -161,3 +161,77 @@ def redact_contaminated_spans(
         .agg(F.collect_list("start").alias("__starts"))
     )
     return mask_spans(toks, starts, n, id_col, keep_cols)
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination — the companion to the n-gram
+    gate for leaks a lexical match can't see (paraphrased eval items,
+    translations, templated rewrites): every corpus vector's MAX cosine
+    against the benchmark embedding set, with the nearest benchmark id
+    and a ``contaminated`` flag at ``threshold``.
+
+    Scale shape: the benchmark side is the bounded one (an eval suite
+    is thousands of vectors), so it rides the reference-corpus
+    broadcast gate (``core.guards`` — broadcast under the cap, keyless
+    merge is meaningless here so over-cap raises instead of silently
+    building a corpus×bench shuffle); the corpus side is ONE map-side
+    pass — per row, |bench| rounded cosines and a max, no corpus
+    shuffle at all (the aggregate is doc-keyed on an already-unique
+    key, so Catalyst's partial aggregate makes it map-side).  For
+    corpora where |bench| per-row work matters, shortlist first with
+    the IVF/LSH machinery (similarity.ivf_topk / ann_topk) and verify
+    survivors here — the q28 funnel posture.
+
+    Cosines are nudge-rounded to 6 dp BEFORE the max/argmax (ties
+    break on the smaller benchmark id via a max over
+    ``struct(cos, -bid)`` — a PARTIAL-aggregable expression, so the
+    map-side combine collapses each partition's |bench| candidates per
+    corpus row before any exchange: the shuffle carries |corpus| rows,
+    never |corpus|×|bench| as a per-id window would).  Returns
+    (id, max_cos, nearest_bench, contaminated), one row per corpus
+    vector."""
+    from ..core.guards import estimated_source_units
+    from ..functions.scalar import rnd
+    from .similarity import as_double_array, cosine
+
+    if estimated_source_units(bench, bytes_per_unit=8) > 64_000_000:
+        raise ValueError(
+            "semantic_contamination: benchmark side estimate exceeds the "
+            "broadcast budget — shortlist with similarity.ivf_topk/"
+            "ann_topk and verify survivors instead of an all-pairs pass"
+        )
+    b = F.broadcast(
+        bench.select(
+            col(id_col).alias("__bid"), as_double_array(vec_col).alias("__bv")
+        )
+    )
+    pairs = corpus.select(
+        col(id_col), as_double_array(vec_col).alias("__cv")
+    ).crossJoin(b)
+    scored = pairs.select(
+        id_col,
+        "__bid",
+        rnd(cosine(col("__cv"), col("__bv")), 6).alias("__cos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(col("__cos").alias("c"), (-col("__bid")).alias("nb"))
+        ).alias("__m")
+    )
+    return best.select(
+        col(id_col),
+        col("__m.c").alias("max_cos"),
+        (-col("__m.nb")).alias("nearest_bench"),
+        (col("__m.c") >= lit(threshold)).alias("contaminated"),
+    )

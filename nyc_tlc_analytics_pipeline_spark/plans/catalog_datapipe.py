@@ -9800,3 +9800,68 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+_Q158_TH = "CAST('0.35' AS DOUBLE)"
+_Q158_THF = 0.35
+
+_Q158_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+    FROM embeddings WHERE label = 9
+),
+c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE label <> 9
+),
+scored AS (
+    SELECT c.vec_id, b.bid,
+           round(list_cosine_similarity(cv, bv) + 1e-9, 6) AS cos
+    FROM c CROSS JOIN b
+),
+best AS (
+    SELECT vec_id, cos, bid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, bid) AS rn
+    FROM scored
+)
+SELECT vec_id,
+       cos AS max_cos,
+       CAST(bid AS BIGINT) AS nearest_bench,
+       cos >= {_Q158_TH} AS contaminated
+FROM best
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+@register(
+    "q158_semantic_decontamination",
+    _Q158_ORACLE,
+    "Embedding-level decontamination — the leak detector the n-gram "
+    "gate (q50/q76) cannot be: paraphrased, translated, or templated "
+    "eval items share no 4-gram with the corpus but sit cosine-close "
+    "in embedding space.  One population (label 9) plays the benchmark "
+    "suite; every other vector reports its max cosine + nearest bench "
+    f"id + a contamination flag at {_Q158_THF}.  The bench matrix "
+    "rides the round-9 reference-corpus broadcast gate (over-cap "
+    "raises toward the IVF/LSH shortlist path instead of silently "
+    "shuffling corpus×bench), and the max/argmax is a PARTIAL-"
+    "aggregable max(struct(cos, -bid)) — the shuffle carries |corpus| "
+    "rows, never the pair volume a per-id window would move.  Oracle "
+    "replays the rounded cosines and the same tie-break.",
+    operators=("decontam-semantic", "similarity-brute", "A3", "J1"),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    bench = emb.filter(col("label") == 9)
+    corpus = emb.filter((col("label").isNotNull()) & (col("label") != 9))
+    return decontam.semantic_contamination(
+        corpus, bench, threshold=_Q158_THF
+    ).orderBy("vec_id")

@@ -106,6 +106,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q139_funnel_attribution_minhash",  # q132's funnel stage (1-row V)
         "q148_kneser_ney_perplexity",  # 1-row T/V continuation constants onto scoring
         "q157_kneser_ney_vocab_capped",  # q148's 1-row T/V constants (capped model)
+        "q158_semantic_decontamination",  # bounded bench matrix onto the corpus scan (gated brute verify)
         "q153_cms_join_cardinality",  # 1-row truth × 1-row sketch estimate
         "q154_hll_key_overlap",  # 1-row estimates × 1-row truth
     }

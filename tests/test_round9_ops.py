@@ -454,3 +454,51 @@ def test_decontam_bench_broadcast_gate(spark, tmp_path):
         )
     finally:
         D.BENCH_BROADCAST_CAP_TOKENS = old
+
+
+def test_semantic_contamination_planted_and_gated(spark, tmp_path):
+    """A corpus vector planted equal to a benchmark vector must flag
+    with max_cos 1.0 and point at that bench id (smallest id on ties);
+    an over-budget benchmark estimate raises toward the shortlist path
+    instead of silently shuffling corpus x bench."""
+    from nyc_tlc_analytics_pipeline_spark.operators import decontam
+
+    dim = 8
+    def vec(seed):
+        return [float((seed * 7 + d * 3) % 11 - 5) for d in range(dim)]
+
+    bench_rows = [(100 + i, vec(i)) for i in range(5)]
+    corpus_rows = [(i, vec(i + 50)) for i in range(10)] + [(99, vec(2))]
+    # parquet round-trip: a createDataFrame local frame has NO size
+    # estimate, and the gate (correctly) fails closed on it
+    import os
+
+    tmp = str(tmp_path)
+    spark.createDataFrame(
+        bench_rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(tmp, "bench"))
+    spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(tmp, "corpus"))
+    bench = spark.read.parquet(os.path.join(tmp, "bench"))
+    corpus = spark.read.parquet(os.path.join(tmp, "corpus"))
+    got = {
+        r.vec_id: r
+        for r in decontam.semantic_contamination(
+            corpus, bench, threshold=0.99
+        ).collect()
+    }
+    assert len(got) == len(corpus_rows)
+    planted = got[99]
+    assert planted.max_cos == 1.0 and planted.contaminated
+    assert planted.nearest_bench == 102  # the planted twin's bench id
+
+    import nyc_tlc_analytics_pipeline_spark.core.guards as G
+
+    class Huge:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no estimate")
+
+    with pytest.raises(ValueError, match="shortlist"):
+        decontam.semantic_contamination(corpus, Huge(), threshold=0.5)
