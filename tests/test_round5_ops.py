@@ -132,20 +132,32 @@ def test_redact_contaminated_spans(spark):
     assert out[2].text_clean == out[2].text_clean.lower()
 
 
-def test_redact_spans_bench_probe_is_broadcast(spark):
+def test_redact_spans_bench_probe_is_broadcast(spark, tmp_path):
     """The benchmark gram set must broadcast — corpus rows never shuffle
-    on the gram key."""
+    on the gram key.  Since the round-9 reference-corpus gate, the
+    broadcast requires a REAL size estimate: a parquet-backed bench (the
+    production shape) broadcasts; an estimate-less local frame fails
+    CLOSED to the merge path (never an unbounded forced broadcast)."""
     from nyc_tlc_analytics_pipeline_spark.operators.decontam import (
         redact_contaminated_spans,
     )
 
-    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    local_bench = spark.createDataFrame(
+        [(9, "a b c d")], "doc_id long, text string"
+    )
+    local_bench.write.parquet(str(tmp_path / "bench"))
+    bench = spark.read.parquet(str(tmp_path / "bench"))
     corpus = spark.createDataFrame(
         [(1, "x a b c d y")], "doc_id long, text string"
     )
     df = redact_contaminated_spans(corpus, bench, n=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    fallback = redact_contaminated_spans(corpus, local_bench, n=4)
+    assert "SortMergeJoin" in (
+        fallback._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_leakage_safe_split_never_straddles_pairs(spark):
