@@ -185,6 +185,7 @@ _SWEEP_COST = {
     "q156_quantile_sketch": 2.50,
     "q157_kneser_ney_vocab_capped": 3.50,
     "q158_semantic_decontamination": 3.00,
+    "q159_hybrid_rrf_retrieval": 3.50,
 }
 
 

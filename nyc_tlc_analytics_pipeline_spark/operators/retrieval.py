@@ -166,3 +166,90 @@ def tfidf_group_terms(
             "tfidf",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid lexical + vector retrieval (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+#: Cormack & Clarke (2009)'s fusion constant — dampens the head so one
+#: system's #1 can't drown the other's top-5.
+RRF_C = 60
+
+
+def _ranked(scored: DataFrame, score_col: str, id_col: str, pool: int) -> DataFrame:
+    """Deterministic top-``pool`` rank list: TakeOrderedAndProject on
+    (rounded score DESC, id) pulls the pool, then a row_number over the
+    POOL-sized frame assigns ranks — a bounded global window (the
+    q69/q124 rank-above-TakeOrdered posture), never a corpus sort."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), id_col)
+    return (
+        scored.orderBy(F.desc(score_col), id_col)
+        .limit(pool)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "rank")
+    )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    c: int = RRF_C,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Hybrid retrieval over a lexical (BM25) and a vector (cosine)
+    ranking, fused with reciprocal-rank fusion — the standard two-tower
+    RAG retrieval stack (Cormack & Clarke 2009: ``score(d) = Σ_sys
+    1/(c + rank_sys(d))`` over each system's top-``pool`` list; a doc
+    absent from a list contributes nothing for that system).  RRF works
+    on RANKS, so the two systems' incomparable score scales never need
+    calibration — exactly why it's the production default fusion.
+
+    Scale shape: each side is its operator's own scale story (BM25's
+    IN-filtered explode, cosine's scan → TakeOrderedAndProject);
+    fusion itself touches only the two pool-sized rank lists (a full
+    outer join of ≤ 2·pool rows).  Ranks are assigned on ROUNDED
+    scores with id tie-breaks, and 1/(c+rank) is a single IEEE divide
+    in both engines, so the fused ordering is deterministic
+    cross-engine.  Returns (doc id, lex_rank, vec_rank, rrf), ranks
+    NULL where a system didn't surface the doc, top-``k`` by
+    (rrf DESC, id)."""
+    from ..functions.scalar import rnd
+    from .similarity import cosine_topk
+
+    lex = bm25_scores(docs, query_terms, [doc_id_col]).select(
+        doc_id_col, rnd(col("bm25"), 6).alias("__s")
+    )
+    lexr = _ranked(lex, "__s", doc_id_col, pool).withColumnRenamed(
+        "rank", "lex_rank"
+    )
+    vec = cosine_topk(
+        emb, query_vec, k=pool, id_col=vec_id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    ).select(col(vec_id_col).alias(doc_id_col), col("cos_sim").alias("__s"))
+    vecr = _ranked(vec, "__s", doc_id_col, pool).withColumnRenamed(
+        "rank", "vec_rank"
+    )
+    term = lambda r: F.coalesce(  # noqa: E731
+        lit(1.0) / (lit(c) + col(r)).cast("double"), lit(0.0)
+    )
+    return (
+        lexr.join(vecr, doc_id_col, "full")
+        .select(
+            doc_id_col,
+            "lex_rank",
+            "vec_rank",
+            rnd(term("lex_rank") + term("vec_rank"), 9).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), doc_id_col)
+        .limit(k)
+    )

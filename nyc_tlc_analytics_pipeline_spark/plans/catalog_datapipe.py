@@ -9865,3 +9865,118 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.semantic_contamination(
         corpus, bench, threshold=_Q158_THF
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q159 — hybrid BM25 + vector retrieval, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_Q159_POOL = 25
+_Q159_K = 10
+_Q159_C = 60
+
+
+def _q159_oracle() -> str:
+    from ..operators.retrieval import B, K1
+
+    terms = ", ".join(f"'{t}'" for t in _Q57_TERMS)
+    return f"""
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+lengths AS (
+    SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS dl
+    FROM documents
+),
+const AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lengths),
+hits AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    )
+    WHERE token IN ({terms})
+    GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY token),
+lexscore AS (
+    SELECT h.doc_id,
+           round(sum(
+               ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * h.tf * {K1 + 1.0!r}
+               / (h.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / c.avgdl))
+           ) + 1e-9, 6) AS s
+    FROM hits h
+    JOIN dfreq d ON h.token = d.token
+    JOIN lengths l ON h.doc_id = l.doc_id
+    CROSS JOIN const c
+    GROUP BY h.doc_id
+),
+lexr AS (
+    SELECT doc_id, r AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM lexscore
+    ) WHERE r <= {_Q159_POOL}
+),
+vecs AS (
+    SELECT vec_id AS doc_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        (SELECT qv FROM q)) + 1e-9, 6) AS s
+    FROM embeddings WHERE vec_id <> 0
+),
+vecr AS (
+    SELECT doc_id, r AS vec_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM vecs
+    ) WHERE r <= {_Q159_POOL}
+)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       CAST(l.lex_rank AS BIGINT) AS lex_rank,
+       CAST(v.vec_rank AS BIGINT) AS vec_rank,
+       round(coalesce(CAST(1.0 AS DOUBLE) / ({_Q159_C} + l.lex_rank),
+                      CAST(0.0 AS DOUBLE))
+             + coalesce(CAST(1.0 AS DOUBLE) / ({_Q159_C} + v.vec_rank),
+                        CAST(0.0 AS DOUBLE)) + 1e-9, 9) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {_Q159_K}
+"""
+
+
+@register(
+    "q159_hybrid_rrf_retrieval",
+    _q159_oracle(),
+    "Hybrid retrieval — the standard two-tower RAG stack: BM25 (q57's "
+    "lexical ranking) and brute cosine (q26's vector ranking) fused by "
+    "reciprocal-rank fusion (Cormack & Clarke: Σ 1/(60 + rank) over "
+    f"each system's top-{_Q159_POOL}).  RRF fuses RANKS, so the "
+    "incomparable score scales never need calibration.  Each side "
+    "keeps its own scale shape (IN-filtered explode / "
+    "TakeOrderedAndProject); fusion touches only the two pool-sized "
+    "rank lists — a full outer join of ≤ 2·pool rows, ranks assigned "
+    "by a bounded window ABOVE the TakeOrdered (the q69/q124 "
+    "posture).  Oracle replays both rankings and the fused ordering.",
+    operators=("retrieval-hybrid-rrf", "retrieval-bm25",
+               "similarity-brute", "O1"),
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return retrieval.hybrid_rrf(
+        docs,
+        emb,
+        list(_Q57_TERMS),
+        qvec,
+        k=_Q159_K,
+        pool=_Q159_POOL,
+        c=_Q159_C,
+        exclude_ids=(0,),
+    )

@@ -42,6 +42,7 @@ GLOBAL_WINDOW_OK = {
     "q124_hill_tail_index",  # rank window ABOVE TakeOrdered(k+1), q69 posture
     "q127_vocab_coverage",  # cumulative walk over the distinct-freq histogram
     "q152_neyman_stratified_sample",  # Σ N_h·S_h normalizer over the |strata| frame (q52 posture)
+    "q159_hybrid_rrf_retrieval",  # rank windows over the two pool-sized TakeOrdered lists (q69/q124 posture)
 }
 
 

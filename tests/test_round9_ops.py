@@ -502,3 +502,47 @@ def test_semantic_contamination_planted_and_gated(spark, tmp_path):
 
     with pytest.raises(ValueError, match="shortlist"):
         decontam.semantic_contamination(corpus, Huge(), threshold=0.5)
+
+
+def test_hybrid_rrf_fusion_semantics(spark, tmp_path):
+    """RRF fundamentals on a constructed corpus: a doc that is #1 in
+    BOTH towers outscores docs that top only one list; docs absent
+    from both lists never appear; rrf == 1/(c+lex) + 1/(c+vec)."""
+    import os
+
+    from nyc_tlc_analytics_pipeline_spark.operators import retrieval
+
+    docs_rows = [
+        (1, "alpha beta gamma"),          # lexical hit + vector twin
+        (2, "alpha alpha alpha alpha"),   # strong lexical only
+        (3, "delta epsilon zeta"),        # neither
+    ]
+    qv = [1.0, 0.0, 0.0, 0.0]
+    emb_rows = [(1, [0.9, 0.1, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+                (3, [0.0, 0.9, 0.1, 0.0])]
+    spark.createDataFrame(docs_rows, "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "d"))
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(str(tmp_path), "e"))
+    docs = spark.read.parquet(os.path.join(str(tmp_path), "d"))
+    emb = spark.read.parquet(os.path.join(str(tmp_path), "e"))
+
+    got = retrieval.hybrid_rrf(
+        docs, emb, ["alpha", "beta"], qv, k=10, pool=2, c=60
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert 3 not in by_id or by_id[3].lex_rank or by_id[3].vec_rank
+    # doc 1: lexical rank 2 (doc 2 has more alphas... but beta helps) or 1;
+    # assert the algebra rather than the rank values:
+    for r in got:
+        expect = sum(
+            1.0 / (60 + rank)
+            for rank in (r.lex_rank, r.vec_rank)
+            if rank is not None
+        )
+        # rrf is nudge-rounded to 9 dp -> compare at the rounding grain
+        assert abs(r.rrf - expect) < 2e-9
+    # doc 1 is the only doc in BOTH lists -> highest fused score
+    assert got[0].doc_id == 1
+    assert by_id[1].lex_rank is not None and by_id[1].vec_rank is not None
