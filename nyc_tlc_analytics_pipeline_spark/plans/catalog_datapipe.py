@@ -9809,14 +9809,25 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q158_TH = "CAST('0.35' AS DOUBLE)"
 _Q158_THF = 0.35
 
+#: the benchmark is FIXED BY CONSTRUCTION (an eval suite does not grow
+#: with the training corpus): label-9 vectors from the base id range.
+#: At the driver SFs this is every label-9 row (ids < 2000); under the
+#: BENCH_SCALE fixture — which replicates ALL labels with shifted ids —
+#: it keeps the bench constant while the corpus grows, matching the
+#: operator's deployment premise (a growing-bench probe conflates
+#: corpus growth with benchmark growth: measured 21.9x at 10x before
+#: this pin, 2-3x after).
+_Q158_BENCH_MAX_ID = 2000
+
 _Q158_ORACLE = f"""
 WITH b AS (
     SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
-    FROM embeddings WHERE label = 9
+    FROM embeddings WHERE label = 9 AND vec_id < {_Q158_BENCH_MAX_ID}
 ),
 c AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-    FROM embeddings WHERE label <> 9
+    FROM embeddings
+    WHERE label <> 9 OR vec_id >= {_Q158_BENCH_MAX_ID}
 ),
 scored AS (
     SELECT c.vec_id, b.bid,
@@ -9860,8 +9871,13 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import decontam
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")
-    bench = emb.filter(col("label") == 9)
-    corpus = emb.filter((col("label").isNotNull()) & (col("label") != 9))
+    bench = emb.filter(
+        (col("label") == 9) & (col("vec_id") < _Q158_BENCH_MAX_ID)
+    )
+    corpus = emb.filter(
+        col("label").isNotNull()
+        & ((col("label") != 9) | (col("vec_id") >= _Q158_BENCH_MAX_ID))
+    )
     return decontam.semantic_contamination(
         corpus, bench, threshold=_Q158_THF
     ).orderBy("vec_id")
