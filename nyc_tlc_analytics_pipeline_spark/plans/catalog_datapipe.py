@@ -9863,8 +9863,13 @@ ORDER BY vec_id
     "raises toward the IVF/LSH shortlist path instead of silently "
     "shuffling corpus×bench), and the max/argmax is a PARTIAL-"
     "aggregable max(struct(cos, -bid)) — the shuffle carries |corpus| "
-    "rows, never the pair volume a per-id window would move.  Oracle "
-    "replays the rounded cosines and the same tie-break.",
+    "rows, never the pair volume a per-id window would move.  This "
+    "registration pins kernel=expr (BigDecimal-exact rounding, the "
+    "hash gate); the operator DEFAULT is the Arrow numpy kernel — one "
+    "BLAS matmul per batch, ~25× faster at a 5k-vector bench — "
+    "equality-pinned to "
+    "this form by test (the q62/q146 pattern).  Oracle replays the "
+    "rounded cosines and the same tie-break.",
     operators=("decontam-semantic", "similarity-brute", "A3", "J1"),
 )
 def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9879,7 +9884,7 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((col("label") != 9) | (col("vec_id") >= _Q158_BENCH_MAX_ID))
     )
     return decontam.semantic_contamination(
-        corpus, bench, threshold=_Q158_THF
+        corpus, bench, threshold=_Q158_THF, kernel="expr"
     ).orderBy("vec_id")
 
 
