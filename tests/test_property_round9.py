@@ -1,7 +1,9 @@
-"""Hypothesis property tests for the round-9 operators: invariants over
-ARBITRARY inputs for the dyadic quantile sketch (merge == whole under
-any shard split; rank-accuracy bound; Python-twin bucket parity) and
-the RRF fusion algebra."""
+"""Hypothesis property tests for the round-9 quantile sketch:
+invariants over ARBITRARY inputs — merge == whole under any shard
+split, rank-accuracy bound, and bucket parity against an independent
+pure-Python integer restatement.  (RRF's fusion algebra is pinned by
+the deterministic unit test in test_round9_ops — its inputs are rank
+lists, which hypothesis would only re-derive from the same code.)"""
 
 from __future__ import annotations
 
