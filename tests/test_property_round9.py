@@ -71,18 +71,30 @@ def test_qhist_merge_equals_whole_any_split(spark, vals, pivot):
 
 @settings(max_examples=6, deadline=None)
 @given(vals=_vals)
-def test_qhist_quantile_within_relative_bound(spark, vals):
-    """Every estimated quantile lands within one bucket width of the
-    exact interpolated percentile: |est − exact| ≤ 2^-s·|exact| +
-    10^-precision (the dyadic layout's worst case) for arbitrary
-    inputs."""
-    import numpy as np
+def test_qhist_quantile_within_one_bucket_of_order_statistic(spark, vals):
+    """The sketch's ACTUAL guarantee, asserted for arbitrary inputs:
+    the estimate lies within one dyadic bucket of the ⌈q·n⌉-th order
+    statistic — the value the mass-based cumulative walk targets.
+    (PERCENTILE_CONT's rank interpolation is a different CONVENTION:
+    at tiny n with extreme gaps the two legitimately differ by an
+    O(gap/n) term — hypothesis found vals=[0,0,0,1], q=0.9 where
+    exact_cont = 0.7 but the mass walk correctly lands in the bucket
+    holding the 4th value — so the convention gap is excluded here
+    and covered for large n by the accuracy test in test_round9_ops,
+    where the conventions converge.)"""
+    import math as m
 
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     p = sketch.qhist_partials(df, "v", [])
     qs = [0.1, 0.5, 0.9]
     est = {r.q: r.q_est for r in sketch.qhist_quantiles(p, [], qs).collect()}
+    ordered = sorted(vals)
+    n = len(ordered)
     for q in qs:
-        exact = float(np.quantile(sorted(vals), q, method="linear"))
-        tol = abs(exact) * 2.0 ** -sketch.QHIST_SUBBITS + 0.02
-        assert abs(est[q] - exact) <= tol, (q, est[q], exact)
+        v_star = ordered[min(max(m.ceil(q * n) - 1, 0), n - 1)]
+        tol = (
+            max(abs(v_star), abs(est[q])) * 2.0 ** -sketch.QHIST_SUBBITS
+            + 2 * 10.0**-2  # 2 resolution ticks at precision=2
+            + 1e-9
+        )
+        assert abs(est[q] - v_star) <= tol, (q, est[q], v_star)
