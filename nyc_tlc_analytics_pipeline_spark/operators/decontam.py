@@ -196,7 +196,12 @@ def semantic_contamination(
 
     Cosines are nudge-rounded to 6 dp BEFORE the max/argmax (ties
     break on the smaller benchmark id), so the report is deterministic
-    cross-engine.  ``kernel="arrow"`` (default) scores each Arrow batch
+    cross-engine.  Zero-norm vectors (either side) score cosine 0.0 by
+    definition in BOTH kernels — the IEEE alternative (0/0 = NaN) makes
+    the argmax and the ``contaminated`` predicate engine-dependent
+    (numpy argmax pins the first NaN, Spark orders NaN above every
+    double), so the convention is normalized here rather than
+    documented away.  ``kernel="arrow"`` (default) scores each Arrow batch
     against the bench matrix with one BLAS matmul — per-element array
     lambdas are interpreted, and the per-row cost of the expression
     form grows with |bench|·dim (measured at a real eval-suite size,
@@ -232,12 +237,16 @@ def semantic_contamination(
             "an eval-suite-sized benchmark (shortlist via IVF/LSH beyond)",
         )
         rows.sort(key=lambda r: r["bid"])
-        bids = [int(r["bid"]) for r in rows]
+        bids = [r["bid"] for r in rows]
         bvecs = [list(map(float, r["bv"])) for r in rows]
         keep = [c for c in corpus.columns if c == id_col]
+        # the id columns keep their source types (string doc ids work
+        # the same as longs — the expr twin was already type-agnostic)
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        bid_type = bench.schema[id_col].dataType.simpleString()
         out_schema = (
-            f"{id_col} long, max_cos double, nearest_bench long, "
-            "contaminated boolean"
+            f"{id_col} {id_type}, max_cos double, "
+            f"nearest_bench {bid_type}, contaminated boolean"
         )
 
         def score(batches):
@@ -245,7 +254,7 @@ def semantic_contamination(
 
             B = np.asarray(bvecs, dtype=np.float64)
             bn = np.sqrt((B * B).sum(axis=1))
-            bid_arr = np.asarray(bids, dtype=np.int64)
+            bid_arr = np.asarray(bids)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -255,6 +264,8 @@ def semantic_contamination(
                 vn = np.sqrt((V * V).sum(axis=1))
                 with np.errstate(invalid="ignore", divide="ignore"):
                     cos = (V @ B.T) / np.outer(vn, bn)
+                # zero-norm convention: cosine 0.0, same as the expr twin
+                cos = np.where(np.isfinite(cos), cos, 0.0)
                 # numpy float rounding, not BigDecimal HALF_UP — can
                 # differ from rnd() by one 1e-6 tick when a cosine sits
                 # within ~1ulp of a rounding boundary; the ORACLE-GATED
@@ -283,7 +294,11 @@ def semantic_contamination(
     scored = pairs.select(
         id_col,
         "__bid",
-        rnd(cosine(col("__cv"), col("__bv")), 6).alias("__cos"),
+        # zero-norm convention: cosine() yields NULL on a zero norm
+        # (nullif guard); pin it to 0.0 to match the arrow kernel
+        F.coalesce(rnd(cosine(col("__cv"), col("__bv")), 6), lit(0.0)).alias(
+            "__cos"
+        ),
     )
     best = scored.groupBy(id_col).agg(
         F.max(

@@ -734,7 +734,9 @@ def auto_n_planes(
     while n_rows > m and extra < max_planes - base:
         m <<= 1
         extra += 1
-    return base + extra
+    # min() also covers a misconfigured base > max_planes (the loop
+    # bound goes negative and adds nothing — clamp, don't exceed cap)
+    return min(base + extra, max_planes)
 
 
 def counted_planes(

@@ -9827,7 +9827,8 @@ WITH b AS (
 c AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
     FROM embeddings
-    WHERE label <> 9 OR vec_id >= {_Q158_BENCH_MAX_ID}
+    WHERE label IS NOT NULL
+      AND (label <> 9 OR vec_id >= {_Q158_BENCH_MAX_ID})
 ),
 scored AS (
     SELECT c.vec_id, b.bid,
