@@ -186,6 +186,9 @@ _SWEEP_COST = {
     "q157_kneser_ney_vocab_capped": 3.50,
     "q158_semantic_decontamination": 3.00,
     "q159_hybrid_rrf_retrieval": 3.50,
+    "q160_lsh_recall_audit": 4.00,
+    "q161_near_dup_gate_audit": 5.10,
+    "q162_ivf_recall_audit": 6.50,
 }
 
 

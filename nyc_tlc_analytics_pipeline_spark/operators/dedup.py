@@ -1367,3 +1367,66 @@ def dedup_threshold_curve(
         )
         .orderBy("threshold")
     )
+
+
+def near_dup_gate_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Candidate-generator quality audit: precision AND recall of the
+    raw MinHash-LSH candidate set against exact n-gram-Jaccard ground
+    truth, in one plan.
+
+    The production gate (:func:`minhash_dedup_pairs`) verifies its
+    candidates with exact Jaccard, so its PRECISION is structural — but
+    a pair the bands never bucket together is silently lost, and that
+    RECALL loss is invisible to the gate itself (the S-curve
+    1-(1-s^r)^b only bounds it in expectation, per signature seed).
+    This is the periodic re-measurement a deployment runs on a bounded
+    SAMPLE (the exact side is a shingle self-join — the audit's
+    intrinsic cost; hand this a sampled frame, the same posture as the
+    q25 oracle twin vs the q28 production path).
+
+    Returns ONE row: (n_true, n_candidates, n_hits, cand_precision,
+    cand_recall) where cand_precision = hits/candidates (how much
+    verify work the bands waste) and cand_recall = hits/true (what
+    fraction of real near-dup pairs the bands surface at all).  Three
+    model-sized single-row aggregates cross-joined — the scalar-cross
+    shape, no data-sized frame crosses.
+    """
+    from ..functions.scalar import rnd
+
+    rows_per_band = num_hashes // bands
+    truth = jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    ).select("doc_a", "doc_b")
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hits = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            rnd(
+                col("n_hits") / F.nullif(col("n_candidates").cast("double"), lit(0.0)),
+                6,
+            ).alias("cand_precision"),
+            rnd(
+                col("n_hits") / F.nullif(col("n_true").cast("double"), lit(0.0)), 6
+            ).alias("cand_recall"),
+        )
+    )

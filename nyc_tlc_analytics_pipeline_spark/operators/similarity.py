@@ -927,3 +927,268 @@ def hashed_cosine_calibration(
         )
         .orderBy("jacc_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# index-quality audits: recall of the approximate ANN paths vs brute truth
+# ---------------------------------------------------------------------------
+
+#: size cap for the AUDIT QUERY SET (estimated doubles).  An index
+#: audit runs a bounded, fixed query panel against the corpus — that is
+#: its deployment contract (the panel does NOT grow with the corpus;
+#: q158's fixed-benchmark premise).  A panel that trips this cap means
+#: someone pointed the audit at a data-sized frame, where the brute
+#: ground-truth pass would silently become a corpus x corpus join.
+AUDIT_QUERY_CAP_UNITS = 4_000_000
+
+
+def _audit_panel_check(queries: DataFrame) -> None:
+    from ..core.guards import estimated_source_units
+
+    if estimated_source_units(queries, bytes_per_unit=8) > AUDIT_QUERY_CAP_UNITS:
+        raise ValueError(
+            "ann recall audit: the query panel's size estimate exceeds the "
+            "audit budget — the brute-force ground-truth pass is "
+            "|panel| x |corpus|; sample a fixed panel instead of auditing "
+            "with a data-sized frame"
+        )
+
+
+def _multi_query_topk(
+    scored: DataFrame, k: int, id_col: str, cos_col: str = "__cos"
+) -> DataFrame:
+    """Distributed per-query top-k over a (query_id, id, cos) frame in
+    TWO stages: top-k within each (query, input-partition) slice first,
+    then global top-k over the |Q|·P·k survivors.  The global window
+    never sees more than P·k rows per query — a single per-query window
+    would concentrate the whole corpus' scores for one query into one
+    task at scale (the skew cliff TakeOrderedAndProject avoids for the
+    single-query operators).  Partition-invariant because the per-query
+    order (cos DESC, id) is total: the global top-k of a union of local
+    top-ks equals the unpartitioned top-k."""
+    from pyspark.sql.window import Window
+
+    pre = scored.withColumn("__pid", F.spark_partition_id())
+    local = (
+        pre.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id", "__pid").orderBy(
+                    col(cos_col).desc(), col(id_col)
+                )
+            ),
+        )
+        .filter(col("__r") <= k)
+        .drop("__r", "__pid")
+    )
+    return (
+        local.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    col(cos_col).desc(), col(id_col)
+                )
+            ),
+        )
+        .filter(col("rank") <= k)
+    )
+
+
+def _brute_truth(
+    corpus: DataFrame, q: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    scored = (
+        corpus.crossJoin(q)
+        .filter(col(id_col) != col("query_id"))
+        .select(
+            "query_id", id_col, rnd(cosine(col("__v"), col("__qv")), 6).alias("__cos")
+        )
+    )
+    return _multi_query_topk(scored, k, id_col)
+
+
+def _recall_report(
+    q: DataFrame, cand: DataFrame, truth: DataFrame, approx: DataFrame, id_col: str
+) -> DataFrame:
+    """(query_id, n_candidates, n_truth, n_hits, recall) — recall is
+    measured against the brute truth list (n_truth = min(k, |corpus|-1)),
+    so a probe that surfaces fewer than k candidates is penalized, not
+    excused."""
+    n_cand = cand.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    n_truth = truth.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    hits = (
+        truth.select("query_id", id_col)
+        .join(approx.select("query_id", id_col), ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(n_cand, "query_id", "left")
+        .join(n_truth, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce("n_truth", lit(0).cast("long")).alias("n_truth"),
+            F.coalesce("n_hits", lit(0).cast("long")).alias("n_hits"),
+            rnd(
+                F.coalesce("n_hits", lit(0).cast("long"))
+                / F.nullif(col("n_truth").cast("double"), lit(0.0)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH probe (:func:`ann_topk`'s
+    candidate rule) against brute-force truth, for a PANEL of queries in
+    one plan — the index-health monitor a production deployment runs as
+    the corpus drifts (recall decays when the data distribution moves
+    away from the planes' implicit partition; this report is the signal
+    to re-seed planes or widen the multiprobe radius).
+
+    Scale shape: the multiprobe expansion is computed as DATA — each
+    panel query explodes into its ``C(n_planes, <=multiprobe_bits)``
+    probe buckets, and candidates come from an EQUI-join of the bucketed
+    corpus against that (tiny, broadcast) probe table — the same
+    partition-pruned probe the production path uses, never a Hamming
+    <=r theta-join.  The brute truth pass is the audit's intrinsic cost:
+    one corpus scan x |panel| map-side scores, with the per-query top-k
+    taken in two partition-local stages (no per-query shuffle
+    concentration).  Returns one row per panel query:
+    (query_id, n_candidates, n_truth, n_hits, recall)."""
+    import itertools
+
+    n = len(planes)
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for flips in itertools.combinations(range(n), r):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            masks.append(m)
+    corpus = df.select(
+        col(id_col), as_double_array(vec_col).alias("__v")
+    ).withColumn("__bucket", lsh_bucket(col("__v"), planes))
+    _audit_panel_check(queries)
+    q = F.broadcast(
+        queries.select(
+            col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+        )
+    )
+    probes = q.withColumn("__qbucket", lsh_bucket(col("__qv"), planes)).select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(*[col("__qbucket").bitwiseXOR(lit(m)) for m in masks])
+        ).alias("__bucket"),
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "__bucket")
+        .filter(col(id_col) != col("query_id"))
+        .select("query_id", id_col, "__v", "__qv")
+    )
+    approx = _multi_query_topk(
+        cand.select(
+            "query_id", id_col, rnd(cosine(col("__v"), col("__qv")), 6).alias("__cos")
+        ),
+        k,
+        id_col,
+    )
+    truth = _brute_truth(corpus.drop("__bucket"), q, k, id_col)
+    return _recall_report(q, cand, truth, approx, id_col)
+
+
+def ivf_recall_audit(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF probe (:func:`ivf_topk`'s candidate rule —
+    nearest ``n_probe`` centroids per query) against brute-force truth
+    for a panel of queries in one plan — the n_probe tuning signal: the
+    report says directly whether the current probe width still clears
+    the recall bar, per query, as the corpus grows.
+
+    The per-query probe list is derived as DATA, not plan literals: the
+    K centroids ride a tiny broadcast frame crossed with the panel, and
+    a bounded |panel|×K window ranks them by (cos DESC, cid) — the same
+    tie-break as :func:`_probe_centroids`, but over cosines ROUNDED to
+    6 dp so the multi-query probe choice is replayable cross-engine at
+    the rounding grain rather than resting on raw-double bit parity.
+    (An in-plan array_sort over K struct'd cosine folds looks
+    equivalent but sends Catalyst's extract-value simplification into
+    multiplicative subtree duplication — the assign_ivf_bucket /
+    q62-centroid-frame lesson; measured as an optimizer heap blowup at
+    K=16, panel=20.)  The probe rows are then equi-joined against the
+    centroid-assigned corpus: candidate generation is the production
+    partition-pruned read, the brute pass is the audit cost.  Returns
+    (query_id, n_candidates, n_truth, n_hits, recall)."""
+    from pyspark.sql.window import Window
+
+    # localCheckpoint cuts the assignment expression out of the join
+    # lineage: with the K-cosine argmax inline, the equi-join on __cid
+    # sends constraint inference over a giant derived key into heap
+    # blowup.  Deployment-true too — production probes a PERSISTED
+    # index (write_ivf_index), never re-derives assignment per query.
+    corpus = (
+        df.select(col(id_col), as_double_array(vec_col).alias("__v"))
+        .withColumn("__cid", assign_ivf_bucket(col("__v"), centroids))
+        .localCheckpoint(eager=False)
+    )
+    _audit_panel_check(queries)
+    q = F.broadcast(
+        queries.select(
+            col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+        )
+    )
+    cents = df.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "__ccid int, __cv array<double>",
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    rnd(cosine(col("__qv"), col("__cv")), 6).desc(), col("__ccid")
+                )
+            ),
+        )
+        .filter(col("__r") <= n_probe)
+        .select("query_id", "__qv", col("__ccid").alias("__cid"))
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "__cid")
+        .filter(col(id_col) != col("query_id"))
+        .select("query_id", id_col, "__v", "__qv")
+    )
+    approx = _multi_query_topk(
+        cand.select(
+            "query_id", id_col, rnd(cosine(col("__v"), col("__qv")), 6).alias("__cos")
+        ),
+        k,
+        id_col,
+    )
+    truth = _brute_truth(corpus.drop("__cid"), q, k, id_col)
+    return _recall_report(q, cand, truth, approx, id_col)

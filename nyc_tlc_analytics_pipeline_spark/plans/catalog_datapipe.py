@@ -10002,3 +10002,283 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         c=_Q159_C,
         exclude_ids=(0,),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160–q162 — index-quality audits: the approximate paths (hyperplane-LSH
+# ANN, IVF ANN, MinHash-LSH near-dup candidates) measured in-engine against
+# exact ground truth.  The production indexes are only as good as their
+# recall, and recall DRIFTS as the corpus grows/shifts — these are the
+# monitoring queries a deployment schedules, not one-off pytest facts.
+# The audit query PANEL is fixed by construction (q158's fixed-benchmark
+# premise): a panel that grew with the corpus would turn the brute
+# ground-truth pass into corpus × corpus.
+# ---------------------------------------------------------------------------
+
+#: fixed audit panel: every 25th vector of the BASE id range — 20 queries
+#: at sf0.01+, constant across scale factors (and under BENCH_SCALE).
+_AUDIT_PANEL_SQL = "vec_id % 25 = 0 AND vec_id < 500"
+
+#: multiprobe masks for Hamming ≤ 1 over the 8 shared planes
+_Q160_MASKS = [0] + [1 << i for i in range(8)]
+
+_AUDIT_REPORT_SQL = """
+nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+nt AS (SELECT query_id, count(*) AS n_truth FROM brute GROUP BY query_id),
+h AS (
+    SELECT t.query_id, count(*) AS n_hits
+    FROM brute t
+    JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(nt.n_truth, 0) AS BIGINT) AS n_truth,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(1.0 * coalesce(h.n_hits, 0)
+             / nullif(coalesce(nt.n_truth, 0), 0) + 1e-9, 6) AS recall
+FROM qs q
+LEFT JOIN nc ON q.query_id = nc.query_id
+LEFT JOIN nt ON q.query_id = nt.query_id
+LEFT JOIN h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+_Q160_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE {_AUDIT_PANEL_SQL}
+),
+b AS (
+    SELECT vec_id, v, {{bucket_v}} AS bucket FROM e
+),
+qb AS (
+    SELECT query_id, qv, {{bucket_qv}} AS qbucket FROM qs
+),
+probes AS (
+    SELECT query_id, qv, xor(qbucket, m.m) AS bucket
+    FROM qb CROSS JOIN (SELECT unnest({_Q160_MASKS}) AS m) m
+),
+cand AS (
+    SELECT p.query_id, b.vec_id, b.v, p.qv
+    FROM probes p JOIN b ON b.bucket = p.bucket
+    WHERE b.vec_id <> p.query_id
+),
+approx AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(v, qv) + 1e-9, 6) DESC,
+                            vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= 10
+),
+brute AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(e.v, q.qv) + 1e-9, 6) DESC,
+                            e.vec_id) AS rn
+        FROM qs q JOIN e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),
+{_AUDIT_REPORT_SQL}
+"""
+
+
+@register(
+    "q160_lsh_recall_audit",
+    _Q160_ORACLE.format(
+        bucket_v=_bucket_sql("v"), bucket_qv=_bucket_sql("qv")
+    ),
+    "Recall@10 of the hyperplane-LSH ANN probe (8 shared planes, "
+    "multiprobe Hamming ≤ 1 — q30's candidate rule) against brute-force "
+    "truth for a FIXED 20-query panel, in one plan.  This is the "
+    "index-health monitor a deployment schedules: hyperplane recall "
+    "decays as the corpus drifts away from the planes' implicit "
+    "partition, and the per-query report is the re-seed/widen-probe "
+    "signal.  Scale shape: the multiprobe expansion is DATA (panel × 9 "
+    "masks, broadcast) equi-joined on the bucket — the production "
+    "partition-pruned probe, never a Hamming theta-join; the brute pass "
+    "is one corpus scan × |panel| map-side scores with per-query top-k "
+    "taken partition-locally first (no per-query shuffle "
+    "concentration).  Oracle replays buckets from the shared plane "
+    "literals, both rank lists at the 6-dp rounding grain, and the "
+    "recall arithmetic.",
+    operators=("sim-ann-lsh", "audit-recall", "W2", "J8"),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    return similarity.lsh_recall_audit(
+        emb, panel, _PLANES_8x64, k=10, multiprobe_bits=1
+    )
+
+
+_Q161_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q25_THRESHOLD}
+),
+mh AS (
+    SELECT doc_id, k,
+           min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+    FROM sh CROSS JOIN range(16) r(k)
+    GROUP BY doc_id, k
+),
+sig AS (
+    SELECT doc_id, list(h ORDER BY k) AS signature FROM mh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, b,
+           md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
+    FROM sig CROSS JOIN range(4) rb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+m AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*)
+            FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(1.0 * n_hits / nullif(n_candidates, 0) + 1e-9, 6) AS cand_precision,
+       round(1.0 * n_hits / nullif(n_true, 0) + 1e-9, 6) AS cand_recall
+FROM m
+"""
+
+
+@register(
+    "q161_near_dup_gate_audit",
+    _Q161_ORACLE,
+    "Candidate-generator audit for the MinHash-LSH near-dup gate: "
+    "precision AND recall of the RAW banded candidate set (q28's bands, "
+    "pre-verification) against exact 3-gram-Jaccard ≥ 0.5 ground truth "
+    "(q25's pair set), in one plan.  The production gate's precision is "
+    "structural (it verifies candidates exactly) but its RECALL loss — "
+    "a true pair the bands never co-bucket — is invisible to the gate "
+    "itself; this is the periodic re-measurement, run on a bounded "
+    "sample (the exact side is the audit's intrinsic cost — the q25 "
+    "oracle-twin posture).  One row: candidate volume, band waste "
+    "(cand_precision) and band miss rate (cand_recall).  Three "
+    "single-row aggregates cross-joined (scalar-cross shape).",
+    operators=("dedup-minhash-lsh", "dedup-jaccard", "audit-recall", "A11"),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_gate_audit(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD,
+        num_hashes=16, bands=4, hash_mode="md5",
+    )
+
+
+_Q162_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE {_AUDIT_PANEL_SQL}
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           v AS cv
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR))
+    LIMIT 16
+),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(c.cv, q.qv) + 1e-9, 6) DESC,
+                            c.cid) AS rn
+        FROM qs q CROSS JOIN cents c
+    ) WHERE rn <= 4
+),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+cand AS (
+    SELECT p.query_id, a.vec_id, a.v, q.qv
+    FROM probe p
+    JOIN assigned a ON a.cid = p.cid
+    JOIN qs q ON q.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+),
+approx AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(v, qv) + 1e-9, 6) DESC,
+                            vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= 10
+),
+brute AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(e.v, q.qv) + 1e-9, 6) DESC,
+                            e.vec_id) AS rn
+        FROM qs q JOIN e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),
+{_AUDIT_REPORT_SQL}
+"""
+
+
+@register(
+    "q162_ivf_recall_audit",
+    _Q162_ORACLE,
+    "Recall@10 of the IVF ANN probe (16 md5-ordered centroids, probe 4 "
+    "— q31's candidate rule) against brute-force truth for the same "
+    "fixed 20-query panel.  The n_probe TUNING signal: the per-query "
+    "report says directly whether the current probe width still clears "
+    "the recall bar as the corpus grows.  The per-query probe list is "
+    "derived in-plan (array_sort over the 16 centroid cosines at the "
+    "6-dp rounding grain, tie-broken on cid — replayable cross-engine, "
+    "not raw-double bit parity), exploded and equi-joined against the "
+    "centroid-assigned corpus: candidate generation is the production "
+    "partition-pruned read.  Oracle re-derives centroids, assignment, "
+    "probe lists, both rank lists, and the recall arithmetic.",
+    operators=("sim-ann-ivf", "audit-recall", "W2", "J8"),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    cents = similarity.ivf_centroids(emb, k=16)
+    return similarity.ivf_recall_audit(emb, panel, cents, k=10, n_probe=4)

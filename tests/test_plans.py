@@ -109,6 +109,9 @@ def test_no_cartesian_products_in_catalog(spark):
         "q158_semantic_decontamination",  # bounded bench matrix onto the corpus scan (gated brute verify)
         "q153_cms_join_cardinality",  # 1-row truth × 1-row sketch estimate
         "q154_hll_key_overlap",  # 1-row estimates × 1-row truth
+        "q160_lsh_recall_audit",  # bounded audit panel onto the corpus scan (brute truth pass)
+        "q161_near_dup_gate_audit",  # three 1-row audit aggregates crossed
+        "q162_ivf_recall_audit",  # bounded audit panel onto the corpus scan (brute truth pass)
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

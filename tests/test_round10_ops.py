@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql.functions import col
+
 
 
 def test_auto_n_planes_clamped_when_base_exceeds_cap():
@@ -110,3 +112,146 @@ def test_semantic_contamination_string_ids_arrow(spark, tmp_path):
     # tie between b-a and b-b at cos ~0.707107 -> smallest bid
     assert got["d-2"].nearest_bench == "b-a"
     assert not got["d-2"].contaminated
+
+
+def _emb(spark):
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    import tests.conftest as C
+
+    return load_table(spark, C.SF_SMOKE, "embeddings")
+
+
+def test_lsh_recall_audit_full_probe_is_exhaustive(spark):
+    """With multiprobe radius == n_planes every bucket is probed, so the
+    candidate set is the whole corpus and recall@k must be exactly 1.0
+    for every panel query — the audit's own ground-truth contract."""
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    planes = similarity.random_hyperplanes(4, 64, seed=7)
+    panel = emb.filter(col("vec_id") % 10 == 0).limit(3)
+    rep = similarity.lsh_recall_audit(
+        emb, panel, planes, k=5, multiprobe_bits=4
+    ).collect()
+    assert len(rep) == 3
+    n = emb.count()
+    for r in rep:
+        assert r.recall == 1.0 and r.n_hits == r.n_truth == 5
+        assert r.n_candidates == n - 1  # everything but the query itself
+
+
+def test_lsh_recall_audit_narrow_probe_detects_loss(spark):
+    """With zero multiprobe the candidate set shrinks to the query's own
+    bucket: candidates strictly fewer than the corpus, recall <= 1, and
+    n_hits consistent with the report arithmetic."""
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    planes = similarity.random_hyperplanes(4, 64, seed=7)
+    panel = emb.filter(col("vec_id") % 10 == 0).limit(3)
+    rep = similarity.lsh_recall_audit(
+        emb, panel, planes, k=5, multiprobe_bits=0
+    ).collect()
+    n = emb.count()
+    assert all(r.n_candidates < n - 1 for r in rep)
+    for r in rep:
+        assert 0 <= r.n_hits <= r.n_truth
+        assert abs(r.recall - r.n_hits / r.n_truth) < 2e-6
+
+
+def test_ivf_recall_audit_full_probe_equals_brute(spark):
+    """n_probe == K probes every centroid bucket — recall 1.0, the same
+    contract ivf_topk's full-probe==brute test pins for one query."""
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    cents = similarity.ivf_centroids(emb, k=8)
+    panel = emb.filter(col("vec_id") % 10 == 0).limit(3)
+    rep = similarity.ivf_recall_audit(
+        emb, panel, cents, k=5, n_probe=8
+    ).collect()
+    n = emb.count()
+    assert len(rep) == 3
+    for r in rep:
+        assert r.recall == 1.0 and r.n_hits == r.n_truth == 5
+        assert r.n_candidates == n - 1
+
+
+def test_ivf_recall_audit_probe_subset_monotone(spark):
+    """Widening the probe can only add candidates (supersets), so both
+    n_candidates and n_hits are monotone non-decreasing in n_probe."""
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    cents = similarity.ivf_centroids(emb, k=8)
+    panel = emb.filter(col("vec_id") % 10 == 0).limit(3)
+    by_probe = {}
+    for p in (1, 4, 8):
+        by_probe[p] = {
+            r.query_id: r
+            for r in similarity.ivf_recall_audit(
+                emb, panel, cents, k=5, n_probe=p
+            ).collect()
+        }
+    for qid in by_probe[1]:
+        for lo, hi in ((1, 4), (4, 8)):
+            assert (
+                by_probe[lo][qid].n_candidates <= by_probe[hi][qid].n_candidates
+            )
+            assert by_probe[lo][qid].n_hits <= by_probe[hi][qid].n_hits
+
+
+def test_audit_panel_cap_fails_closed(spark):
+    """A panel with no size estimate (or over the cap) must raise toward
+    sampling instead of silently running a data-sized brute pass."""
+    import pytest
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    planes = similarity.random_hyperplanes(4, 64, seed=7)
+
+    class Huge:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no estimate")
+
+    with pytest.raises(ValueError, match="sample a fixed panel"):
+        similarity.lsh_recall_audit(emb, Huge(), planes, k=5)
+
+
+def test_near_dup_gate_audit_consistency(spark):
+    """The single-row gate audit must agree with its two constituent
+    frames computed independently: n_true == |exact pairs|,
+    n_candidates == |banded candidates|, n_hits == |intersection|, and
+    the ratios follow."""
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    import tests.conftest as C
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    rep = dedup.near_dup_gate_audit(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    truth = {
+        (x.doc_a, x.doc_b)
+        for x in dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 3, 16, "md5")
+    cand = {
+        (x.doc_a, x.doc_b)
+        for x in dedup.lsh_candidate_pairs(sigs, 4, 4).collect()
+    }
+    assert r.n_true == len(truth)
+    assert r.n_candidates == len(cand)
+    assert r.n_hits == len(truth & cand)
+    if r.n_candidates:
+        assert abs(r.cand_precision - r.n_hits / r.n_candidates) < 2e-6
+    if r.n_true:
+        assert abs(r.cand_recall - r.n_hits / r.n_true) < 2e-6
