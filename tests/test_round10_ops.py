@@ -255,3 +255,22 @@ def test_near_dup_gate_audit_consistency(spark):
         assert abs(r.cand_precision - r.n_hits / r.n_candidates) < 2e-6
     if r.n_true:
         assert abs(r.cand_recall - r.n_hits / r.n_true) < 2e-6
+
+
+def test_multi_query_topk_partition_invariant(spark):
+    """The two-stage per-query top-k must equal the unpartitioned
+    top-k for ANY input partitioning — the invariant that lets the
+    global window see only P·k rows per query.  Verified by running the
+    same audit over 1-partition and many-partition layouts."""
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    planes = similarity.random_hyperplanes(4, 64, seed=7)
+    panel = emb.filter(col("vec_id") % 10 == 0).limit(3)
+    reports = []
+    for parts in (1, 7):
+        rep = similarity.lsh_recall_audit(
+            emb.repartition(parts), panel, planes, k=5, multiprobe_bits=1
+        )
+        reports.append(sorted(map(tuple, rep.collect())))
+    assert reports[0] == reports[1]
