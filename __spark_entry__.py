@@ -189,6 +189,7 @@ _SWEEP_COST = {
     "q160_lsh_recall_audit": 4.00,
     "q161_near_dup_gate_audit": 5.10,
     "q162_ivf_recall_audit": 6.50,
+    "q163_incremental_embedding": 6.00,
 }
 
 

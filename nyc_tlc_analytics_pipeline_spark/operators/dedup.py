@@ -1430,3 +1430,130 @@ def near_dup_gate_audit(
             ).alias("cand_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental EMBEDDING near-dup: the q147 refresh story on the semantic side
+# ---------------------------------------------------------------------------
+
+
+def embedding_bucket_table(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus' hyperplane-LSH INDEX for embedding near-dup: one
+    (doc, bucket) row per vector — the artifact a production pipeline
+    PERSISTS (write partitioned/bucketed by ``bucket``) so semantic
+    refreshes never re-bucket the standing corpus.  One long per
+    vector: at 370M vectors that's a few GB vs re-scanning the full
+    embedding column on every refresh."""
+    from . import similarity
+
+    return df.select(
+        col(id_col).alias("doc"),
+        similarity.lsh_bucket(similarity.as_double_array(vec_col), planes).alias(
+            "bucket"
+        ),
+    )
+
+
+def incremental_embedding_classify(
+    batch: DataFrame,
+    standing: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    standing_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Classify an incoming batch against the standing corpus by
+    SEMANTIC near-duplicate (cosine ≥ threshold over hyperplane-LSH
+    candidates) — :func:`incremental_minhash_classify`'s refresh shape
+    on the embedding side, for the leaks lexical bands can't see
+    (paraphrases, templated rewrites, re-encodes).  Statuses match the
+    text twin: ``dup_vs_corpus`` / ``dup_in_batch`` (verified match to
+    an earlier, smaller-id batch vector — keep-first) / ``new``.
+
+    Scale shape: the standing corpus contributes its (doc, bucket)
+    index (``standing_buckets``, normally read from the persisted
+    :func:`embedding_bucket_table` output) plus the VECTORS OF
+    CANDIDATE MATCHES ONLY (one left-semi prune before the verify
+    join), so refresh cost is O(batch + matches), never O(standing
+    corpus) — the q147 contract, embedding edition."""
+    from . import similarity
+
+    b_idx = embedding_bucket_table(batch, planes, id_col, vec_col)
+    if standing_buckets is None:
+        standing_buckets = embedding_bucket_table(standing, planes, id_col, vec_col)
+    cand = (
+        b_idx.select(col("doc").alias("bd"), "bucket")
+        .join(standing_buckets.select(col("doc").alias("sd"), "bucket"), "bucket")
+        .select("bd", "sd")
+        .distinct()
+    )
+    bvec = batch.select(
+        col(id_col).alias("bd"), similarity.as_double_array(vec_col).alias("bv")
+    )
+    sd_ids = cand.select(col("sd").alias(id_col)).distinct()
+    svec = standing.join(sd_ids, id_col, "left_semi").select(
+        col(id_col).alias("sd"), similarity.as_double_array(vec_col).alias("sv")
+    )
+    vcross = (
+        cand.join(bvec, "bd")
+        .join(svec, "sd")
+        .filter(similarity.cosine(col("bv"), col("sv")) >= threshold)
+        .select(col("bd").alias("__vs"))
+        .distinct()
+    )
+    vbatch = (
+        embedding_near_dup_pairs(
+            batch, id_col, vec_col, threshold=threshold, planes=planes
+        )
+        .select(col("doc_b").alias("__vb"))
+        .distinct()
+    )
+    return (
+        batch.join(vcross, batch[id_col] == col("__vs"), "left")
+        .join(vbatch, batch[id_col] == col("__vb"), "left")
+        .withColumn(
+            "status",
+            F.when(col("__vs").isNotNull(), lit("dup_vs_corpus"))
+            .when(col("__vb").isNotNull(), lit("dup_in_batch"))
+            .otherwise(lit("new")),
+        )
+        .drop("__vs", "__vb")
+    )
+
+
+def incremental_embedding_report(
+    batch: DataFrame,
+    standing: DataFrame,
+    planes: list[list[float]],
+    group_col: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    standing_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group report over :func:`incremental_embedding_classify` —
+    same columns as ``incremental_minhash_report``:
+    ``n_batch = n_dup_vs_corpus + n_dup_in_batch + n_new``."""
+    st = incremental_embedding_classify(
+        batch, standing, planes, threshold, id_col, vec_col, standing_buckets
+    )
+    return (
+        st.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum((col("status") == "dup_vs_corpus").cast("long"))
+            .cast("long")
+            .alias("n_dup_vs_corpus"),
+            F.sum((col("status") == "dup_in_batch").cast("long"))
+            .cast("long")
+            .alias("n_dup_in_batch"),
+            F.sum((col("status") == "new").cast("long")).cast("long").alias("n_new"),
+        )
+        .orderBy(group_col)
+    )

@@ -10282,3 +10282,90 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
     cents = similarity.ivf_centroids(emb, k=16)
     return similarity.ivf_recall_audit(emb, panel, cents, k=10, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# q163 — incremental EMBEDDING near-dup refresh (q147's story, semantic side)
+# ---------------------------------------------------------------------------
+
+_Q163_TH = 0.3
+
+_Q163_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+    SELECT vec_id, v, {{bucket_v}} AS bucket FROM e
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS bd, s.vec_id AS sd
+    FROM b a
+    JOIN b s ON a.bucket = s.bucket
+    WHERE a.vec_id % 3 = 0 AND s.vec_id % 3 <> 0
+),
+vcross AS (
+    SELECT DISTINCT bd
+    FROM cand
+    JOIN e a ON bd = a.vec_id
+    JOIN e s ON sd = s.vec_id
+    WHERE list_cosine_similarity(a.v, s.v) >= {_Q163_TH}
+),
+bcand AS (
+    SELECT DISTINCT a.vec_id AS da, s.vec_id AS db
+    FROM b a
+    JOIN b s ON a.bucket = s.bucket
+    WHERE a.vec_id % 3 = 0 AND s.vec_id % 3 = 0 AND a.vec_id < s.vec_id
+),
+vbatch AS (
+    SELECT DISTINCT db
+    FROM bcand
+    JOIN e a ON da = a.vec_id
+    JOIN e s ON db = s.vec_id
+    WHERE list_cosine_similarity(a.v, s.v) >= {_Q163_TH}
+),
+status AS (
+    SELECT e.label,
+           CASE WHEN vc.bd IS NOT NULL THEN 'dup_vs_corpus'
+                WHEN vb.db IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM e
+    LEFT JOIN vcross vc ON e.vec_id = vc.bd
+    LEFT JOIN vbatch vb ON e.vec_id = vb.db
+    WHERE e.vec_id % 3 = 0
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(sum(CASE WHEN status = 'dup_vs_corpus' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_in_batch,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM status
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "q163_incremental_embedding",
+    _Q163_ORACLE.format(bucket_v=_bucket_sql("v")),
+    "q147's incremental corpus refresh on the SEMANTIC side: the new "
+    "batch (vec_id%3=0) is classified per label as dup_vs_corpus / "
+    "dup_in_batch / new by hyperplane-LSH candidates + cosine ≥ 0.3 "
+    "verification against the standing vectors — the refresh gate for "
+    "leaks lexical bands can't see (paraphrases, re-encodes).  The "
+    "standing corpus contributes its (doc, bucket) index — the "
+    "artifact embedding_bucket_table persists — plus the vectors of "
+    "CANDIDATE matches only (left-semi prune before the verify join), "
+    "so refresh cost is O(batch + matches), never O(standing corpus).  "
+    "The oracle replays the shared plane literals, both candidate "
+    "joins, and the verification.",
+    operators=("dedup-incremental", "dedup-embedding-cosine", "J8", "A4"),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    batch = emb.filter(col("vec_id") % 3 == 0)
+    standing = emb.filter(col("vec_id") % 3 != 0)
+    return dedup.incremental_embedding_report(
+        batch, standing, _PLANES_8x64, "label", threshold=_Q163_TH
+    )

@@ -274,3 +274,78 @@ def test_multi_query_topk_partition_invariant(spark):
         )
         reports.append(sorted(map(tuple, rep.collect())))
     assert reports[0] == reports[1]
+
+
+def test_incremental_embedding_classify_and_persisted_index(spark, tmp_path):
+    """Status semantics + the persisted-index contract: classifying
+    against a parquet-round-tripped embedding_bucket_table must equal
+    recomputing the standing index inline, and the per-status counts
+    must match independently computed candidate/verify sets."""
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup, similarity
+
+    emb = _emb(spark)
+    planes = similarity.random_hyperplanes(8, 64, seed=42)
+    batch = emb.filter(col("vec_id") % 3 == 0)
+    standing = emb.filter(col("vec_id") % 3 != 0)
+
+    inline = dedup.incremental_embedding_classify(
+        batch, standing, planes, threshold=0.3
+    )
+    idx_path = os.path.join(str(tmp_path), "emb_idx")
+    dedup.embedding_bucket_table(standing, planes).write.parquet(idx_path)
+    persisted = dedup.incremental_embedding_classify(
+        batch,
+        standing,
+        planes,
+        threshold=0.3,
+        standing_buckets=spark.read.parquet(idx_path),
+    )
+    a = sorted((r.vec_id, r.status) for r in inline.collect())
+    p = sorted((r.vec_id, r.status) for r in persisted.collect())
+    assert a == p
+    # statuses partition the batch; dup_vs_corpus wins over dup_in_batch
+    assert len(a) == batch.count()
+    statuses = {s for _, s in a}
+    assert statuses <= {"dup_vs_corpus", "dup_in_batch", "new"}
+    # report sums to the batch size per group
+    rep = dedup.incremental_embedding_report(
+        batch, standing, planes, "label", threshold=0.3
+    ).collect()
+    for r in rep:
+        assert r.n_batch == r.n_dup_vs_corpus + r.n_dup_in_batch + r.n_new
+    assert sum(r.n_batch for r in rep) == batch.count()
+
+
+def test_incremental_embedding_planted_twin(spark, tmp_path):
+    """A batch vector planted equal to a standing vector must classify
+    dup_vs_corpus; a batch vector equal to an EARLIER batch vector (and
+    unlike anything standing) must classify dup_in_batch."""
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup, similarity
+
+    dim = 8
+    planes = similarity.random_hyperplanes(4, dim, seed=3)
+
+    def vec(seed):
+        return [float((seed * 13 + d * 5) % 17 - 8) for d in range(dim)]
+
+    standing_rows = [(100 + i, vec(i)) for i in range(5)]
+    batch_rows = [
+        (0, vec(2)),    # twin of standing 102 -> dup_vs_corpus
+        (1, vec(50)),   # novel -> new
+        (2, vec(50)),   # twin of batch 1 -> dup_in_batch
+    ]
+    standing = spark.createDataFrame(
+        standing_rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.status
+        for r in dedup.incremental_embedding_classify(
+            batch, standing, planes, threshold=0.999
+        ).collect()
+    }
+    assert got[0] == "dup_vs_corpus"
+    assert got[1] == "new"
+    assert got[2] == "dup_in_batch"
