@@ -939,7 +939,13 @@ def hashed_cosine_calibration(
 #: q158's fixed-benchmark premise).  A panel that trips this cap means
 #: someone pointed the audit at a data-sized frame, where the brute
 #: ground-truth pass would silently become a corpus x corpus join.
-AUDIT_QUERY_CAP_UNITS = 4_000_000
+#: The estimate is the SOURCE-SCAN bytes (Catalyst does not shrink a
+#: filtered scan's sizeInBytes without CBO column stats), so the cap is
+#: decontam's 64M-unit posture: generous enough that a fixed id-range
+#: panel over a two-decade-scaled fixture still passes, while a
+#: corpus-sized panel at deployment scale still trips it.  Beyond the
+#: cap, materialize the panel to its own (tiny) parquet and pass that.
+AUDIT_QUERY_CAP_UNITS = 64_000_000
 
 
 def _audit_panel_check(queries: DataFrame) -> None:
@@ -998,7 +1004,7 @@ def _brute_truth(
     corpus: DataFrame, q: DataFrame, k: int, id_col: str
 ) -> DataFrame:
     scored = (
-        corpus.crossJoin(q)
+        corpus.crossJoin(F.broadcast(q))
         .filter(col(id_col) != col("query_id"))
         .select(
             "query_id", id_col, rnd(cosine(col("__v"), col("__qv")), 6).alias("__cos")
@@ -1086,10 +1092,8 @@ def lsh_recall_audit(
         col(id_col), as_double_array(vec_col).alias("__v")
     ).withColumn("__bucket", lsh_bucket(col("__v"), planes))
     _audit_panel_check(queries)
-    q = F.broadcast(
-        queries.select(
-            col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
-        )
+    q = queries.select(
+        col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
     probes = q.withColumn("__qbucket", lsh_bucket(col("__qv"), planes)).select(
         "query_id",
@@ -1156,10 +1160,8 @@ def ivf_recall_audit(
         .localCheckpoint(eager=False)
     )
     _audit_panel_check(queries)
-    q = F.broadcast(
-        queries.select(
-            col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
-        )
+    q = queries.select(
+        col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
     cents = df.sparkSession.createDataFrame(
         [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
