@@ -147,6 +147,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    # measured BEFORE any Spark work: paired with the end-of-run
+    # `calibration`, the delta exposes co-tenant contention that moved
+    # DURING the run (the r10→r11 lesson: a "+15% regression" at a
+    # near-identical end-calibration was the host slowing mid-window)
+    calibration_pre = round(host_calibration(), 4)
 
     from nyc_tlc_analytics_pipeline_spark.core.session import build_session
     from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
@@ -264,6 +269,7 @@ def main() -> None:
         # normalize cross-round totals through this before calling a
         # delta a regression (BENCH_SCALING.md round-9 note)
         "calibration": round(host_calibration(), 4),
+        "calibration_pre": calibration_pre,
     }
     if scale > 1:
         result["scale_copies"] = scale

@@ -419,11 +419,12 @@ def embedding_near_dup_pairs(
                 vecs.select(col("doc").alias("doc_a"), col("v").alias("v_a")), "doc_a"
             )
             .join(vecs.select(col("doc").alias("doc_b"), col("v").alias("v_b")), "doc_b")
-            .withColumn("cos_sim", similarity.cosine(col("v_a"), col("v_b")))
-            .filter(col("cos_sim") >= threshold)
-            .select(
-                "doc_a", "doc_b", F.round(col("cos_sim") + lit(1e-9), 6).alias("cos_sim")
+            .withColumn(
+                "cos_sim",
+                F.round(similarity.cosine(col("v_a"), col("v_b")) + lit(1e-9), 6),
             )
+            .filter(col("cos_sim") >= threshold)
+            .select("doc_a", "doc_b", "cos_sim")
         )
     bucketed = df.select(
         col(id_col).alias("doc"), similarity.as_double_array(vec_col).alias("v")
@@ -433,9 +434,12 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, "bucket")
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("cos_sim", similarity.cosine(col("v_a"), col("v_b")))
+        .withColumn(
+            "cos_sim",
+            F.round(similarity.cosine(col("v_a"), col("v_b")) + lit(1e-9), 6),
+        )
         .filter(col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", F.round(col("cos_sim") + lit(1e-9), 6).alias("cos_sim"))
+        .select("doc_a", "doc_b", "cos_sim")
         .distinct()
     )
 
@@ -1369,6 +1373,17 @@ def dedup_threshold_curve(
     )
 
 
+#: size cap for the gate audit's SOURCE frame (estimated 8-byte units).
+#: The exact-Jaccard truth side is a shingle self-join — superlinear in
+#: the source — so the audit refuses data-sized frames the same way the
+#: ANN audits refuse data-sized query panels (similarity.
+#: AUDIT_QUERY_CAP_UNITS).  Hand it a bounded deterministic sample
+#: (sampling.hash_top_n): its GlobalLimit carries a row-bounded size
+#: estimate, so the gate passes at ANY corpus scale, while a raw
+#: (even filtered) table scan keeps the full-scan estimate and trips.
+AUDIT_SOURCE_CAP_UNITS = 64_000
+
+
 def near_dup_gate_audit(
     df: DataFrame,
     id_col: str,
@@ -1378,6 +1393,7 @@ def near_dup_gate_audit(
     num_hashes: int = 16,
     bands: int = 4,
     hash_mode: str = "md5",
+    max_source_units: int | None = AUDIT_SOURCE_CAP_UNITS,
 ) -> DataFrame:
     """Candidate-generator quality audit: precision AND recall of the
     raw MinHash-LSH candidate set against exact n-gram-Jaccard ground
@@ -1391,7 +1407,11 @@ def near_dup_gate_audit(
     This is the periodic re-measurement a deployment runs on a bounded
     SAMPLE (the exact side is a shingle self-join — the audit's
     intrinsic cost; hand this a sampled frame, the same posture as the
-    q25 oracle twin vs the q28 production path).
+    q25 oracle twin vs the q28 production path).  The sample contract
+    is ENFORCED fail-closed: a source whose size estimate exceeds
+    ``max_source_units`` (or has no estimate at all) raises instead of
+    silently melting at scale — pass :func:`~.sampling.hash_top_n`
+    output, whose GlobalLimit carries a bounded estimate.
 
     Returns ONE row: (n_true, n_candidates, n_hits, cand_precision,
     cand_recall) where cand_precision = hits/candidates (how much
@@ -1400,8 +1420,19 @@ def near_dup_gate_audit(
     model-sized single-row aggregates cross-joined — the scalar-cross
     shape, no data-sized frame crosses.
     """
+    from ..core.guards import estimated_source_units
     from ..functions.scalar import rnd
 
+    if (
+        max_source_units is not None
+        and estimated_source_units(df, bytes_per_unit=8) > max_source_units
+    ):
+        raise ValueError(
+            "near-dup gate audit: the source frame's size estimate exceeds "
+            "the audit budget — the exact-Jaccard truth side is a shingle "
+            "self-join; hand a bounded deterministic sample "
+            "(sampling.hash_top_n) instead of a data-sized frame"
+        )
     rows_per_band = num_hashes // bands
     truth = jaccard_pairs(
         df, id_col, text_col, n=n, threshold=threshold
@@ -1480,8 +1511,12 @@ def incremental_embedding_classify(
     index (``standing_buckets``, normally read from the persisted
     :func:`embedding_bucket_table` output) plus the VECTORS OF
     CANDIDATE MATCHES ONLY (one left-semi prune before the verify
-    join), so refresh cost is O(batch + matches), never O(standing
-    corpus) — the q147 contract, embedding edition."""
+    join), so join/shuffle volume is O(batch + matches); the standing
+    side is touched only by the index read and one column-pruned scan
+    for the candidate vectors — the q147 contract, embedding edition.
+    Verify predicates compare the cosine at the repo's 6-dp rounding
+    grain (``round(cos + 1e-9, 6) >= threshold``) so the decision is
+    replayable cross-engine with zero FP boundary risk."""
     from . import similarity
 
     b_idx = embedding_bucket_table(batch, planes, id_col, vec_col)
@@ -1503,7 +1538,10 @@ def incremental_embedding_classify(
     vcross = (
         cand.join(bvec, "bd")
         .join(svec, "sd")
-        .filter(similarity.cosine(col("bv"), col("sv")) >= threshold)
+        .filter(
+            F.round(similarity.cosine(col("bv"), col("sv")) + lit(1e-9), 6)
+            >= threshold
+        )
         .select(col("bd").alias("__vs"))
         .distinct()
     )

@@ -33,6 +33,23 @@ def hash_fraction(key: Column | str, salt: str = "") -> Column:
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / lit(2.0**32)
 
 
+def hash_top_n(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
+    """Deterministic fixed-SIZE global sample: the ``n`` rows with the
+    smallest md5 hash fractions (ties broken on the key).  Unlike
+    :func:`bernoulli_sample` (fixed FRACTION — grows with the corpus),
+    the output is bounded by construction no matter how large the
+    source grows: the right shape for audit inputs whose downstream
+    cost is superlinear (e.g. the exact-Jaccard truth side of
+    :func:`~..dedup.near_dup_gate_audit`'s shingle self-join).
+
+    Physically a ``TakeOrderedAndProject`` (per-partition top-n, then
+    merge) — no global sort, no single-partition window — and the
+    ``GlobalLimit`` gives Catalyst a row-bounded size estimate, so
+    downstream fail-closed budget gates (``estimated_source_units``)
+    see the SAMPLE's size, not the source scan's."""
+    return df.orderBy(hash_fraction(key, salt), col(key)).limit(n)
+
+
 def bernoulli_sample(
     df: DataFrame, key: str, rate: float, salt: str = ""
 ) -> DataFrame:

@@ -760,7 +760,7 @@ SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
        round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) AS cos_sim
 FROM b a
 JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE list_cosine_similarity(a.v, b2.v) >= {_Q43_THRESHOLD}
+WHERE round(list_cosine_similarity(a.v, b2.v) + 1e-9, 6) >= {_Q43_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -10119,8 +10119,30 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q161_SAMPLE_N = 300
+
 _Q161_ORACLE = f"""
-WITH {_SHINGLE_CTES},
+WITH sampled AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   ORDER BY ('0x' || substr(md5('gate' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            / 4294967296.0,
+                            doc_id
+               ) AS rn
+        FROM documents)
+    WHERE rn <= {_Q161_SAMPLE_N}
+),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM sampled
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+    FROM toks
+),
 sizes AS (
     SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
 ),
@@ -10182,17 +10204,26 @@ FROM m
     "(q25's pair set), in one plan.  The production gate's precision is "
     "structural (it verifies candidates exactly) but its RECALL loss — "
     "a true pair the bands never co-bucket — is invisible to the gate "
-    "itself; this is the periodic re-measurement, run on a bounded "
-    "sample (the exact side is the audit's intrinsic cost — the q25 "
-    "oracle-twin posture).  One row: candidate volume, band waste "
-    "(cand_precision) and band miss rate (cand_recall).  Three "
-    "single-row aggregates cross-joined (scalar-cross shape).",
+    "itself; this is the periodic re-measurement, run on a BOUNDED "
+    "deterministic sample: the 300 docs with the smallest md5 hash "
+    "fractions (sampling.hash_top_n — fixed SIZE, so the shingle "
+    "self-join truth side stays flat as the corpus grows; the audit "
+    "itself fail-closes on any source whose size estimate exceeds its "
+    "budget).  One row: candidate volume, band waste (cand_precision) "
+    "and band miss rate (cand_recall).  Three single-row aggregates "
+    "cross-joined (scalar-cross shape); oracle replays the md5-order "
+    "sample, both pair sets, and the ratios.",
     operators=("dedup-minhash-lsh", "dedup-jaccard", "audit-recall", "A11"),
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
     docs = load_table(spark, sf_dir, "documents")
+    sample = sampling.hash_top_n(
+        docs.select("doc_id", "text"), "doc_id", _Q161_SAMPLE_N, salt="gate"
+    )
     return dedup.near_dup_gate_audit(
-        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD,
+        sample, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD,
         num_hashes=16, bands=4, hash_mode="md5",
     )
 
@@ -10269,7 +10300,7 @@ brute AS (
     "fixed 20-query panel.  The n_probe TUNING signal: the per-query "
     "report says directly whether the current probe width still clears "
     "the recall bar as the corpus grows.  The per-query probe list is "
-    "derived in-plan (array_sort over the 16 centroid cosines at the "
+    "derived in-plan (row_number over the 16 centroid cosines at the "
     "6-dp rounding grain, tie-broken on cid — replayable cross-engine, "
     "not raw-double bit parity), exploded and equi-joined against the "
     "centroid-assigned corpus: candidate generation is the production "
@@ -10308,7 +10339,7 @@ vcross AS (
     FROM cand
     JOIN e a ON bd = a.vec_id
     JOIN e s ON sd = s.vec_id
-    WHERE list_cosine_similarity(a.v, s.v) >= {_Q163_TH}
+    WHERE round(list_cosine_similarity(a.v, s.v) + 1e-9, 6) >= {_Q163_TH}
 ),
 bcand AS (
     SELECT DISTINCT a.vec_id AS da, s.vec_id AS db
@@ -10321,7 +10352,7 @@ vbatch AS (
     FROM bcand
     JOIN e a ON da = a.vec_id
     JOIN e s ON db = s.vec_id
-    WHERE list_cosine_similarity(a.v, s.v) >= {_Q163_TH}
+    WHERE round(list_cosine_similarity(a.v, s.v) + 1e-9, 6) >= {_Q163_TH}
 ),
 status AS (
     SELECT e.label,
@@ -10357,9 +10388,10 @@ ORDER BY label
     "standing corpus contributes its (doc, bucket) index — the "
     "artifact embedding_bucket_table persists — plus the vectors of "
     "CANDIDATE matches only (left-semi prune before the verify join), "
-    "so refresh cost is O(batch + matches), never O(standing corpus).  "
-    "The oracle replays the shared plane literals, both candidate "
-    "joins, and the verification.",
+    "so join/shuffle volume is O(batch + matches); the standing side "
+    "is touched only by the index read and one column-pruned vector "
+    "fetch.  The oracle replays the shared plane literals, both "
+    "candidate joins, and the 6-dp-rounded verification.",
     operators=("dedup-incremental", "dedup-embedding-cosine", "J8", "A4"),
 )
 def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
