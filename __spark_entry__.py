@@ -190,6 +190,8 @@ _SWEEP_COST = {
     "q161_near_dup_gate_audit": 5.10,
     "q162_ivf_recall_audit": 6.50,
     "q163_incremental_embedding": 6.00,
+    "q164_recall_remediation": 39.00,
+    "q165_ivf_staleness": 14.60,
 }
 
 

@@ -1194,3 +1194,374 @@ def ivf_recall_audit(
     )
     truth = _brute_truth(corpus.drop("__cid"), q, k, id_col)
     return _recall_report(q, cand, truth, approx, id_col)
+
+
+# ---------------------------------------------------------------------------
+# audit → remediation: plane re-seed (LSH) and centroid re-train (IVF)
+# with before/after recall measured against ONE shared brute-truth pass
+# ---------------------------------------------------------------------------
+
+
+def data_aware_planes(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "reseed",
+) -> list[list[float]]:
+    """Plane RE-SEED for a drifted corpus: ``2·n_planes`` vectors are
+    drawn by md5 hash order (deterministic, layout-independent — the
+    ivf_centroids convention) and each plane normal is the DIFFERENCE
+    of a consecutive sample pair.  Difference normals are translation-
+    invariant — a common-mode drift offset (every vector shifted toward
+    one direction, the cone-concentration failure that makes random
+    origin planes assign the whole drifted region to a handful of
+    buckets) cancels out of v_a − v_b, so the reseeded planes split
+    along the within-distribution variation that actually
+    distinguishes near neighbours.  2·n_planes rows to the driver
+    only; exactly replayable by a SQL oracle (same md5 order, exact
+    double subtraction)."""
+    rows = (
+        df.select(col(id_col).alias("sid"), as_double_array(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.concat(lit(salt), col("sid").cast("string"))))
+        .orderBy("h", "sid")
+        .limit(2 * n_planes)
+        .collect()
+    )
+    if len(rows) < 2 * n_planes:
+        raise ValueError(
+            f"data_aware_planes: need {2 * n_planes} sample vectors, "
+            f"got {len(rows)}"
+        )
+    return [
+        [a - b for a, b in zip(rows[2 * i].v, rows[2 * i + 1].v)]
+        for i in range(n_planes)
+    ]
+
+
+def _multiprobe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
+    import itertools
+
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            masks.append(m)
+    return masks
+
+
+def _centered(v: Column, center: list[float] | None) -> Column:
+    if center is None:
+        return v
+    mu = F.array(*[lit(float(x)) for x in center])
+    return F.zip_with(v, mu, lambda a, b: a - b)
+
+
+def corpus_mean(
+    df: DataFrame, vec_col: str = "embedding", decimals: int = 6
+) -> list[float]:
+    """Per-position mean of a vector column, rounded (nudged) to the
+    repo's cross-engine grain — the CENTERING vector for offset-plane
+    re-seeding (sign(p·(v − μ)) restores origin-crossing planes'
+    splitting power over a common-mode-drifted corpus).  dim-bounded
+    collect; rounding absorbs partial-aggregation order differences
+    (the kmeans_fit centroid-update convention)."""
+    rows = (
+        df.select(F.posexplode(as_double_array(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(rnd(F.avg("x"), decimals).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * len(rows)
+    for r in rows:
+        mu[r.pos] = float(r.m)
+    return mu
+
+
+def _lsh_candidates(
+    corpus_plain: DataFrame,
+    q: DataFrame,
+    planes: list[list[float]],
+    multiprobe_bits: int,
+    id_col: str,
+    center: list[float] | None = None,
+) -> DataFrame:
+    """(query_id, id, __v, __qv) candidates under one plane set — the
+    production equi-join probe (lsh_recall_audit's rule, extracted so a
+    before/after report can evaluate several plane configurations
+    against one shared truth).  ``center`` buckets on v − μ (offset
+    planes) while SCORING stays on the raw vectors — re-centering moves
+    the index partition, never the similarity space."""
+    masks = _multiprobe_masks(len(planes), multiprobe_bits)
+    corpus = corpus_plain.withColumn(
+        "__bucket", lsh_bucket(_centered(col("__v"), center), planes)
+    )
+    probes = q.withColumn(
+        "__qbucket", lsh_bucket(_centered(col("__qv"), center), planes)
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(*[col("__qbucket").bitwiseXOR(lit(m)) for m in masks])
+        ).alias("__bucket"),
+    )
+    return (
+        corpus.join(F.broadcast(probes), "__bucket")
+        .filter(col(id_col) != col("query_id"))
+        .select("query_id", id_col, "__v", "__qv")
+    )
+
+
+def _ivf_candidates(
+    corpus_plain: DataFrame,
+    q: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, id, __v, __qv) candidates under one centroid set —
+    ivf_recall_audit's probe rule (nearest n_probe centroids as DATA,
+    6-dp-rounded ranking), extracted for before/after evaluation."""
+    from pyspark.sql.window import Window
+
+    corpus = corpus_plain.withColumn(
+        "__cid", assign_ivf_bucket(col("__v"), centroids)
+    ).localCheckpoint(eager=False)
+    cents = corpus_plain.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "__ccid int, __cv array<double>",
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    rnd(cosine(col("__qv"), col("__cv")), 6).desc(), col("__ccid")
+                )
+            ),
+        )
+        .filter(col("__r") <= n_probe)
+        .select("query_id", "__qv", col("__ccid").alias("__cid"))
+    )
+    return (
+        corpus.join(F.broadcast(probes), "__cid")
+        .filter(col(id_col) != col("query_id"))
+        .select("query_id", id_col, "__v", "__qv")
+    )
+
+
+def audit_summary(report: DataFrame, family: str, config: str) -> DataFrame:
+    """Collapse a per-query recall report into ONE (family, config) row:
+    panel size, mean recall, mean candidate volume — the before/after
+    comparison grain of the remediation reports."""
+    return report.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        rnd(F.avg("recall"), 6).alias("mean_recall"),
+        rnd(F.avg("n_candidates"), 6).alias("mean_candidates"),
+    ).select(
+        lit(family).alias("family"),
+        lit(config).alias("config"),
+        "n_queries",
+        "mean_recall",
+        "mean_candidates",
+    )
+
+
+def _config_report(
+    corpus_plain: DataFrame,
+    q: DataFrame,
+    truth: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    approx = _multi_query_topk(
+        cand.select(
+            "query_id", id_col, rnd(cosine(col("__v"), col("__qv")), 6).alias("__cos")
+        ),
+        k,
+        id_col,
+    )
+    return _recall_report(q, cand, truth, approx, id_col)
+
+
+def lsh_remediation_report(
+    df: DataFrame,
+    queries: DataFrame,
+    configs: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    family: str = "lsh",
+) -> DataFrame:
+    """The REMEDIATION MENU a deployment prices when the q160-style
+    LSH index audit alarms: each config is evaluated over the same
+    query panel against ONE shared brute-truth pass (the audit's
+    intrinsic cost is paid once, not per configuration).
+
+    ``configs``: ``(label, planes, multiprobe_bits, center)`` tuples —
+    the three LSH levers: re-seeded planes (:func:`data_aware_planes`),
+    a wider multiprobe radius, and re-centering (:func:`corpus_mean`
+    offset — buckets on v − μ, scoring untouched).  One row per
+    config: (family, config, n_queries, mean_recall, mean_candidates)
+    — recall is the guardrail, candidate volume the pruning health."""
+    _audit_panel_check(queries)
+    q = queries.select(
+        col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+    )
+    corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
+    # localCheckpoint: the truth list feeds every config's report —
+    # without it the |panel| x |corpus| brute pass re-executes per branch
+    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    parts = [
+        audit_summary(
+            _config_report(
+                corpus_plain,
+                q,
+                truth,
+                _lsh_candidates(corpus_plain, q, planes, bits, id_col, center),
+                k,
+                id_col,
+            ),
+            family,
+            label,
+        )
+        for label, planes, bits, center in configs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ivf_remediation_report(
+    df: DataFrame,
+    queries: DataFrame,
+    configs: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    family: str = "ivf",
+) -> DataFrame:
+    """Centroid-side remediation menu for the q162-style IVF recall
+    audit: each config is ``(label, centroids, n_probe)`` — the two IVF
+    levers are RE-TRAINING the centroids on the drifted corpus
+    (ivf_centroids' md5 draw or kmeans_fit's Lloyd iterations) and
+    WIDENING the probe.  All configs share ONE brute-truth pass; one
+    summary row per config."""
+    _audit_panel_check(queries)
+    q = queries.select(
+        col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+    )
+    corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
+    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    parts = [
+        audit_summary(
+            _config_report(
+                corpus_plain,
+                q,
+                truth,
+                _ivf_candidates(corpus_plain, q, cents, n_probe, id_col),
+                k,
+                id_col,
+            ),
+            family,
+            label,
+        )
+        for label, cents, n_probe in configs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF index maintenance: O(batch) append + staleness report
+# ---------------------------------------------------------------------------
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF index
+    (:func:`write_ivf_index` layout) WITHOUT a rebuild: the batch is
+    assigned to the FROZEN centroid set and written mode=append into
+    the existing ``ivf_bucket=`` partition directories — resident rows
+    are never read or rewritten, so refresh cost is O(batch), the q163
+    contract on the IVF side.  Probes (:func:`read_ivf_probe`) see the
+    union immediately: partition pruning works on directory names, not
+    file ages.
+
+    The price of freezing the centroids is index STALENESS — appended
+    vectors can sit farther from their assigned centroid than the
+    training residents do, degrading probe recall exactly as q162
+    measures.  :func:`ivf_staleness_report` prices that drift; q164's
+    retrain lever (then a full :func:`write_ivf_index` rebuild) is the
+    remediation when it alarms."""
+    (
+        batch.withColumn("ivf_bucket", assign_ivf_bucket(vec_col, centroids))
+        .repartition(col("ivf_bucket"))
+        .write.mode("append")
+        .partitionBy("ivf_bucket")
+        .parquet(path)
+    )
+
+
+def ivf_staleness_report(
+    resident: DataFrame,
+    appended: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket health of an incrementally maintained IVF index: how
+    far the APPENDED vectors sit from their (frozen) assigned centroid
+    versus the residents the centroids were trained on.  One row per
+    centroid: (cid, n_resident, n_appended, mean_cos_resident,
+    mean_cos_appended, cos_drift) where cos_drift =
+    mean_cos_resident − mean_cos_appended; a persistently positive
+    drift is the RETRAIN alarm (q164's lever) — appends are landing in
+    cells whose centroid no longer represents them, which is precisely
+    the assignment incoherence that melts probe recall.
+
+    One scan over resident ∪ appended with the K-cosine array computed
+    once per row (broadcast-literal centroids, no join); K-sized
+    output."""
+
+    def tagged(df: DataFrame, flag: int) -> DataFrame:
+        v = as_double_array(vec_col)
+        sims = F.array(
+            *[cosine(v, F.array(*[lit(float(x)) for x in cvec]))
+              for _, cvec in centroids]
+        )
+        return df.select(
+            lit(flag).alias("__app"),
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cid"),
+            rnd(F.array_max(sims), 6).alias("__ccos"),
+        )
+
+    both = tagged(resident, 0).unionByName(tagged(appended, 1))
+    res_cos = F.avg(F.when(col("__app") == 0, col("__ccos")))
+    app_cos = F.avg(F.when(col("__app") == 1, col("__ccos")))
+    return (
+        both.groupBy("cid")
+        .agg(
+            F.sum(lit(1) - col("__app")).cast("long").alias("n_resident"),
+            F.sum("__app").cast("long").alias("n_appended"),
+            rnd(res_cos, 6).alias("mean_cos_resident"),
+            rnd(app_cos, 6).alias("mean_cos_appended"),
+        )
+        .withColumn(
+            "cos_drift",
+            rnd(col("mean_cos_resident") - col("mean_cos_appended"), 6),
+        )
+        .orderBy("cid")
+    )

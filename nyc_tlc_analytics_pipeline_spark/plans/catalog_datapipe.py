@@ -2082,21 +2082,29 @@ _Q62_K = 16
 _Q62_ITERS = 2
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    vsql: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    prefix: str = "",
+) -> tuple[str, str]:
     """Lloyd iterations unrolled as chained CTEs: returns (cte_block,
     final_assignment_cte_name); the final assignment carries (vec_id, v,
-    cid, dist2) under the last centroids ``c{iters}``.  Both engines
-    round centroids and distances (nudged, 6 dp) at every step and
-    break argmin ties by lowest cluster id, so the full trajectory —
+    cid, dist2) under the last centroids ``{prefix}c{iters}``.  Both
+    engines round centroids and distances (nudged, 6 dp) at every step
+    and break argmin ties by lowest cluster id, so the full trajectory —
     not just the final stats — is deterministic across engines.
-    Shared by q62 (cluster summary) and q64 (SemDeDup pair join)."""
+    Shared by q62 (cluster summary), q64 (SemDeDup pair join) and q164
+    (centroid re-train remediation, via ``vsql``/``prefix`` over the
+    drifted corpus CTE)."""
+    vname = f"{prefix}v"
 
     def assign(cent_cte: str, name: str) -> str:
         return f"""{name}_d AS (
     SELECT v.vec_id, v.v, c.cid,
            round(list_sum(list_transform(range(1, len(v.v) + 1),
                  i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) + 1e-9, 6) AS dist2
-    FROM v CROSS JOIN {cent_cte} c
+    FROM {vname} v CROSS JOIN {cent_cte} c
 ),
 {name} AS (
     SELECT vec_id, v, cid, dist2
@@ -2126,21 +2134,21 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
 )"""
 
     parts = [
-        """v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        f"""{vname} AS (
+    {vsql}
 )""",
-        f"""c0 AS (
+        f"""{prefix}c0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-    FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}) seed
+    FROM (SELECT vec_id, v FROM {vname} ORDER BY vec_id LIMIT {k}) seed
 )""",
     ]
-    cent = "c0"
+    cent = f"{prefix}c0"
     for it in range(1, iters + 1):
-        parts.append(assign(cent, f"a{it}"))
-        parts.append(update(f"a{it}", f"c{it}", cent))
-        cent = f"c{it}"
-    parts.append(assign(cent, "af"))
-    return ",\n".join(parts), "af"
+        parts.append(assign(cent, f"{prefix}a{it}"))
+        parts.append(update(f"{prefix}a{it}", f"{prefix}c{it}", cent))
+        cent = f"{prefix}c{it}"
+    parts.append(assign(cent, f"{prefix}af"))
+    return ",\n".join(parts), f"{prefix}af"
 
 
 def _q62_oracle(k: int = _Q62_K, iters: int = _Q62_ITERS) -> str:
@@ -10401,3 +10409,426 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_embedding_report(
         batch, standing, _PLANES_8x64, "label", threshold=_Q163_TH
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — audit → REMEDIATION menu: centroid re-train / probe widening (IVF)
+# and plane re-centering / re-seed (LSH), before/after on drifted fixtures
+# ---------------------------------------------------------------------------
+
+_Q164_OFF = 10_000_000
+
+
+def _q164_ivf_cand(tag: str, corpus: str, qs: str, cents: str, n_probe: int) -> str:
+    """One IVF candidate chain (q162's probe/assign rules) under a
+    given centroid set and probe width — emitted per configuration."""
+    return f"""
+probe_{tag} AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(c.cv, q.qv) + 1e-9, 6) DESC,
+                            c.cid) AS rn
+        FROM {qs} q CROSS JOIN {cents} c
+    ) WHERE rn <= {n_probe}
+),
+assigned_{tag} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+        FROM {corpus} e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+),
+cand_{tag} AS (
+    SELECT p.query_id, a.vec_id, a.v, q.qv
+    FROM probe_{tag} p
+    JOIN assigned_{tag} a ON a.cid = p.cid
+    JOIN {qs} q ON q.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+)"""
+
+
+def _q164_lsh_cand(tag: str, corpus: str, qs: str, vexpr: str = "v",
+                   qexpr: str = "qv") -> str:
+    """One LSH candidate chain (q160's probe rule) under the shared
+    literal planes; ``vexpr``/``qexpr`` select which vector column the
+    BUCKETS are computed over (the re-centered config buckets on the
+    mean-shifted twin column while scoring stays on the raw vectors)."""
+    return f"""
+b_{tag} AS (SELECT vec_id, v, {_bucket_sql(vexpr)} AS bucket FROM {corpus}),
+qb_{tag} AS (SELECT query_id, qv, {_bucket_sql(qexpr)} AS qbucket FROM {qs}),
+probes_{tag} AS (
+    SELECT query_id, qv, xor(qbucket, m.m) AS bucket
+    FROM qb_{tag} CROSS JOIN (SELECT unnest({_Q160_MASKS}) AS m) m
+),
+cand_{tag} AS (
+    SELECT p.query_id, b.vec_id, b.v, p.qv
+    FROM probes_{tag} p JOIN b_{tag} b ON b.bucket = p.bucket
+    WHERE b.vec_id <> p.query_id
+)"""
+
+
+def _q164_tail(tag: str, corpus: str, qs: str) -> str:
+    """Approx/brute rank lists + per-query recall report for one
+    configuration (the _AUDIT_REPORT_SQL shape, suffixed)."""
+    return f"""
+approx_{tag} AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(v, qv) + 1e-9, 6) DESC,
+                            vec_id) AS rn
+        FROM cand_{tag}
+    ) WHERE rn <= 10
+),
+brute_{tag} AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(e.v, q.qv) + 1e-9, 6) DESC,
+                            e.vec_id) AS rn
+        FROM {qs} q JOIN {corpus} e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),
+rep_{tag} AS (
+    SELECT q.query_id,
+           coalesce(nc.n_candidates, 0) AS n_candidates,
+           round(1.0 * coalesce(h.n_hits, 0)
+                 / nullif(coalesce(nt.n_truth, 0), 0) + 1e-9, 6) AS recall
+    FROM {qs} q
+    LEFT JOIN (SELECT query_id, count(*) AS n_candidates
+               FROM cand_{tag} GROUP BY query_id) nc
+           ON q.query_id = nc.query_id
+    LEFT JOIN (SELECT query_id, count(*) AS n_truth
+               FROM brute_{tag} GROUP BY query_id) nt
+           ON q.query_id = nt.query_id
+    LEFT JOIN (SELECT t.query_id, count(*) AS n_hits
+               FROM brute_{tag} t JOIN approx_{tag} a
+                 ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+               GROUP BY t.query_id) h
+           ON q.query_id = h.query_id
+)"""
+
+
+def _q164_summary(tag: str, family: str, config: str) -> str:
+    return f"""
+    SELECT '{family}' AS family, '{config}' AS config,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall) + 1e-9, 6) AS mean_recall,
+           round(avg(n_candidates) + 1e-9, 6) AS mean_candidates
+    FROM rep_{tag}"""
+
+
+_Q164_KM_CTES, _Q164_KM_AF = _kmeans_ctes(
+    16, 2, vsql="SELECT vec_id, v FROM perm", prefix="km"
+)
+
+_Q164_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+perm AS (
+    SELECT vec_id, v FROM e
+    UNION ALL
+    SELECT vec_id + {_Q164_OFF} AS vec_id,
+           list_transform(range(1, 65), i -> v[(i + 6) % 64 + 1]) AS v
+    FROM e
+),
+cone AS (
+    SELECT vec_id, v FROM e
+    UNION ALL
+    SELECT vec_id + {_Q164_OFF} AS vec_id,
+           list_transform(v, x -> x + 0.5) AS v
+    FROM e
+),
+qs_pre AS (
+    SELECT vec_id AS query_id, v AS qv FROM e
+    WHERE vec_id % 25 = 0 AND vec_id < 500
+),
+qs_perm AS (
+    SELECT vec_id AS query_id, v AS qv FROM perm
+    WHERE vec_id >= {_Q164_OFF} AND vec_id % 25 = 0 AND vec_id < {_Q164_OFF + 500}
+),
+qs_cone AS (
+    SELECT vec_id AS query_id, v AS qv FROM cone
+    WHERE vec_id >= {_Q164_OFF} AND vec_id % 25 = 0 AND vec_id < {_Q164_OFF + 500}
+),
+cents_stale AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           v AS cv
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR))
+    LIMIT 16
+),
+{_Q164_KM_CTES},
+cents_km AS (
+    SELECT cid, c AS cv FROM kmc2
+),
+mu AS (
+    SELECT list(m ORDER BY pos) AS m
+    FROM (
+        SELECT u.pos AS pos, round(avg(u.x) + 1e-9, 6) AS m
+        FROM (SELECT unnest(list_transform(range(1, 65),
+                     i -> {{'pos': i, 'x': v[i]}})) AS u
+              FROM cone) q
+        GROUP BY u.pos
+    ) p
+),
+conec AS (
+    SELECT c.vec_id, c.v,
+           list_transform(range(1, 65), i -> c.v[i] - mu.m[i]) AS vcent
+    FROM cone c CROSS JOIN mu
+),
+qs_conec AS (
+    SELECT q.query_id, q.qv,
+           list_transform(range(1, 65), i -> q.qv[i] - mu.m[i]) AS qvcent
+    FROM qs_cone q CROSS JOIN mu
+),
+seed_rs AS (
+    SELECT rn, v FROM (
+        SELECT row_number() OVER (
+                   ORDER BY md5('reseed' || CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS rn,
+               v
+        FROM cone
+    ) WHERE rn < 16
+),
+planes_rs AS (
+    SELECT CAST(a.rn // 2 AS INT) AS pidx,
+           list_transform(range(1, 65), i -> a.v[i] - b.v[i]) AS pv
+    FROM seed_rs a JOIN seed_rs b ON b.rn = a.rn + 1 AND a.rn % 2 = 0
+),
+bf_rs AS (
+    SELECT c.vec_id,
+           sum(CASE WHEN list_dot_product(c.v, p.pv) > 0
+                    THEN (1::BIGINT << p.pidx) ELSE 0 END) AS bucket
+    FROM cone c CROSS JOIN planes_rs p GROUP BY c.vec_id
+),
+b_lsh_rs AS (
+    SELECT c.vec_id, c.v, bf_rs.bucket FROM cone c JOIN bf_rs USING (vec_id)
+),
+qbf_rs AS (
+    SELECT q.query_id,
+           sum(CASE WHEN list_dot_product(q.qv, p.pv) > 0
+                    THEN (1::BIGINT << p.pidx) ELSE 0 END) AS qbucket
+    FROM qs_cone q CROSS JOIN planes_rs p GROUP BY q.query_id
+),
+probes_lsh_rs AS (
+    SELECT q.query_id, q.qv, xor(qbf_rs.qbucket, m.m) AS bucket
+    FROM qs_cone q
+    JOIN qbf_rs USING (query_id)
+    CROSS JOIN (SELECT unnest({_Q160_MASKS}) AS m) m
+),
+cand_lsh_rs AS (
+    SELECT p.query_id, b.vec_id, b.v, p.qv
+    FROM probes_lsh_rs p JOIN b_lsh_rs b ON b.bucket = p.bucket
+    WHERE b.vec_id <> p.query_id
+),{_q164_ivf_cand("ivf_pre", "e", "qs_pre", "cents_stale", 4)},{_q164_tail("ivf_pre", "e", "qs_pre")},{_q164_ivf_cand("ivf_st", "perm", "qs_perm", "cents_stale", 4)},{_q164_tail("ivf_st", "perm", "qs_perm")},{_q164_ivf_cand("ivf_rt", "perm", "qs_perm", "cents_km", 4)},{_q164_tail("ivf_rt", "perm", "qs_perm")},{_q164_ivf_cand("ivf_wd", "perm", "qs_perm", "cents_stale", 8)},{_q164_tail("ivf_wd", "perm", "qs_perm")},{_q164_lsh_cand("lsh_pre", "e", "qs_pre")},{_q164_tail("lsh_pre", "e", "qs_pre")},{_q164_lsh_cand("lsh_st", "cone", "qs_cone")},{_q164_tail("lsh_st", "cone", "qs_cone")},{_q164_lsh_cand("lsh_rc", "conec", "qs_conec", "vcent", "qvcent")},{_q164_tail("lsh_rc", "cone", "qs_cone")},{_q164_tail("lsh_rs", "cone", "qs_cone")}
+SELECT * FROM (
+{_q164_summary("ivf_pre", "ivf", "pre_drift")}
+    UNION ALL
+{_q164_summary("ivf_st", "ivf", "stale")}
+    UNION ALL
+{_q164_summary("ivf_rt", "ivf", "retrained")}
+    UNION ALL
+{_q164_summary("ivf_wd", "ivf", "widened_probe")}
+    UNION ALL
+{_q164_summary("lsh_pre", "lsh", "pre_drift")}
+    UNION ALL
+{_q164_summary("lsh_st", "lsh", "stale")}
+    UNION ALL
+{_q164_summary("lsh_rc", "lsh", "recentered")}
+    UNION ALL
+{_q164_summary("lsh_rs", "lsh", "reseeded")}
+)
+ORDER BY family, config
+"""
+
+
+@register(
+    "q164_recall_remediation",
+    _Q164_ORACLE,
+    "Closes the audit → remediation loop q160/q162 open: when the "
+    "index-health audit alarms, this is the MENU a deployment prices — "
+    "per family, the pre-drift operating point, the post-drift stale "
+    "index, and each remediation lever with recall@10 AND candidate "
+    "volume (the two health axes) in one report.  Fixtures are built "
+    "in-plan: an orthogonal coordinate rotation (scrambles stale IVF "
+    "assignment — recall decays 0.50→0.415 while volume holds) and a "
+    "common-mode +0.5 shift (collapses the corpus into a cone that "
+    "origin-crossing planes stop splitting — scan fraction melts "
+    "19→451 candidates/query).  IVF levers: centroid RE-TRAIN (Lloyd "
+    "k-means on the drifted corpus, q62's oracle-exact trajectory) "
+    "recovers recall at unchanged cost; probe WIDENING (4→8) recovers "
+    "past pre-drift at 2x scan.  LSH levers: RE-CENTERING (buckets on "
+    "v − mean at the 6-dp grain, scoring untouched) restores pruning; "
+    "RE-SEED with data-aware difference planes (translation-invariant, "
+    "md5-sampled pairs) prices the alternative.  Each family's configs "
+    "share ONE brute-truth pass (localCheckpoint).  Oracle replays "
+    "both drift transforms, the k-means trajectory, the mean, the "
+    "derived planes, all eight candidate rules, and the recall "
+    "arithmetic at the 6-dp grain.",
+    operators=(
+        "audit-recall", "remediate-retrain", "remediate-reseed",
+        "remediate-recenter", "sim-ann-lsh", "sim-ann-ivf", "W2", "J8",
+    ),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cluster
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", col("embedding").cast("array<double>").alias("embedding")
+    )
+    base_panel = base.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    # IVF fixture: orthogonal coordinate rotation — neighbour structure
+    # is exactly preserved, but stale-centroid assignment becomes
+    # incoherent w.r.t. the rotated region (the classic IVF drift mode)
+    perm = base.unionByName(
+        base.select(
+            (col("vec_id") + _Q164_OFF).alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "element_at(embedding, CAST((i + 6) % 64 + 1 AS INT)))"
+            ).alias("embedding"),
+        )
+    ).localCheckpoint(eager=False)
+    perm_panel = perm.filter(
+        (col("vec_id") >= _Q164_OFF)
+        & (col("vec_id") % 25 == 0)
+        & (col("vec_id") < _Q164_OFF + 500)
+    )
+    # LSH fixture: common-mode +0.5 shift — the drifted region collapses
+    # into a cone, so origin-crossing random planes stop separating it
+    cone = base.unionByName(
+        base.select(
+            (col("vec_id") + _Q164_OFF).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding"),
+        )
+    ).localCheckpoint(eager=False)
+    cone_panel = cone.filter(
+        (col("vec_id") >= _Q164_OFF)
+        & (col("vec_id") % 25 == 0)
+        & (col("vec_id") < _Q164_OFF + 500)
+    )
+    stale_c = similarity.ivf_centroids(base, k=16)
+    _, km = cluster.kmeans_fit(perm, "vec_id", "embedding", k=16, iters=2)
+    km_c = [(i, c) for i, c in enumerate(km)]
+    mu = similarity.corpus_mean(cone, "embedding")
+    fresh_p = similarity.data_aware_planes(cone, n_planes=8, salt="reseed")
+    parts = [
+        similarity.audit_summary(
+            similarity.ivf_recall_audit(base, base_panel, stale_c, k=10, n_probe=4),
+            "ivf",
+            "pre_drift",
+        ),
+        similarity.ivf_remediation_report(
+            perm,
+            perm_panel,
+            [
+                ("stale", stale_c, 4),
+                ("retrained", km_c, 4),
+                ("widened_probe", stale_c, 8),
+            ],
+            k=10,
+        ),
+        similarity.audit_summary(
+            similarity.lsh_recall_audit(
+                base, base_panel, _PLANES_8x64, k=10, multiprobe_bits=1
+            ),
+            "lsh",
+            "pre_drift",
+        ),
+        similarity.lsh_remediation_report(
+            cone,
+            cone_panel,
+            [
+                ("stale", _PLANES_8x64, 1, None),
+                ("recentered", _PLANES_8x64, 1, mu),
+                ("reseeded", fresh_p, 1, None),
+            ],
+            k=10,
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("family", "config")
+
+
+# ---------------------------------------------------------------------------
+# q165 — incremental IVF index maintenance: frozen-centroid append staleness
+# ---------------------------------------------------------------------------
+
+_Q165_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS app
+    FROM embeddings
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           v AS cv
+    FROM e
+    WHERE app = 0
+    ORDER BY md5(CAST(vec_id AS VARCHAR))
+    LIMIT 16
+),
+assigned AS (
+    SELECT vec_id, app, cid, round(cc + 1e-9, 6) AS ccos FROM (
+        SELECT e.vec_id, e.app, c.cid,
+               list_cosine_similarity(c.cv, e.v) AS cc,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+agg AS (
+    SELECT cid,
+           CAST(sum(1 - app) AS BIGINT) AS n_resident,
+           CAST(sum(app) AS BIGINT) AS n_appended,
+           round(avg(CASE WHEN app = 0 THEN ccos END) + 1e-9, 6)
+               AS mean_cos_resident,
+           round(avg(CASE WHEN app = 1 THEN ccos END) + 1e-9, 6)
+               AS mean_cos_appended
+    FROM assigned
+    GROUP BY cid
+)
+SELECT cid, n_resident, n_appended, mean_cos_resident, mean_cos_appended,
+       round(mean_cos_resident - mean_cos_appended + 1e-9, 6) AS cos_drift
+FROM agg
+ORDER BY cid
+"""
+
+
+@register(
+    "q165_ivf_staleness",
+    _Q165_ORACLE,
+    "Incremental IVF index maintenance, the q163 contract on the IVF "
+    "side: new vectors (vec_id%3=0) are appended to the persisted "
+    "bucket-partitioned index under the FROZEN centroid set "
+    "(append_ivf_index — assign + mode=append into the existing "
+    "ivf_bucket= partition dirs, O(batch), residents never rewritten; "
+    "persisted==rebuilt equivalence is pytest-gated), and this report "
+    "prices what freezing costs: per centroid, occupancy and mean "
+    "assigned-cosine of residents vs appends, with cos_drift = "
+    "resident − appended as the RETRAIN alarm (q164's lever) — appends "
+    "landing in cells whose centroid no longer represents them is the "
+    "assignment incoherence that melts probe recall.  One scan with "
+    "the K-cosine array per row (broadcast literal centroids, no "
+    "join), K-sized output.  Oracle replays the frozen training draw, "
+    "the assignment, and the per-flag means at the 6-dp grain.",
+    operators=("sim-ann-ivf", "dedup-incremental", "audit-recall", "A4"),
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    standing = emb.filter(col("vec_id") % 3 != 0)
+    batch = emb.filter(col("vec_id") % 3 == 0)
+    cents = similarity.ivf_centroids(standing, k=16)
+    return similarity.ivf_staleness_report(standing, batch, cents)

@@ -143,3 +143,89 @@ def compact_near_dup_store(
             continue
         out[name] = ManifestTable(spark, path).compact(target_partitions)
     return out
+
+
+def run_streaming_embedding_near_dup(
+    vec_stream: DataFrame,
+    status_path: str,
+    vecs_path: str,
+    buckets_path: str,
+    checkpoint_path: str,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> None:
+    """Streaming face of the SEMANTIC incremental refresh
+    (``dedup.incremental_embedding_classify``, conformance q163) — the
+    embedding twin of :func:`run_streaming_near_dup` for the leaks
+    lexical bands can't see (paraphrases, templated rewrites,
+    re-encodes).
+
+    Each vector micro-batch is classified against the accumulated
+    survivor store (dup_vs_corpus / dup_in_batch / new) and only the
+    survivors join the store and its persisted (doc, bucket) hyperplane
+    index (``dedup.embedding_bucket_table``) — so the index a batch
+    probes is exactly what an offline keep-first semantic dedup would
+    have kept at that point in arrival order.  Per-batch cost matches
+    the q163 contract: one bucket equi-join against the index, standing
+    VECTORS fetched for candidate matches only (left-semi prune inside
+    the classifier).  Replay idempotency follows the text twin: three
+    manifest tables committed under one batch tag, standing snapshot
+    filtered to strictly earlier batches."""
+    spark = vec_stream.sparkSession
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"batch-{batch_id:020d}"
+        status_t = ManifestTable(spark, status_path)
+        vecs_t = ManifestTable(spark, vecs_path)
+        buckets_t = ManifestTable(spark, buckets_path)
+
+        # replay-safe standing snapshot: strictly earlier batches only
+        snap = vecs_t.snapshot()
+        if snap["dirs"]:
+            standing = vecs_t.read(version=snap["version"]).filter(
+                col("__batch_id") < lit(batch_id)
+            )
+            standing_buckets = (
+                ManifestTable(spark, buckets_path)
+                .read()
+                .filter(col("__batch_id") < lit(batch_id))
+                .select("doc", "bucket")
+            )
+        else:
+            standing = batch_df.limit(0)
+            standing_buckets = None
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        st = dedup.incremental_embedding_classify(
+            batch_df,
+            standing.drop("__batch_id"),
+            planes,
+            threshold,
+            id_col,
+            vec_col,
+            standing_buckets=standing_buckets,
+        ).withColumn("__batch_id", lit(batch_id))
+        st = st.localCheckpoint(eager=True)
+
+        status_t.append(st.select(id_col, "status", "__batch_id"), tag=tag)
+        survivors = st.filter(col("status") == "new").drop("status")
+        vecs_t.append(survivors, tag=tag)
+        buckets_t.append(
+            dedup.embedding_bucket_table(
+                survivors, planes, id_col, vec_col
+            ).withColumn("__batch_id", lit(batch_id)),
+            tag=tag,
+        )
+
+    (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(classify_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

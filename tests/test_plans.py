@@ -112,6 +112,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "q160_lsh_recall_audit",  # bounded audit panel onto the corpus scan (brute truth pass)
         "q161_near_dup_gate_audit",  # three 1-row audit aggregates crossed
         "q162_ivf_recall_audit",  # bounded audit panel onto the corpus scan (brute truth pass)
+        "q164_recall_remediation",  # bounded audit panels / K-centroid frames onto corpus scans (8 audit configs)
+        "q165_ivf_staleness",  # K-cosine array against literal centroids; no join at all (union agg)
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

@@ -90,3 +90,312 @@ def test_gate_audit_sampled_source_passes_budget(spark):
     assert r.n_true == len(truth)
     assert r.n_candidates == len(cand)
     assert r.n_hits == len(truth & cand)
+
+
+# ---------------------------------------------------------------------------
+# recall remediation (q164 operators)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark):
+    return load_table(spark, C.SF_SMOKE, "embeddings").select(
+        "vec_id",
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("embedding")
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+
+
+def test_corpus_mean_matches_python(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    mu = similarity.corpus_mean(emb, "embedding")
+    rows = [list(r.embedding) for r in emb.collect()]
+    assert len(mu) == 64
+    for pos in (0, 31, 63):
+        want = round(sum(v[pos] for v in rows) / len(rows) + 1e-9, 6)
+        assert abs(mu[pos] - want) < 2e-6
+
+
+def test_data_aware_planes_translation_invariant(spark):
+    """The difference-pair construction must cancel a common-mode
+    offset: planes derived from the corpus and from the corpus + 0.5
+    are identical (same md5 draw — ids unchanged — and the shift
+    subtracts out)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    shifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding"),
+    )
+    p1 = similarity.data_aware_planes(emb, n_planes=4, salt="t")
+    p2 = similarity.data_aware_planes(shifted, n_planes=4, salt="t")
+    assert len(p1) == 4 and all(len(p) == 64 for p in p1)
+    for a, b in zip(p1, p2):
+        assert a == b
+
+
+def test_remediation_reports_shapes_and_recovery(spark):
+    """On the rotation-drift fixture the retrained IVF index must not
+    be WORSE than the stale one (the q164 recovery claim at smoke
+    scale), and both report operators return one row per config with
+    the audit summary columns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster, similarity
+
+    OFF = 10_000_000
+    base = _emb(spark)
+    perm = base.unionByName(
+        base.select(
+            (col("vec_id") + OFF).alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "element_at(embedding, CAST((i + 6) % 64 + 1 AS INT)))"
+            ).alias("embedding"),
+        )
+    ).localCheckpoint()
+    panel = perm.filter(
+        (col("vec_id") >= OFF) & (col("vec_id") % 25 == 0) & (col("vec_id") < OFF + 500)
+    )
+    stale = similarity.ivf_centroids(base, k=8)
+    _, km = cluster.kmeans_fit(perm, "vec_id", "embedding", k=8, iters=2)
+    fresh = [(i, c) for i, c in enumerate(km)]
+    rep = similarity.ivf_remediation_report(
+        perm, panel, [("stale", stale, 2), ("retrained", fresh, 2)], k=5
+    ).collect()
+    by = {r.config: r for r in rep}
+    assert set(by) == {"stale", "retrained"}
+    assert all(r.family == "ivf" and r.n_queries == 20 for r in rep)
+    assert by["retrained"].mean_recall >= by["stale"].mean_recall
+
+    mu = similarity.corpus_mean(perm, "embedding")
+    import nyc_tlc_analytics_pipeline_spark.plans.catalog_datapipe as cd
+
+    lrep = similarity.lsh_remediation_report(
+        perm,
+        panel,
+        [
+            ("stale", cd._PLANES_8x64, 1, None),
+            ("recentered", cd._PLANES_8x64, 1, mu),
+        ],
+        k=5,
+    ).collect()
+    assert {r.config for r in lrep} == {"stale", "recentered"}
+    assert all(r.n_queries == 20 for r in lrep)
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF index maintenance (q165 operators)
+# ---------------------------------------------------------------------------
+
+
+def test_append_ivf_index_equals_rebuild(spark, tmp_path):
+    """Appending a batch under FROZEN centroids must leave the index
+    byte-equivalent (same (vec_id, bucket) set) to a full rebuild of
+    standing ∪ batch under the same centroids — and the persisted probe
+    must return exactly what the in-plan ivf_topk returns on the union."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, C.SF_SMOKE, "embeddings")
+    standing = emb.filter(col("vec_id") % 3 != 0)
+    batch = emb.filter(col("vec_id") % 3 == 0)
+    cents = similarity.ivf_centroids(standing, k=8)
+
+    inc = str(tmp_path / "inc")
+    similarity.write_ivf_index(standing, inc, cents)
+    similarity.append_ivf_index(batch, inc, cents)
+    reb = str(tmp_path / "reb")
+    similarity.write_ivf_index(standing.unionByName(batch), reb, cents)
+
+    a = {
+        (r.vec_id, r.ivf_bucket)
+        for r in spark.read.parquet(inc).select("vec_id", "ivf_bucket").collect()
+    }
+    b = {
+        (r.vec_id, r.ivf_bucket)
+        for r in spark.read.parquet(reb).select("vec_id", "ivf_bucket").collect()
+    }
+    assert a == b
+
+    qvec = [float(x) for x in emb.filter(col("vec_id") == 1).head().embedding]
+    got = {
+        (r.vec_id, r.cos_sim)
+        for r in similarity.read_ivf_probe(
+            spark, inc, qvec, cents, k=5, n_probe=3
+        ).collect()
+    }
+    want = {
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(
+            standing.unionByName(batch), qvec, cents, k=5, n_probe=3
+        )
+        .select("vec_id", "cos_sim")
+        .collect()
+    }
+    assert got == want
+
+
+def test_append_ivf_index_lands_in_partition_dirs(spark, tmp_path):
+    """Appends must land INSIDE the existing ivf_bucket= partition
+    directories (partition pruning keeps working), never a new
+    unpartitioned file at the root."""
+    import os
+
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, C.SF_SMOKE, "embeddings")
+    standing = emb.filter(col("vec_id") % 3 != 0)
+    batch = emb.filter(col("vec_id") % 3 == 0)
+    cents = similarity.ivf_centroids(standing, k=8)
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(standing, path, cents)
+    similarity.append_ivf_index(batch, path, cents)
+    root_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("ivf_bucket=")
+    ]
+    assert root_files == []
+    assert any(f.startswith("ivf_bucket=") for f in os.listdir(path))
+
+
+def test_ivf_staleness_report_consistency(spark):
+    """The report's per-bucket counts must re-derive from an
+    independent assignment pass, and every mean lies in [-1, 1]."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, C.SF_SMOKE, "embeddings")
+    standing = emb.filter(col("vec_id") % 3 != 0)
+    batch = emb.filter(col("vec_id") % 3 == 0)
+    cents = similarity.ivf_centroids(standing, k=8)
+    rep = similarity.ivf_staleness_report(standing, batch, cents).collect()
+    assert sum(r.n_resident for r in rep) == standing.count()
+    assert sum(r.n_appended for r in rep) == batch.count()
+    assigned = standing.withColumn(
+        "cid", similarity.assign_ivf_bucket("embedding", cents)
+    )
+    want = {r.cid: r.n for r in assigned.groupBy("cid").count()
+            .withColumnRenamed("count", "n").collect()}
+    got = {r.cid: r.n_resident for r in rep if r.n_resident}
+    assert got == want
+    for r in rep:
+        for m in (r.mean_cos_resident, r.mean_cos_appended):
+            if m is not None:
+                assert -1.000001 <= m <= 1.000001
+
+
+# ---------------------------------------------------------------------------
+# streaming face of the semantic incremental refresh (q163 twin)
+# ---------------------------------------------------------------------------
+
+
+def _write_vec_batches(spark, emb, src, n_files=3):
+    """Split the embedding frame into n time-ordered single-file slices
+    (the _write_doc_batches recipe on the vector table)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    rows = emb.count()
+    per = rows // n_files
+    slices = []
+    os.makedirs(src, exist_ok=True)
+    for k in range(n_files):
+        from pyspark.sql.functions import col
+
+        lo, hi = k * per, (k + 1) * per if k < n_files - 1 else rows
+        sl = emb.filter((col("__rn") >= lo) & (col("__rn") < hi)).drop("__rn")
+        tmp = src + f"_tmp{k}"
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [f] = glob.glob(os.path.join(tmp, "*.parquet"))
+        dst = os.path.join(src, f"slice{k}.parquet")
+        shutil.copyfile(f, dst)
+        os.utime(dst, (time.time() + k * 10, time.time() + k * 10))
+        slices.append(sl.localCheckpoint(eager=True))
+        shutil.rmtree(tmp)
+    return slices
+
+
+def test_streaming_embedding_near_dup_matches_sequential(spark, tmp_path):
+    """Draining the vector directory through the streaming semantic
+    ingest equals the sequential batch chain over the same slices, the
+    survivor store holds exactly the 'new' vectors, the bucket index
+    covers exactly the survivors, and a same-checkpoint re-run is a
+    no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    import nyc_tlc_analytics_pipeline_spark.plans.catalog_datapipe as cd
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.near_dup import (
+        run_streaming_embedding_near_dup,
+    )
+
+    TH = 0.3
+    emb = (
+        load_table(spark, C.SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(90)
+        .withColumn("__rn", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("vec_id")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "vec_src")
+    slices = _write_vec_batches(spark, emb, src, n_files=3)
+
+    status_p, vecs_p, buckets_p, ckpt = (
+        str(tmp_path / t) for t in ("status", "store", "buckets", "ckpt")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.drop("__rn").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_streaming_embedding_near_dup(
+            stream, status_p, vecs_p, buckets_p, ckpt,
+            planes=cd._PLANES_8x64, threshold=TH,
+        )
+
+    run()
+    got = {
+        r.vec_id: r.status
+        for r in ManifestTable(spark, status_p).read().collect()
+    }
+
+    expected = {}
+    standing = slices[0].limit(0)
+    for sl in slices:
+        st = dedup.incremental_embedding_classify(
+            sl, standing, cd._PLANES_8x64, TH
+        )
+        for r in st.select("vec_id", "status").collect():
+            expected[r.vec_id] = r.status
+        standing = standing.unionByName(
+            st.filter(col("status") == "new").drop("status")
+        ).localCheckpoint(eager=True)
+    assert got == expected
+
+    store_ids = {r.vec_id for r in ManifestTable(spark, vecs_p).read().collect()}
+    assert store_ids == {d for d, s in expected.items() if s == "new"}
+    bucket_ids = {r.doc for r in ManifestTable(spark, buckets_p).read().collect()}
+    assert bucket_ids == store_ids
+
+    v_before = ManifestTable(spark, status_p).latest_version()
+    run()
+    assert ManifestTable(spark, status_p).latest_version() == v_before
