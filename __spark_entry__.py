@@ -192,6 +192,7 @@ _SWEEP_COST = {
     "q163_incremental_embedding": 6.00,
     "q164_recall_remediation": 39.00,
     "q165_ivf_staleness": 14.60,
+    "q166_asof_directions": 8.70,
 }
 
 

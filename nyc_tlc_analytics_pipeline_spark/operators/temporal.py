@@ -45,16 +45,35 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_cols`` from the latest right row
-    with ``right_ts <= left_ts`` (direction='backward'; the classic
-    trades/quotes as-of).  Ties on equal timestamps prefer the right row
-    (it 'happened' at or before the left event).
+    """For each left row, attach ``value_cols`` from ONE matched right
+    row:
 
-    Returns all left columns + the as-of value columns (NULL when no
-    prior right row exists).
+    - ``backward`` (default): the latest right row with
+      ``right_ts <= left_ts`` — the classic trades/quotes as-of.
+    - ``forward``: the earliest right row with ``right_ts >= left_ts``
+      — the next-observation join (next price tick, next sensor
+      reading, next deploy after an alert).
+    - ``nearest``: whichever of the two is closer in time; exact
+      distance ties prefer the BACKWARD row (the pandas
+      ``merge_asof(direction='nearest')`` convention).
+
+    Equal timestamps match in every direction (a quote stamped exactly
+    at the trade is visible to it).  Returns all left columns + the
+    as-of value columns (NULL when no matching right row exists).
+
+    All three directions are the same one-shuffle union-and-carry plan:
+    both sides union, one hash partition by key, and per-key sorted
+    windows carry the adjacent right struct onto each left row —
+    ``last(ignorenulls)`` over the preceding frame for backward,
+    ``first(ignorenulls)`` over the following frame for forward;
+    nearest computes both carries in the SAME partitioning (two sorts,
+    one exchange) and picks per row.  No range explosion, no per-row
+    binary search, skew bounded by the key partitioning.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     lt = left.withColumn("__ts", col(left_ts)).withColumn("__side", lit(1))
     # SQL as-of semantics: a right row with a NULL key or NULL timestamp can
     # never match (ON l.k = r.k AND l.ts >= r.ts is NULL-rejecting) — drop
@@ -66,21 +85,62 @@ def asof_join(
             col(right_ts).alias("__ts"),
             # ONE struct per right row so all value columns always come from
             # the SAME matched row (per-column carry would mix rows when a
-            # value column contains NULLs)
-            F.struct(*[col(c).alias(c) for c in value_cols]).alias("__vals"),
+            # value column contains NULLs); __mtsd rides along so `nearest`
+            # can compare distances to the matched row
+            F.struct(
+                _ts_as_double(right, right_ts).alias("__mtsd"),
+                *[col(c).alias(c) for c in value_cols],
+            ).alias("__vals"),
         )
         .withColumn("__side", lit(0))
     )
     lt_aligned = lt.withColumn("__vals", lit(None).cast(rt.schema["__vals"].dataType))
     unioned = lt_aligned.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at the same __ts (side 0 < 1) so an
-    # exactly-simultaneous quote is visible to the trade
-    w = (
+    unioned = unioned.withColumn("__tsd", _ts_as_double(unioned, "__ts"))
+
+    # backward: right rows sort BEFORE left rows at the same ts (side
+    # 0 < 1) so an exactly-simultaneous quote is inside the preceding
+    # frame; forward mirrors it (left before right) so the same quote is
+    # inside the following frame
+    w_back = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy("__tsd", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("__asof", F.last("__vals", ignorenulls=True).over(w))
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy("__tsd", (lit(1) - col("__side")))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        carried = unioned.withColumn(
+            "__asof", F.last("__vals", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        # a NULL-ts left row sorts first (nulls-first) and would otherwise
+        # see the whole right side in its following frame — mask it out
+        carried = unioned.withColumn(
+            "__asof",
+            F.when(
+                col("__tsd").isNotNull(),
+                F.first("__vals", ignorenulls=True).over(w_fwd),
+            ),
+        )
+    else:  # nearest
+        b = F.last("__vals", ignorenulls=True).over(w_back)
+        f = F.when(
+            col("__tsd").isNotNull(),
+            F.first("__vals", ignorenulls=True).over(w_fwd),
+        )
+        db = col("__tsd") - b.getField("__mtsd")
+        df_ = f.getField("__mtsd") - col("__tsd")
+        carried = unioned.withColumn(
+            "__asof",
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(df_ < db, f)
+            .otherwise(b),
+        )
     out = carried.filter(col("__side") == 1).select(
         *[c for c in left.columns],
         *[col("__asof").getField(c).alias(f"asof_{c}") for c in value_cols],

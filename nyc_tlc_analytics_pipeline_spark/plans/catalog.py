@@ -1403,6 +1403,100 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q166 — as-of join, forward and nearest directions (q38's missing two)
+# ---------------------------------------------------------------------------
+
+_Q166_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts::TIMESTAMP AS ts, value,
+           row_number() OVER (ORDER BY user_id, ts, value) AS rid
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts::TIMESTAMP AS ts, round(sum(value) + 1e-9, 2) AS value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+),
+fwd AS (
+    SELECT rid, user_id, val FROM (
+        SELECT p.rid, p.user_id, c.value AS val,
+               row_number() OVER (PARTITION BY p.rid ORDER BY c.ts) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+    ) WHERE rn = 1
+),
+near AS (
+    SELECT rid, val FROM (
+        SELECT p.rid, c.value AS val,
+               row_number() OVER (
+                   PARTITION BY p.rid
+                   ORDER BY abs(epoch(c.ts) - epoch(p.ts)),
+                            CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+               ) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+    ) WHERE rn = 1
+)
+SELECT f.user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(f.val) AS BIGINT) AS n_with_next_click,
+       round(sum(f.val) + 1e-9, 2) AS total_next_click_value,
+       CAST(count(n.val) AS BIGINT) AS n_with_nearest_click,
+       round(sum(n.val) + 1e-9, 2) AS total_nearest_click_value
+FROM fwd f JOIN near n USING (rid)
+GROUP BY f.user_id
+ORDER BY f.user_id
+"""
+
+
+@register(
+    "q166_asof_directions",
+    _Q166_ORACLE,
+    "The two as-of directions q38 leaves out: each purchase picks up "
+    "the user's NEXT click (forward — the next-observation join) and "
+    "the NEAREST click in time (exact-distance ties prefer the prior "
+    "row, the pandas merge_asof convention), aggregated per user in "
+    "one report.  Same one-shuffle union-and-carry plan as backward "
+    "(first(ignorenulls) over the following frame for forward; nearest "
+    "computes both carries in ONE exchange — two sorts — and picks per "
+    "row by matched-timestamp distance).  Clicks are pre-aggregated "
+    "per (user, ts) so every direction's pick is total-order "
+    "deterministic.  DuckDB ASOF is backward-only, so the oracle is "
+    "the naive inequality join with explicit argmin windows — the "
+    "cross-engine truth the composition is checked against.",
+    operators=("join-asof", "join-asof-forward", "join-asof-nearest", "W2"),
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "ts", col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.filter(col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(rnd(F.sum("value"), 2).alias("value"))
+    )
+    fwd = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="forward",
+    )
+    near = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="nearest",
+    )
+    agg_f = fwd.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.count("asof_value").cast("long").alias("n_with_next_click"),
+        rnd(F.sum("asof_value"), 2).alias("total_next_click_value"),
+    )
+    agg_n = near.groupBy("user_id").agg(
+        F.count("asof_value").cast("long").alias("n_with_nearest_click"),
+        rnd(F.sum("asof_value"), 2).alias("total_nearest_click_value"),
+    )
+    return agg_f.join(agg_n, "user_id").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
 # q39 — range (interval) join via bucketed equi-join
 # ---------------------------------------------------------------------------
 

@@ -429,3 +429,74 @@ def test_audio_near_dup_via_banded_join(spark):
     pairs = {(r.a, r.b) for r in near_dup_media_pairs(fp, max_hamming=6).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "nyc_tlc_analytics_pipeline_spark.operators.multimodal",
+        fromlist=["HAS_PIL"],
+    ).HAS_PIL,
+    reason="PIL not installed — JPEG decode path needs a real codec",
+)
+def test_phash_near_dup_detects_perturbed_copy_real_jpeg(spark):
+    """The REAL-format twin of the PPM perturbed-copy test: JPEG bytes
+    produced and re-decoded by PIL through the same phash kernel +
+    banded join.  Lossy re-encode noise must not break the match, and
+    an unrelated image must not pair.  Skip-marked when PIL is absent
+    (this container); green wherever the codec exists."""
+    import io as _io
+
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators import multimodal
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        near_dup_media_pairs,
+        phash_kernel,
+    )
+
+    PIL_Image = multimodal._PIL_IMAGE
+
+    def jpeg_bytes(arr, quality=90):
+        buf = _io.BytesIO()
+        PIL_Image.fromarray(arr, "RGB").save(buf, format="JPEG", quality=quality)
+        return buf.getvalue()
+
+    # smooth structured image: phash is stable under JPEG quantization
+    y, x = np.mgrid[0:64, 0:64]
+    base = np.stack(
+        [(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype("uint8")
+    perturbed = np.clip(base.astype(int) + 6, 0, 255).astype("uint8")
+    rng = np.random.RandomState(7)
+    other = rng.randint(0, 256, size=(64, 64, 3)).astype("uint8")
+    df = spark.createDataFrame(
+        [
+            (1, "jpeg", bytearray(jpeg_bytes(base))),
+            (2, "jpeg", bytearray(jpeg_bytes(perturbed, quality=75))),
+            (3, "jpeg", bytearray(jpeg_bytes(other))),
+        ],
+        "media_id long, format string, content binary",
+    )
+    ph = df.mapInPandas(phash_kernel(), PHASH_SCHEMA)
+    pairs = {(r.a, r.b) for r in near_dup_media_pairs(ph, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # real decode path: pixel stats come from the actual JPEG planes
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        DECODED_IMAGE_SCHEMA,
+        decode_image_stub,
+    )
+
+    stats = {
+        r.media_id: r
+        for r in df.withColumn("width", F.lit(64))
+        .withColumn("height", F.lit(64))
+        .mapInPandas(decode_image_stub(), DECODED_IMAGE_SCHEMA)
+        .collect()
+    }
+    want = base.mean(axis=(0, 1)) / 255.0
+    assert abs(stats[1].mean_r - want[0]) < 0.02
+    assert abs(stats[1].mean_g - want[1]) < 0.02
+    assert abs(stats[1].mean_b - want[2]) < 0.02

@@ -226,3 +226,134 @@ def test_interval_overlap_bucketed_matches_naive_inequality_join(spark):
     assert {key(r) for r in bucketed.collect()} == {
         key(r) for r in naive.collect()
     }
+
+
+def test_asof_forward_semantics(trades, quotes):
+    out = {
+        (r.user_id, r.ts): r.asof_quote
+        for r in asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["quote"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, T(2024, 1, 1, 9, 0, 0))] == 10.0  # next quote at 9:30
+    assert out[(1, T(2024, 1, 1, 10, 0, 0))] == 20.0  # equal ts counts
+    assert out[(1, T(2024, 1, 1, 10, 5, 0))] == 40.0  # next after, not prior
+    assert out[(2, T(2024, 1, 1, 10, 0, 0))] is None  # key with no right rows
+
+
+def test_asof_nearest_semantics(trades, quotes):
+    out = {
+        (r.user_id, r.ts): r.asof_quote
+        for r in asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["quote"], direction="nearest",
+        ).collect()
+    }
+    # 9:00 trade: only forward exists (9:30)
+    assert out[(1, T(2024, 1, 1, 9, 0, 0))] == 10.0
+    # 10:00 trade: exact match at distance 0
+    assert out[(1, T(2024, 1, 1, 10, 0, 0))] == 20.0
+    # 10:05 trade: prior quote at 10:04:59 (1s) beats next at 10:06 (60s)
+    assert out[(1, T(2024, 1, 1, 10, 5, 0))] == 30.0
+    assert out[(2, T(2024, 1, 1, 10, 0, 0))] is None
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0))], "user_id int, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 9, 59, 0), 11.0),  # 60s before
+            (1, T(2024, 1, 1, 10, 1, 0), 22.0),  # 60s after
+        ],
+        "user_id int, ts timestamp, quote double",
+    )
+    [r] = asof_join(
+        trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["quote"], direction="nearest",
+    ).collect()
+    assert r.asof_quote == 11.0
+
+
+def test_asof_forward_nearest_match_naive(spark):
+    """Randomized differential: forward == argmin over right_ts >= left_ts,
+    nearest == argmin |delta| with backward tie-preference, both computed
+    by a naive inequality join (the DuckDB-ASOF-can't-do-this oracle
+    shape). Timestamps are made unique per key so argmin is total."""
+    import random
+
+    rng = random.Random(23)
+    base = T(2024, 1, 1).timestamp()
+    lrows, rrows = [], []
+    for k in range(1, 6):
+        lts = rng.sample(range(0, 86400, 7), 60)
+        rts = rng.sample(range(3, 86400, 11), 60)
+        lrows += [(k, T.fromtimestamp(base + s)) for s in lts]
+        rrows += [(k, T.fromtimestamp(base + s), float(s)) for s in rts]
+    left = spark.createDataFrame(lrows, "k int, lts timestamp")
+    right = spark.createDataFrame(rrows, "k int, rts timestamp, v double")
+
+    naive = {}
+    for k, lts in lrows:
+        cands = [(rts, v) for kk, rts, v in rrows if kk == k]
+        back = [(rts, v) for rts, v in cands if rts <= lts]
+        fwd = [(rts, v) for rts, v in cands if rts >= lts]
+        bpick = max(back)[1] if back else None
+        fpick = min(fwd)[1] if fwd else None
+        if bpick is None:
+            npick = fpick
+        elif fpick is None:
+            npick = bpick
+        else:
+            db = (lts - max(back)[0]).total_seconds()
+            df_ = (min(fwd)[0] - lts).total_seconds()
+            npick = fpick if df_ < db else bpick
+        naive[(k, lts)] = (fpick, npick)
+
+    fwd_out = {
+        (r.k, r.lts): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    near_out = {
+        (r.k, r.lts): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    for key, (fpick, npick) in naive.items():
+        assert fwd_out[key] == fpick, key
+        assert near_out[key] == npick, key
+
+
+def test_asof_forward_null_left_ts_never_matches(spark):
+    trades = spark.createDataFrame(
+        [(1, None), (1, T(2024, 1, 1, 9, 0, 0))], "user_id int, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0), 5.0)],
+        "user_id int, ts timestamp, quote double",
+    )
+    for d in ("forward", "nearest"):
+        out = {
+            r.ts: r.asof_quote
+            for r in asof_join(
+                trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+                value_cols=["quote"], direction=d,
+            ).collect()
+        }
+        assert out[None] is None
+        assert out[T(2024, 1, 1, 9, 0, 0)] == 5.0
+
+
+def test_asof_bad_direction_raises(trades, quotes):
+    with pytest.raises(ValueError, match="backward/forward/nearest"):
+        asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["quote"], direction="sideways",
+        )
