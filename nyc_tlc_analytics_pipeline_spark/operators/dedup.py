@@ -1595,3 +1595,157 @@ def incremental_embedding_report(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# b-bit minwise hashing: the MinHash signature's storage-scale compression
+# ---------------------------------------------------------------------------
+
+
+def bbit_pack(signature: Column, num_hashes: int, b: int = 1) -> Column:
+    """Pack the lowest ``b`` bits of each md5-hex MinHash component into
+    ONE long — b-bit minwise hashing (Li & König, WWW'10).  A
+    16-component hex-string signature (≥128 bytes) becomes ``16·b``
+    bits: at b=1 that is a 16× storage cut on the dedup index, and pair
+    comparison collapses to one XOR + bit_count instead of 16 string
+    equality tests.  Requires ``num_hashes · b ≤ 63`` (one long).
+
+    The low b bits of a uniform hash are uniform, so component i of two
+    docs collides with probability ``J + (1 − J)/2^b`` — estimation
+    inverts that (:func:`bbit_jaccard`).  Bits come from the LAST hex
+    digit of each component (``b ≤ 4``), identically derivable by a SQL
+    oracle."""
+    if num_hashes * b > 63:
+        raise ValueError(f"num_hashes*b must fit a long, got {num_hashes}x{b}")
+    if not 1 <= b <= 4:
+        raise ValueError(f"b must be in 1..4 (one hex digit), got {b}")
+    # unrolled over Python ints (shiftleft's bit count must be a literal);
+    # num_hashes is small by contract, so the expression stays linear
+    terms = [
+        F.shiftleft(
+            F.conv(F.substring(F.element_at(signature, i + 1), 8, 1), 16, 10)
+            .cast("long")
+            % lit(1 << b),
+            i * b,
+        )
+        for i in range(num_hashes)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def bbit_jaccard(packed_a: Column, packed_b: Column, num_hashes: int, b: int = 1) -> Column:
+    """Unbiased Jaccard estimate from two b-bit packed signatures:
+    ``Ĵ = (ĉ − 2^{−b}) / (1 − 2^{−b})`` where ĉ is the fraction of
+    matching b-bit groups (components whose XOR group is all-zero).
+    Small-k noise can push the estimate below 0 — left raw (clamping
+    would bias the calibration report this feeds)."""
+    xorv = packed_a.bitwiseXOR(packed_b)
+    mask = lit((1 << b) - 1).cast("long")
+    parts = [
+        F.when(
+            F.shiftrightunsigned(xorv, i * b).bitwiseAND(mask) == 0, lit(1)
+        ).otherwise(lit(0))
+        for i in range(num_hashes)
+    ]
+    matches = parts[0]
+    for p in parts[1:]:
+        matches = matches + p
+    c_hat = matches / lit(float(num_hashes))
+    r = 1.0 / float(1 << b)
+    return (c_hat - lit(r)) / lit(1.0 - r)
+
+
+def bbit_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    b: int = 1,
+) -> DataFrame:
+    """q95's estimate-vs-exact calibration, extended one tier down the
+    storage ladder: on the LSH candidate pairs, the FULL-signature
+    estimate (matching components / k), the b-BIT packed estimate
+    (:func:`bbit_jaccard` — 16× smaller index at b=1), and the exact
+    shingle Jaccard, bucketed by the exact value.  The report is what
+    sizes the compression decision before a 100 TB dedup run: whether
+    the b-bit tier's extra variance is tolerable at the thresholds the
+    gates use.  Exact verification stays LSH-bounded (candidates only)."""
+    from ..functions.scalar import rnd
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, "md5")
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    packed = sigs.select(
+        "doc", "signature", bbit_pack(col("signature"), num_hashes, b).alias("packed")
+    )
+    sa = packed.select(
+        col("doc").alias("doc_a"),
+        col("signature").alias("sig_a"),
+        col("packed").alias("pk_a"),
+    )
+    sb = packed.select(
+        col("doc").alias("doc_b"),
+        col("signature").alias("sig_b"),
+        col("packed").alias("pk_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(col("sig_a"), col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(agree / lit(float(num_hashes)), 6).alias("est_full"),
+            rnd(bbit_jaccard(col("pk_a"), col("pk_b"), num_hashes, b), 6).alias(
+                "est_bbit"
+            ),
+        )
+    )
+    st = shingle_table(df, id_col, text_col, n)
+    sizes = st.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    common = (
+        cands.join(st.select(col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(st.select(col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ex = (
+        cands.join(common, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce(col("n_common"), lit(0)))
+        .join(sizes.select(col("doc").alias("doc_a"), col("n_sh").alias("sz_a")), "doc_a")
+        .join(sizes.select(col("doc").alias("doc_b"), col("n_sh").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(
+                col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")), 6
+            ).alias("ex_j"),
+        )
+    )
+    return (
+        est.join(ex, ["doc_a", "doc_b"])
+        .withColumn(
+            "exact_bucket",
+            F.least(F.floor(col("ex_j") * 5), lit(4)).cast("long"),
+        )
+        .groupBy("exact_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rnd(F.avg("ex_j"), 6).alias("avg_exact"),
+            rnd(F.avg("est_full"), 6).alias("avg_est_full"),
+            rnd(F.avg("est_bbit"), 6).alias("avg_est_bbit"),
+            rnd(F.avg(col("est_full") - col("ex_j")), 6).alias("bias_full"),
+            rnd(F.avg(col("est_bbit") - col("ex_j")), 6).alias("bias_bbit"),
+        )
+        .orderBy("exact_bucket")
+    )

@@ -133,3 +133,72 @@ def greedy_pack_reference(
         fill += int(n)
         out.append((pack, fill))
     return out
+
+
+def padding_efficiency_curve(
+    df: DataFrame,
+    id_col: str,
+    len_col: Column | str,
+    seq_cap: int,
+    bucket_counts: list[int],
+) -> DataFrame:
+    """Padding-waste curve for LENGTH-BUCKETED batching: for each
+    candidate bucket count B, sort documents by (capped) length, split
+    the sorted order into B equal-rank buckets, pad every doc to its
+    bucket's max length, and report the padded-token overhead — the
+    knob-sizing report a training pipeline reads before fixing its
+    bucketing config (B=1 is pad-to-global-max, the no-bucketing
+    baseline; waste falls monotonically as B grows while per-bucket
+    batch pools shrink).
+
+    Scale shape: lengths rank once via the two-pass
+    :func:`~.layout.global_row_number` (range shuffle — never a
+    single-partition window), the total count rides a broadcast 1-row
+    frame, and each B's report is a |B|-row aggregate over the SAME
+    ranked frame (localCheckpoint) — no re-scan per rung.  Returns one
+    row per B: (n_buckets, n_docs, useful_tokens, padded_tokens,
+    waste_pct), waste_pct = 100·(padded − useful)/padded at 4 dp."""
+    from ..functions.scalar import rnd
+    from .layout import global_row_number
+
+    c = col(len_col) if isinstance(len_col, str) else len_col
+    lens = df.select(
+        col(id_col).alias("__id"), F.least(c, lit(seq_cap)).alias("__len")
+    )
+    ranked = global_row_number(
+        lens, [col("__len"), col("__id")], rank_col="__rank"
+    ).localCheckpoint(eager=False)
+    total = ranked.agg(F.count("*").cast("long").alias("__n"))
+    parts = []
+    for nb in bucket_counts:
+        bucketed = ranked.crossJoin(F.broadcast(total)).withColumn(
+            "__bucket",
+            F.floor((col("__rank") - 1) * lit(nb) / col("__n")).cast("long"),
+        )
+        per_bucket = bucketed.groupBy("__bucket").agg(
+            F.max("__len").alias("__pad"),
+            F.count("*").alias("__cnt"),
+            F.sum("__len").alias("__useful"),
+        )
+        parts.append(
+            per_bucket.agg(
+                F.sum(col("__pad") * col("__cnt")).cast("long").alias("padded_tokens"),
+                F.sum("__useful").cast("long").alias("useful_tokens"),
+                F.sum("__cnt").cast("long").alias("n_docs"),
+            ).select(
+                lit(nb).cast("long").alias("n_buckets"),
+                "n_docs",
+                "useful_tokens",
+                "padded_tokens",
+                rnd(
+                    100.0
+                    * (col("padded_tokens") - col("useful_tokens"))
+                    / col("padded_tokens"),
+                    4,
+                ).alias("waste_pct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n_buckets")

@@ -1565,3 +1565,54 @@ def ivf_staleness_report(
         )
         .orderBy("cid")
     )
+
+
+def truncation_recall_audit(
+    df: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    family: str = "trunc",
+) -> DataFrame:
+    """Dimension-TRUNCATION ladder (the matryoshka-embedding question):
+    recall@k of brute-force search scored on only the first ``d``
+    coordinates, against full-dimension truth, for each rung of the
+    ladder — one row per d.  Truncation is the third axis of the ANN
+    storage/IO ladder after int8 (4×) and 1-bit (64×): keeping d of D
+    dims cuts the similarity scan D/d× with NO index at all, and this
+    report says what each cut costs in recall before a 100 TB corpus
+    commits to a prefix width.
+
+    Cost shape: the audits' contract — a fixed, fail-closed query panel;
+    ONE full-dim brute pass for truth (localCheckpoint, shared by every
+    rung) plus one corpus scan per rung; per-query top-k in the
+    two-stage partition-local form."""
+    _audit_panel_check(queries)
+    q = queries.select(
+        col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+    )
+    corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
+    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    parts = []
+    for d in dims:
+        scored = (
+            corpus_plain.crossJoin(F.broadcast(q))
+            .filter(col(id_col) != col("query_id"))
+            .select(
+                "query_id",
+                id_col,
+                rnd(
+                    cosine(F.slice(col("__v"), 1, d), F.slice(col("__qv"), 1, d)),
+                    6,
+                ).alias("__cos"),
+            )
+        )
+        approx = _multi_query_topk(scored, k, id_col)
+        rep = _recall_report(q, scored, truth, approx, id_col)
+        parts.append(audit_summary(rep, family, f"dim_{d:03d}"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -10832,3 +10832,265 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(col("vec_id") % 3 == 0)
     cents = similarity.ivf_centroids(standing, k=16)
     return similarity.ivf_staleness_report(standing, batch, cents)
+
+
+# ---------------------------------------------------------------------------
+# q167 — b-bit minwise hashing: the MinHash index's storage-compression tier
+# ---------------------------------------------------------------------------
+
+_Q167_B = 1
+
+_Q167_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (
+    SELECT doc_id, k,
+           min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+    FROM sh CROSS JOIN range(16) r(k)
+    GROUP BY doc_id, k
+),
+sig AS (
+    SELECT doc_id, list(h ORDER BY k) AS signature FROM mh GROUP BY doc_id
+),
+packed AS (
+    SELECT doc_id, signature,
+           list_sum(list_transform(range(1, 17),
+               i -> (('0x' || substr(signature[i], 8, 1))::BIGINT % {1 << _Q167_B})
+                    * (1::BIGINT << ({_Q167_B} * (i - 1))))) AS pk
+    FROM sig
+),
+banded AS (
+    SELECT doc_id, b,
+           md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
+    FROM sig CROSS JOIN range(4) rb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+est AS (
+    SELECT doc_a, doc_b,
+           round(1.0 * len(list_filter(range(1, 17),
+                                       i -> sa.signature[i] = sb.signature[i]))
+                 / 16 + 1e-9, 6) AS est_full,
+           round((1.0 * len(list_filter(range(1, 17),
+                     i -> ((xor(sa.pk, sb.pk) >> ({_Q167_B} * (i - 1)))
+                           & {(1 << _Q167_B) - 1}) = 0))
+                  / 16 - {1.0 / (1 << _Q167_B)}) / {1.0 - 1.0 / (1 << _Q167_B)}
+                 + 1e-9, 6) AS est_bbit
+    FROM cand
+    JOIN packed sa ON doc_a = sa.doc_id
+    JOIN packed sb ON doc_b = sb.doc_id
+),
+docsh AS (
+    SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+),
+exact AS (
+    SELECT doc_a, doc_b,
+           round(1.0 * len(list_intersect(sa.shset, sb.shset))
+                 / (len(sa.shset) + len(sb.shset)
+                    - len(list_intersect(sa.shset, sb.shset))) + 1e-9, 6) AS ex_j
+    FROM cand
+    JOIN docsh sa ON doc_a = sa.doc_id
+    JOIN docsh sb ON doc_b = sb.doc_id
+)
+SELECT CAST(least(floor(ex_j * 5), 4) AS BIGINT) AS exact_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ex_j) + 1e-9, 6) AS avg_exact,
+       round(avg(est_full) + 1e-9, 6) AS avg_est_full,
+       round(avg(est_bbit) + 1e-9, 6) AS avg_est_bbit,
+       round(avg(est_full - ex_j) + 1e-9, 6) AS bias_full,
+       round(avg(est_bbit - ex_j) + 1e-9, 6) AS bias_bbit
+FROM est
+JOIN exact USING (doc_a, doc_b)
+GROUP BY exact_bucket
+ORDER BY exact_bucket
+"""
+
+
+@register(
+    "q167_bbit_minwise_calibration",
+    _Q167_ORACLE,
+    "b-bit minwise hashing (Li & Koenig): the MinHash dedup index "
+    "compressed one more tier — each 16-component hex signature packs "
+    "to 16 bits (16x smaller index; pair comparison = one XOR + "
+    "bit-group count instead of 16 string equalities) with Jaccard "
+    "recovered by the unbiased inversion (c - 1/2)/(1 - 1/2).  q95's "
+    "calibration report extended: on the LSH candidate pairs, exact "
+    "shingle Jaccard vs the full-signature estimate vs the 1-bit "
+    "estimate, bucketed by exact — the variance-vs-storage decision "
+    "a 100 TB dedup run makes before committing to the compressed "
+    "tier.  Exact verification stays LSH-bounded.  Oracle replays the "
+    "md5 signature chain, the bit packing, both estimators, and the "
+    "bucketed report.",
+    operators=("dedup-minhash-lsh", "sketch-calibration", "sketch-compression", "A4"),
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bbit_calibration(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, b=_Q167_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — dimension-truncation recall ladder (the matryoshka question)
+# ---------------------------------------------------------------------------
+
+_Q168_DIMS = (64, 32, 16, 8)
+
+
+def _q168_rung(d: int) -> str:
+    """One truncation rung: approx ranks on the first d dims, recall
+    measured against the shared full-dim truth."""
+    return f"""
+approx_d{d} AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                                list_slice(e.v, 1, {d}),
+                                list_slice(q.qv, 1, {d})) + 1e-9, 6) DESC,
+                            e.vec_id) AS rn
+        FROM qs q JOIN e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),
+rep_d{d} AS (
+    SELECT q.query_id,
+           (SELECT count(*) FROM e WHERE e.vec_id <> q.query_id) AS n_candidates,
+           round(1.0 * coalesce(h.n_hits, 0)
+                 / nullif(coalesce(nt.n_truth, 0), 0) + 1e-9, 6) AS recall
+    FROM qs q
+    LEFT JOIN (SELECT query_id, count(*) AS n_truth
+               FROM brute GROUP BY query_id) nt
+           ON q.query_id = nt.query_id
+    LEFT JOIN (SELECT t.query_id, count(*) AS n_hits
+               FROM brute t JOIN approx_d{d} a
+                 ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+               GROUP BY t.query_id) h
+           ON q.query_id = h.query_id
+)"""
+
+
+_Q168_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE {_AUDIT_PANEL_SQL}
+),
+brute AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(e.v, q.qv) + 1e-9, 6) DESC,
+                            e.vec_id) AS rn
+        FROM qs q JOIN e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),{",".join(_q168_rung(d) for d in _Q168_DIMS)}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f'''
+    SELECT 'trunc' AS family, 'dim_{d:03d}' AS config,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall) + 1e-9, 6) AS mean_recall,
+           round(avg(n_candidates) + 1e-9, 6) AS mean_candidates
+    FROM rep_d{d}''' for d in _Q168_DIMS)}
+)
+ORDER BY family, config
+"""
+
+
+@register(
+    "q168_truncation_recall_ladder",
+    _Q168_ORACLE,
+    "Dimension-truncation recall ladder (the matryoshka-embedding "
+    "question): brute-force recall@10 when similarity is scored on "
+    "only the first d of 64 coordinates, for d in 64/32/16/8, against "
+    "full-dimension truth — the third axis of the ANN storage/IO "
+    "ladder after int8 (q146, 4x) and 1-bit (q149, 64x): a d-prefix "
+    "scan reads 64/d-fold fewer vector bytes with NO index at all, and "
+    "this report prices each rung's recall cost before a corpus "
+    "commits to a prefix width.  d=64 is the built-in sanity rung "
+    "(recall 1.0 by construction).  One fail-closed fixed panel, ONE "
+    "shared full-dim truth pass (localCheckpoint), one corpus scan per "
+    "rung, two-stage per-query top-k.  Oracle replays the slices, all "
+    "rank lists at the 6-dp grain, and the ladder report.",
+    operators=("sim-ann-truncation", "audit-recall", "sim-quantized", "W2"),
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    return similarity.truncation_recall_audit(
+        emb, panel, list(_Q168_DIMS), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — length-bucketed batching: the padding-waste curve
+# ---------------------------------------------------------------------------
+
+_Q169_CAP = 512
+_Q169_BUCKETS = (1, 2, 4, 8, 16)
+
+_Q169_ORACLE = f"""
+WITH lens AS (
+    SELECT doc_id AS id,
+           least(len(string_split_regex(lower(text), '\\s+')), {_Q169_CAP}) AS l
+    FROM documents
+),
+ranked AS (
+    SELECT id, l,
+           row_number() OVER (ORDER BY l, id) AS rn,
+           count(*) OVER () AS n
+    FROM lens
+),
+curve AS (
+    {" UNION ALL ".join(f'''
+    SELECT {nb}::BIGINT AS n_buckets, pb.* FROM (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(sum(useful) AS BIGINT) AS useful_tokens,
+               CAST(sum(pad * cnt) AS BIGINT) AS padded_tokens
+        FROM (
+            SELECT floor((rn - 1) * {nb} / n) AS bucket,
+                   max(l) AS pad, count(*) AS cnt, sum(l) AS useful
+            FROM ranked GROUP BY bucket
+        )
+    ) pb''' for nb in _Q169_BUCKETS)}
+)
+SELECT n_buckets, n_docs, useful_tokens, padded_tokens,
+       round(100.0 * (padded_tokens - useful_tokens) / padded_tokens + 1e-9, 4)
+           AS waste_pct
+FROM curve
+ORDER BY n_buckets
+"""
+
+
+@register(
+    "q169_padding_efficiency_curve",
+    _Q169_ORACLE,
+    "Length-bucketed batching knob-sizing: for bucket counts 1/2/4/8/16, "
+    "sort docs by capped whitespace-token length, split the sorted "
+    "order into equal-rank buckets, pad each doc to its bucket max, and "
+    "report the padded-token overhead — B=1 is the pad-to-global-max "
+    "baseline and the curve prices how much padding each extra bucket "
+    "buys back (the standard train-loader efficiency decision).  Ranks "
+    "come from the two-pass global_row_number (range shuffle, never a "
+    "single-partition window), the total count rides a broadcast 1-row "
+    "frame, and every rung aggregates the SAME ranked frame "
+    "(localCheckpoint) — no re-scan per B.  Oracle replays the capped "
+    "lengths, the rank bucketing, and the waste arithmetic.",
+    operators=("packing-buckets", "layout-rank", "A10", "S15"),
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.padding_efficiency_curve(
+        docs.select("doc_id", text.token_count("text").alias("n_toks")),
+        "doc_id",
+        "n_toks",
+        seq_cap=_Q169_CAP,
+        bucket_counts=list(_Q169_BUCKETS),
+    )

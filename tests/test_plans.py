@@ -114,6 +114,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "q162_ivf_recall_audit",  # bounded audit panel onto the corpus scan (brute truth pass)
         "q164_recall_remediation",  # bounded audit panels / K-centroid frames onto corpus scans (8 audit configs)
         "q165_ivf_staleness",  # K-cosine array against literal centroids; no join at all (union agg)
+        "q168_truncation_recall_ladder",  # bounded audit panel onto the corpus scan (per-rung brute pass)
+        "q169_padding_efficiency_curve",  # 1-row total-count broadcast onto the ranked frame
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

@@ -399,3 +399,120 @@ def test_streaming_embedding_near_dup_matches_sequential(spark, tmp_path):
     v_before = ManifestTable(spark, status_p).latest_version()
     run()
     assert ManifestTable(spark, status_p).latest_version() == v_before
+
+
+# ---------------------------------------------------------------------------
+# b-bit minwise (q167), truncation ladder (q168), padding curve (q169)
+# ---------------------------------------------------------------------------
+
+
+def test_bbit_pack_matches_python(spark):
+    """Packed bits re-derive from the signature hex strings, and the
+    estimator inverts exactly on identical / disjoint signatures."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, C.SF_SMOKE, "documents").limit(40)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 3, 16, "md5")
+    rows = sigs.select(
+        "doc", "signature", dedup.bbit_pack(F.col("signature"), 16, 1).alias("pk")
+    ).collect()
+    for r in rows:
+        want = sum((int(h[7], 16) % 2) << i for i, h in enumerate(r.signature))
+        assert r.pk == want
+
+
+def test_bbit_jaccard_estimator_bounds(spark):
+    """Identical packed signatures estimate J=1; the estimator never
+    exceeds 1 and reaches its floor -1 only when every bit differs."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, 0), (0xFFFF, 0xFFFF), (0, 0xFFFF)], "a long, b long"
+    )
+    got = df.select(
+        dedup.bbit_jaccard(F.col("a"), F.col("b"), 16, 1).alias("j")
+    ).collect()
+    assert got[0].j == 1.0 and got[1].j == 1.0
+    assert got[2].j == -1.0
+
+
+def test_bbit_calibration_consistent_with_q95_columns(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    rep = dedup.bbit_calibration(docs, "doc_id", "text").collect()
+    assert rep, "calibration produced no buckets"
+    for r in rep:
+        assert 0 <= r.exact_bucket <= 4
+        assert r.n_pairs > 0
+        # 1-bit variance is larger but the estimate must stay in [-1, 1]
+        assert -1.000001 <= r.avg_est_bbit <= 1.000001
+        assert 0 <= r.avg_est_full <= 1.000001
+
+
+def test_truncation_ladder_sane(spark):
+    """dim=64 (full) recall must be exactly 1.0 by construction, and
+    every truncated rung strictly below it on this isotropic fixture
+    (random embeddings carry no matryoshka prefix structure, so deep
+    rungs collapse toward noise — the report's honest message; between
+    two DEEP rungs recall is sampling noise, so no monotonicity is
+    asserted there)."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, C.SF_SMOKE, "embeddings")
+    panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    rep = {
+        r.config: r
+        for r in similarity.truncation_recall_audit(
+            emb, panel, [64, 16, 4], k=5
+        ).collect()
+    }
+    assert rep["dim_064"].mean_recall == 1.0
+    assert rep["dim_016"].mean_recall < 1.0
+    assert rep["dim_004"].mean_recall < 1.0
+    for r in rep.values():
+        assert r.n_queries == 20
+        assert 0.0 <= r.mean_recall <= 1.0
+
+
+def test_padding_curve_invariants(spark):
+    """B=1 pads everything to the global max; waste is non-increasing
+    in B; useful tokens are constant across rungs; all counts match a
+    python reference."""
+    from nyc_tlc_analytics_pipeline_spark.operators import packing, text
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    lens = docs.select("doc_id", text.token_count("text").alias("n"))
+    rep = {
+        r.n_buckets: r
+        for r in packing.padding_efficiency_curve(
+            lens, "doc_id", "n", seq_cap=128, bucket_counts=[1, 2, 4, 8]
+        ).collect()
+    }
+    py = sorted(
+        (min(r.n, 128), r.doc_id) for r in lens.collect()
+    )
+    n = len(py)
+    assert rep[1].n_docs == n
+    assert rep[1].useful_tokens == sum(l for l, _ in py)
+    assert rep[1].padded_tokens == max(l for l, _ in py) * n
+    prev = None
+    for b in (1, 2, 4, 8):
+        r = rep[b]
+        assert r.useful_tokens == rep[1].useful_tokens
+        # python reference for the rank bucketing
+        padded = 0
+        for bi in range(b):
+            members = [py[i][0] for i in range(n) if (i * b) // n == bi]
+            if members:
+                padded += max(members) * len(members)
+        assert r.padded_tokens == padded, b
+        if prev is not None:
+            assert r.padded_tokens <= prev
+        prev = r.padded_tokens
