@@ -198,6 +198,7 @@ _SWEEP_COST = {
     "q167_bbit_minwise_calibration": 13.40,
     "q168_truncation_recall_ladder": 12.30,
     "q169_padding_efficiency_curve": 9.30,
+    "q170_contamination_union_gate": 9.40,
 }
 
 

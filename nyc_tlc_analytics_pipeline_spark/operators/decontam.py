@@ -311,3 +311,78 @@ def semantic_contamination(
         (-col("__m.nb")).alias("nearest_bench"),
         (col("__m.c") >= lit(threshold)).alias("contaminated"),
     )
+
+
+def contamination_union_report(
+    corpus_docs: DataFrame,
+    bench_docs: DataFrame,
+    corpus_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.3,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "lang",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """The UNION decontamination gate a production pipeline actually
+    ships: the lexical n-gram detector (:func:`flag_contaminated` —
+    verbatim leaks) and the semantic detector
+    (:func:`semantic_contamination` — paraphrases/translations the
+    grams can't see) over the same corpus, with the per-group verdict
+    overlap in one report.  The overlap columns are the TUNING signal:
+    a large semantic-only count says the n-gram gate alone under-
+    filters; a large lexical-only count at this threshold says the
+    embedding space under-recalls verbatim leaks (bad encoder or
+    threshold).
+
+    ``corpus_vecs``/``bench_vecs`` carry the same ids as the doc frames
+    (the document's embedding).  Scale shape: both detectors keep their
+    own contracts (benchmark side broadcast-gated, corpus never
+    shuffled by the lexical probe, semantic max partial-aggregable);
+    the verdict join adds two LEFT joins of id-sized flag frames.
+    Returns one row per group: (group, n_train, n_lexical, n_semantic,
+    n_both, n_either, clean_pct)."""
+    from ..functions.scalar import rnd
+
+    lex = (
+        flag_contaminated(corpus_docs, bench_docs, n, doc_id_col, text_col)
+        .select(col(doc_id_col).alias("__lid"))
+        .distinct()
+        .withColumn("__lex", lit(1))
+    )
+    sem = (
+        semantic_contamination(
+            corpus_vecs, bench_vecs, threshold, vec_id_col, vec_col, kernel=kernel
+        )
+        .filter(col("contaminated"))
+        .select(col(vec_id_col).alias("__sid"))
+        .withColumn("__sem", lit(1))
+    )
+    flagged = (
+        corpus_docs.select(col(doc_id_col), col(group_col))
+        .join(lex, col(doc_id_col) == col("__lid"), "left")
+        .join(sem, col(doc_id_col) == col("__sid"), "left")
+        .select(
+            col(group_col),
+            F.coalesce(col("__lex"), lit(0)).alias("l"),
+            F.coalesce(col("__sem"), lit(0)).alias("s"),
+        )
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum("l").cast("long").alias("n_lexical"),
+            F.sum("s").cast("long").alias("n_semantic"),
+            F.sum(col("l") * col("s")).cast("long").alias("n_both"),
+            F.sum(F.greatest(col("l"), col("s"))).cast("long").alias("n_either"),
+        )
+        .withColumn(
+            "clean_pct",
+            rnd(100.0 * (col("n_train") - col("n_either")) / col("n_train"), 4),
+        )
+        .orderBy(group_col)
+    )

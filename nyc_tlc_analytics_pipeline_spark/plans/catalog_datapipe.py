@@ -11094,3 +11094,99 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_cap=_Q169_CAP,
         bucket_counts=list(_Q169_BUCKETS),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — the UNION decontamination gate (lexical n-gram + semantic cosine)
+# ---------------------------------------------------------------------------
+
+_Q170_N = 4
+_Q170_TH = "CAST('0.3' AS DOUBLE)"
+_Q170_THF = 0.3
+
+_Q170_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - {_Q170_N - 1}, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {_Q170_N - 1}), ' ')))) AS g
+    FROM t
+),
+bgrams AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+lex AS (
+    SELECT DISTINCT doc_id FROM g
+    WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bgrams)
+),
+bv AS (
+    SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+cv AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 50 <> 0
+),
+sem AS (
+    SELECT vec_id FROM (
+        SELECT cv.vec_id,
+               max(round(list_cosine_similarity(cv.v, bv.v) + 1e-9, 6)) AS mc
+        FROM cv CROSS JOIN bv
+        GROUP BY cv.vec_id
+    ) WHERE mc >= {_Q170_TH}
+),
+flagged AS (
+    SELECT t.lang,
+           CASE WHEN t.doc_id IN (SELECT doc_id FROM lex) THEN 1 ELSE 0 END AS l,
+           CASE WHEN t.doc_id IN (SELECT vec_id FROM sem) THEN 1 ELSE 0 END AS s
+    FROM t
+    WHERE t.doc_id % 50 <> 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(l) AS BIGINT) AS n_lexical,
+       CAST(sum(s) AS BIGINT) AS n_semantic,
+       CAST(sum(l * s) AS BIGINT) AS n_both,
+       CAST(sum(greatest(l, s)) AS BIGINT) AS n_either,
+       round(100.0 * (count(*) - sum(greatest(l, s))) / count(*) + 1e-9, 4)
+           AS clean_pct
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q170_contamination_union_gate",
+    _Q170_ORACLE,
+    "The decontamination gate a pipeline actually SHIPS: the lexical "
+    f"{_Q170_N}-gram detector (q50 — verbatim leaks) and the semantic "
+    f"max-cosine detector (q158 — paraphrases, threshold {_Q170_THF}) "
+    "run over the SAME corpus (every 50th doc plays the benchmark; its "
+    "embedding row is the semantic bench side), with the per-language "
+    "verdict overlap in one report — semantic-only volume says the "
+    "n-gram gate under-filters, lexical-only volume says the embedding "
+    "threshold under-recalls verbatim text.  Both detectors keep their "
+    "scale contracts (broadcast-gated bench sides, no corpus shuffle "
+    "in the lexical probe, partial-aggregable semantic max); the "
+    "verdict join is two id-sized flag left-joins.  Registration pins "
+    "kernel=expr (the hash gate); arrow BLAS is the operator default.  "
+    "Oracle replays both detectors and the overlap arithmetic.",
+    operators=("decontam-ngram", "decontam-semantic", "J8", "A4"),
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    return decontam.contamination_union_report(
+        docs.filter(col("doc_id") % 50 != 0),
+        docs.filter(col("doc_id") % 50 == 0),
+        emb.filter(col("vec_id") % 50 != 0),
+        emb.filter(col("vec_id") % 50 == 0),
+        n=_Q170_N,
+        threshold=_Q170_THF,
+        kernel="expr",
+    )

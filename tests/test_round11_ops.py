@@ -516,3 +516,40 @@ def test_padding_curve_invariants(spark):
         if prev is not None:
             assert r.padded_tokens <= prev
         prev = r.padded_tokens
+
+
+def test_contamination_union_gate_consistency(spark):
+    """The union report's per-group counts must re-derive from the two
+    constituent detectors run independently, and the identities
+    n_both <= min(n_lexical, n_semantic) <= n_either <= n_train hold."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import decontam
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    emb = load_table(spark, C.SF_SMOKE, "embeddings")
+    cd, bd = docs.filter(col("doc_id") % 50 != 0), docs.filter(col("doc_id") % 50 == 0)
+    cv, bv = emb.filter(col("vec_id") % 50 != 0), emb.filter(col("vec_id") % 50 == 0)
+    rep = decontam.contamination_union_report(
+        cd, bd, cv, bv, n=4, threshold=0.3
+    ).collect()
+    assert rep
+    lex_ids = {r.doc_id for r in decontam.flag_contaminated(cd, bd, 4).collect()}
+    sem_ids = {
+        r.vec_id
+        for r in decontam.semantic_contamination(cv, bv, 0.3)
+        .filter(col("contaminated"))
+        .collect()
+    }
+    by_lang = {}
+    for r in cd.select("doc_id", "lang").collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    for row in rep:
+        ids = by_lang[row.lang]
+        assert row.n_train == len(ids)
+        assert row.n_lexical == sum(1 for i in ids if i in lex_ids)
+        assert row.n_semantic == sum(1 for i in ids if i in sem_ids)
+        assert row.n_both == sum(1 for i in ids if i in lex_ids and i in sem_ids)
+        assert row.n_either == sum(1 for i in ids if i in lex_ids or i in sem_ids)
+        assert row.n_both <= min(row.n_lexical, row.n_semantic)
+        assert max(row.n_lexical, row.n_semantic) <= row.n_either <= row.n_train
