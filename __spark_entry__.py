@@ -199,6 +199,7 @@ _SWEEP_COST = {
     "q168_truncation_recall_ladder": 12.30,
     "q169_padding_efficiency_curve": 9.30,
     "q170_contamination_union_gate": 9.40,
+    "q171_adaptive_ivf_probe": 25.70,
 }
 
 

@@ -300,6 +300,22 @@ def main(argv: list[str] | None = None) -> int:
     ej.add_argument("--cms-width", type=int, default=512)
     ej.add_argument("--hll-b", type=int, default=9)
 
+    ih = sub.add_parser(
+        "index-staleness",
+        help="IVF index health after incremental appends: per-centroid "
+        "resident-vs-append mean assigned-cosine and cos_drift (the "
+        "retrain alarm; operators.similarity.ivf_staleness_report)",
+    )
+    ih.add_argument("--resident", required=True, help="resident vectors parquet path")
+    ih.add_argument("--appended", required=True, help="appended vectors parquet path")
+    ih.add_argument("--id-col", default="vec_id")
+    ih.add_argument("--vec-col", default="embedding")
+    ih.add_argument("--k", type=int, default=16, help="frozen centroid count")
+    ih.add_argument(
+        "--alert", type=float, default=0.05,
+        help="cos_drift above this prints retrain=True",
+    )
+
     dr = sub.add_parser(
         "drift",
         help="PSI drift report between a reference and a current "
@@ -711,6 +727,29 @@ def main(argv: list[str] | None = None) -> int:
                     "distinct_left_keys": round(ov.distinct_a, 1),
                     "distinct_right_keys": round(ov.distinct_b, 1),
                     "distinct_key_overlap": round(ov.overlap_estimate, 1),
+                },
+                indent=2,
+                sort_keys=True,
+            )
+        )
+    elif args.command == "index-staleness":
+        from .operators import similarity
+
+        resident = pl.spark.read.parquet(args.resident)
+        appended = pl.spark.read.parquet(args.appended)
+        cents = similarity.ivf_centroids(
+            resident, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+        )
+        rep = similarity.ivf_staleness_report(
+            resident, appended, cents, id_col=args.id_col, vec_col=args.vec_col
+        ).collect()
+        drifts = [r.cos_drift for r in rep if r.cos_drift is not None]
+        print(
+            json.dumps(
+                {
+                    "buckets": [r.asDict() for r in rep],
+                    "max_cos_drift": max(drifts) if drifts else None,
+                    "retrain": bool(drifts and max(drifts) > args.alert),
                 },
                 indent=2,
                 sort_keys=True,

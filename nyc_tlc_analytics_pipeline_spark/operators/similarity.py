@@ -1616,3 +1616,106 @@ def truncation_recall_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _ivf_candidates_adaptive(
+    corpus_plain: DataFrame,
+    q: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    delta: float,
+    max_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, id, __v, __qv) candidates under the ADAPTIVE probe
+    rule: each query probes every centroid whose 6-dp-rounded cosine is
+    within ``delta`` of its best centroid's (capped at ``max_probe``
+    cells, rank-ordered like the fixed rule).  A query that lands
+    squarely inside one cell probes few; a boundary query widens itself
+    — per-query cost follows per-query ambiguity instead of a global
+    worst-case n_probe."""
+    from pyspark.sql.window import Window
+
+    corpus = corpus_plain.withColumn(
+        "__cid", assign_ivf_bucket(col("__v"), centroids)
+    ).localCheckpoint(eager=False)
+    cents = corpus_plain.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "__ccid int, __cv array<double>",
+    )
+    w = Window.partitionBy("query_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qcos", rnd(cosine(col("__qv"), col("__cv")), 6))
+        .withColumn("__best", F.max("__qcos").over(w))
+        .withColumn(
+            "__r",
+            F.row_number().over(w.orderBy(col("__qcos").desc(), col("__ccid"))),
+        )
+        .filter(
+            (col("__qcos") >= col("__best") - lit(float(delta)))
+            & (col("__r") <= max_probe)
+        )
+        .select("query_id", "__qv", col("__ccid").alias("__cid"))
+    )
+    return (
+        corpus.join(F.broadcast(probes), "__cid")
+        .filter(col(id_col) != col("query_id"))
+        .select("query_id", id_col, "__v", "__qv")
+    )
+
+
+def ivf_adaptive_probe_report(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    fixed_n_probe: int,
+    delta: float,
+    max_probe: int | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed vs ADAPTIVE probe width, priced on one panel against one
+    shared brute-truth pass: the fixed rule probes ``fixed_n_probe``
+    cells for every query; the adaptive rule probes every cell whose
+    (6-dp) query-cosine sits within ``delta`` of that query's best cell
+    (capped at ``max_probe``, default K).  The report
+    (family='ivf_probe', config='fixed_N' / 'adaptive_Dxx') shows
+    whether ambiguity-following beats the global worst-case — the knob
+    the q162 recall audit says to widen, made per-query.  Replayable
+    cross-engine: the gap rule compares ROUNDED cosines only."""
+    if max_probe is None:
+        max_probe = len(centroids)
+    _audit_panel_check(queries)
+    q = queries.select(
+        col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+    )
+    corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
+    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    fixed = audit_summary(
+        _config_report(
+            corpus_plain,
+            q,
+            truth,
+            _ivf_candidates(corpus_plain, q, centroids, fixed_n_probe, id_col),
+            k,
+            id_col,
+        ),
+        "ivf_probe",
+        f"fixed_{fixed_n_probe}",
+    )
+    adaptive = audit_summary(
+        _config_report(
+            corpus_plain,
+            q,
+            truth,
+            _ivf_candidates_adaptive(
+                corpus_plain, q, centroids, delta, max_probe, id_col
+            ),
+            k,
+            id_col,
+        ),
+        "ivf_probe",
+        f"adaptive_{delta}",
+    )
+    return fixed.unionByName(adaptive)

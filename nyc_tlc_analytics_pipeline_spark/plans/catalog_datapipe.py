@@ -11190,3 +11190,89 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_Q170_THF,
         kernel="expr",
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — adaptive IVF probe width (cosine-gap rule) vs the fixed knob
+# ---------------------------------------------------------------------------
+
+_Q171_DELTA = 0.15
+
+_Q171_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE {_AUDIT_PANEL_SQL}
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           v AS cv
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR))
+    LIMIT 16
+),{_q164_ivf_cand("fx", "e", "qs", "cents", 4)},{_q164_tail("fx", "e", "qs")},
+probe_ad AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               round(list_cosine_similarity(c.cv, q.qv) + 1e-9, 6) AS qcos,
+               max(round(list_cosine_similarity(c.cv, q.qv) + 1e-9, 6))
+                   OVER (PARTITION BY q.query_id) AS best,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(c.cv, q.qv) + 1e-9, 6) DESC,
+                            c.cid) AS rn
+        FROM qs q CROSS JOIN cents c
+    ) WHERE qcos >= best - {_Q171_DELTA} AND rn <= 16
+),
+assigned_ad AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+cand_ad AS (
+    SELECT p.query_id, a.vec_id, a.v, q.qv
+    FROM probe_ad p
+    JOIN assigned_ad a ON a.cid = p.cid
+    JOIN qs q ON q.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+),{_q164_tail("ad", "e", "qs")}
+SELECT * FROM (
+{_q164_summary("fx", "ivf_probe", "fixed_4")}
+    UNION ALL
+{_q164_summary("ad", "ivf_probe", f"adaptive_{_Q171_DELTA}")}
+)
+ORDER BY family, config
+"""
+
+
+@register(
+    "q171_adaptive_ivf_probe",
+    _Q171_ORACLE,
+    "Per-query ADAPTIVE IVF probe width vs the global fixed knob, "
+    "priced on the shared panel against one brute-truth pass: the "
+    "adaptive rule probes every centroid whose (6-dp-rounded) query "
+    f"cosine sits within {_Q171_DELTA} of that query's best cell — a "
+    "query landing squarely inside one cell probes few, a boundary "
+    "query widens itself, so scan cost follows per-query AMBIGUITY "
+    "instead of the worst case (the per-query version of the knob "
+    "q162's recall audit says to widen and q164's menu prices "
+    "globally).  On this isotropic fixture the two rules meet at a "
+    "similar recall/cost point — the report is the tuning instrument, "
+    "replayable cross-engine because the gap rule compares rounded "
+    "cosines only.  Candidate generation stays the production "
+    "partition-pruned equi-join; the rank cap (<=16) bounds the blast "
+    "radius of a flat cosine profile.",
+    operators=("sim-ann-ivf", "audit-recall", "W2", "J8"),
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    cents = similarity.ivf_centroids(emb, k=16)
+    return similarity.ivf_adaptive_probe_report(
+        emb, panel, cents, fixed_n_probe=4, delta=_Q171_DELTA, k=10
+    ).orderBy("family", "config")

@@ -229,3 +229,49 @@ def run_streaming_embedding_near_dup(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_ivf_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming maintenance of the IVF search index under FROZEN
+    centroids — the ingest face of ``similarity.append_ivf_index``
+    (q165).  Each vector micro-batch is assigned to its nearest frozen
+    centroid and committed to a ManifestTable under the batch's
+    idempotency tag, so an at-least-once foreachBatch replay can never
+    double-insert (a raw ``mode=append`` parquet write would).  The
+    parquet-partition-dir layout (``write_ivf_index`` +
+    ``append_ivf_index``) stays the READ-optimized twin — compact the
+    manifest into it periodically to get partition pruning back; this
+    face trades directory pruning for exactly-once ingest, probing via
+    a ``cid`` filter instead.  Staleness monitoring is unchanged:
+    ``similarity.ivf_staleness_report`` over the manifest's resident
+    vs fresh batches is the retrain alarm."""
+    from ..operators.similarity import assign_ivf_bucket
+
+    spark = vec_stream.sparkSession
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = ManifestTable(spark, index_path)
+        idx.append(
+            batch_df.withColumn(
+                "cid", assign_ivf_bucket(vec_col, centroids)
+            ).withColumn("__batch_id", lit(batch_id)),
+            tag=f"batch-{batch_id:020d}",
+        )
+
+    (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

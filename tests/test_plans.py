@@ -117,6 +117,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q168_truncation_recall_ladder",  # bounded audit panel onto the corpus scan (per-rung brute pass)
         "q169_padding_efficiency_curve",  # 1-row total-count broadcast onto the ranked frame
         "q170_contamination_union_gate",  # bounded bench matrix onto the corpus scan (q158's gated verify)
+        "q171_adaptive_ivf_probe",  # bounded audit panel / K-centroid frames onto corpus scans (q162 posture)
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))

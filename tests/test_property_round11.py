@@ -1,0 +1,124 @@
+"""Hypothesis property tests for the round-11 operators: the b-bit
+minwise packer/estimator against an independent pure-Python twin over
+ARBITRARY hex signatures, and the as-of time-reversal duality
+(forward == backward under negated timestamps) over arbitrary unique
+per-key event times."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nyc_tlc_analytics_pipeline_spark.operators import dedup
+
+_hex8 = st.text(alphabet="0123456789abcdef", min_size=8, max_size=8)
+_sigs = st.lists(
+    st.tuples(st.lists(_hex8, min_size=16, max_size=16)),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _py_pack(sig: list[str], b: int) -> int:
+    return sum((int(h[7], 16) % (1 << b)) << (i * b) for i, h in enumerate(sig))
+
+
+def _py_est(pa: int, pb: int, k: int, b: int) -> float:
+    x = pa ^ pb
+    mask = (1 << b) - 1
+    matches = sum(1 for i in range(k) if (x >> (i * b)) & mask == 0)
+    r = 1.0 / (1 << b)
+    return (matches / k - r) / (1.0 - r)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_sigs, b=st.sampled_from([1, 2, 4]))
+def test_bbit_pack_and_estimate_match_python_twin(spark, rows, b):
+    """Spark's packed longs and pairwise estimates equal an independent
+    pure-Python restatement for every generated signature set and every
+    supported b."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, list(sig)) for i, (sig,) in enumerate(rows)],
+        "doc long, signature array<string>",
+    )
+    packed = {
+        r.doc: r.pk
+        for r in df.select(
+            "doc", dedup.bbit_pack(F.col("signature"), 16, b).alias("pk")
+        ).collect()
+    }
+    for i, (sig,) in enumerate(rows):
+        assert packed[i] == _py_pack(sig, b)
+    a = df.select(F.col("doc").alias("da"), F.col("signature").alias("sa"))
+    bb = df.select(F.col("doc").alias("db"), F.col("signature").alias("sb"))
+    pairs = (
+        a.crossJoin(bb)
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            dedup.bbit_jaccard(
+                dedup.bbit_pack(F.col("sa"), 16, b),
+                dedup.bbit_pack(F.col("sb"), 16, b),
+                16,
+                b,
+            ).alias("j"),
+        )
+        .collect()
+    )
+    for r in pairs:
+        want = _py_est(
+            _py_pack(rows[r.da][0], b), _py_pack(rows[r.db][0], b), 16, b
+        )
+        assert abs(r.j - want) < 1e-9
+
+
+_events = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(lrows=_events, rrows=_events)
+def test_asof_time_reversal_duality(spark, lrows, rrows):
+    """forward(left, right) == backward(−left, −right): negating every
+    timestamp swaps 'earliest at-or-after' with 'latest at-or-before'
+    (equal-timestamp matches survive on both sides of the duality).
+    Timestamps are made unique per (key, side) pair by hypothesis's
+    unique_by, and right values are keyed off the timestamp so a match
+    identifies the exact matched row."""
+    from nyc_tlc_analytics_pipeline_spark.operators.temporal import asof_join
+
+    # de-dup right timestamps per key (duplicate ts would make the pick
+    # among equal rows undefined in BOTH directions — not the property
+    # under test)
+    seen = set()
+    rclean = []
+    for k, ts in rrows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rclean.append((k, ts, float(ts)))
+    left = spark.createDataFrame(lrows, "k int, ts long")
+    right = spark.createDataFrame(rclean, "k int, ts long, v double")
+    fwd = {
+        (r.k, r.ts): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    nleft = left.selectExpr("k", "-ts AS ts")
+    nright = right.selectExpr("k", "-ts AS ts", "v")
+    back = {
+        (r.k, -r.ts): r.asof_v
+        for r in asof_join(
+            nleft, nright, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="backward",
+        ).collect()
+    }
+    assert fwd == back

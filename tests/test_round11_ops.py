@@ -553,3 +553,84 @@ def test_contamination_union_gate_consistency(spark):
         assert row.n_either == sum(1 for i in ids if i in lex_ids or i in sem_ids)
         assert row.n_both <= min(row.n_lexical, row.n_semantic)
         assert max(row.n_lexical, row.n_semantic) <= row.n_either <= row.n_train
+
+
+def test_streaming_ivf_ingest_matches_direct_assignment(spark, tmp_path):
+    """Draining vector slices through the streaming IVF ingest leaves a
+    manifest whose (vec_id, cid) set equals a direct assignment of the
+    union under the same frozen centroids, and a same-checkpoint re-run
+    is a no-op (replay idempotency — the raw mode=append failure mode)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.near_dup import (
+        run_streaming_ivf_ingest,
+    )
+
+    emb = (
+        load_table(spark, C.SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(90)
+        .withColumn("__rn", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("vec_id")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "vsrc")
+    _write_vec_batches(spark, emb, src, n_files=3)
+    cents = similarity.ivf_centroids(emb, k=8)
+    idx_p, ckpt = str(tmp_path / "ivfidx"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.drop("__rn").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_streaming_ivf_ingest(stream, idx_p, ckpt, cents)
+
+    run()
+    got = {
+        (r.vec_id, r.cid)
+        for r in ManifestTable(spark, idx_p).read().select("vec_id", "cid").collect()
+    }
+    want = {
+        (r.vec_id, r.cid)
+        for r in emb.drop("__rn")
+        .withColumn("cid", similarity.assign_ivf_bucket("embedding", cents))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert got == want
+
+    v_before = ManifestTable(spark, idx_p).latest_version()
+    run()
+    assert ManifestTable(spark, idx_p).latest_version() == v_before
+
+
+def test_adaptive_probe_monotone_in_delta(spark):
+    """A larger gap tolerance can only ADD probed cells: candidates and
+    recall are monotone non-decreasing in delta, and at delta >= 2 (the
+    cosine range) the adaptive rule degenerates to probing everything —
+    recall 1.0 like an exhaustive scan."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    panel = emb.filter((col("vec_id") % 25 == 0) & (col("vec_id") < 500))
+    cents = similarity.ivf_centroids(emb, k=8)
+    out = {}
+    for delta in (0.05, 0.3, 2.0):
+        rep = {
+            r.config: r
+            for r in similarity.ivf_adaptive_probe_report(
+                emb, panel, cents, fixed_n_probe=2, delta=delta, k=5
+            ).collect()
+        }
+        out[delta] = rep[f"adaptive_{delta}"]
+        assert rep[f"fixed_2"].n_queries == 20
+    assert out[0.05].mean_candidates <= out[0.3].mean_candidates <= out[2.0].mean_candidates
+    assert out[0.05].mean_recall <= out[0.3].mean_recall + 1e-9
+    assert out[2.0].mean_recall == 1.0
