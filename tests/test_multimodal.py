@@ -500,3 +500,51 @@ def test_phash_near_dup_detects_perturbed_copy_real_jpeg(spark):
     assert abs(stats[1].mean_r - want[0]) < 0.02
     assert abs(stats[1].mean_g - want[1]) < 0.02
     assert abs(stats[1].mean_b - want[2]) < 0.02
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "nyc_tlc_analytics_pipeline_spark.operators.multimodal",
+        fromlist=["HAS_PIL"],
+    ).HAS_PIL,
+    reason="PIL not installed — PNG decode path needs a real codec",
+)
+def test_decode_real_png_roundtrip(spark):
+    """PNG is lossless, so the real decode path must reproduce the
+    source pixel means exactly (tighter than the JPEG tolerance), and
+    a PNG byte-duplicate must phash to hamming 0 against its source
+    array encoded as PPM.  Skip-marked when PIL is absent."""
+    import io as _io
+
+    import numpy as np
+
+    from nyc_tlc_analytics_pipeline_spark.operators import multimodal
+    from nyc_tlc_analytics_pipeline_spark.operators.multimodal import (
+        DECODED_IMAGE_SCHEMA,
+        PHASH_SCHEMA,
+        decode_image_stub,
+        encode_ppm,
+        phash_kernel,
+    )
+
+    PIL_Image = multimodal._PIL_IMAGE
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(32, 32, 3)).astype("uint8")
+    buf = _io.BytesIO()
+    PIL_Image.fromarray(arr, "RGB").save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [
+            (1, "png", bytearray(buf.getvalue()), 32, 32),
+            (2, "ppm", bytearray(encode_ppm(arr)), 32, 32),
+        ],
+        "media_id long, format string, content binary, width int, height int",
+    )
+    stats = {
+        r.media_id: r
+        for r in df.mapInPandas(decode_image_stub(), DECODED_IMAGE_SCHEMA).collect()
+    }
+    for ch, m in zip(("mean_r", "mean_g", "mean_b"), arr.mean(axis=(0, 1)) / 255.0):
+        assert abs(getattr(stats[1], ch) - m) < 1e-9
+        assert abs(getattr(stats[2], ch) - m) < 1e-9
+    ph = {r.media_id: r.phash for r in df.mapInPandas(phash_kernel(), PHASH_SCHEMA).collect()}
+    assert ph[1] == ph[2]
