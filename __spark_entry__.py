@@ -200,6 +200,7 @@ _SWEEP_COST = {
     "q169_padding_efficiency_curve": 9.30,
     "q170_contamination_union_gate": 9.40,
     "q171_adaptive_ivf_probe": 25.70,
+    "q172_hard_negative_mining": 19.20,
 }
 
 

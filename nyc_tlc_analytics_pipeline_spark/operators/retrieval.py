@@ -253,3 +253,157 @@ def hybrid_rrf(
         .orderBy(F.desc("rrf"), doc_id_col)
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    m_terms: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive retrieval training: for
+    each anchor document, the top-k corpus documents that score highest
+    under the anchor's own best query terms — lexically confusable with
+    the anchor — EXCLUDING the anchor itself and anything the MinHash
+    band gate marks as a possible near-duplicate (a near-dup mislabeled
+    as a negative poisons the loss; the exclusion is deliberately
+    CONSERVATIVE — raw band candidates, no exact verify — because a
+    false exclusion only costs one candidate while a false negative
+    costs training signal).
+
+    Query model per anchor: its ``m_terms`` highest-IDF distinct tokens
+    (6-dp-rounded IDF, token tie-break), scored against the corpus with
+    the Okapi BM25 arithmetic shared with :func:`bm25_scores`.
+
+    Scale shape: the anchor panel is the bounded side (the audit-panel
+    posture) — its selected terms are |anchors|·m rows, broadcast onto
+    the corpus token hits; document frequencies are computed corpus-wide
+    but ONLY for tokens the anchors use (semi-join pushdown); the
+    exclusion is a band-bucket equi-join of the anchors' banded
+    signatures against the corpus index (the incremental-classify
+    probe, never an all-pairs); per-anchor top-k runs in the two-stage
+    partition-local form (no per-anchor shuffle concentration).
+    Returns (anchor_id, rank, neg_id, score)."""
+    from pyspark.sql.window import Window
+
+    from ..core.guards import estimated_source_units
+    from ..functions.scalar import rnd
+    from . import dedup as _dedup
+    from .similarity import AUDIT_QUERY_CAP_UNITS, _multi_query_topk
+
+    # the anchor panel is the bounded side by CONTRACT (its selected
+    # terms broadcast onto the corpus); fail closed like the ANN audits
+    # instead of letting a data-sized panel OOM the broadcast
+    if estimated_source_units(anchors, bytes_per_unit=8) > AUDIT_QUERY_CAP_UNITS:
+        raise ValueError(
+            "hard_negatives: the anchor panel's size estimate exceeds the "
+            "budget — mine negatives for a bounded batch of anchors per "
+            "run (sampling.hash_top_n), not a data-sized frame"
+        )
+    lengths = df.select(col(id_col).alias("__d"), text.token_count(text_col).alias("dl"))
+    const = lengths.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("__k", lit(1))
+
+    a_toks = anchors.select(
+        col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(text.tokens(text_col))).alias("token"),
+    )
+    # corpus-wide df_t, computed only for tokens some anchor uses
+    corpus_toks = df.select(
+        col(id_col).alias("__d"), F.explode(text.tokens(text_col)).alias("token")
+    ).join(F.broadcast(a_toks.select("token").distinct()), "token", "left_semi")
+    dfreq = corpus_toks.groupBy("token").agg(
+        F.count_distinct("__d").alias("df_t")
+    )
+    sel = (
+        a_toks.join(F.broadcast(dfreq), "token")
+        .withColumn("__k", lit(1))
+        .join(F.broadcast(const), "__k")
+        .withColumn(
+            "idf",
+            rnd(
+                F.log(
+                    lit(1.0)
+                    + (col("n_docs") - col("df_t") + lit(0.5))
+                    / (col("df_t") + lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    col("idf").desc(), col("token")
+                )
+            ),
+        )
+        .filter(col("__r") <= m_terms)
+        .select("query_id", "token", "df_t")
+    )
+
+    hits = corpus_toks.join(
+        F.broadcast(sel.select("token").distinct()), "token", "left_semi"
+    ).groupBy("__d", "token").agg(F.count("*").alias("tf"))
+    scored = (
+        hits.join(F.broadcast(sel), "token")
+        .join(lengths, "__d")
+        .withColumn("__k", lit(1))
+        .join(F.broadcast(const), "__k")
+        .withColumn(
+            "__term",
+            F.log(
+                lit(1.0)
+                + (col("n_docs") - col("df_t") + lit(0.5))
+                / (col("df_t") + lit(0.5))
+            )
+            * col("tf")
+            * lit(k1 + 1.0)
+            / (
+                col("tf")
+                + lit(k1)
+                * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "__d")
+        .agg(rnd(F.sum("__term"), 6).alias("__cos"))
+    )
+
+    # conservative near-dup exclusion: the anchors' banded signatures
+    # probed against the corpus band index (raw gate, no verify)
+    sigs_c = _dedup.minhash_signatures(df, id_col, text_col, n, num_hashes, "md5")
+    sigs_a = sigs_c.join(
+        anchors.select(col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    rows_per_band = num_hashes // bands
+    bb_c = _dedup.banded_buckets(sigs_c, bands, rows_per_band)
+    bb_a = _dedup.banded_buckets(sigs_a, bands, rows_per_band).select(
+        col("doc").alias("query_id"), "band", "bucket"
+    )
+    near = (
+        bb_c.join(F.broadcast(bb_a), ["band", "bucket"])
+        .select("query_id", col("doc").alias("__d"))
+        .distinct()
+    )
+    cand = (
+        scored.filter(col("query_id") != col("__d"))
+        .join(near, ["query_id", "__d"], "left_anti")
+    )
+    return (
+        _multi_query_topk(cand, k, "__d")
+        .select(
+            col("query_id").alias("anchor_id"),
+            col("rank").cast("long").alias("rank"),
+            col("__d").alias("neg_id"),
+            col("__cos").alias("score"),
+        )
+        .orderBy("anchor_id", "rank")
+    )

