@@ -300,6 +300,25 @@ def main(argv: list[str] | None = None) -> int:
     ej.add_argument("--cms-width", type=int, default=512)
     ej.add_argument("--hll-b", type=int, default=9)
 
+    ai = sub.add_parser(
+        "ann-index",
+        help="persisted IVF ANN index lifecycle: build (write_ivf_index, "
+        "bucket-partitioned dirs), append (frozen-centroid O(batch) "
+        "append), probe (partition-pruned top-k for a query vector id)",
+    )
+    ai.add_argument("action", choices=["build", "append", "probe"])
+    ai.add_argument("--index", required=True, help="index directory")
+    ai.add_argument("--vectors", required=True, help="vectors parquet path")
+    ai.add_argument("--centroids-from", help="training vectors parquet path "
+                    "(default: --vectors; ignored for append/probe, which "
+                    "REQUIRE it to pin the frozen centroid set)")
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--vec-col", default="embedding")
+    ai.add_argument("--k", type=int, default=16, help="centroid count")
+    ai.add_argument("--query-id", type=int, help="probe: vector id to query")
+    ai.add_argument("--top", type=int, default=10)
+    ai.add_argument("--n-probe", type=int, default=4)
+
     ih = sub.add_parser(
         "index-staleness",
         help="IVF index health after incremental appends: per-centroid "
@@ -732,6 +751,53 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+    elif args.command == "ann-index":
+        from .operators import similarity
+
+        vecs = pl.spark.read.parquet(args.vectors)
+        train = (
+            pl.spark.read.parquet(args.centroids_from)
+            if args.centroids_from
+            else vecs
+        )
+        cents = similarity.ivf_centroids(
+            train, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+        )
+        if args.action == "build":
+            similarity.write_ivf_index(
+                vecs, args.index, cents, id_col=args.id_col, vec_col=args.vec_col
+            )
+            print(json.dumps({"built": args.index, "centroids": args.k}))
+        elif args.action == "append":
+            if not args.centroids_from:
+                raise SystemExit(
+                    "ann-index append requires --centroids-from (the frozen "
+                    "training set) — re-deriving centroids from the batch "
+                    "would silently fork the index"
+                )
+            similarity.append_ivf_index(
+                vecs, args.index, cents, id_col=args.id_col, vec_col=args.vec_col
+            )
+            print(json.dumps({"appended_to": args.index}))
+        else:
+            if args.query_id is None or not args.centroids_from:
+                raise SystemExit(
+                    "ann-index probe requires --query-id and --centroids-from"
+                )
+            from pyspark.sql import functions as F
+
+            qvec = [
+                float(x)
+                for x in vecs.filter(F.col(args.id_col) == args.query_id)
+                .select(args.vec_col)
+                .head()[0]
+            ]
+            rows = similarity.read_ivf_probe(
+                pl.spark, args.index, qvec, cents,
+                k=args.top, n_probe=args.n_probe,
+                id_col=args.id_col, vec_col=args.vec_col,
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows], indent=2))
     elif args.command == "index-staleness":
         from .operators import similarity
 
