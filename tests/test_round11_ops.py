@@ -528,8 +528,10 @@ def test_contamination_union_gate_consistency(spark):
 
     docs = load_table(spark, C.SF_SMOKE, "documents")
     emb = load_table(spark, C.SF_SMOKE, "embeddings")
-    cd, bd = docs.filter(col("doc_id") % 50 != 0), docs.filter(col("doc_id") % 50 == 0)
-    cv, bv = emb.filter(col("vec_id") % 50 != 0), emb.filter(col("vec_id") % 50 == 0)
+    bench_d = (col("doc_id") % 50 == 0) & (col("doc_id") < 5000)
+    bench_v = (col("vec_id") % 50 == 0) & (col("vec_id") < 5000)
+    cd, bd = docs.filter(~bench_d), docs.filter(bench_d)
+    cv, bv = emb.filter(~bench_v), emb.filter(bench_v)
     rep = decontam.contamination_union_report(
         cd, bd, cv, bv, n=4, threshold=0.3
     ).collect()
