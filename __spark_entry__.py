@@ -201,6 +201,7 @@ _SWEEP_COST = {
     "q170_contamination_union_gate": 9.40,
     "q171_adaptive_ivf_probe": 25.70,
     "q172_hard_negative_mining": 19.20,
+    "q173_contamination_delta": 11.30,
 }
 
 

@@ -386,3 +386,64 @@ def contamination_union_report(
         )
         .orderBy(group_col)
     )
+
+
+def contamination_delta_report(
+    corpus: DataFrame,
+    bench_old: DataFrame,
+    bench_new: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Benchmark-VERSION delta audit: when the eval suite gains a new
+    version (new tasks added to the old set), which already-shipped
+    training documents become NEWLY contaminated — the re-filter
+    worklist, per group, without re-running the full gate's downstream
+    (docs already flagged under the old bench were never shipped).
+
+    ``bench_new`` is the new FULL suite (old ∪ added).  Two broadcast
+    gram probes over one corpus (each is :func:`flag_contaminated`'s
+    map-side semi-join — no corpus shuffle); the delta is an id-sized
+    anti-join.  Returns (group, n_train, n_old, n_new, n_newly,
+    newly_pct): ``n_newly = n_new − |old ∩ new|`` — with old ⊆ new
+    grams that is exactly the docs whose FIRST hit comes from the
+    added tasks."""
+    from ..functions.scalar import rnd
+
+    old = (
+        flag_contaminated(corpus, bench_old, n, id_col, text_col)
+        .select(col(id_col).alias("__o"))
+        .distinct()
+        .withColumn("__old", lit(1))
+    )
+    new = (
+        flag_contaminated(corpus, bench_new, n, id_col, text_col)
+        .select(col(id_col).alias("__n"))
+        .distinct()
+        .withColumn("__new", lit(1))
+    )
+    flagged = (
+        corpus.select(col(id_col), col(group_col))
+        .join(old, col(id_col) == col("__o"), "left")
+        .join(new, col(id_col) == col("__n"), "left")
+        .select(
+            col(group_col),
+            F.coalesce(col("__old"), lit(0)).alias("o"),
+            F.coalesce(col("__new"), lit(0)).alias("nw"),
+        )
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum("o").cast("long").alias("n_old"),
+            F.sum("nw").cast("long").alias("n_new"),
+            F.sum(col("nw") * (lit(1) - col("o"))).cast("long").alias("n_newly"),
+        )
+        .withColumn(
+            "newly_pct", rnd(100.0 * col("n_newly") / col("n_train"), 4)
+        )
+        .orderBy(group_col)
+    )

@@ -11421,3 +11421,88 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hard_negatives(
         docs, anchors, k=_Q172_K, m_terms=_Q172_M
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — benchmark-version contamination DELTA (the re-filter worklist)
+# ---------------------------------------------------------------------------
+
+#: old suite = every 100th base doc; the new version ADDS the 50th-but-
+#: not-100th docs (old ⊂ new) — both pinned to the base id range
+#: (q158/q170's fixed-benchmark premise)
+_Q173_N = 4
+
+_Q173_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - {_Q173_N - 1}, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + {_Q173_N - 1}), ' ')))) AS g
+    FROM t
+),
+gold AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0 AND doc_id < {_Q170_BENCH_MAX_ID}),
+gnew AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0 AND doc_id < {_Q170_BENCH_MAX_ID}),
+corpus AS (
+    SELECT doc_id, lang FROM t
+    WHERE NOT (doc_id % 50 = 0 AND doc_id < {_Q170_BENCH_MAX_ID})
+),
+hold AS (
+    SELECT DISTINCT doc_id FROM g
+    WHERE NOT (doc_id % 50 = 0 AND doc_id < {_Q170_BENCH_MAX_ID})
+      AND g IN (SELECT g FROM gold)
+),
+hnew AS (
+    SELECT DISTINCT doc_id FROM g
+    WHERE NOT (doc_id % 50 = 0 AND doc_id < {_Q170_BENCH_MAX_ID})
+      AND g IN (SELECT g FROM gnew)
+),
+flagged AS (
+    SELECT c.lang,
+           CASE WHEN c.doc_id IN (SELECT doc_id FROM hold) THEN 1 ELSE 0 END AS o,
+           CASE WHEN c.doc_id IN (SELECT doc_id FROM hnew) THEN 1 ELSE 0 END AS nw
+    FROM corpus c
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(o) AS BIGINT) AS n_old,
+       CAST(sum(nw) AS BIGINT) AS n_new,
+       CAST(sum(nw * (1 - o)) AS BIGINT) AS n_newly,
+       round(100.0 * sum(nw * (1 - o)) / count(*) + 1e-9, 4) AS newly_pct
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q173_contamination_delta",
+    _Q173_ORACLE,
+    "Benchmark-VERSION delta audit — the operational question a new "
+    "eval-suite release raises: which already-shipped training docs "
+    "become NEWLY contaminated (their first n-gram hit comes from the "
+    "added tasks), per language — the re-filter worklist.  Old suite = "
+    "every 100th base-range doc; the new version adds the 50th-but-not-"
+    "100th docs (old subset of new, both pinned to the base id range — "
+    "the fixed-benchmark premise).  Two broadcast gram probes over one "
+    "corpus (map-side semi-joins, no corpus shuffle) and an id-sized "
+    "flag join; n_newly = n_new − overlap exactly because old-bench "
+    "grams are a subset of new-bench grams.  Oracle replays both "
+    "probes and the delta arithmetic.",
+    operators=("decontam-ngram", "decontam-delta", "J8", "A4"),
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bench_new_pred = (col("doc_id") % 50 == 0) & (col("doc_id") < _Q170_BENCH_MAX_ID)
+    bench_old_pred = (col("doc_id") % 100 == 0) & (col("doc_id") < _Q170_BENCH_MAX_ID)
+    return decontam.contamination_delta_report(
+        docs.filter(~bench_new_pred),
+        docs.filter(bench_old_pred),
+        docs.filter(bench_new_pred),
+        n=_Q173_N,
+    )

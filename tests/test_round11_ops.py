@@ -673,3 +673,41 @@ def test_hard_negatives_excludes_anchor_and_near_dups(spark):
 
     with pytest.raises(ValueError, match="bounded batch of anchors"):
         retrieval.hard_negatives(docs, Huge())
+
+
+def test_contamination_delta_consistency(spark):
+    """n_newly must equal the docs flagged by the new bench but not the
+    old, re-derived from the constituent detector; with old ⊆ new the
+    old-flag set is a subset of the new-flag set."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import decontam
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    new_p = (col("doc_id") % 50 == 0) & (col("doc_id") < 5000)
+    old_p = (col("doc_id") % 100 == 0) & (col("doc_id") < 5000)
+    corpus = docs.filter(~new_p)
+    rep = decontam.contamination_delta_report(
+        corpus, docs.filter(old_p), docs.filter(new_p), n=4
+    ).collect()
+    assert rep
+    old_ids = {
+        r.doc_id
+        for r in decontam.flag_contaminated(corpus, docs.filter(old_p), 4).collect()
+    }
+    new_ids = {
+        r.doc_id
+        for r in decontam.flag_contaminated(corpus, docs.filter(new_p), 4).collect()
+    }
+    assert old_ids <= new_ids  # old bench grams ⊆ new bench grams
+    by_lang = {}
+    for r in corpus.select("doc_id", "lang").collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    for row in rep:
+        ids = by_lang[row.lang]
+        assert row.n_old == sum(1 for i in ids if i in old_ids)
+        assert row.n_new == sum(1 for i in ids if i in new_ids)
+        assert row.n_newly == sum(
+            1 for i in ids if i in new_ids and i not in old_ids
+        )
+        assert row.n_newly == row.n_new - row.n_old  # subset identity
