@@ -1749,3 +1749,109 @@ def bbit_calibration(
         )
         .orderBy("exact_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document segment-level dedup (the CCNet line-dedup shape)
+# ---------------------------------------------------------------------------
+
+def segment_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+) -> DataFrame:
+    """Explode each document into consecutive fixed-width token segments
+    — the unit CCNet-style pipelines hash for line-level dedup.  Real web
+    corpora split on newlines; this corpus's documents are single-line
+    token streams, so the "line" is a ``seg_len``-token window (the last
+    segment keeps its partial tail).  One explode, no shuffle: segment
+    index ``seg_idx`` is 1-based, ``seg_text`` is the space-joined slice,
+    ``seg_tokens`` its token count.
+    """
+    tk = tokens(text_col if isinstance(text_col, str) else text_col)
+    n_segs = F.ceil(F.size(col("__tk")) / lit(float(seg_len))).cast("int")
+    return (
+        df.select(col(id_col), col("lang"), tk.alias("__tk"))
+        .select(
+            col(id_col),
+            col("lang"),
+            F.explode(F.sequence(lit(1), n_segs)).alias("seg_idx"),
+            col("__tk"),
+        )
+        .select(
+            col(id_col),
+            col("lang"),
+            col("seg_idx"),
+            F.array_join(
+                F.slice(col("__tk"), (col("seg_idx") - 1) * seg_len + 1, seg_len),
+                " ",
+            ).alias("seg_text"),
+            F.size(
+                F.slice(col("__tk"), (col("seg_idx") - 1) * seg_len + 1, seg_len)
+            ).cast("long").alias("seg_tokens"),
+        )
+    )
+
+
+def segment_dedup_report(
+    df: DataFrame,
+    seg_len: int = 8,
+    boiler_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document segment-level dedup report (CCNet's line dedup,
+    adapted to fixed-width token segments): every occurrence of a segment
+    hash after the FIRST (global (doc_id, seg_idx) order) is a removable
+    duplicate, and hashes seen in >= ``boiler_df`` distinct documents are
+    boilerplate — the chrome/footer class that document-level dedup never
+    catches because the surrounding text differs.
+
+    Scale shape: one explode, then ONE exchange on the uniform md5
+    segment hash: the keep-first row_number, the per-document
+    dense_rank and the hash-group distinct-document count
+    (``max(dense_rank)`` over the unbounded frame — countDistinct
+    without a join) are all windows over the same partition key, so
+    they share that single exchange; the per-language rollup is a
+    second, language-cardinality shuffle.  No collect, no all-pairs —
+    cost is linear in corpus tokens, the same plan at 100 TB.
+
+    Per language: documents, segment occurrences, duplicate occurrences
+    removed (keep-first), boilerplate occurrences (informational — they
+    overlap duplicates), token totals and the removed-token percentage.
+    """
+    from ..functions.scalar import rnd
+
+    segs = segment_table(df, id_col=id_col, text_col=text_col, seg_len=seg_len)
+    occ = segs.withColumn("__h", F.md5(col("seg_text")))
+    w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
+    w_doc = Window.partitionBy("__h").orderBy(col(id_col))
+    w_all = Window.partitionBy("__h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = (
+        occ.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__dr", F.dense_rank().over(w_doc))
+        .withColumn("__ddf", F.max("__dr").over(w_all))
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.countDistinct(col(id_col)).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum((col("__rn") > 1).cast("long")).cast("long").alias("n_dup_segments"),
+            F.sum((col("__ddf") >= boiler_df).cast("long"))
+            .cast("long")
+            .alias("n_boiler_segments"),
+            F.sum("seg_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(col("__rn") > 1, col("seg_tokens")).otherwise(lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+        .withColumn(
+            "removed_pct",
+            rnd(lit(100.0) * col("removed_tokens") / F.nullif(col("total_tokens"), lit(0)), 4),
+        )
+        .orderBy("lang")
+    )

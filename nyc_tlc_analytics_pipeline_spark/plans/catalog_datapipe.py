@@ -11506,3 +11506,82 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(bench_new_pred),
         n=_Q173_N,
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — cross-document segment-level dedup (the CCNet line-dedup shape)
+# ---------------------------------------------------------------------------
+
+_Q174_SEG = 8
+_Q174_BOILER_DF = 3
+
+_Q174_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, lang, tk,
+           unnest(range(1, CAST(ceil(len(tk) / {_Q174_SEG}.0) AS BIGINT) + 1))
+               AS seg_idx
+    FROM t
+),
+seg AS (
+    SELECT doc_id, lang, seg_idx,
+           array_to_string(list_slice(tk, (seg_idx - 1) * {_Q174_SEG} + 1,
+                                      (seg_idx - 1) * {_Q174_SEG} + {_Q174_SEG}),
+                           ' ') AS seg_text,
+           len(list_slice(tk, (seg_idx - 1) * {_Q174_SEG} + 1,
+                          (seg_idx - 1) * {_Q174_SEG} + {_Q174_SEG})) AS seg_tokens
+    FROM idx
+),
+occ AS (
+    SELECT doc_id, lang, seg_idx, seg_tokens, md5(seg_text) AS h,
+           row_number() OVER (PARTITION BY md5(seg_text)
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM seg
+),
+ddf AS (
+    SELECT h, count(DISTINCT doc_id) AS ddf FROM occ GROUP BY h
+)
+SELECT o.lang,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN o.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       CAST(sum(CASE WHEN d.ddf >= {_Q174_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_segments,
+       CAST(sum(o.seg_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN o.rn > 1 THEN o.seg_tokens ELSE 0 END) AS BIGINT)
+           AS removed_tokens,
+       round(100.0 * sum(CASE WHEN o.rn > 1 THEN o.seg_tokens ELSE 0 END)
+             / nullif(sum(o.seg_tokens), 0) + 1e-9, 4) AS removed_pct
+FROM occ o JOIN ddf d USING (h)
+GROUP BY o.lang
+ORDER BY o.lang
+"""
+
+
+@register(
+    "q174_segment_dedup",
+    _Q174_ORACLE,
+    "Cross-document SEGMENT-level dedup — the CCNet line-dedup shape "
+    "over fixed 8-token segments (this corpus's documents are single-"
+    "line token streams, so the segment window stands in for the "
+    "newline split): every occurrence of a segment hash after the "
+    "first in global (doc_id, seg_idx) order is a removable duplicate, "
+    "and segments seen in >= 3 distinct documents are boilerplate — "
+    "the header/footer class that DOCUMENT-level dedup (q24/q28) never "
+    "catches because the surrounding text differs.  Scale shape: one "
+    "explode, then a single exchange on the uniform md5 segment hash "
+    "reused by both the keep-first window and the doc-frequency "
+    "groupBy-join (AQE coalesces); per-language rollup is a "
+    "5-key shuffle.  Linear in corpus tokens — the same plan at "
+    "100 TB.  Oracle replays the segmentation, the keep-first window "
+    "and the boilerplate gate verbatim.",
+    operators=("dedup-segment", "text-tokens", "W2", "A1", "A3"),
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return dedup.segment_dedup_report(
+        docs, seg_len=_Q174_SEG, boiler_df=_Q174_BOILER_DF
+    )

@@ -32,11 +32,13 @@ def _py_est(pa: int, pb: int, k: int, b: int) -> float:
 
 
 @settings(max_examples=8, deadline=None)
-@given(rows=_sigs, b=st.sampled_from([1, 2, 4]))
+@given(rows=_sigs, b=st.sampled_from([1, 2, 3]))
 def test_bbit_pack_and_estimate_match_python_twin(spark, rows, b):
     """Spark's packed longs and pairwise estimates equal an independent
     pure-Python restatement for every generated signature set and every
-    supported b."""
+    b the 16-component signature supports (16·b ≤ 63 — b=4 with 16
+    hashes cannot fit a signed long and is refused by the pack guard,
+    asserted separately below)."""
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
@@ -73,6 +75,17 @@ def test_bbit_pack_and_estimate_match_python_twin(spark, rows, b):
             _py_pack(rows[r.da][0], b), _py_pack(rows[r.db][0], b), 16, b
         )
         assert abs(r.j - want) < 1e-9
+
+
+def test_bbit_pack_refuses_overflowing_width():
+    """16 components × b=4 = 64 bits — one more than a signed long
+    holds; the pack guard must refuse instead of silently overflowing
+    into the sign bit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="must fit a long"):
+        dedup.bbit_pack(F.col("signature"), 16, 4)
 
 
 _events = st.lists(

@@ -711,3 +711,118 @@ def test_contamination_delta_consistency(spark):
             1 for i in ids if i in new_ids and i not in old_ids
         )
         assert row.n_newly == row.n_new - row.n_old  # subset identity
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup (q174) — the CCNet line-dedup shape
+# ---------------------------------------------------------------------------
+
+
+def test_segment_table_reconstructs_tokens(spark):
+    """Concatenating a document's segments in seg_idx order yields the
+    original token stream, and seg_tokens sums to the token count (the
+    last segment keeps its partial tail)."""
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    segs = dedup.segment_table(docs, seg_len=8)
+    from pyspark.sql import functions as F
+
+    rebuilt = (
+        segs.orderBy("doc_id", "seg_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg_text"))
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("joined"),
+            F.sum("seg_tokens").alias("n_tok"),
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.array_join(F.split(F.lower("text"), r"\s+"), " ").alias("expect"),
+        F.size(F.split(F.lower("text"), r"\s+")).alias("expect_tok"),
+    )
+    bad = (
+        rebuilt.join(orig, "doc_id")
+        .where(
+            (F.col("joined") != F.col("expect"))
+            | (F.col("n_tok") != F.col("expect_tok"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_segment_dedup_keep_first_python_reference(spark):
+    """The per-language report matches a pure-Python replay of the
+    keep-first rule and the boilerplate gate on a hand-made corpus with
+    engineered cross-document segment repeats."""
+    seg_len = 3
+    rows = [
+        (1, "en", "a b c x y z"),          # segs: 'a b c', 'x y z'
+        (2, "en", "a b c q r s"),          # 'a b c' repeats (dup)
+        (3, "de", "a b c x y z"),          # both repeat (2 dups)
+        (4, "de", "u v w a b c extra"),    # 'a b c' at idx2 (dup), tail 'extra'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r["lang"]: r.asDict()
+        for r in dedup.segment_dedup_report(df, seg_len=seg_len, boiler_df=3).collect()
+    }
+
+    # python replay
+    occs = []  # (doc, lang, idx, seg, n_tok)
+    for doc, lang, text in rows:
+        tk = text.lower().split()
+        for i in range(0, len(tk), seg_len):
+            seg = " ".join(tk[i : i + seg_len])
+            occs.append((doc, lang, i // seg_len + 1, seg, len(tk[i : i + seg_len])))
+    first = {}
+    docs_per_seg = {}
+    for doc, lang, idx, seg, n in sorted(occs):
+        first.setdefault(seg, (doc, idx))
+        docs_per_seg.setdefault(seg, set()).add(doc)
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for doc, lang, idx, seg, n in occs:
+        e = exp[lang]
+        e[0] = e[0]  # docs counted separately
+        e[1] += 1
+        dup = first[seg] != (doc, idx)
+        e[2] += int(dup)
+        e[3] += int(len(docs_per_seg[seg]) >= 3)
+        e[4] += n
+        e[5] += n * int(dup)
+    for lang in exp:
+        exp[lang][0] = len({d for d, l, *_ in occs if l == lang})
+    for lang, e in exp.items():
+        g = got[lang]
+        assert g["n_docs"] == e[0]
+        assert g["n_segments"] == e[1]
+        assert g["n_dup_segments"] == e[2]
+        assert g["n_boiler_segments"] == e[3]
+        assert g["total_tokens"] == e[4]
+        assert g["removed_tokens"] == e[5]
+        assert g["removed_pct"] == round(100.0 * e[5] / e[4] + 1e-9, 4)
+
+
+def test_segment_dedup_layout_invariant(spark):
+    """Keep-first is defined by (doc_id, seg_idx) order, not layout:
+    the report is identical after an adversarial repartition."""
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    a = sorted(
+        map(str, dedup.segment_dedup_report(docs, seg_len=8).collect())
+    )
+    b = sorted(
+        map(
+            str,
+            dedup.segment_dedup_report(docs.repartition(13), seg_len=8).collect(),
+        )
+    )
+    assert a == b
