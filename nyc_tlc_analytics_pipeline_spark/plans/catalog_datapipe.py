@@ -11585,3 +11585,84 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup_report(
         docs, seg_len=_Q174_SEG, boiler_df=_Q174_BOILER_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — curriculum schedule (quality-staged training order)
+# ---------------------------------------------------------------------------
+
+_Q175_STAGES = 4
+
+_Q175_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(lower(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           round((least(1.0 * len(toks) / 200.0, 1.0)
+            + (1.0 - least(5.0 * n_punct / nullif(n_chars, 0), 1.0))
+            + least(4.0 * len(list_filter(toks, x -> list_contains([{_EN}], x)))
+                    / nullif(len(toks), 0), 1.0)) / 3.0 + 1e-9, 6) AS quality
+    FROM t
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+           count(*) OVER () AS n
+    FROM scored
+),
+staged AS (
+    SELECT *,
+           least(((rnk - 1) * {_Q175_STAGES}) // n, {_Q175_STAGES - 1}) AS stage,
+           md5('curr:' || CAST(doc_id AS VARCHAR)) AS pos
+    FROM ranked
+),
+heads AS (
+    SELECT stage,
+           max(CASE WHEN hr = 1 THEN doc_id END) AS first_id,
+           max(CASE WHEN hr = 2 THEN doc_id END) AS second_id,
+           max(CASE WHEN hr = 3 THEN doc_id END) AS third_id
+    FROM (SELECT stage, doc_id,
+                 row_number() OVER (PARTITION BY stage ORDER BY pos, doc_id)
+                     AS hr
+          FROM staged)
+    GROUP BY stage
+)
+SELECT s.stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(s.quality) + 1e-9, 6) AS avg_quality,
+       round(min(s.quality) + 1e-9, 6) AS min_quality,
+       round(max(s.quality) + 1e-9, 6) AS max_quality,
+       h.first_id, h.second_id, h.third_id
+FROM staged s JOIN heads h USING (stage)
+GROUP BY s.stage, h.first_id, h.second_id, h.third_id
+ORDER BY s.stage
+"""
+
+
+@register(
+    "q175_curriculum_schedule",
+    _Q175_ORACLE,
+    "Curriculum schedule: equal-frequency quality stages (stage 0 = "
+    "cleanest quartile — curriculum training consumes the easy, high-"
+    "quality slice first and anneals toward the noisy tail) with a "
+    "salted-md5 within-stage shuffle so position never correlates with "
+    "id/source order.  Stage boundaries come from the TWO-PASS global "
+    "rank (range shuffle + broadcast offsets — never a single-partition "
+    "window) and exact integer DIV (a double boundary can flip one "
+    "rank cross-engine); the per-stage curriculum head (first three "
+    "doc ids — the reproducibility probe) uses the two-stage top-k so "
+    "no task ever holds a whole stage.  Quality rounds to 6 dp BEFORE "
+    "ranking, the q36 convention.  Oracle replays scoring, ranking, "
+    "the stage formula and the head selection verbatim.",
+    operators=("curriculum-schedule", "text-quality", "W2", "O1", "A3"),
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curriculum
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return curriculum.curriculum_report(docs, n_stages=_Q175_STAGES)

@@ -826,3 +826,52 @@ def test_segment_dedup_layout_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule (q175)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_stages_balanced_and_monotone(spark):
+    """Equal-frequency stages: sizes differ by at most 1, every doc is
+    assigned, and the quality envelopes are non-overlapping and
+    descending (stage 0 = cleanest)."""
+    from nyc_tlc_analytics_pipeline_spark.operators import curriculum
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    rep = curriculum.curriculum_report(docs, n_stages=4).collect()
+    assert [r.stage for r in rep] == [0, 1, 2, 3]
+    sizes = [r.n_docs for r in rep]
+    assert sum(sizes) == docs.count()
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rep, rep[1:]):
+        assert a.min_quality >= b.max_quality
+        assert a.avg_quality >= b.avg_quality
+
+
+def test_curriculum_layout_and_salt_behavior(spark):
+    """Stage membership is layout-invariant and salt-independent; the
+    within-stage head order DOES move with the salt (it is the shuffle)."""
+    from nyc_tlc_analytics_pipeline_spark.operators import curriculum
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    base = curriculum.curriculum_schedule(docs, n_stages=4)
+    repart = curriculum.curriculum_schedule(docs.repartition(11), n_stages=4)
+    m1 = {r.doc_id: r.stage for r in base.collect()}
+    m2 = {r.doc_id: r.stage for r in repart.collect()}
+    assert m1 == m2
+    salted = curriculum.curriculum_schedule(docs, n_stages=4, salt="other")
+    m3 = {r.doc_id: r.stage for r in salted.collect()}
+    assert m1 == m3  # stages don't depend on the shuffle salt
+    h1 = curriculum.curriculum_report(docs, n_stages=4).collect()
+    h2 = curriculum.curriculum_report(docs, n_stages=4, salt="other").collect()
+    assert [r.first_id for r in h1] != [r.first_id for r in h2]
+
+
+def test_curriculum_single_stage_degenerates_to_corpus(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import curriculum
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    rep = curriculum.curriculum_report(docs, n_stages=1).collect()
+    assert len(rep) == 1 and rep[0].n_docs == docs.count()
