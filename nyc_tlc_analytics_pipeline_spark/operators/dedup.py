@@ -1855,3 +1855,70 @@ def segment_dedup_report(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: repeat discounting (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+def soft_dedup_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    delta: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Soft dedup: instead of the keep-one/drop-rest binary, weight the
+    j-th copy inside a duplicate cluster by ``delta^(j-1)`` — the
+    repeat-discounting view of data-constrained scaling (repeated data
+    decays in value but is not worthless; Muennighoff et al. 2023).
+    The report prices the corpus three ways per group: raw tokens,
+    hard-dedup unique tokens (copy 1 only), and the soft-value tokens —
+    the number an epoch-allocation planner (q121) should budget with.
+
+    ``pairs`` is any symmetric-free (doc_a < doc_b) near-dup pair frame:
+    exact Jaccard for the oracle-checked registration, the MinHash-LSH
+    production path (:func:`minhash_dedup_pairs`) at 100 TB.  Clusters
+    close under transitivity via alternating-star connected components;
+    unpaired docs are singletons (``coalesce`` — no join blowup).  Copy
+    rank orders by id inside the cluster: a window over cluster ids,
+    whose sizes the upstream pair gate bounds.  delta=0.5 keeps every
+    per-copy weight an exact binary fraction, so the sums are
+    FP-deterministic cross-engine.
+    """
+    from ..functions.scalar import rnd
+    from . import graph as _graph
+
+    cc = _graph.connected_components(pairs.select("doc_a", "doc_b"))
+    toks = df.select(
+        col(id_col),
+        col(group_col),
+        F.size(tokens(text_col)).cast("long").alias("__n_tok"),
+    )
+    cl = toks.join(
+        cc.select(col("node").alias(id_col), col("component")),
+        id_col,
+        "left",
+    ).withColumn("__cluster", F.coalesce(col("component"), col(id_col)))
+    j = F.row_number().over(
+        Window.partitionBy("__cluster").orderBy(col(id_col))
+    )
+    ranked = cl.withColumn("__j", j).withColumn(
+        "__value", F.pow(lit(float(delta)), col("__j") - 1) * col("__n_tok")
+    )
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("__cluster").cast("long").alias("n_clusters"),
+            F.sum("__n_tok").cast("long").alias("raw_tokens"),
+            F.sum(F.when(col("__j") == 1, col("__n_tok")).otherwise(lit(0)))
+            .cast("long")
+            .alias("unique_tokens"),
+            F.sum((col("__j") > 1).cast("long")).cast("long").alias("n_repeat_docs"),
+            rnd(F.sum("__value"), 4).alias("soft_tokens"),
+            rnd(F.sum("__value") / F.sum("__n_tok"), 6).alias("soft_utilization"),
+        )
+        .orderBy(group_col)
+    )

@@ -11666,3 +11666,98 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_parallel(spark, sf_dir, "documents")
     return curriculum.curriculum_report(docs, n_stages=_Q175_STAGES)
+
+
+# ---------------------------------------------------------------------------
+# q176 — soft dedup: repeat discounting (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+_Q176_DELTA = 0.5
+
+_Q176_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {_Q25_THRESHOLD}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, rr.r FROM sym s JOIN reach rr ON rr.node = s.b
+),
+comp AS (
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+),
+t AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tok
+    FROM documents
+),
+cl AS (
+    SELECT t.doc_id, t.lang, t.n_tok,
+           coalesce(c.cluster_id, t.doc_id) AS cluster_id
+    FROM t LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS j
+    FROM cl
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN j = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS unique_tokens,
+       CAST(sum(CASE WHEN j > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat_docs,
+       round(sum(power({_Q176_DELTA}, j - 1) * n_tok) + 1e-9, 4) AS soft_tokens,
+       round(sum(power({_Q176_DELTA}, j - 1) * n_tok) / sum(n_tok) + 1e-9, 6)
+           AS soft_utilization
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q176_soft_dedup_value",
+    _Q176_ORACLE,
+    "Soft dedup — repeat DISCOUNTING instead of the keep-one/drop-rest "
+    "binary: the j-th copy inside a near-dup cluster is worth "
+    "delta^(j-1) of its tokens (delta=0.5: every weight an exact binary "
+    "fraction, FP-deterministic cross-engine), the data-constrained-"
+    "scaling view of repeated data.  Prices the corpus three ways per "
+    "language — raw, hard-dedup unique, and soft-value tokens (what the "
+    "q121 epoch-allocation planner should budget with).  Clusters = "
+    "q46's alternating-star connected components over exact-Jaccard "
+    "pairs (the oracle-replayable source; production swaps in the "
+    "MinHash-LSH pair frame unchanged); singletons via coalesce, no "
+    "join blowup; copy rank is a window over cluster ids whose sizes "
+    "the pair gate bounds.  Oracle closes the same pair graph with a "
+    "recursive CTE and replays the discount arithmetic.",
+    operators=("dedup-soft", "graph-cc", "W2", "A3", "J9"),
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return dedup.soft_dedup_report(docs, pairs, delta=_Q176_DELTA)

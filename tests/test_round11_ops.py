@@ -875,3 +875,67 @@ def test_curriculum_single_stage_degenerates_to_corpus(spark):
     docs = load_table(spark, C.SF_SMOKE, "documents")
     rep = curriculum.curriculum_report(docs, n_stages=1).collect()
     assert len(rep) == 1 and rep[0].n_docs == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# soft dedup — repeat discounting (q176)
+# ---------------------------------------------------------------------------
+
+
+def test_soft_dedup_python_reference(spark):
+    """Hand-built clusters: discount weights, cluster counts and the
+    three token prices match an explicit python replay."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "en", "a b c d"),   # cluster {1,2,3}: j=1,2,3
+        (2, "en", "w x y z"),
+        (3, "de", "p q"),
+        (4, "de", "r s t"),     # singleton
+        (5, "en", "m n o"),     # cluster {5,6}
+        (6, "en", "u v"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    got = {r.lang: r.asDict() for r in dedup.soft_dedup_report(docs, pairs).collect()}
+    # python replay: clusters {1,2,3}, {4}, {5,6}; rank by doc_id
+    toks = {1: 4, 2: 4, 3: 2, 4: 3, 5: 3, 6: 2}
+    jmap = {1: 1, 2: 2, 3: 3, 4: 1, 5: 1, 6: 2}
+    lang = {1: "en", 2: "en", 3: "de", 4: "de", 5: "en", 6: "en"}
+    clus = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    import collections
+
+    exp = collections.defaultdict(lambda: dict(n=0, cl=set(), raw=0, uniq=0, rep=0, soft=0.0))
+    for d in toks:
+        e = exp[lang[d]]
+        e["n"] += 1
+        e["cl"].add(clus[d])
+        e["raw"] += toks[d]
+        e["uniq"] += toks[d] * (jmap[d] == 1)
+        e["rep"] += jmap[d] > 1
+        e["soft"] += 0.5 ** (jmap[d] - 1) * toks[d]
+    for lg, e in exp.items():
+        g = got[lg]
+        assert g["n_docs"] == e["n"]
+        assert g["n_clusters"] == len(e["cl"])
+        assert g["raw_tokens"] == e["raw"]
+        assert g["unique_tokens"] == e["uniq"]
+        assert g["n_repeat_docs"] == e["rep"]
+        assert g["soft_tokens"] == round(e["soft"] + 1e-9, 4)
+        assert g["soft_utilization"] == round(e["soft"] / e["raw"] + 1e-9, 6)
+
+
+def test_soft_dedup_bounds_and_no_pairs_identity(spark):
+    """unique <= soft <= raw always; with an empty pair frame every doc
+    is a singleton and the three prices coincide."""
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    empty = docs.limit(0).selectExpr("doc_id AS doc_a", "doc_id AS doc_b")
+    for r in dedup.soft_dedup_report(docs, empty).collect():
+        assert r.unique_tokens == r.raw_tokens == r.soft_tokens
+        assert r.n_clusters == r.n_docs and r.n_repeat_docs == 0
+        assert r.soft_utilization == 1.0
+    pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    for r in dedup.soft_dedup_report(docs, pairs).collect():
+        assert r.unique_tokens <= r.soft_tokens <= r.raw_tokens
