@@ -140,3 +140,73 @@ def curriculum_report(
         rnd(F.max("quality"), 6).alias("max_quality"),
     )
     return stats.join(head, "stage").orderBy("stage")
+
+
+def shuffle_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    salt: str = "ord",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-order randomization audit: does the salted-md5 global
+    shuffle actually decorrelate neighbors?  A bad shuffle (or a
+    pipeline that silently emits ingestion order) feeds the optimizer
+    long same-source runs — correlated gradients, the failure the
+    shuffle exists to prevent — and nothing downstream notices unless
+    something measures it.
+
+    Measures, per group: the count of ADJACENT pairs (positions i, i+1
+    in shuffle order) whose both members are the group, against the
+    exact random-permutation expectation ``n_g·(n_g−1)/N``.  A healthy
+    shuffle has ratio ≈ 1 for every group; ingestion order has ratios
+    ≫ 1 for clustered groups.
+
+    Scale shape: position = the two-pass global rank on the hash (range
+    shuffle, never a single-partition window); adjacency = a self-join
+    on ``rank = rank+1`` — an equi-join on a dense unique key, uniform
+    by construction; group sizes are one hash aggregate.  No window
+    ever sees more than one range partition.
+    """
+    h = position_hash(id_col, salt)
+    ranked = layout.global_row_number(
+        df.select(col(id_col), col(group_col), h.alias("__h")),
+        [col("__h").asc(), col(id_col).asc()],
+        "rank",
+    )
+    left = ranked.select(
+        col("rank").alias("__r"), col(group_col).alias("__ga")
+    )
+    right = ranked.select(
+        (col("rank") - 1).alias("__r"), col(group_col).alias("__gb")
+    )
+    adj = left.join(right, "__r")  # pair (i, i+1)
+    same = (
+        adj.filter(col("__ga") == col("__gb"))
+        .groupBy(col("__ga").alias(group_col))
+        .agg(F.count("*").cast("long").alias("same_adj_pairs"))
+    )
+    sizes = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    n = df.agg(F.count("*").alias("__n"))
+    return (
+        sizes.join(same, group_col, "left")
+        .join(F.broadcast(n))
+        .select(
+            group_col,
+            "n_docs",
+            rnd(col("n_docs") / col("__n"), 6).alias("share"),
+            F.coalesce(col("same_adj_pairs"), lit(0))
+            .cast("long")
+            .alias("same_adj_pairs"),
+            rnd(
+                col("n_docs") * (col("n_docs") - 1) / col("__n"), 4
+            ).alias("expected_pairs"),
+            rnd(
+                F.coalesce(col("same_adj_pairs"), lit(0))
+                / F.nullif(
+                    col("n_docs") * (col("n_docs") - 1) / col("__n"), lit(0.0)
+                ),
+                4,
+            ).alias("ratio"),
+        )
+        .orderBy(group_col)
+    )

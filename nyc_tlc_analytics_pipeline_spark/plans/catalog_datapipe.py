@@ -11761,3 +11761,67 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
     ).select("doc_a", "doc_b")
     return dedup.soft_dedup_report(docs, pairs, delta=_Q176_DELTA)
+
+
+# ---------------------------------------------------------------------------
+# q177 — training-order randomization audit (adjacent same-source rate)
+# ---------------------------------------------------------------------------
+
+_Q177_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source,
+           md5('ord:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, row_number() OVER (ORDER BY h, doc_id) AS rnk
+    FROM t
+),
+adj AS (
+    SELECT a.source AS ga, b.source AS gb
+    FROM r a JOIN r b ON b.rnk = a.rnk + 1
+),
+same AS (
+    SELECT ga AS source, count(*) AS same_adj
+    FROM adj WHERE ga = gb GROUP BY ga
+),
+sizes AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT s.source,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       round(1.0 * s.n_docs / n.n + 1e-9, 6) AS share,
+       CAST(coalesce(m.same_adj, 0) AS BIGINT) AS same_adj_pairs,
+       round(s.n_docs * (s.n_docs - 1) / n.n + 1e-9, 4) AS expected_pairs,
+       round(coalesce(m.same_adj, 0)
+             / nullif(s.n_docs * (s.n_docs - 1) / n.n, 0) + 1e-9, 4) AS ratio
+FROM sizes s LEFT JOIN same m USING (source) CROSS JOIN n
+ORDER BY s.source
+"""
+
+
+@register(
+    "q177_shuffle_order_audit",
+    _Q177_ORACLE,
+    "Training-order randomization audit: per source, the count of "
+    "ADJACENT pairs in salted-md5 shuffle order where both members are "
+    "that source, against the exact random-permutation expectation "
+    "n_g(n_g-1)/N.  A pipeline that silently emits ingestion order "
+    "feeds the optimizer long same-source runs (correlated gradients) "
+    "and nothing downstream notices unless something measures it — a "
+    "healthy shuffle has ratio ~1 everywhere (the pytest twin asserts "
+    "both that AND that id-order on a sorted-by-source corpus blows "
+    "the ratio up).  Scale shape: position = two-pass global rank on "
+    "the hash (range shuffle, never a single-partition window); "
+    "adjacency = self-join on rank = rank+1, a dense unique uniform "
+    "key; sizes are one hash aggregate and the corpus count broadcasts. "
+    " Oracle replays the hash order, the adjacency join and the "
+    "expectation arithmetic.",
+    operators=("curriculum-shuffle-audit", "layout-global-rank", "J2", "A3"),
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curriculum
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return curriculum.shuffle_audit(docs, group_col="source", salt="ord")
