@@ -234,3 +234,121 @@ def rendezvous_shard(
     for s in range(n_shards - 2, -1, -1):
         out = F.when(digests[s] == best, lit(s)).otherwise(out)
     return out.cast("long")
+
+
+# ---------------------------------------------------------------------------
+# shard-balance audit: byte skew + Gini per assignment strategy
+# ---------------------------------------------------------------------------
+
+def shard_balance_report(
+    df: DataFrame,
+    n_shards: int = 8,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-balance audit of three shard-assignment strategies side by
+    side — the decision table for how a 100 TB corpus writes its output
+    shards.  The straggler tax is set by ``max/mean`` (the slowest
+    shard gates the stage) and the overall inequality by the Gini
+    coefficient of shard byte sizes:
+
+    - ``rendezvous`` — :func:`rendezvous_shard` (HRW): balanced AND
+      minimal-movement when shards are added;
+    - ``hashmod`` — md5 mod S: balanced, but resharding moves ~half the
+      keys;
+    - ``idrange`` — contiguous id ranges: the tempting-but-wrong
+      baseline; balanced only when weight is uncorrelated with id, and
+      any ingestion-order drift (newer docs longer) skews it silently.
+
+    Scale shape: each strategy is one map-side assignment expression +
+    one groupBy on the shard key (S groups); the Gini rank runs in a
+    window PARTITIONED BY strategy over exactly S rows per partition —
+    bounded by construction, never data-sized.  Integer weights keep
+    every sum exact; the only FP ops are the two final divisions.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from ..functions.scalar import rnd
+
+    w = col(weight_col).cast("long")
+    hashmod = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(lit("shard:"), col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    bounds = df.agg(
+        F.min(col(id_col)).alias("__lo"), F.max(col(id_col)).alias("__hi")
+    )
+    # integer DIV: a double boundary can flip the id that lands exactly
+    # on a range edge by one ulp cross-engine (the q175 convention)
+    idrange = F.expr(
+        f"least((({id_col} - __lo) * {int(n_shards)})"
+        f" div (__hi - __lo + 1), {int(n_shards) - 1})"
+    ).cast("long")
+    base = df.join(F.broadcast(bounds))
+    tagged = None
+    for name, expr in (
+        ("rendezvous", rendezvous_shard(id_col, n_shards)),
+        ("hashmod", hashmod),
+        ("idrange", idrange),
+    ):
+        part = base.select(
+            lit(name).alias("strategy"), expr.alias("shard"), w.alias("__w")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    occupied = tagged.groupBy("strategy", "shard").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("__w").cast("long").alias("bytes"),
+    )
+    # spine: EMPTY shards are still shards — dropping them would shrink
+    # the Gini denominator and hide exactly the imbalance being audited
+    spine = (
+        df.sparkSession.range(n_shards)
+        .select(col("id").alias("shard"))
+        .crossJoin(
+            df.sparkSession.createDataFrame(
+                [("rendezvous",), ("hashmod",), ("idrange",)], ["strategy"]
+            )
+        )
+    )
+    # both sides are S-sized aggregates; the preserved side of a left
+    # join can't broadcast, and it doesn't need to
+    shards = (
+        spine.join(occupied, ["strategy", "shard"], "left")
+        .select(
+            "strategy",
+            "shard",
+            F.coalesce(col("n_rows"), lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(col("bytes"), lit(0)).cast("long").alias("bytes"),
+        )
+    )
+    i = F.row_number().over(
+        Window.partitionBy("strategy").orderBy(col("bytes"), col("shard"))
+    )
+    ranked = shards.withColumn("__i", i)
+    return (
+        ranked.groupBy("strategy")
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("bytes").cast("long").alias("min_shard_bytes"),
+            F.max("bytes").cast("long").alias("max_shard_bytes"),
+            rnd(
+                F.max("bytes") / (F.sum("bytes") / F.count("*")), 4
+            ).alias("max_over_mean"),
+            rnd(
+                F.sum(
+                    (lit(2) * col("__i") - F.lit(n_shards) - 1) * col("bytes")
+                )
+                / (lit(n_shards) * F.sum("bytes")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("strategy")
+    )

@@ -11825,3 +11825,108 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_parallel(spark, sf_dir, "documents")
     return curriculum.shuffle_audit(docs, group_col="source", salt="ord")
+
+
+# ---------------------------------------------------------------------------
+# q178 — shard-balance audit (bytes skew + Gini per assignment strategy)
+# ---------------------------------------------------------------------------
+
+_Q178_S = 8
+
+_Q178_DIGESTS = ", ".join(
+    f"md5('hrw:' || CAST(doc_id AS VARCHAR) || ':{s}') AS d{s}"
+    for s in range(_Q178_S)
+)
+_Q178_GREATEST = "greatest(" + ", ".join(f"d{s}" for s in range(_Q178_S)) + ")"
+_Q178_ARGMAX = (
+    "CASE "
+    + " ".join(f"WHEN d{s} = g THEN {s}" for s in range(_Q178_S - 1))
+    + f" ELSE {_Q178_S - 1} END"
+)
+
+_Q178_ORACLE = f"""
+WITH r AS (
+    SELECT doc_id, n_chars, {_Q178_DIGESTS}
+    FROM documents
+),
+b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+assigned AS (
+    SELECT 'rendezvous' AS strategy,
+           (SELECT {_Q178_ARGMAX} FROM (SELECT {_Q178_GREATEST} AS g) t)
+               AS shard,
+           n_chars AS w
+    FROM r
+    UNION ALL
+    SELECT 'hashmod',
+           ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_Q178_S},
+           n_chars
+    FROM documents
+    UNION ALL
+    SELECT 'idrange',
+           least(((doc_id - b.lo) * {_Q178_S}) // (b.hi - b.lo + 1),
+                 {_Q178_S - 1}),
+           n_chars
+    FROM documents, b
+),
+occupied AS (
+    SELECT strategy, shard, count(*) AS n_rows, sum(w) AS bytes
+    FROM assigned GROUP BY strategy, shard
+),
+spine AS (
+    SELECT s.strategy, u.shard
+    FROM (VALUES ('rendezvous'), ('hashmod'), ('idrange')) s(strategy),
+         unnest(range(0, {_Q178_S})) u(shard)
+),
+shards AS (
+    SELECT sp.strategy, sp.shard,
+           coalesce(o.n_rows, 0) AS n_rows,
+           coalesce(o.bytes, 0) AS bytes
+    FROM spine sp LEFT JOIN occupied o USING (strategy, shard)
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY strategy ORDER BY bytes, shard)
+               AS i
+    FROM shards
+)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(bytes) AS BIGINT) AS min_shard_bytes,
+       CAST(max(bytes) AS BIGINT) AS max_shard_bytes,
+       round(max(bytes) / (sum(bytes) / count(*)) + 1e-9, 4) AS max_over_mean,
+       round(sum((2 * i - {_Q178_S} - 1) * bytes)
+             / ({_Q178_S} * sum(bytes)) + 1e-9, 6) AS gini
+FROM ranked
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
+@register(
+    "q178_shard_balance_audit",
+    _Q178_ORACLE,
+    "Shard-balance decision table: byte skew (max/mean — the straggler "
+    "tax; the slowest shard gates the stage) and the Gini coefficient "
+    "of shard byte sizes for three assignment strategies side by side — "
+    "rendezvous/HRW (balanced AND minimal movement on reshard), md5 "
+    "mod S (balanced, but resharding moves ~half the keys), and "
+    "contiguous id ranges (the tempting baseline that skews silently "
+    "when length drifts with ingestion order).  Empty shards stay in "
+    "the audit via an S-row spine — dropping them would shrink the "
+    "Gini denominator and hide exactly the imbalance being measured.  "
+    "Scale shape: map-side assignment expressions + one S-group "
+    "aggregate per strategy; the Gini rank window is PARTITIONED BY "
+    "strategy over exactly S rows.  Integer weights keep sums exact; "
+    "id-range boundaries use integer DIV (q175's convention).  Oracle "
+    "replays all three assignments (rendezvous via the same unrolled "
+    "greatest/argmax over md5 digests) and the Gini arithmetic.",
+    operators=("layout-shard-balance", "layout-rendezvous", "W2", "A3"),
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return layout.shard_balance_report(docs, n_shards=_Q178_S)

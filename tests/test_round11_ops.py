@@ -994,3 +994,59 @@ def test_shuffle_audit_detects_sorted_order(spark):
         r.same_adj_pairs for r in curriculum.shuffle_audit(docs).collect()
     )
     assert shuffled_same * 5 < same
+
+
+# ---------------------------------------------------------------------------
+# shard-balance audit (q178)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_balance_conservation_and_bounds(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    rep = layout.shard_balance_report(docs, n_shards=8).collect()
+    assert {r.strategy for r in rep} == {"rendezvous", "hashmod", "idrange"}
+    n = docs.count()
+    total_w = docs.agg({"n_chars": "sum"}).head()[0]
+    for r in rep:
+        assert r.n_shards == 8
+        assert r.total_rows == n
+        assert r.total_bytes == total_w
+        assert 0.0 <= r.gini < 1.0
+        assert r.max_over_mean >= 1.0
+        assert r.min_shard_bytes <= r.max_shard_bytes
+
+
+def test_shard_balance_detects_id_correlated_skew(spark):
+    """Weights proportional to id: hash strategies stay balanced, the
+    id-range strategy's shard sums ramp linearly (analytic Gini for a
+    linear ramp over 8 shards = 168/512 ~ 0.328)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("n_chars")
+    )
+    rep = {r.strategy: r for r in layout.shard_balance_report(df, 8).collect()}
+    assert rep["idrange"].gini > 0.25
+    assert rep["hashmod"].gini < 0.1
+    assert rep["rendezvous"].gini < 0.1
+    assert rep["idrange"].gini > 3 * rep["hashmod"].gini
+
+
+def test_shard_balance_empty_shards_stay_in_denominator(spark):
+    """3 rows over 8 shards: at least 5 shards are empty, n_shards must
+    still read 8 and min bytes 0 — the spine keeps empties visible."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_chars")
+    )
+    for r in layout.shard_balance_report(df, 8).collect():
+        assert r.n_shards == 8
+        assert r.min_shard_bytes == 0
+        assert r.gini > 0.5
