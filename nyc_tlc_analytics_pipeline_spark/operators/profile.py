@@ -139,3 +139,68 @@ def psi_from_counts(
             (col("psi") > lit(alert)).alias("drifted"),
         )
     )
+
+
+def control_chart(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ref_end: str = "2024-01-15",
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Shewhart control chart over daily ingestion batches: the metric
+    monitoring layer a continuously-fed corpus needs on top of the
+    structural drift report — schema drift is caught by column
+    reconciliation, but a feed whose VALUES quietly shift (a scraper
+    change, an upstream unit change) passes every schema check.
+
+    Days strictly before ``ref_end`` form the reference window; their
+    per-day means set the center line and the ±``sigma``·stddev control
+    limits (stddev of DAY MEANS — the chart monitors the batch
+    statistic, not row noise).  Every later day reports its z-score and
+    an out-of-control flag.
+
+    Scale shape: one day-grain hash aggregate over the feed (uniform
+    key), then a 1-row reference aggregate broadcast to the
+    day-cardinality frame — nothing data-sized past the first shuffle.
+    Day means round to 6 dp BEFORE the reference stats and the z-score
+    (the q36 convention) so cross-engine sum-order ulps can't flip a
+    flag at the 3-sigma boundary.
+    """
+    from ..functions.scalar import rnd
+
+    days = (
+        df.filter(col(ts_col).isNotNull())
+        .groupBy(col(ts_col).cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            rnd(F.avg(value_col), 6).alias("day_mean"),
+        )
+    )
+    ref = (
+        days.filter(col("day") < F.to_date(lit(ref_end)))
+        .agg(
+            rnd(F.avg("day_mean"), 6).alias("ref_mean"),
+            rnd(F.stddev_samp("day_mean"), 6).alias("ref_sd"),
+            F.count("*").cast("long").alias("ref_days"),
+        )
+    )
+    z = rnd(
+        (col("day_mean") - col("ref_mean")) / F.nullif(col("ref_sd"), lit(0.0)),
+        4,
+    )
+    return (
+        days.filter(col("day") >= F.to_date(lit(ref_end)))
+        .join(F.broadcast(ref))
+        .select(
+            "day",
+            "n_events",
+            "day_mean",
+            "ref_mean",
+            "ref_sd",
+            "ref_days",
+            z.alias("z_score"),
+            (F.abs(z) > lit(float(sigma))).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

@@ -11930,3 +11930,58 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_parallel(spark, sf_dir, "documents")
     return layout.shard_balance_report(docs, n_shards=_Q178_S)
+
+
+# ---------------------------------------------------------------------------
+# q179 — ingestion control chart (Shewhart over daily batch means)
+# ---------------------------------------------------------------------------
+
+_Q179_REF_END = "2024-01-15"
+
+_Q179_ORACLE = f"""
+WITH days AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value) + 1e-9, 6) AS day_mean
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+ref AS (
+    SELECT round(avg(day_mean) + 1e-9, 6) AS ref_mean,
+           round(stddev_samp(day_mean) + 1e-9, 6) AS ref_sd,
+           CAST(count(*) AS BIGINT) AS ref_days
+    FROM days WHERE day < DATE '{_Q179_REF_END}'
+)
+SELECT d.day, d.n_events, d.day_mean, r.ref_mean, r.ref_sd, r.ref_days,
+       round((d.day_mean - r.ref_mean) / nullif(r.ref_sd, 0) + 1e-9, 4)
+           AS z_score,
+       abs(round((d.day_mean - r.ref_mean) / nullif(r.ref_sd, 0) + 1e-9, 4))
+           > 3.0 AS out_of_control
+FROM days d CROSS JOIN ref r
+WHERE d.day >= DATE '{_Q179_REF_END}'
+ORDER BY d.day
+"""
+
+
+@register(
+    "q179_ingestion_control_chart",
+    _Q179_ORACLE,
+    "Shewhart control chart over daily ingestion batches: days before "
+    "2024-01-15 set the center line and the 3-sigma limits (stddev of "
+    "DAY MEANS — the chart monitors the batch statistic, not row "
+    "noise); every later day reports its z-score and an out-of-control "
+    "flag.  The metric-drift companion to the schema drift report: a "
+    "feed whose VALUES quietly shift passes every schema check.  Scale "
+    "shape: one day-grain hash aggregate, then a broadcast 1-row "
+    "reference joined to the day-cardinality frame.  Day means round "
+    "to 6 dp BEFORE the reference stats and the z-score so sum-order "
+    "ulps can't flip a flag at the boundary.  Oracle replays the day "
+    "grain, the reference window and the z arithmetic.",
+    operators=("profile-control-chart", "A3", "A5", "A9"),
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile.control_chart(ev, ref_end=_Q179_REF_END)

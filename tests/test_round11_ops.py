@@ -1050,3 +1050,57 @@ def test_shard_balance_empty_shards_stay_in_denominator(spark):
         assert r.n_shards == 8
         assert r.min_shard_bytes == 0
         assert r.gini > 0.5
+
+
+# ---------------------------------------------------------------------------
+# ingestion control chart (q179)
+# ---------------------------------------------------------------------------
+
+
+def test_control_chart_flags_injected_shift(spark):
+    """A synthetic feed with a level shift after the reference window
+    must flag exactly the shifted days; the steady days stay inside the
+    limits."""
+    import datetime
+
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+
+    rows = []
+    # reference: 10 days of N(100, ~1); monitor: 3 steady days then 3
+    # shifted by +50 (way past 3 sigma of the day-mean spread)
+    for d in range(1, 17):
+        shift = 50.0 if d >= 14 else 0.0
+        wobble = (d % 3 - 1) * 0.3  # day-mean spread so ref_sd > 0
+        for i in range(20):
+            rows.append(
+                (
+                    datetime.datetime(2024, 1, d, 8, 0, i),
+                    100.0 + (i % 5 - 2) * 0.5 + wobble + shift,
+                )
+            )
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    rep = profile.control_chart(df, ref_end="2024-01-11").collect()
+    assert len(rep) == 6
+    by_day = {r.day.day: r for r in rep}
+    for d in (11, 12, 13):
+        assert not by_day[d].out_of_control
+    for d in (14, 15, 16):
+        assert by_day[d].out_of_control
+        assert by_day[d].z_score > 3
+    assert all(r.ref_days == 10 for r in rep)
+
+
+def test_control_chart_zero_variance_reference_yields_null_z(spark):
+    """A constant reference window has sd=0 — z must be NULL (nullif),
+    never a division error or an inf flag."""
+    import datetime
+
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+
+    rows = [
+        (datetime.datetime(2024, 1, d, 12, 0, 0), 7.0) for d in range(1, 6)
+    ] + [(datetime.datetime(2024, 1, 6, 12, 0, 0), 9.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    rep = profile.control_chart(df, ref_end="2024-01-06").collect()
+    assert len(rep) == 1
+    assert rep[0].z_score is None and rep[0].out_of_control is None
