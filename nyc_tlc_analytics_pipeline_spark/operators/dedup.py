@@ -1922,3 +1922,122 @@ def soft_dedup_report(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental segment-level dedup (the q147/q163 refresh contract for q174)
+# ---------------------------------------------------------------------------
+
+def segment_index_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+) -> DataFrame:
+    """The standing corpus' segment-hash index: one row per DISTINCT
+    segment hash with its first occurrence — the persistable side of
+    incremental segment dedup (write once, append per batch; the
+    :func:`lsh_band_table` / :func:`embedding_bucket_table` contract).
+    min_by keeps the (doc, idx) that the batch classifier reports as
+    the original."""
+    segs = segment_table(df, id_col=id_col, text_col=text_col, seg_len=seg_len)
+    return (
+        segs.withColumn("__h", F.md5(col("seg_text")))
+        .groupBy("__h")
+        .agg(
+            F.min(F.struct(col(id_col), col("seg_idx"))).alias("__first"),
+        )
+        .select(
+            col("__h").alias("seg_hash"),
+            col(f"__first.{id_col}").alias("first_doc"),
+            col("__first.seg_idx").alias("first_idx"),
+        )
+    )
+
+
+def incremental_segment_classify(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+) -> DataFrame:
+    """Classify every segment occurrence of a NEW batch against a
+    standing segment index: ``dup_vs_corpus`` (hash already indexed),
+    ``dup_in_batch`` (first occurrence is earlier in this batch), or
+    ``new``.  Join/shuffle volume is O(batch segments + matches): the
+    batch side explodes only the batch, the index side is a
+    column-pruned read of the persisted hash table, and the
+    within-batch keep-first window partitions on the batch's own
+    hashes.  The standing corpus' TEXT is never touched — exactly the
+    q147/q163 refresh economics at segment grain."""
+    segs = segment_table(
+        batch, id_col=id_col, text_col=text_col, seg_len=seg_len
+    ).withColumn("__h", F.md5(col("seg_text")))
+    w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
+    ranked = segs.withColumn("__rn", F.row_number().over(w))
+    hit = index.select(col("seg_hash").alias("__h"), lit(True).alias("__in_corpus"))
+    return (
+        ranked.join(hit, "__h", "left")
+        .withColumn(
+            "status",
+            F.when(col("__in_corpus"), lit("dup_vs_corpus"))
+            .when(col("__rn") > 1, lit("dup_in_batch"))
+            .otherwise(lit("new")),
+        )
+        .drop("__in_corpus", "__rn")
+    )
+
+
+def incremental_segment_report(
+    batch: DataFrame,
+    standing: DataFrame,
+    seg_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group refresh report: segment occurrences by status plus the
+    tokens a keep-first writer would drop (both dup classes are
+    removable).  ``n_segments = n_dup_vs_corpus + n_dup_in_batch +
+    n_new`` by construction."""
+    from ..functions.scalar import rnd
+
+    st = incremental_segment_classify(
+        batch,
+        segment_index_table(standing, id_col, text_col, seg_len),
+        id_col,
+        text_col,
+        seg_len,
+    )
+    return (
+        st.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum((col("status") == "dup_vs_corpus").cast("long"))
+            .cast("long")
+            .alias("n_dup_vs_corpus"),
+            F.sum((col("status") == "dup_in_batch").cast("long"))
+            .cast("long")
+            .alias("n_dup_in_batch"),
+            F.sum((col("status") == "new").cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum("seg_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(col("status") != "new", col("seg_tokens")).otherwise(lit(0))
+            )
+            .cast("long")
+            .alias("removable_tokens"),
+        )
+        .withColumn(
+            "removable_pct",
+            rnd(
+                lit(100.0)
+                * col("removable_tokens")
+                / F.nullif(col("total_tokens"), lit(0)),
+                4,
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -11985,3 +11985,81 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return profile.control_chart(ev, ref_end=_Q179_REF_END)
+
+
+# ---------------------------------------------------------------------------
+# q180 — incremental segment-level dedup (refresh face of q174)
+# ---------------------------------------------------------------------------
+
+#: batch = every 5th doc; standing = the rest (deterministic split)
+_Q180_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk,
+           doc_id % 5 = 0 AS is_batch
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, lang, is_batch, tk,
+           unnest(range(1, CAST(ceil(len(tk) / {_Q174_SEG}.0) AS BIGINT) + 1))
+               AS seg_idx
+    FROM t
+),
+seg AS (
+    SELECT doc_id, lang, is_batch, seg_idx,
+           md5(array_to_string(list_slice(tk, (seg_idx - 1) * {_Q174_SEG} + 1,
+                                          (seg_idx - 1) * {_Q174_SEG} + {_Q174_SEG}),
+                               ' ')) AS h,
+           len(list_slice(tk, (seg_idx - 1) * {_Q174_SEG} + 1,
+                          (seg_idx - 1) * {_Q174_SEG} + {_Q174_SEG})) AS seg_tokens
+    FROM idx
+),
+corpus_h AS (SELECT DISTINCT h FROM seg WHERE NOT is_batch),
+b AS (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+    FROM seg WHERE is_batch
+),
+st AS (
+    SELECT lang, seg_tokens,
+           CASE WHEN h IN (SELECT h FROM corpus_h) THEN 'dup_vs_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM b
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN status = 'dup_vs_corpus' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_in_batch,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(seg_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN status <> 'new' THEN seg_tokens ELSE 0 END) AS BIGINT)
+           AS removable_tokens,
+       round(100.0 * sum(CASE WHEN status <> 'new' THEN seg_tokens ELSE 0 END)
+             / nullif(sum(seg_tokens), 0) + 1e-9, 4) AS removable_pct
+FROM st
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q180_incremental_segment_dedup",
+    _Q180_ORACLE,
+    "Incremental SEGMENT-level dedup — the q147/q163 refresh contract "
+    "at q174's grain: a new batch's 8-token segments classify against "
+    "the standing corpus' persisted segment-hash index as "
+    "dup_vs_corpus / dup_in_batch (keep-first inside the batch) / new, "
+    "with the tokens a keep-first writer would drop.  Join/shuffle "
+    "volume is O(batch segments + matches): only the batch explodes, "
+    "the index side is a column-pruned hash table read, the standing "
+    "text is never touched.  Registered split: batch = every 5th doc, "
+    "standing = the rest; the oracle replays the segmentation, the "
+    "index membership and the within-batch keep-first window.",
+    operators=("dedup-segment-incremental", "dedup-segment", "J8", "W2", "A4"),
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    batch = docs.filter(col("doc_id") % 5 == 0)
+    standing = docs.filter(col("doc_id") % 5 != 0)
+    return dedup.incremental_segment_report(batch, standing, seg_len=_Q174_SEG)

@@ -1104,3 +1104,82 @@ def test_control_chart_zero_variance_reference_yields_null_z(spark):
     rep = profile.control_chart(df, ref_end="2024-01-06").collect()
     assert len(rep) == 1
     assert rep[0].z_score is None and rep[0].out_of_control is None
+
+
+# ---------------------------------------------------------------------------
+# incremental segment dedup (q180)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_segment_classify_python_replay(spark):
+    seg_len = 3
+    standing = spark.createDataFrame(
+        [(1, "en", "a b c x y z"), (2, "de", "q r s")],
+        ["doc_id", "lang", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "en", "a b c new one two"),   # seg1 dup_vs_corpus, seg2 new
+            (11, "en", "new one two a b c"),   # seg1 dup_in_batch(10's seg2? no:
+            #   'new one two' first occurs in doc10 idx2 -> 11's idx1 is dup_in_batch;
+            #   11's seg2 'a b c' is dup_vs_corpus
+            (12, "de", "fresh stuff here"),    # new
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        (r.doc_id, r.seg_idx): r.status
+        for r in dedup.incremental_segment_classify(
+            batch, dedup.segment_index_table(standing, seg_len=seg_len),
+            seg_len=seg_len,
+        ).collect()
+    }
+    assert got == {
+        (10, 1): "dup_vs_corpus",
+        (10, 2): "new",
+        (11, 1): "dup_in_batch",
+        (11, 2): "dup_vs_corpus",
+        (12, 1): "new",
+    }
+
+
+def test_segment_index_persisted_equals_derived(spark, tmp_path):
+    """The parquet-persisted index classifies identically to the
+    in-plan derivation — the q163 persisted==derived contract."""
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    standing = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    idx = dedup.segment_index_table(standing)
+    path = str(tmp_path / "seg_index")
+    idx.write.parquet(path)
+    a = sorted(
+        map(
+            str,
+            dedup.incremental_segment_classify(
+                batch, spark.read.parquet(path)
+            ).select("doc_id", "seg_idx", "status").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            str,
+            dedup.incremental_segment_classify(batch, idx)
+            .select("doc_id", "seg_idx", "status")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_incremental_segment_disjoint_batch_is_all_new(spark):
+    standing = spark.createDataFrame(
+        [(1, "en", "a b c d e f")], ["doc_id", "lang", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(2, "en", "g h i j k l")], ["doc_id", "lang", "text"]
+    )
+    rep = dedup.incremental_segment_report(batch, standing, seg_len=3).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_new == r.n_segments == 2
+    assert r.removable_tokens == 0 and r.removable_pct == 0.0
