@@ -202,6 +202,15 @@ _SWEEP_COST = {
     "q171_adaptive_ivf_probe": 25.70,
     "q172_hard_negative_mining": 19.20,
     "q173_contamination_delta": 11.30,
+    # late-round-11 ops tier, measured in one warm local[8] sweep
+    # (q174's first-slot warmup tax discounted)
+    "q174_segment_dedup": 3.00,
+    "q175_curriculum_schedule": 4.80,
+    "q176_soft_dedup_value": 5.50,
+    "q177_shuffle_order_audit": 2.10,
+    "q178_shard_balance_audit": 4.50,
+    "q179_ingestion_control_chart": 1.00,
+    "q180_incremental_segment_dedup": 1.80,
 }
 
 
