@@ -275,3 +275,78 @@ def run_streaming_ivf_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_segment_dedup(
+    doc_stream: DataFrame,
+    status_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+) -> None:
+    """Streaming face of the incremental SEGMENT dedup
+    (``dedup.incremental_segment_classify``, conformance q180): each
+    micro-batch's fixed-width token segments classify against the
+    ACCUMULATED segment-hash index — dup_vs_corpus / dup_in_batch /
+    new — and only the NEW segments' hashes join the index, so the
+    index a batch probes is exactly what an offline keep-first pass
+    over the arrival order would have kept.  Per-batch cost is
+    O(batch segments + matches): the probe is one hash equi-join, the
+    standing corpus' text is never re-read.
+
+    Exactly-once follows ``run_streaming_near_dup``'s manifest
+    discipline: both stores commit under the batch idempotency tag and
+    the standing snapshot filters to ``__batch_id < current``, so a
+    replay can never classify a batch against its own appends."""
+    spark = doc_stream.sparkSession
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"batch-{batch_id:020d}"
+        status_t = ManifestTable(spark, status_path)
+        index_t = ManifestTable(spark, index_path)
+
+        snap = index_t.snapshot()
+        if snap["dirs"]:
+            standing_index = (
+                index_t.read(version=snap["version"])
+                .filter(col("__batch_id") < lit(batch_id))
+                .select("seg_hash", "first_doc", "first_idx")
+            )
+        else:
+            standing_index = (
+                batch_df.sparkSession.createDataFrame(
+                    [], "seg_hash string, first_doc long, first_idx int"
+                )
+            )
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        st = dedup.incremental_segment_classify(
+            batch_df, standing_index, id_col, text_col, seg_len
+        ).withColumn("__batch_id", lit(batch_id))
+        st = st.localCheckpoint(eager=True)
+
+        status_t.append(
+            st.select(id_col, "seg_idx", "status", "__batch_id"), tag=tag
+        )
+        index_t.append(
+            st.filter(col("status") == "new").select(
+                col("__h").alias("seg_hash"),
+                col(id_col).alias("first_doc"),
+                col("seg_idx").alias("first_idx"),
+                "__batch_id",
+            ),
+            tag=tag,
+        )
+
+    (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(classify_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

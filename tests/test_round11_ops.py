@@ -1183,3 +1183,67 @@ def test_incremental_segment_disjoint_batch_is_all_new(spark):
     r = rep[0]
     assert r.n_new == r.n_segments == 2
     assert r.removable_tokens == 0 and r.removable_pct == 0.0
+
+
+# ---------------------------------------------------------------------------
+# streaming segment dedup (q180's streaming face)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_segment_dedup_matches_sequential_replay(spark, tmp_path):
+    """Three micro-batches through the streaming face produce exactly
+    the statuses a sequential batch replay of incremental_segment_
+    classify produces with the same accumulated index — and a rerun on
+    the same checkpoint appends nothing (exactly-once)."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.near_dup import (
+        run_streaming_segment_dedup,
+    )
+    from .test_round8_ops import _write_doc_batches
+
+    docs = load_table(spark, C.SF_SMOKE, "documents").limit(90).cache()
+    src = str(tmp_path / "docs_src")
+    _write_doc_batches(spark, docs, src, n_files=3)
+    status_p, index_p = str(tmp_path / "status"), str(tmp_path / "segidx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_streaming_segment_dedup(stream, status_p, index_p, str(tmp_path / "ck"))
+
+    got = {
+        (r.doc_id, r.seg_idx): r.status
+        for r in ManifestTable(spark, status_p).read().collect()
+    }
+
+    # sequential replay with the same batch split/order
+    index = spark.createDataFrame(
+        [], "seg_hash string, first_doc long, first_idx int"
+    )
+    want = {}
+    for k in range(3):
+        b = docs.filter(col("doc_id") % 3 == k)
+        st = dedup.incremental_segment_classify(b, index).localCheckpoint()
+        for r in st.select("doc_id", "seg_idx", "status").collect():
+            want[(r.doc_id, r.seg_idx)] = r.status
+        index = index.unionByName(
+            st.filter(col("status") == "new").selectExpr(
+                "__h AS seg_hash", "doc_id AS first_doc", "seg_idx AS first_idx"
+            )
+        ).localCheckpoint()
+    assert got == want
+
+    # exactly-once: a rerun on the drained source + same checkpoint is a no-op
+    n_status = ManifestTable(spark, status_p).read().count()
+    n_index = ManifestTable(spark, index_p).read().count()
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_streaming_segment_dedup(stream2, status_p, index_p, str(tmp_path / "ck"))
+    assert ManifestTable(spark, status_p).read().count() == n_status
+    assert ManifestTable(spark, index_p).read().count() == n_index
