@@ -12063,3 +12063,85 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(col("doc_id") % 5 == 0)
     standing = docs.filter(col("doc_id") % 5 != 0)
     return dedup.incremental_segment_report(batch, standing, seg_len=_Q174_SEG)
+
+
+# ---------------------------------------------------------------------------
+# q181 — corpus drift PSI (per-language length distribution, ref vs cur)
+# ---------------------------------------------------------------------------
+
+_Q181_LO, _Q181_W, _Q181_B = 0.0, 80.0, 10
+_Q181_EPS = 1e-6
+
+_Q181_ORACLE = f"""
+WITH b AS (
+    SELECT lang, doc_id % 2 = 1 AS is_cur,
+           least({_Q181_B - 1},
+                 greatest(0, CAST(floor((n_chars - {_Q181_LO}) / {_Q181_W})
+                                  AS INT))) AS bucket
+    FROM documents
+),
+cur AS (
+    SELECT lang AS grp, bucket, count(*) AS cc FROM b WHERE is_cur
+    GROUP BY lang, bucket
+),
+ref AS (
+    SELECT lang AS grp, bucket, count(*) AS cr FROM b WHERE NOT is_cur
+    GROUP BY lang, bucket
+),
+tc AS (SELECT grp, sum(cc) AS n_cur FROM cur GROUP BY grp),
+tr AS (SELECT grp, sum(cr) AS n_ref FROM ref GROUP BY grp),
+j AS (
+    SELECT coalesce(c.grp, r.grp) AS grp,
+           coalesce(c.cc, 0) AS cc, coalesce(r.cr, 0) AS cr
+    FROM cur c FULL OUTER JOIN ref r
+      ON c.grp = r.grp AND c.bucket = r.bucket
+),
+p AS (
+    SELECT j.grp, tc.n_cur, tr.n_ref,
+           1.0 * j.cc / tc.n_cur + {_Q181_EPS} AS pc,
+           1.0 * j.cr / tr.n_ref + {_Q181_EPS} AS pr
+    FROM j JOIN tc ON j.grp = tc.grp JOIN tr ON j.grp = tr.grp
+)
+SELECT grp,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(sum((pc - pr) * ln(pc / pr)) + 1e-9, 6) AS psi,
+       round(sum((pc - pr) * ln(pc / pr)) + 1e-9, 6) > 0.1 AS drifted
+FROM p
+GROUP BY grp, n_ref, n_cur
+ORDER BY grp
+"""
+
+
+@register(
+    "q181_corpus_drift_psi",
+    _Q181_ORACLE,
+    "Population Stability Index of the per-language document-length "
+    "distribution between the even-id (reference) and odd-id (current) "
+    "halves — the registered conformance face of the streaming drift "
+    "monitor's PSI math (profile.value_bucket_counts + psi_from_counts, "
+    "the `drift-monitor` CLI verb).  Fixed equal-width edge-clipped "
+    "buckets are a map-side expression; count frames are "
+    "|groups|x|buckets| rows, so every join past the scan is bounded.  "
+    "The even/odd split is exchangeable, so PSI ~ 0 and nothing flags "
+    "— the drifted=true path is exercised by the injected-shift pytest "
+    "twin.  Oracle replays bucketing, smoothing and the PSI sum.",
+    operators=("profile-psi-drift", "A4", "J3"),
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    cur = profile.value_bucket_counts(
+        docs.filter(col("doc_id") % 2 == 1), "n_chars", "lang",
+        _Q181_LO, _Q181_W, _Q181_B,
+    )
+    ref = profile.value_bucket_counts(
+        docs.filter(col("doc_id") % 2 == 0), "n_chars", "lang",
+        _Q181_LO, _Q181_W, _Q181_B,
+    )
+    return (
+        profile.psi_from_counts(cur, ref, eps=_Q181_EPS)
+        .withColumnRenamed("grp", "grp")
+        .orderBy("grp")
+    )
