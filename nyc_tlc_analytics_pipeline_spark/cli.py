@@ -350,6 +350,31 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--buckets", type=int, default=10)
     dr.add_argument("--alert", type=float, default=0.1)
 
+    sd = sub.add_parser(
+        "segment-dedup",
+        help="cross-document segment-level dedup report over a documents "
+        "parquet (CCNet line dedup at fixed token-window grain, "
+        "operators.dedup.segment_dedup_report); with --batch, the "
+        "incremental refresh report of the batch against the standing "
+        "corpus (incremental_segment_report)",
+    )
+    sd.add_argument("--docs", required=True, help="documents parquet path")
+    sd.add_argument(
+        "--batch", help="optional batch parquet; --docs becomes the standing corpus"
+    )
+    sd.add_argument("--seg-len", type=int, default=8)
+    sd.add_argument("--boiler-df", type=int, default=3)
+
+    cr = sub.add_parser(
+        "curriculum",
+        help="quality-staged curriculum report over a documents parquet "
+        "(equal-frequency stages, salted within-stage shuffle, "
+        "operators.curriculum.curriculum_report)",
+    )
+    cr.add_argument("--docs", required=True, help="documents parquet path")
+    cr.add_argument("--stages", type=int, default=4)
+    cr.add_argument("--salt", default="curr")
+
     args = p.parse_args(argv)
 
     if args.command == "download":
@@ -848,6 +873,38 @@ def main(argv: list[str] | None = None) -> int:
         }
         print(json.dumps(report, indent=2, sort_keys=True))
         return 0 if not any(v["drifted"] for v in report.values()) else 4
+    elif args.command == "segment-dedup":
+        from .operators import dedup as _dedup
+
+        docs = pl.spark.read.parquet(args.docs)
+        if args.batch:
+            rows = _dedup.incremental_segment_report(
+                pl.spark.read.parquet(args.batch), docs, seg_len=args.seg_len
+            ).collect()
+        else:
+            rows = _dedup.segment_dedup_report(
+                docs, seg_len=args.seg_len, boiler_df=args.boiler_df
+            ).collect()
+        print(
+            json.dumps(
+                {r["lang"]: r.asDict() for r in rows}, indent=2, sort_keys=True
+            )
+        )
+    elif args.command == "curriculum":
+        from .operators import curriculum as _curr
+
+        rows = _curr.curriculum_report(
+            pl.spark.read.parquet(args.docs),
+            n_stages=args.stages,
+            salt=args.salt,
+        ).collect()
+        print(
+            json.dumps(
+                {str(r["stage"]): r.asDict() for r in rows},
+                indent=2,
+                sort_keys=True,
+            )
+        )
     return 0
 
 

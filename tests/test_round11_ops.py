@@ -1247,3 +1247,47 @@ def test_streaming_segment_dedup_matches_sequential_replay(spark, tmp_path):
     run_streaming_segment_dedup(stream2, status_p, index_p, str(tmp_path / "ck"))
     assert ManifestTable(spark, status_p).read().count() == n_status
     assert ManifestTable(spark, index_p).read().count() == n_index
+
+
+# ---------------------------------------------------------------------------
+# CLI verbs: segment-dedup / curriculum
+# ---------------------------------------------------------------------------
+
+
+def test_cli_segment_dedup_and_curriculum_verbs(spark, tmp_path, capsys):
+    import json
+
+    from nyc_tlc_analytics_pipeline_spark.cli import main
+
+    docs = load_table(spark, C.SF_SMOKE, "documents").limit(120)
+    dp = str(tmp_path / "docs")
+    docs.write.parquet(dp)
+    wh = ["--warehouse-dir", str(tmp_path / "wh")]
+
+    rc = main(wh + ["segment-dedup", "--docs", dp])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert all(
+        v["n_segments"] >= v["n_dup_segments"] >= 0 for v in rep.values()
+    )
+    direct = {
+        r.lang: r.n_segments
+        for r in dedup.segment_dedup_report(spark.read.parquet(dp)).collect()
+    }
+    assert {k: v["n_segments"] for k, v in rep.items()} == direct
+
+    rc = main(wh + ["curriculum", "--docs", dp, "--stages", "3"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and set(rep) == {"0", "1", "2"}
+    assert sum(v["n_docs"] for v in rep.values()) == 120
+
+    bp = str(tmp_path / "batch")
+    docs.selectExpr("doc_id + 100000 AS doc_id", "text", "lang", "source",
+                    "n_chars").write.parquet(bp)
+    rc = main(wh + ["segment-dedup", "--docs", dp, "--batch", bp])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    # the batch is a verbatim copy at shifted ids: every segment hash is
+    # already in the standing index
+    assert all(v["n_new"] == 0 for v in rep.values())
+    assert all(v["removable_pct"] == 100.0 for v in rep.values())
