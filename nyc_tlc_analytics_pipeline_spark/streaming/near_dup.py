@@ -350,3 +350,36 @@ def run_streaming_segment_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def compact_ivf_manifest_to_index(
+    spark,
+    manifest_path: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """The maintenance pass ``run_streaming_ivf_ingest`` promises:
+    rewrite the exactly-once ingest manifest into the READ-optimized
+    ``ivf_bucket=`` partition-dir layout (``similarity.write_ivf_index``
+    's layout), restoring partition pruning for probes.  Assignments
+    are taken AS COMMITTED (the frozen ``cid`` column) — compaction
+    must never re-assign, or a concurrent centroid retrain would make
+    the compacted index disagree with the manifest it replaced.
+
+    One read of the manifest snapshot + one bucket-repartitioned write
+    (each partition dir written by one task); returns the row count
+    written.  The manifest keeps accepting batches while this runs —
+    compaction is a snapshot copy, the streaming store stays the source
+    of truth until the operator swaps probe paths."""
+    snap = ManifestTable(spark, manifest_path)
+    rows = snap.read().select(
+        col(id_col), col(vec_col), col("cid").alias("ivf_bucket")
+    )
+    (
+        rows.repartition(col("ivf_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_bucket")
+        .parquet(index_path)
+    )
+    return spark.read.parquet(index_path).count()

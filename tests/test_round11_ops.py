@@ -1291,3 +1291,65 @@ def test_cli_segment_dedup_and_curriculum_verbs(spark, tmp_path, capsys):
     # already in the standing index
     assert all(v["n_new"] == 0 for v in rep.values())
     assert all(v["removable_pct"] == 100.0 for v in rep.values())
+
+
+def test_compact_ivf_manifest_to_index_probe_equality(spark, tmp_path):
+    """Compacting the streaming-ingest manifest into the ivf_bucket=
+    partition-dir layout must preserve every (vec, assignment) and
+    probe identically to an index written directly by write_ivf_index
+    under the same frozen centroids."""
+    from pyspark.sql.functions import col
+
+    from nyc_tlc_analytics_pipeline_spark.operators import similarity
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from nyc_tlc_analytics_pipeline_spark.streaming.near_dup import (
+        compact_ivf_manifest_to_index,
+        run_streaming_ivf_ingest,
+    )
+
+    emb = (
+        _emb(spark)
+        .limit(120)
+        .withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    cents = similarity.ivf_centroids(emb.drop("__rn"), k=8)
+    src = str(tmp_path / "vec_src")
+    _write_vec_batches(spark, emb, src, n_files=3)
+    emb = emb.drop("__rn")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    man_p = str(tmp_path / "ivf_manifest")
+    run_streaming_ivf_ingest(stream, man_p, str(tmp_path / "ck"), cents)
+
+    idx_p = str(tmp_path / "ivf_compacted")
+    n = compact_ivf_manifest_to_index(spark, man_p, idx_p)
+    assert n == 120
+
+    direct_p = str(tmp_path / "ivf_direct")
+    similarity.write_ivf_index(emb, direct_p, cents)
+    a = sorted(
+        (r.vec_id, r.ivf_bucket)
+        for r in spark.read.parquet(idx_p).select("vec_id", "ivf_bucket").collect()
+    )
+    b = sorted(
+        (r.vec_id, r.ivf_bucket)
+        for r in spark.read.parquet(direct_p).select("vec_id", "ivf_bucket").collect()
+    )
+    assert a == b
+    # probe equality through the partition-pruned path
+    q = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    pa = [
+        r.vec_id
+        for r in similarity.read_ivf_probe(spark, idx_p, q, cents, k=5).collect()
+    ]
+    pb = [
+        r.vec_id
+        for r in similarity.read_ivf_probe(spark, direct_p, q, cents, k=5).collect()
+    ]
+    assert pa == pb
