@@ -135,3 +135,117 @@ def test_asof_time_reversal_duality(spark, lrows, rrows):
         ).collect()
     }
     assert fwd == back
+
+
+# ---------------------------------------------------------------------------
+# segment dedup (q174/q180): reconstruction + keep-first conservation
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=30
+)
+_corpus = st.lists(st.tuples(_words), min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_corpus, seg_len=st.sampled_from([1, 3, 8]))
+def test_segment_table_reconstruction_property(spark, rows, seg_len):
+    """For ANY corpus and segment width: concatenating a document's
+    segments in order reproduces its token stream exactly, and segment
+    token counts sum to the document token count."""
+    df = spark.createDataFrame(
+        [(i, "xx", " ".join(ws)) for i, (ws,) in enumerate(rows)],
+        ["doc_id", "lang", "text"],
+    )
+    segs = dedup.segment_table(df, seg_len=seg_len).collect()
+    by_doc = {}
+    for r in sorted(segs, key=lambda r: (r.doc_id, r.seg_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, (ws,) in enumerate(rows):
+        toks = " ".join(ws).lower().split()
+        got = " ".join(r.seg_text for r in by_doc[i]).split()
+        assert got == toks
+        assert sum(r.seg_tokens for r in by_doc[i]) == len(toks)
+        # every segment except possibly the last is full-width
+        widths = [r.seg_tokens for r in by_doc[i]]
+        assert all(w == seg_len for w in widths[:-1])
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_corpus)
+def test_segment_dedup_conservation_property(spark, rows):
+    """Keep-first conservation on ANY corpus: total kept tokens (total −
+    removed) equal the token count of the distinct-segment set with one
+    occurrence each — and appending a verbatim copy of every document
+    leaves the kept-token count UNCHANGED (the copy contributes only
+    removable duplicates)."""
+    base = [(i, "xx", " ".join(ws)) for i, (ws,) in enumerate(rows)]
+    df = spark.createDataFrame(base, ["doc_id", "lang", "text"])
+    rep = dedup.segment_dedup_report(df, seg_len=3).collect()[0]
+    # python twin of kept tokens: first occurrence per segment text
+    seen, kept = set(), 0
+    for i, (ws,) in enumerate(rows):
+        toks = " ".join(ws).lower().split()
+        for s in range(0, len(toks), 3):
+            seg = " ".join(toks[s : s + 3])
+            if seg not in seen:
+                seen.add(seg)
+                kept += len(toks[s : s + 3])
+    assert rep.total_tokens - rep.removed_tokens == kept
+
+    doubled = base + [
+        (1000 + i, "xx", t) for i, (_, _, t) in enumerate(base)
+    ]
+    df2 = spark.createDataFrame(doubled, ["doc_id", "lang", "text"])
+    rep2 = dedup.segment_dedup_report(df2, seg_len=3).collect()[0]
+    # the copy contributes only duplicates: kept tokens are unchanged
+    assert rep2.total_tokens - rep2.removed_tokens == kept
+
+
+# ---------------------------------------------------------------------------
+# shard-balance Gini (q178): python-twin equality on arbitrary weights
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    weights=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    s=st.sampled_from([2, 4, 8]),
+)
+def test_shard_gini_matches_python_twin(spark, weights, s):
+    from nyc_tlc_analytics_pipeline_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], ["doc_id", "n_chars"]
+    )
+    rep = {r.strategy: r for r in layout.shard_balance_report(df, s).collect()}
+
+    def py_gini(shard_of):
+        buckets = [0] * s
+        for i, w in enumerate(weights):
+            buckets[shard_of(i)] += w
+        tot = sum(buckets)
+        if tot == 0:
+            return None
+        w_sorted = sorted(buckets)
+        return round(
+            sum((2 * (i + 1) - s - 1) * w for i, w in enumerate(w_sorted))
+            / (s * tot)
+            + 1e-9,
+            6,
+        )
+
+    import hashlib
+
+    def hashmod(i):
+        return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8], 16) % s
+
+    lo, hi = 0, len(weights) - 1
+    def idrange(i):
+        return min((i - lo) * s // (hi - lo + 1), s - 1)
+
+    if sum(weights) > 0:
+        assert rep["hashmod"].gini == py_gini(hashmod)
+        assert rep["idrange"].gini == py_gini(idrange)
+        for r in rep.values():
+            assert 0.0 <= r.gini < 1.0
