@@ -43,6 +43,8 @@ GLOBAL_WINDOW_OK = {
     "q127_vocab_coverage",  # cumulative walk over the distinct-freq histogram
     "q152_neyman_stratified_sample",  # Σ N_h·S_h normalizer over the |strata| frame (q52 posture)
     "q159_hybrid_rrf_retrieval",  # rank windows over the two pool-sized TakeOrdered lists (q69/q124 posture)
+    "q175_curriculum_schedule",  # q116's offsets window (two-pass global rank)
+    "q177_shuffle_order_audit",  # q116's offsets window (two-pass global rank)
 }
 
 

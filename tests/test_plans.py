@@ -118,6 +118,10 @@ def test_no_cartesian_products_in_catalog(spark):
         "q169_padding_efficiency_curve",  # 1-row total-count broadcast onto the ranked frame
         "q170_contamination_union_gate",  # bounded bench matrix onto the corpus scan (q158's gated verify)
         "q171_adaptive_ivf_probe",  # bounded audit panel / K-centroid frames onto corpus scans (q162 posture)
+        "q175_curriculum_schedule",  # 1-row corpus-count broadcast onto the ranked frame (q169 posture)
+        "q177_shuffle_order_audit",  # 1-row corpus-count broadcast onto the |sources| frame
+        "q178_shard_balance_audit",  # 1-row id-bounds broadcast onto the scan + S-row spine x 3-strategy VALUES
+        "q179_ingestion_control_chart",  # 1-row reference-window stats onto the |days| frame
     }
     for name, spec in QUERIES.items():
         plan = _optimized(spec.build(spark, SF_SMOKE))
