@@ -12145,3 +12145,146 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("grp", "grp")
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — curriculum-packed training batches (q175 × pack_contiguous)
+# ---------------------------------------------------------------------------
+
+_Q182_BUDGET = 512
+
+_Q182_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(lower(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           round((least(1.0 * len(toks) / 200.0, 1.0)
+            + (1.0 - least(5.0 * n_punct / nullif(n_chars, 0), 1.0))
+            + least(4.0 * len(list_filter(toks, x -> list_contains([{_EN}], x)))
+                    / nullif(len(toks), 0), 1.0)) / 3.0 + 1e-9, 6) AS quality
+    FROM t
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+           count(*) OVER () AS n
+    FROM scored
+),
+staged AS (
+    SELECT doc_id, n_tokens,
+           least(((rnk - 1) * {_Q175_STAGES}) // n, {_Q175_STAGES - 1}) AS stage,
+           md5('curr:' || CAST(doc_id AS VARCHAR)) AS pos
+    FROM ranked
+),
+streams AS (
+    SELECT *,
+           CAST(stage AS VARCHAR) || ':' || substr(pos, 1, 1) AS stream,
+           pos || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ord
+    FROM staged
+),
+packed AS (
+    SELECT *,
+           (coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY ord), 0)
+            - n_tokens) AS strt
+    FROM streams
+),
+docs_p AS (
+    SELECT stage, stream, n_tokens,
+           strt // {_Q182_BUDGET} AS pack_id,
+           strt % {_Q182_BUDGET} AS pack_offset
+    FROM packed
+),
+per_stream AS (
+    SELECT stage, stream,
+           count(*) AS n_docs,
+           max(pack_id) + 1 AS n_packs,
+           sum(n_tokens) AS tok,
+           sum(CASE WHEN pack_offset + n_tokens > {_Q182_BUDGET}
+                    THEN 1 ELSE 0 END) AS straddle,
+           CASE WHEN sum(n_tokens) % {_Q182_BUDGET} = 0
+                THEN {_Q182_BUDGET}
+                ELSE sum(n_tokens) % {_Q182_BUDGET} END AS tail_fill
+    FROM docs_p
+    GROUP BY stage, stream
+)
+SELECT stage,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_streams,
+       CAST(sum(n_packs) AS BIGINT) AS n_packs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(straddle) AS BIGINT) AS n_straddling,
+       round(100.0 * sum(straddle) / sum(n_docs) + 1e-9, 4) AS straddle_pct,
+       round(100.0 * sum(tok) / (sum(n_packs) * {_Q182_BUDGET}.0) + 1e-9, 4)
+           AS fill_pct
+FROM per_stream
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+@register(
+    "q182_curriculum_packed_shards",
+    _Q182_ORACLE,
+    "Curriculum schedule materialized into training batches: each q175 "
+    "stage's documents pack contiguously (concat-and-chunk at a "
+    "512-token budget) in within-stage shuffle order, keyed by (stage, "
+    "first pos-hex) sub-streams — 16 bounded window partitions per "
+    "stage, the pack_contiguous contract's '(domain, shard)' keying, "
+    "never a stage-sized window.  Per stage: pack count, fill rate "
+    "(waste is only each sub-stream's tail pack), and the straddle "
+    "count (documents cut by a pack boundary — the cost of split-"
+    "allowed packing that q169's padding curve prices against).  "
+    "Oracle replays scoring, staging, sub-streaming, the cumulative-"
+    "offset pack arithmetic and the two-level rollup.",
+    operators=("curriculum-schedule", "packing-contiguous", "W2", "A3", "A8"),
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curriculum, packing
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sched = curriculum.curriculum_schedule(docs, n_stages=_Q175_STAGES)
+    streams = sched.select(
+        "doc_id",
+        "stage",
+        "n_tokens",
+        F.concat(
+            col("stage").cast("string"), lit(":"), F.substring(col("pos"), 1, 1)
+        ).alias("stream"),
+        F.concat(
+            col("pos"), lit(":"),
+            F.lpad(col("doc_id").cast("string"), 12, "0"),
+        ).alias("ord"),
+    )
+    packed = packing.pack_contiguous(
+        streams, "stream", "ord", "n_tokens", _Q182_BUDGET
+    )
+    per_stream = packed.groupBy("stage", "stream").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+        F.sum(
+            (col("pack_offset") + col("n_tokens") > _Q182_BUDGET).cast("long")
+        ).cast("long").alias("straddle"),
+    )
+    return (
+        per_stream.groupBy("stage")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_streams"),
+            F.sum("n_packs").cast("long").alias("n_packs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum("straddle").cast("long").alias("n_straddling"),
+            rnd(lit(100.0) * F.sum("straddle") / F.sum("n_docs"), 4).alias(
+                "straddle_pct"
+            ),
+            rnd(
+                lit(100.0) * F.sum("tok") / (F.sum("n_packs") * float(_Q182_BUDGET)),
+                4,
+            ).alias("fill_pct"),
+        )
+        .orderBy("stage")
+    )

@@ -1353,3 +1353,29 @@ def test_compact_ivf_manifest_to_index_probe_equality(spark, tmp_path):
         for r in similarity.read_ivf_probe(spark, direct_p, q, cents, k=5).collect()
     ]
     assert pa == pb
+
+
+# ---------------------------------------------------------------------------
+# curriculum-packed shards (q182)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_packed_shards_invariants(spark):
+    """Pack accounting per stage: packs can't beat the information bound
+    ceil(tokens/budget) (equality per sub-stream), fill <= 100%, docs
+    conserved vs the schedule, and the report is layout-invariant."""
+    import math
+
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    docs_n = load_table(spark, C.SF_SMOKE, "documents").count()
+    rep = QUERIES["q182_curriculum_packed_shards"].build(spark, C.SF_SMOKE).collect()
+    assert [r.stage for r in rep] == [0, 1, 2, 3]
+    assert sum(r.n_docs for r in rep) == docs_n
+    for r in rep:
+        assert 0 < r.fill_pct <= 100.0
+        # per-stream tail waste bounds the pack count: at most one
+        # partial pack per sub-stream
+        lo = math.ceil(r.total_tokens / 512)
+        assert lo <= r.n_packs <= lo + r.n_streams
+        assert 0 <= r.n_straddling <= r.n_docs
