@@ -204,3 +204,88 @@ def control_chart(
         )
         .orderBy("day")
     )
+
+
+def contract_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    group_col: str,
+    right_len_col: str | None = None,
+    expected_len: int | None = None,
+) -> DataFrame:
+    """Cross-table data-contract audit: referential integrity between a
+    primary corpus and a derived table that is SUPPOSED to cover it 1:1
+    (documents ↔ embeddings, docs ↔ tokenized shards, facts ↔ features).
+    Schema checks can't see a silently failed embedding job — only a
+    key-level reconciliation can.
+
+    Per group (plus an ``__all__`` rollup row): primary rows, rows with
+    a matching derived row, coverage %, derived-side duplicates (keys
+    with >1 derived row — double-written features corrupt training),
+    and optionally the count of derived rows whose payload length
+    differs from ``expected_len`` (a truncated vector passes every
+    other check).  Orphan derived rows (no primary) ride the rollup row
+    only — they have no group to attribute to.
+
+    Scale shape: one distinct-aggregate on the derived key (count +
+    length flags), one left join from the primary (equi-join on the
+    key), group-cardinality rollups.  Nothing wider than the key and
+    two small flags shuffles.
+    """
+    from ..functions.scalar import rnd
+
+    r_cols = [F.count("*").cast("long").alias("__n_rows")]
+    if right_len_col is not None and expected_len is not None:
+        r_cols.append(
+            F.sum(
+                (F.size(col(right_len_col)) != expected_len).cast("long")
+            ).cast("long").alias("__n_badlen")
+        )
+    else:
+        r_cols.append(lit(0).cast("long").alias("__n_badlen"))
+    rkeys = right.groupBy(col(right_key).alias("__k")).agg(*r_cols)
+
+    joined = left.select(
+        col(left_key).alias("__k"), col(group_col).alias("__g")
+    ).join(rkeys, "__k", "left")
+
+    def _agg(df: DataFrame, label_col):
+        return df.groupBy(label_col.alias("grp")).agg(
+            F.count("*").cast("long").alias("n_primary"),
+            F.sum(col("__n_rows").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(F.when(col("__n_rows") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_keys"),
+            F.sum(F.coalesce(col("__n_badlen"), lit(0)))
+            .cast("long")
+            .alias("n_bad_payload"),
+        )
+
+    per_group = _agg(joined, col("__g"))
+    overall = _agg(joined, lit("__all__"))
+    orphans = (
+        rkeys.join(
+            left.select(col(left_key).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_orphans"))
+    )
+    out = per_group.withColumn("n_orphans", lit(0).cast("long")).unionByName(
+        overall.join(F.broadcast(orphans))
+    )
+    return out.select(
+        "grp",
+        "n_primary",
+        "n_matched",
+        rnd(lit(100.0) * col("n_matched") / F.nullif(col("n_primary"), lit(0)), 4).alias(
+            "coverage_pct"
+        ),
+        "n_dup_keys",
+        "n_bad_payload",
+        "n_orphans",
+    ).orderBy("grp")

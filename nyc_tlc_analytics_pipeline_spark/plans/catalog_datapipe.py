@@ -12288,3 +12288,83 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — corpus ↔ embedding contract audit (referential integrity)
+# ---------------------------------------------------------------------------
+
+_Q183_DIM = 64
+
+_Q183_ORACLE = f"""
+WITH rkeys AS (
+    SELECT vec_id AS k, count(*) AS n_rows,
+           sum(CASE WHEN len(embedding) <> {_Q183_DIM} THEN 1 ELSE 0 END)
+               AS n_badlen
+    FROM embeddings GROUP BY vec_id
+),
+j AS (
+    SELECT d.doc_id AS k, d.lang AS g, r.n_rows, r.n_badlen
+    FROM documents d LEFT JOIN rkeys r ON d.doc_id = r.k
+),
+per AS (
+    SELECT g AS grp,
+           count(*) AS n_primary,
+           sum(CASE WHEN n_rows IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+           sum(CASE WHEN n_rows > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+           sum(coalesce(n_badlen, 0)) AS n_bad_payload,
+           0 AS n_orphans
+    FROM j GROUP BY g
+),
+orph AS (
+    SELECT count(*) AS n
+    FROM rkeys r WHERE r.k NOT IN (SELECT DISTINCT doc_id FROM documents)
+),
+allr AS (
+    SELECT '__all__' AS grp,
+           count(*) AS n_primary,
+           sum(CASE WHEN n_rows IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+           sum(CASE WHEN n_rows > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+           sum(coalesce(n_badlen, 0)) AS n_bad_payload,
+           (SELECT n FROM orph) AS n_orphans
+    FROM j
+),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM allr)
+SELECT grp,
+       CAST(n_primary AS BIGINT) AS n_primary,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(100.0 * n_matched / nullif(n_primary, 0) + 1e-9, 4)
+           AS coverage_pct,
+       CAST(n_dup_keys AS BIGINT) AS n_dup_keys,
+       CAST(n_bad_payload AS BIGINT) AS n_bad_payload,
+       CAST(n_orphans AS BIGINT) AS n_orphans
+FROM u
+ORDER BY grp
+"""
+
+
+@register(
+    "q183_embedding_contract_audit",
+    _Q183_ORACLE,
+    "Cross-table data-contract audit: key-level reconciliation of the "
+    "documents corpus against its derived embeddings table — per-"
+    "language coverage %, derived-side duplicate keys (double-written "
+    "features corrupt training), wrong-dimension payloads (a truncated "
+    "vector passes every schema check), and orphan embeddings on the "
+    "__all__ rollup row.  A silently failed embedding job is invisible "
+    "to schema checks; only this reconciliation sees it.  Scale shape: "
+    "one distinct-aggregate on the derived key, one key equi-join from "
+    "the primary, group-cardinality rollups — nothing wider than the "
+    "key and two flags shuffles.  Oracle replays the join, the flag "
+    "arithmetic and the rollup.",
+    operators=("profile-contract-audit", "J2", "J8", "A4"),
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return profile.contract_audit(
+        docs, emb, "doc_id", "vec_id", "lang",
+        right_len_col="embedding", expected_len=_Q183_DIM,
+    )

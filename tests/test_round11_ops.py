@@ -1379,3 +1379,56 @@ def test_curriculum_packed_shards_invariants(spark):
         lo = math.ceil(r.total_tokens / 512)
         assert lo <= r.n_packs <= lo + r.n_streams
         assert 0 <= r.n_straddling <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# contract audit (q183)
+# ---------------------------------------------------------------------------
+
+
+def test_contract_audit_detects_every_violation_class(spark):
+    """Engineered fixture: a missing derived row, a duplicated key, a
+    wrong-length payload and an orphan — each shows up in exactly the
+    right counter."""
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+
+    left = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "de")], ["doc_id", "lang"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, [0.1] * 4),        # ok
+            (2, [0.1] * 3),        # wrong length
+            (3, [0.2] * 4),        # ok (but duplicated below)
+            (3, [0.3] * 4),        # duplicate key
+            (9, [0.4] * 4),        # orphan
+        ],                          # doc 4: missing
+        ["vec_id", "embedding"],
+    )
+    rep = {
+        r.grp: r
+        for r in profile.contract_audit(
+            left, right, "doc_id", "vec_id", "lang",
+            right_len_col="embedding", expected_len=4,
+        ).collect()
+    }
+    en, de, al = rep["en"], rep["de"], rep["__all__"]
+    assert (en.n_primary, en.n_matched, en.n_dup_keys, en.n_bad_payload) == (2, 2, 0, 1)
+    assert (de.n_primary, de.n_matched, de.n_dup_keys, de.n_bad_payload) == (2, 1, 1, 0)
+    assert de.coverage_pct == 50.0
+    assert (al.n_primary, al.n_matched, al.n_orphans) == (4, 3, 1)
+    assert rep["en"].n_orphans == 0  # orphans ride only the rollup row
+
+
+def test_contract_audit_clean_fixture_is_fully_covered(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import profile
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    emb = load_table(spark, C.SF_SMOKE, "embeddings")
+    rep = profile.contract_audit(
+        docs, emb, "doc_id", "vec_id", "lang",
+        right_len_col="embedding", expected_len=64,
+    ).collect()
+    al = [r for r in rep if r.grp == "__all__"][0]
+    assert al.coverage_pct == 100.0 and al.n_dup_keys == 0
+    assert al.n_bad_payload == 0 and al.n_orphans == 0
