@@ -211,6 +211,9 @@ _SWEEP_COST = {
     "q178_shard_balance_audit": 4.50,
     "q179_ingestion_control_chart": 1.00,
     "q180_incremental_segment_dedup": 1.80,
+    "q181_corpus_drift_psi": 2.00,
+    "q182_curriculum_packed_shards": 4.10,
+    "q183_embedding_contract_audit": 1.40,
 }
 
 
