@@ -1760,6 +1760,7 @@ def segment_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_len: int = 8,
+    group_col: str | None = "lang",
 ) -> DataFrame:
     """Explode each document into consecutive fixed-width token segments
     — the unit CCNet-style pipelines hash for line-level dedup.  Real web
@@ -1767,21 +1768,25 @@ def segment_table(
     token streams, so the "line" is a ``seg_len``-token window (the last
     segment keeps its partial tail).  One explode, no shuffle: segment
     index ``seg_idx`` is 1-based, ``seg_text`` is the space-joined slice,
-    ``seg_tokens`` its token count.
-    """
-    tk = tokens(text_col if isinstance(text_col, str) else text_col)
+    ``seg_tokens`` its token count.  NULL-text documents yield no
+    segments (the DuckDB convention — without the filter,
+    ``size(null) = -1`` would turn ``sequence(1, 0)`` into the
+    DESCENDING array [1, 0] and emit two phantom rows)."""
+    tk = tokens(text_col)
     n_segs = F.ceil(F.size(col("__tk")) / lit(float(seg_len))).cast("int")
+    carry = [col(group_col)] if group_col else []
     return (
-        df.select(col(id_col), col("lang"), tk.alias("__tk"))
+        df.filter(col(text_col).isNotNull())
+        .select(col(id_col), *carry, tk.alias("__tk"))
         .select(
             col(id_col),
-            col("lang"),
+            *carry,
             F.explode(F.sequence(lit(1), n_segs)).alias("seg_idx"),
             col("__tk"),
         )
         .select(
             col(id_col),
-            col("lang"),
+            *carry,
             col("seg_idx"),
             F.array_join(
                 F.slice(col("__tk"), (col("seg_idx") - 1) * seg_len + 1, seg_len),
@@ -1800,6 +1805,7 @@ def segment_dedup_report(
     boiler_df: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str = "lang",
 ) -> DataFrame:
     """Cross-document segment-level dedup report (CCNet's line dedup,
     adapted to fixed-width token segments): every occurrence of a segment
@@ -1823,7 +1829,10 @@ def segment_dedup_report(
     """
     from ..functions.scalar import rnd
 
-    segs = segment_table(df, id_col=id_col, text_col=text_col, seg_len=seg_len)
+    segs = segment_table(
+        df, id_col=id_col, text_col=text_col, seg_len=seg_len,
+        group_col=group_col,
+    )
     occ = segs.withColumn("__h", F.md5(col("seg_text")))
     w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
     w_doc = Window.partitionBy("__h").orderBy(col(id_col))
@@ -1836,7 +1845,7 @@ def segment_dedup_report(
         .withColumn("__ddf", F.max("__dr").over(w_all))
     )
     return (
-        flagged.groupBy("lang")
+        flagged.groupBy(group_col)
         .agg(
             F.countDistinct(col(id_col)).cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_segments"),
@@ -1853,7 +1862,7 @@ def segment_dedup_report(
             "removed_pct",
             rnd(lit(100.0) * col("removed_tokens") / F.nullif(col("total_tokens"), lit(0)), 4),
         )
-        .orderBy("lang")
+        .orderBy(group_col)
     )
 
 
@@ -1939,8 +1948,11 @@ def segment_index_table(
     incremental segment dedup (write once, append per batch; the
     :func:`lsh_band_table` / :func:`embedding_bucket_table` contract).
     min_by keeps the (doc, idx) that the batch classifier reports as
-    the original."""
-    segs = segment_table(df, id_col=id_col, text_col=text_col, seg_len=seg_len)
+    the original.  No group column is carried — the index is pure
+    (hash → first occurrence), usable against any batch schema."""
+    segs = segment_table(
+        df, id_col=id_col, text_col=text_col, seg_len=seg_len, group_col=None
+    )
     return (
         segs.withColumn("__h", F.md5(col("seg_text")))
         .groupBy("__h")
@@ -1961,6 +1973,7 @@ def incremental_segment_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_len: int = 8,
+    group_col: str | None = "lang",
 ) -> DataFrame:
     """Classify every segment occurrence of a NEW batch against a
     standing segment index: ``dup_vs_corpus`` (hash already indexed),
@@ -1972,7 +1985,8 @@ def incremental_segment_classify(
     hashes.  The standing corpus' TEXT is never touched — exactly the
     q147/q163 refresh economics at segment grain."""
     segs = segment_table(
-        batch, id_col=id_col, text_col=text_col, seg_len=seg_len
+        batch, id_col=id_col, text_col=text_col, seg_len=seg_len,
+        group_col=group_col,
     ).withColumn("__h", F.md5(col("seg_text")))
     w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
     ranked = segs.withColumn("__rn", F.row_number().over(w))
@@ -2009,6 +2023,7 @@ def incremental_segment_report(
         id_col,
         text_col,
         seg_len,
+        group_col=group_col,
     )
     return (
         st.groupBy(group_col)

@@ -12140,11 +12140,7 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(col("doc_id") % 2 == 0), "n_chars", "lang",
         _Q181_LO, _Q181_W, _Q181_B,
     )
-    return (
-        profile.psi_from_counts(cur, ref, eps=_Q181_EPS)
-        .withColumnRenamed("grp", "grp")
-        .orderBy("grp")
-    )
+    return profile.psi_from_counts(cur, ref, eps=_Q181_EPS).orderBy("grp")
 
 
 # ---------------------------------------------------------------------------

@@ -325,7 +325,9 @@ def run_streaming_segment_dedup(
 
         batch_df = batch_df.localCheckpoint(eager=True)
         st = dedup.incremental_segment_classify(
-            batch_df, standing_index, id_col, text_col, seg_len
+            batch_df, standing_index, id_col, text_col, seg_len,
+            group_col=None,  # the stores key on (id, seg_idx) only — any
+            # (id, text) stream works, no lang column required
         ).withColumn("__batch_id", lit(batch_id))
         st = st.localCheckpoint(eager=True)
 

@@ -45,6 +45,7 @@ GLOBAL_WINDOW_OK = {
     "q159_hybrid_rrf_retrieval",  # rank windows over the two pool-sized TakeOrdered lists (q69/q124 posture)
     "q175_curriculum_schedule",  # q116's offsets window (two-pass global rank)
     "q177_shuffle_order_audit",  # q116's offsets window (two-pass global rank)
+    "q182_curriculum_packed_shards",  # q175's offsets window (schedule stage)
 }
 
 

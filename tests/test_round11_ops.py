@@ -1432,3 +1432,28 @@ def test_contract_audit_clean_fixture_is_fully_covered(spark):
     al = [r for r in rep if r.grp == "__all__"][0]
     assert al.coverage_pct == 100.0 and al.n_dup_keys == 0
     assert al.n_bad_payload == 0 and al.n_orphans == 0
+
+
+def test_segment_table_null_text_and_custom_group(spark):
+    """NULL-text docs yield no segments (the DuckDB convention — the
+    naive sequence(1, size(null)) would emit two phantom rows with
+    seg_tokens=-1), and the segment APIs work grouped by any column or
+    by none at all."""
+    df = spark.createDataFrame(
+        [(1, "en", "s1", None), (2, "en", "s2", "a b c")],
+        ["doc_id", "lang", "source", "text"],
+    )
+    segs = dedup.segment_table(df, seg_len=2).collect()
+    assert {r.doc_id for r in segs} == {2}
+    assert all(r.seg_tokens > 0 for r in segs)
+    rep = dedup.segment_dedup_report(df, seg_len=2, group_col="source").collect()
+    assert [r.source for r in rep] == ["s2"]
+    bare = dedup.segment_table(
+        df.select("doc_id", "text"), seg_len=2, group_col=None
+    )
+    assert set(bare.columns) == {"doc_id", "seg_idx", "seg_text", "seg_tokens"}
+    inc = dedup.incremental_segment_report(
+        df.filter("doc_id = 2"), df.filter("doc_id = 1"), seg_len=2,
+        group_col="source",
+    ).collect()
+    assert [r.source for r in inc] == ["s2"] and inc[0].n_new == 2
