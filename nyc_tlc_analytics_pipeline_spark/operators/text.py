@@ -366,3 +366,68 @@ def bpe_encode_symbol_count(
     return (F.length(s) - F.length(F.replace(s, lit("<"), lit("")))).cast(
         "long"
     )
+
+
+def session_transcripts(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    token_col: str = "event_type",
+) -> DataFrame:
+    """Assemble TRAINING DOCUMENTS from an event log: gap-sessionize
+    (q19's lag + running-sum machinery), then concatenate each
+    session's tokens in (ts, id) order into one transcript — the
+    logs→corpus step behavioral-sequence models train on (each session
+    becomes a document; the token stream is the ordered action
+    sequence).
+
+    Returns one row per session: ``n_events``, exact integer
+    ``duration_s``, and the md5 ``transcript_fp`` of the space-joined
+    transcript (the fingerprint, not the raw text, keeps the row narrow
+    and is what the dedup index consumes anyway).
+
+    Scale shape: two windows per user partition (lag + running sum — a
+    user's history is the partition, the q19 contract), then one
+    groupBy (user, session) whose collect_list is bounded by session
+    length; array_sort on the (ts, id, token) struct makes the
+    assembled order total and layout-independent.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.scalar import to_epoch
+
+    order_w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = to_epoch(ts_col) - to_epoch("__prev_ts")
+    sess = (
+        events.select(col(user_col), col(ts_col), col(id_col), col(token_col))
+        .filter(col(ts_col).isNotNull())
+        .withColumn("__prev_ts", F.lag(ts_col).over(order_w))
+        .withColumn(
+            "__new",
+            when(col("__prev_ts").isNull() | (gap > gap_seconds), 1).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("__new").over(run_w).cast("long"))
+    )
+    transcript = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(col(ts_col), col(id_col), col(token_col)))
+            ),
+            lambda s: s[token_col],
+        ),
+        " ",
+    )
+    return (
+        sess.groupBy(col(user_col), col("session_seq"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (to_epoch(F.max(ts_col)) - to_epoch(F.min(ts_col)))
+            .cast("long")
+            .alias("duration_s"),
+            F.md5(transcript).alias("transcript_fp"),
+        )
+        .orderBy(user_col, "session_seq")
+    )

@@ -12364,3 +12364,61 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, emb, "doc_id", "vec_id", "lang",
         right_len_col="embedding", expected_len=_Q183_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — session transcript assembly (logs → training documents)
+# ---------------------------------------------------------------------------
+
+_Q184_GAP = 1800
+
+_Q184_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+    WHERE ts IS NOT NULL
+),
+marked AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > {_Q184_GAP}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+       md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS transcript_fp
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register(
+    "q184_session_transcripts",
+    _Q184_ORACLE,
+    "Training-document ASSEMBLY from an event log: gap-sessionize "
+    "(q19's lag + running-sum machinery, 30-min inactivity), then "
+    "concatenate each session's event types in (ts, event_id) order "
+    "into one transcript — the logs→corpus step behavioral-sequence "
+    "models train on (each session becomes a document).  Emits the md5 "
+    "transcript fingerprint (what the dedup index consumes) plus event "
+    "count and exact integer duration.  Scale shape: two windows per "
+    "user partition, one (user, session) groupBy whose collect_list is "
+    "bounded by session length; array_sort on the (ts, id, token) "
+    "struct makes assembly order total and layout-independent.  Oracle "
+    "replays sessionization and assembles via ORDER BY string_agg.",
+    operators=("text-session-transcripts", "W2", "W-lag", "A3"),
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return text.session_transcripts(ev, gap_seconds=_Q184_GAP)

@@ -1457,3 +1457,54 @@ def test_segment_table_null_text_and_custom_group(spark):
         group_col="source",
     ).collect()
     assert [r.source for r in inc] == ["s2"] and inc[0].n_new == 2
+
+
+# ---------------------------------------------------------------------------
+# session transcript assembly (q184)
+# ---------------------------------------------------------------------------
+
+
+def test_session_transcripts_python_replay(spark):
+    """Hand-built log: session boundaries, transcript order (out-of-
+    order arrival must not change assembly) and durations match an
+    explicit replay."""
+    import datetime
+    import hashlib
+
+    from nyc_tlc_analytics_pipeline_spark.operators import text as text_ops
+
+    T = lambda m, s=0: datetime.datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        # user 1, session 1: two events 5 min apart — NOTE out-of-order ids
+        (2, T(5), 1, "b"),
+        (1, T(0), 1, "a"),
+        # user 1, session 2: 40 min gap
+        (3, T(46), 1, "c"),
+        # user 2: one session, same-second tie broken by event_id
+        (10, T(0, 30), 2, "y"),
+        (9, T(0, 30), 2, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s, r.transcript_fp)
+        for r in text_ops.session_transcripts(ev).collect()
+    }
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert got == {
+        (1, 1): (2, 300, md5("a b")),
+        (1, 2): (1, 0, md5("c")),
+        (2, 1): (2, 0, md5("x y")),
+    }
+
+
+def test_session_transcripts_layout_invariant(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import text as text_ops
+
+    ev = load_table(spark, C.SF_SMOKE, "events")
+    a = sorted(map(str, text_ops.session_transcripts(ev).collect()))
+    b = sorted(
+        map(str, text_ops.session_transcripts(ev.repartition(17)).collect())
+    )
+    assert a == b
