@@ -214,6 +214,7 @@ _SWEEP_COST = {
     "q181_corpus_drift_psi": 2.00,
     "q182_curriculum_packed_shards": 4.10,
     "q183_embedding_contract_audit": 1.40,
+    "q184_session_transcripts": 2.50,
 }
 
 
