@@ -1814,18 +1814,24 @@ def segment_dedup_report(
     boilerplate — the chrome/footer class that document-level dedup never
     catches because the surrounding text differs.
 
-    Scale shape: one explode, then ONE exchange on the uniform md5
-    segment hash: the keep-first row_number, the per-document
-    dense_rank and the hash-group distinct-document count
-    (``max(dense_rank)`` over the unbounded frame — countDistinct
-    without a join) are all windows over the same partition key, so
-    they share that single exchange; the per-language rollup is a
-    second, language-cardinality shuffle.  No collect, no all-pairs —
-    cost is linear in corpus tokens, the same plan at 100 TB.
+    Scale shape — AGGREGATES ONLY, no windows: a window partitioned on
+    the segment hash would funnel every occurrence of a hot boilerplate
+    hash (a cookie banner in billions of documents) into ONE task, and
+    AQE can split skewed JOIN partitions but not skewed windows.
+    Instead: (1) one groupBy (group, hash) with map-side partial
+    aggregation — a hot hash collapses to ≤|groups| rows per map
+    partition before it ever shuffles; (2) one groupBy (hash) for the
+    global first occurrence (``min(struct(doc, idx, tokens))`` — an
+    order-free mergeable aggregate) and the distinct-document count
+    (Spark's two-level distinct expand, also partial); (3) a join of
+    the two HASH-CARDINALITY aggregate frames; (4) the group-cardinality
+    rollup.  Cost is linear in corpus tokens; the only data-sized
+    shuffles carry pre-combined aggregate rows.
 
     Per language: documents, segment occurrences, duplicate occurrences
-    removed (keep-first), boilerplate occurrences (informational — they
-    overlap duplicates), token totals and the removed-token percentage.
+    removed (keep-first in global (doc_id, seg_idx) order), boilerplate
+    occurrences (informational — they overlap duplicates), token totals
+    and the removed-token percentage.
     """
     from ..functions.scalar import rnd
 
@@ -1834,33 +1840,53 @@ def segment_dedup_report(
         group_col=group_col,
     )
     occ = segs.withColumn("__h", F.md5(col("seg_text")))
-    w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
-    w_doc = Window.partitionBy("__h").orderBy(col(id_col))
-    w_all = Window.partitionBy("__h").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    first_struct = F.struct(col(id_col), col("seg_idx"), col("seg_tokens"))
+    per_gh = occ.groupBy(col(group_col), col("__h")).agg(
+        F.count("*").cast("long").alias("__n_occ"),
+        F.sum("seg_tokens").cast("long").alias("__tok"),
+        F.min(first_struct).alias("__gfirst"),
     )
-    flagged = (
-        occ.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__dr", F.dense_rank().over(w_doc))
-        .withColumn("__ddf", F.max("__dr").over(w_all))
+    firsts = occ.groupBy("__h").agg(
+        F.min(first_struct).alias("__first"),
+        F.countDistinct(col(id_col)).alias("__ddf"),
+    )
+    joined = per_gh.join(firsts, "__h").withColumn(
+        "__keeps_first", col("__gfirst") == col("__first")
+    )
+    n_docs = df.filter(col(text_col).isNotNull()).groupBy(group_col).agg(
+        F.countDistinct(col(id_col)).cast("long").alias("n_docs")
+    )
+    stats = joined.groupBy(group_col).agg(
+        F.sum("__n_occ").cast("long").alias("n_segments"),
+        F.sum(
+            col("__n_occ") - col("__keeps_first").cast("long")
+        ).cast("long").alias("n_dup_segments"),
+        F.sum(
+            F.when(col("__ddf") >= boiler_df, col("__n_occ")).otherwise(lit(0))
+        ).cast("long").alias("n_boiler_segments"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.sum(
+            col("__tok")
+            - F.when(col("__keeps_first"), col("__first.seg_tokens")).otherwise(
+                lit(0)
+            )
+        ).cast("long").alias("removed_tokens"),
     )
     return (
-        flagged.groupBy(group_col)
-        .agg(
-            F.countDistinct(col(id_col)).cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_segments"),
-            F.sum((col("__rn") > 1).cast("long")).cast("long").alias("n_dup_segments"),
-            F.sum((col("__ddf") >= boiler_df).cast("long"))
-            .cast("long")
-            .alias("n_boiler_segments"),
-            F.sum("seg_tokens").cast("long").alias("total_tokens"),
-            F.sum(F.when(col("__rn") > 1, col("seg_tokens")).otherwise(lit(0)))
-            .cast("long")
-            .alias("removed_tokens"),
-        )
+        n_docs.join(stats, group_col)
         .withColumn(
             "removed_pct",
             rnd(lit(100.0) * col("removed_tokens") / F.nullif(col("total_tokens"), lit(0)), 4),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_segments",
+            "n_dup_segments",
+            "n_boiler_segments",
+            "total_tokens",
+            "removed_tokens",
+            "removed_pct",
         )
         .orderBy(group_col)
     )
