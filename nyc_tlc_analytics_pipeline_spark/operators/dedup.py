@@ -1818,15 +1818,17 @@ def segment_dedup_report(
     the segment hash would funnel every occurrence of a hot boilerplate
     hash (a cookie banner in billions of documents) into ONE task, and
     AQE can split skewed JOIN partitions but not skewed windows.
-    Instead: (1) one groupBy (group, hash) with map-side partial
-    aggregation — a hot hash collapses to ≤|groups| rows per map
-    partition before it ever shuffles; (2) one groupBy (hash) for the
-    global first occurrence (``min(struct(doc, idx, tokens))`` — an
-    order-free mergeable aggregate) and the distinct-document count
-    (Spark's two-level distinct expand, also partial); (3) a join of
-    the two HASH-CARDINALITY aggregate frames; (4) the group-cardinality
-    rollup.  Cost is linear in corpus tokens; the only data-sized
-    shuffles carry pre-combined aggregate rows.
+    Instead: (1) ONE groupBy (group, hash) over the occurrences with
+    map-side partial aggregation — a hot hash collapses to ≤|groups|
+    rows per map partition before it ever shuffles — computing count,
+    tokens, the group-local first (``min(struct(doc, idx, tokens))``,
+    an order-free mergeable aggregate) and the group-local distinct-doc
+    count; (2) the GLOBAL first and distinct-doc count fold from that
+    hash-cardinality frame (``group_col`` is a per-DOCUMENT attribute —
+    a document's occurrences all carry its group — so distinct-doc
+    counts are additive across groups); (3) a join of the two
+    aggregate frames; (4) the group-cardinality rollup.  One data-sized
+    shuffle total, every stage mergeable.
 
     Per language: documents, segment occurrences, duplicate occurrences
     removed (keep-first in global (doc_id, seg_idx) order), boilerplate
@@ -1845,10 +1847,11 @@ def segment_dedup_report(
         F.count("*").cast("long").alias("__n_occ"),
         F.sum("seg_tokens").cast("long").alias("__tok"),
         F.min(first_struct).alias("__gfirst"),
+        F.countDistinct(col(id_col)).cast("long").alias("__gddf"),
     )
-    firsts = occ.groupBy("__h").agg(
-        F.min(first_struct).alias("__first"),
-        F.countDistinct(col(id_col)).alias("__ddf"),
+    firsts = per_gh.groupBy("__h").agg(
+        F.min("__gfirst").alias("__first"),
+        F.sum("__gddf").alias("__ddf"),
     )
     joined = per_gh.join(firsts, "__h").withColumn(
         "__keeps_first", col("__gfirst") == col("__first")
