@@ -2085,3 +2085,48 @@ def incremental_segment_report(
         )
         .orderBy(group_col)
     )
+
+
+def remove_duplicated_segments(
+    df: DataFrame,
+    seg_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The WRITER twin of :func:`segment_dedup_report`: materialize the
+    keep-first decision by rebuilding every document from only the
+    segments that are the globally-first occurrence of their hash.
+    Returns (id, clean_text, kept_tokens) — a document whose every
+    segment was seen before comes back with empty text and 0 tokens
+    (the caller decides whether to drop emptied rows).
+
+    Scale shape: the keep filter is a JOIN against the hash-cardinality
+    firsts frame (AQE can split a skewed join partition — the reason
+    the report avoids hash windows applies here too), and reassembly is
+    a per-document groupBy whose collect_list is bounded by document
+    length; array_sort on (seg_idx, seg_text) makes the rebuilt text
+    layout-independent."""
+    segs = segment_table(
+        df, id_col=id_col, text_col=text_col, seg_len=seg_len, group_col=None
+    )
+    occ = segs.withColumn("__h", F.md5(col("seg_text")))
+    pos = F.struct(col(id_col), col("seg_idx"))
+    firsts = occ.groupBy("__h").agg(F.min(pos).alias("__first"))
+    kept = occ.join(firsts, "__h").filter(pos == col("__first"))
+    rebuilt = kept.groupBy(col(id_col)).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("seg_tokens").cast("long").alias("kept_tokens"),
+    )
+    return (
+        df.select(col(id_col)).join(rebuilt, id_col, "left").select(
+            col(id_col),
+            F.coalesce(col("clean_text"), lit("")).alias("clean_text"),
+            F.coalesce(col("kept_tokens"), lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )

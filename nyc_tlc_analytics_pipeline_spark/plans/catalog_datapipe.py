@@ -12422,3 +12422,101 @@ ORDER BY user_id, session_seq
 def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return text.session_transcripts(ev, gap_seconds=_Q184_GAP)
+
+
+# ---------------------------------------------------------------------------
+# q185 — segment removal writer effect (the materialized q174 decision)
+# ---------------------------------------------------------------------------
+
+_Q185_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+    SELECT doc_id, lang, tk,
+           unnest(range(1, CAST(ceil(len(tk) / {_Q174_SEG}.0) AS BIGINT) + 1))
+               AS seg_idx
+    FROM t
+),
+seg AS (
+    SELECT doc_id, lang, seg_idx,
+           md5(array_to_string(list_slice(tk, (seg_idx - 1) * {_Q174_SEG} + 1,
+                                          (seg_idx - 1) * {_Q174_SEG} + {_Q174_SEG}),
+                               ' ')) AS h,
+           len(list_slice(tk, (seg_idx - 1) * {_Q174_SEG} + 1,
+                          (seg_idx - 1) * {_Q174_SEG} + {_Q174_SEG})) AS seg_tokens
+    FROM idx
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+    FROM seg
+),
+per_doc AS (
+    SELECT doc_id, lang,
+           sum(seg_tokens) AS orig_tokens,
+           sum(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END) AS kept_tokens,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_segs
+    FROM ranked
+    GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept_tokens = orig_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN kept_segs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_emptied,
+       CAST(sum(orig_tokens) AS BIGINT) AS orig_tokens,
+       CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+       round(100.0 * sum(kept_tokens) / nullif(sum(orig_tokens), 0) + 1e-9, 4)
+           AS retention_pct
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q185_segment_removal_effect",
+    _Q185_ORACLE,
+    "The materialized q174 decision: rebuild every document from only "
+    "the globally-first occurrences of its segment hashes "
+    "(dedup.remove_duplicated_segments — the writer q174's report "
+    "prices), then measure the effect per language: unchanged docs, "
+    "emptied docs (every segment seen before), token retention.  The "
+    "keep filter is a JOIN against the hash-cardinality firsts frame "
+    "(AQE-splittable on a hot boilerplate hash, unlike a window); "
+    "reassembly is a per-document groupBy bounded by document length.  "
+    "Oracle replays segmentation, the keep-first rule and the per-doc "
+    "rollup.",
+    operators=("dedup-segment-writer", "dedup-segment", "J8", "A4", "A10"),
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    cleaned = dedup.remove_duplicated_segments(docs, seg_len=_Q174_SEG)
+    orig = docs.filter(col("text").isNotNull()).select(
+        "doc_id", "lang", text.token_count("text").cast("long").alias("orig_tokens")
+    )
+    per_doc = orig.join(cleaned, "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((col("kept_tokens") == col("orig_tokens")).cast("long"))
+            .cast("long")
+            .alias("n_unchanged"),
+            F.sum((col("kept_tokens") == 0).cast("long"))
+            .cast("long")
+            .alias("n_emptied"),
+            F.sum("orig_tokens").cast("long").alias("orig_tokens"),
+            F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+        )
+        .withColumn(
+            "retention_pct",
+            rnd(
+                lit(100.0) * col("kept_tokens") / F.nullif(col("orig_tokens"), lit(0)),
+                4,
+            ),
+        )
+        .orderBy("lang")
+    )

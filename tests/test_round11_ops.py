@@ -1508,3 +1508,49 @@ def test_session_transcripts_layout_invariant(spark):
         map(str, text_ops.session_transcripts(ev.repartition(17)).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# segment removal writer (q185)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicated_segments_consistent_with_report(spark):
+    """The writer and the report share the keep-first rule: tokens the
+    writer drops per language equal the report's removed_tokens, and a
+    dup-free document round-trips to its normalized text."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    cleaned = dedup.remove_duplicated_segments(docs, seg_len=8)
+    orig = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("orig"),
+    )
+    dropped = {
+        r.lang: r.dropped
+        for r in orig.join(cleaned, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum(F.col("orig") - F.col("kept_tokens")).alias("dropped"))
+        .collect()
+    }
+    removed = {
+        r.lang: r.removed_tokens
+        for r in dedup.segment_dedup_report(docs, seg_len=8).collect()
+    }
+    assert dropped == removed
+
+    solo = spark.createDataFrame(
+        [(1, "en", "A b C d e f g h i j")], ["doc_id", "lang", "text"]
+    )
+    row = dedup.remove_duplicated_segments(solo, seg_len=8).collect()[0]
+    assert row.clean_text == "a b c d e f g h i j"
+    assert row.kept_tokens == 10
+
+
+def test_remove_duplicated_segments_empties_verbatim_copy(spark):
+    rows = [(1, "en", "a b c d e f g h"), (2, "en", "a b c d e f g h")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in dedup.remove_duplicated_segments(df, 8).collect()}
+    assert out[1].kept_tokens == 8 and out[1].clean_text != ""
+    assert out[2].kept_tokens == 0 and out[2].clean_text == ""
