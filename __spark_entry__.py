@@ -215,6 +215,7 @@ _SWEEP_COST = {
     "q182_curriculum_packed_shards": 4.10,
     "q183_embedding_contract_audit": 1.40,
     "q184_session_transcripts": 2.50,
+    "q185_segment_removal_effect": 4.20,
 }
 
 
