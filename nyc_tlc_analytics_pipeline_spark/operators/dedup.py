@@ -1856,8 +1856,13 @@ def segment_dedup_report(
     joined = per_gh.join(firsts, "__h").withColumn(
         "__keeps_first", col("__gfirst") == col("__first")
     )
-    n_docs = df.filter(col(text_col).isNotNull()).groupBy(group_col).agg(
-        F.countDistinct(col(id_col)).cast("long").alias("n_docs")
+    # null-safe group key: an inner equi-join would silently drop the
+    # NULL-group row both frames carry (the oracle's GROUP BY keeps it)
+    n_docs = (
+        df.filter(col(text_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.countDistinct(col(id_col)).cast("long").alias("n_docs"))
+        .withColumnRenamed(group_col, "__g")
     )
     stats = joined.groupBy(group_col).agg(
         F.sum("__n_occ").cast("long").alias("n_segments"),
@@ -1876,7 +1881,8 @@ def segment_dedup_report(
         ).cast("long").alias("removed_tokens"),
     )
     return (
-        n_docs.join(stats, group_col)
+        n_docs.join(stats, col("__g").eqNullSafe(col(group_col)))
+        .drop("__g")
         .withColumn(
             "removed_pct",
             rnd(lit(100.0) * col("removed_tokens") / F.nullif(col("total_tokens"), lit(0)), 4),
@@ -2097,8 +2103,10 @@ def remove_duplicated_segments(
     keep-first decision by rebuilding every document from only the
     segments that are the globally-first occurrence of their hash.
     Returns (id, clean_text, kept_tokens) — a document whose every
-    segment was seen before comes back with empty text and 0 tokens
-    (the caller decides whether to drop emptied rows).
+    segment was seen before comes back with EMPTY text and 0 tokens
+    (the caller decides whether to drop emptied rows); a document whose
+    text was NULL stays NULL (dedup didn't empty it — it was never
+    text), so the two cases remain distinguishable downstream.
 
     Scale shape: the keep filter is a JOIN against the hash-cardinality
     firsts frame (AQE can split a skewed join partition — the reason
@@ -2124,9 +2132,13 @@ def remove_duplicated_segments(
         F.sum("seg_tokens").cast("long").alias("kept_tokens"),
     )
     return (
-        df.select(col(id_col)).join(rebuilt, id_col, "left").select(
+        df.select(col(id_col), col(text_col).isNotNull().alias("__had_text"))
+        .join(rebuilt, id_col, "left")
+        .select(
             col(id_col),
-            F.coalesce(col("clean_text"), lit("")).alias("clean_text"),
+            F.when(
+                col("__had_text"), F.coalesce(col("clean_text"), lit(""))
+            ).alias("clean_text"),
             F.coalesce(col("kept_tokens"), lit(0)).cast("long").alias("kept_tokens"),
         )
     )

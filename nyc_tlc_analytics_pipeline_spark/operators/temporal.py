@@ -305,3 +305,40 @@ def gap_fill_daily(
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         col("v").isNull().alias("filled"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: adds ``session_seq`` (1-based per user)
+    to the input rows — a new session starts when the gap to the
+    previous event exceeds ``gap_seconds`` (strict >; integer-second
+    grain via :func:`to_epoch`, the DuckDB ``date_diff('second', ...)``
+    convention).  The ONE definition of a session boundary — q19's
+    per-user stats and q184's transcript assembly both call this, so
+    the gap rule can never drift between them.
+
+    Scale shape: two windows per user partition (lag + running sum —
+    a user's history is the partition); NULL timestamps are dropped
+    (they order nowhere)."""
+    from ..functions.scalar import to_epoch
+
+    order_w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = to_epoch(ts_col) - to_epoch("__prev_ts")
+    return (
+        events.filter(col(ts_col).isNotNull())
+        .withColumn("__prev_ts", F.lag(ts_col).over(order_w))
+        .withColumn(
+            "__new",
+            F.when(
+                col("__prev_ts").isNull() | (gap > gap_seconds), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("__new").over(run_w).cast("long"))
+        .drop("__prev_ts", "__new")
+    )

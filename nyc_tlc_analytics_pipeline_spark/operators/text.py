@@ -388,28 +388,22 @@ def session_transcripts(
     transcript (the fingerprint, not the raw text, keeps the row narrow
     and is what the dedup index consumes anyway).
 
-    Scale shape: two windows per user partition (lag + running sum — a
-    user's history is the partition, the q19 contract), then one
-    groupBy (user, session) whose collect_list is bounded by session
-    length; array_sort on the (ts, id, token) struct makes the
+    Scale shape: the session boundary comes from the SHARED
+    :func:`~..temporal.sessionize` (two windows per user partition —
+    q19 calls the same helper, so the gap rule can never drift), then
+    one groupBy (user, session) whose collect_list is bounded by
+    session length; array_sort on the (ts, id, token) struct makes the
     assembled order total and layout-independent.
     """
-    from pyspark.sql import Window
-
     from ..functions.scalar import to_epoch
+    from .temporal import sessionize
 
-    order_w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = to_epoch(ts_col) - to_epoch("__prev_ts")
-    sess = (
-        events.select(col(user_col), col(ts_col), col(id_col), col(token_col))
-        .filter(col(ts_col).isNotNull())
-        .withColumn("__prev_ts", F.lag(ts_col).over(order_w))
-        .withColumn(
-            "__new",
-            when(col("__prev_ts").isNull() | (gap > gap_seconds), 1).otherwise(0),
-        )
-        .withColumn("session_seq", F.sum("__new").over(run_w).cast("long"))
+    sess = sessionize(
+        events.select(col(user_col), col(ts_col), col(id_col), col(token_col)),
+        gap_seconds=gap_seconds,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
     )
     transcript = F.array_join(
         F.transform(

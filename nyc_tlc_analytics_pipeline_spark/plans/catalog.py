@@ -1091,17 +1091,11 @@ ORDER BY user_id
     operators=("W2", "W-lag", "streaming-session-batch"),
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import sessionize
+
     ev = load_table(spark, sf_dir, "events")
-    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = to_epoch("ts") - to_epoch("prev_ts")
     return (
-        ev.withColumn("prev_ts", F.lag("ts").over(order_w))
-        .withColumn(
-            "new_session",
-            when(col("prev_ts").isNull() | (gap > _SESSION_GAP_SECONDS), 1).otherwise(0),
-        )
-        .withColumn("session_seq", F.sum("new_session").over(run_w))
+        sessionize(ev, gap_seconds=_SESSION_GAP_SECONDS)
         .groupBy("user_id")
         .agg(
             F.countDistinct("session_seq").alias("n_sessions"),

@@ -1554,3 +1554,25 @@ def test_remove_duplicated_segments_empties_verbatim_copy(spark):
     out = {r.doc_id: r for r in dedup.remove_duplicated_segments(df, 8).collect()}
     assert out[1].kept_tokens == 8 and out[1].clean_text != ""
     assert out[2].kept_tokens == 0 and out[2].clean_text == ""
+
+
+def test_segment_family_null_group_and_null_text_distinction(spark):
+    """NULL group values keep their report row (null-safe join), and the
+    writer distinguishes never-had-text (NULL out) from dedup-emptied
+    (empty string out)."""
+    df = spark.createDataFrame(
+        [
+            (1, None, "a b c"),
+            (2, None, "a b c"),          # dup of 1, null lang
+            (3, "en", "x y z"),
+            (4, "en", None),             # null text
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    rep = {r.lang: r for r in dedup.segment_dedup_report(df, seg_len=3).collect()}
+    assert None in rep and rep[None].n_docs == 2 and rep[None].n_dup_segments == 1
+    assert rep["en"].n_docs == 1  # the null-text doc contributes nothing
+    out = {r.doc_id: r for r in dedup.remove_duplicated_segments(df, 3).collect()}
+    assert out[2].clean_text == "" and out[2].kept_tokens == 0
+    assert out[4].clean_text is None and out[4].kept_tokens == 0
+    assert out[1].clean_text == "a b c"
