@@ -1576,3 +1576,46 @@ def test_segment_family_null_group_and_null_text_distinction(spark):
     assert out[2].clean_text == "" and out[2].kept_tokens == 0
     assert out[4].clean_text is None and out[4].kept_tokens == 0
     assert out[1].clean_text == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (Arrow kernel, pytest-gated)
+# ---------------------------------------------------------------------------
+
+
+def test_compression_quality_matches_python_zlib(spark):
+    """Kernel output equals a direct python zlib computation, repetitive
+    text compresses far below shuffled-vocab text, and empty/null text
+    is safe (ratio over max(raw,1))."""
+    import zlib
+
+    from nyc_tlc_analytics_pipeline_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, "aaaa bbbb " * 40),                       # templated
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text_ops.compression_quality(df).collect()}
+    for i, t in rows:
+        raw = (t or "").encode()
+        assert got[i].raw_bytes == len(raw)
+        assert got[i].zlib_bytes == len(zlib.compress(raw, 6))
+        want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
+        assert got[i].compression_ratio == want
+    assert got[3].raw_bytes == 0 and got[4].raw_bytes == 0
+    assert got[3].compression_ratio > 1  # header-only overhead on empty
+    assert got[1].compression_ratio < 0.5  # repeated sentence compresses
+    assert got[2].compression_ratio < got[1].compression_ratio  # templated
+
+
+def test_compression_quality_smoke_corpus_distribution(spark):
+    from nyc_tlc_analytics_pipeline_spark.operators import text as text_ops
+
+    docs = load_table(spark, C.SF_SMOKE, "documents")
+    out = text_ops.compression_quality(docs)
+    assert out.count() == docs.count()
+    stats = out.agg({"compression_ratio": "avg"}).head()[0]
+    assert 0.1 < stats < 1.0  # word-stream corpus compresses but not to zero
