@@ -12391,15 +12391,25 @@ sessions AS (
            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_seq
     FROM marked
+),
+assembled AS (
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           date_diff('second', min(ts), max(ts)) AS duration_s,
+           md5(string_agg(event_type, ' ' ORDER BY ts, event_id))
+               AS transcript_fp
+    FROM sessions
+    GROUP BY user_id, session_seq
 )
-SELECT user_id,
-       CAST(session_seq AS BIGINT) AS session_seq,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
-       md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS transcript_fp
-FROM sessions
-GROUP BY user_id, session_seq
-ORDER BY user_id, session_seq
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT transcript_fp) AS BIGINT) AS n_distinct,
+       round(100.0 * (count(*) - count(DISTINCT transcript_fp))
+             / count(*) + 1e-9, 4) AS dup_pct,
+       round(avg(duration_s) + 1e-9, 4) AS avg_duration_s
+FROM assembled
+GROUP BY n_events
+ORDER BY n_events
 """
 
 
@@ -12407,21 +12417,39 @@ ORDER BY user_id, session_seq
     "q184_session_transcripts",
     _Q184_ORACLE,
     "Training-document ASSEMBLY from an event log: gap-sessionize "
-    "(q19's lag + running-sum machinery, 30-min inactivity), then "
-    "concatenate each session's event types in (ts, event_id) order "
-    "into one transcript — the logs→corpus step behavioral-sequence "
-    "models train on (each session becomes a document).  Emits the md5 "
-    "transcript fingerprint (what the dedup index consumes) plus event "
-    "count and exact integer duration.  Scale shape: two windows per "
-    "user partition, one (user, session) groupBy whose collect_list is "
-    "bounded by session length; array_sort on the (ts, id, token) "
-    "struct makes assembly order total and layout-independent.  Oracle "
-    "replays sessionization and assembles via ORDER BY string_agg.",
-    operators=("text-session-transcripts", "W2", "W-lag", "A3"),
+    "(the shared temporal.sessionize, 30-min inactivity), concatenate "
+    "each session's event types in (ts, event_id) order into one "
+    "transcript (text.session_transcripts — the logs→corpus writer), "
+    "then roll up to the BOUNDED session-length report: sessions, "
+    "distinct transcript fingerprints (the behavioral-dedup potential "
+    "— identical action sequences repeat across users), dup rate and "
+    "mean duration per length.  The registered result is report-sized "
+    "— the per-session frame is the writer's output, never collected.  "
+    "Scale shape: two windows per user partition, one (user, session) "
+    "groupBy bounded by session length, one length-cardinality rollup; "
+    "array_sort on the (ts, id, token) struct makes assembly order "
+    "total and layout-independent.  Oracle replays sessionization, "
+    "ORDER BY string_agg assembly and the rollup.",
+    operators=("text-session-transcripts", "W2", "W-lag", "A2", "A3"),
 )
 def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return text.session_transcripts(ev, gap_seconds=_Q184_GAP)
+    sess = text.session_transcripts(ev, gap_seconds=_Q184_GAP)
+    return (
+        sess.groupBy("n_events")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("transcript_fp").cast("long").alias("n_distinct"),
+            rnd(
+                lit(100.0)
+                * (F.count("*") - F.countDistinct("transcript_fp"))
+                / F.count("*"),
+                4,
+            ).alias("dup_pct"),
+            rnd(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        )
+        .orderBy("n_events")
+    )
 
 
 # ---------------------------------------------------------------------------
