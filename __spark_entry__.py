@@ -24,8 +24,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Measured warm per-query sweep cost (seconds, Spark+oracle, sf0.01
-# local[8], scripts/sweep.py — ALL re-measured from the round-11 full
-# sweep, 166/166 ok in 311 s; q67's figure includes the session-warmup
+# local[8], scripts/sweep.py — re-measured from the round-11 full
+# sweep (final: 185/185 ok in 344 s); q67's figure includes the session-warmup
 # tax it deliberately absorbs as the pinned first query).  Used ONLY
 # for scoreboard-aware ordering below; missing entries default to 1.0s.
 _SWEEP_COST = {
