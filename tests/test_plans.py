@@ -266,3 +266,28 @@ def test_q81_is_full_outer_over_preaggregated_sides(spark):
     assert "FullOuter" in plan
     # both join inputs are Aggregates (the facts never meet the join raw)
     assert plan.count("Aggregate") >= 3  # two sides + the final rollup
+
+
+def test_q174_segment_dedup_plan_has_no_windows(spark):
+    """The skew-safety contract of the round-11 restructure: the report
+    must plan as mergeable aggregates (partial/final HashAggregate or
+    ObjectHashAggregate for min(struct)) with ZERO Window operators — a
+    hash-keyed window would funnel a hot boilerplate segment into one
+    task, and AQE cannot split skewed windows."""
+    plan = _plan(QUERIES["q174_segment_dedup"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_q184_rollup_output_is_report_sized(spark):
+    """The registered q184 result must be the bounded session-length
+    rollup, never per-session rows (the 100x collect-volume lesson):
+    row count is capped by the longest session, not the session count."""
+    df = QUERIES["q184_session_transcripts"].build(spark, SF_SMOKE)
+    assert set(df.columns) == {
+        "n_events", "n_sessions", "n_distinct", "dup_pct", "avg_duration_s"
+    }
+    rows = df.collect()
+    n_sessions = sum(r.n_sessions for r in rows)
+    assert len(rows) <= max(r.n_events for r in rows)
+    assert n_sessions > len(rows)  # strictly aggregated
