@@ -455,7 +455,9 @@ def compression_ratio_kernel(level: int = 6):
             )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
+                    # nullable Int64: a NULL id must yield a null output
+                    # row, not a ValueError that kills the whole task
+                    "doc_id": pdf["doc_id"].astype("Int64"),
                     "raw_bytes": raw_n,
                     "zlib_bytes": comp_n,
                     "compression_ratio": (

@@ -1059,6 +1059,7 @@ WITH ordered AS (
     SELECT user_id, event_id, ts,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
+    WHERE ts IS NOT NULL
 ),
 marked AS (
     SELECT user_id, event_id, ts,

@@ -1619,3 +1619,14 @@ def test_compression_quality_smoke_corpus_distribution(spark):
     assert out.count() == docs.count()
     stats = out.agg({"compression_ratio": "avg"}).head()[0]
     assert 0.1 < stats < 1.0  # word-stream corpus compresses but not to zero
+
+
+def test_compression_quality_null_id_survives(spark):
+    """A NULL doc_id yields a null-id output row, never a task-killing
+    pandas astype error (nullable Int64 in the kernel)."""
+    from nyc_tlc_analytics_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(None, "a b"), (1, "c d")], "doc_id long, text string")
+    rows = text_ops.compression_quality(df).collect()
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} == {None, 1}
