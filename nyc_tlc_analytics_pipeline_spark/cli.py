@@ -598,7 +598,7 @@ def main(argv: list[str] | None = None) -> int:
             final, args.out, max_records_per_file=args.max_records_per_file
         )
         summary = {
-            r["split"] + "/" + r["lang"]: r["n"]
+            f"{r['split']}/{r['lang']}": r["n"]
             for r in pl.spark.read.parquet(args.out)
             .groupBy("split", "lang")
             .agg(F.count("*").alias("n"))
@@ -887,7 +887,11 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
         print(
             json.dumps(
-                {r["lang"]: r.asDict() for r in rows}, indent=2, sort_keys=True
+                # str(): NULL lang groups (preserved via eqNullSafe)
+                # must not crash sort_keys with None-vs-str comparisons
+                {str(r["lang"]): r.asDict() for r in rows},
+                indent=2,
+                sort_keys=True,
             )
         )
     elif args.command == "curriculum":

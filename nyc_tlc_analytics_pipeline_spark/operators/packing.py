@@ -49,17 +49,64 @@ def pack_contiguous(
     offset range [cum − n, cum) of its stream's concatenation; the pack
     of a document is the pack its FIRST token lands in.  Adds
     ``pack_id`` (0-based within stream) and ``pack_offset`` (the
-    document's start offset within its pack)."""
-    w = Window.partitionBy(stream_col).orderBy(order_col)
-    start = (F.coalesce(F.sum(tokens_col).over(w), lit(0)) - col(tokens_col)).cast(
-        "long"
+    document's start offset within its pack).
+
+    Cumulative offsets use the two-pass global-rank shape
+    (``layout.global_row_number``), NOT a per-stream window: range-
+    partition on (stream, order), cumulate locally inside each
+    (partition, stream) slice, then add the stream's running cross-
+    partition offset from a |partitions × streams|-row aggregate joined
+    back broadcast.  A stream larger than one partition — the 100 TB
+    case where stream count is a constant factor, not a data-sized one
+    — SPLITS across range partitions instead of concentrating into a
+    single window task; no task ever holds more than one partition's
+    slice of any stream (ADVICE r11 on q182)."""
+    part = df.repartitionByRange(col(stream_col), col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    return df.withColumn("__start", start).withColumns(
-        {
-            "pack_id": (col("__start") / budget).cast("long"),
-            "pack_offset": (col("__start") % budget).cast("long"),
-        }
-    ).drop("__start")
+    local_cum = F.sum(tokens_col).over(
+        Window.partitionBy("__pid", stream_col).orderBy(order_col)
+    )
+    counts = (
+        part.groupBy("__pid", stream_col)
+        .agg(F.sum(tokens_col).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    # one row per (partition, stream): bounded by the
+                    # partition count, never by the data
+                    Window.partitionBy(stream_col)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                lit(0),
+            ),
+        )
+        .select(
+            col("__pid").alias("__cpid"),
+            col(stream_col).alias("__cstream"),
+            "__offset",
+        )
+    )
+    joined = part.withColumn("__cum", local_cum).join(
+        F.broadcast(counts),
+        (col("__pid") == col("__cpid"))
+        # eqNullSafe: a NULL stream is a legal group (the window form
+        # grouped it); a null-unsafe key would silently drop its rows
+        & col(stream_col).eqNullSafe(col("__cstream")),
+    )
+    start = (col("__offset") + col("__cum") - col(tokens_col)).cast("long")
+    return (
+        joined.withColumn("__start", start)
+        .withColumns(
+            {
+                "pack_id": (col("__start") / budget).cast("long"),
+                "pack_offset": (col("__start") % budget).cast("long"),
+            }
+        )
+        .select(*df.columns, "pack_id", "pack_offset")
+    )
 
 
 def pack_greedy(

@@ -448,6 +448,7 @@ def compression_ratio_kernel(level: int = 6):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            isnull = pdf["text"].isna()
             raw = pdf["text"].fillna("").str.encode("utf-8")
             raw_n = raw.str.len().astype("int64")
             comp_n = raw.map(lambda b: len(zlib.compress(b, level))).astype(
@@ -458,11 +459,17 @@ def compression_ratio_kernel(level: int = 6):
                     # nullable Int64: a NULL id must yield a null output
                     # row, not a ValueError that kills the whole task
                     "doc_id": pdf["doc_id"].astype("Int64"),
-                    "raw_bytes": raw_n,
-                    "zlib_bytes": comp_n,
-                    "compression_ratio": (
-                        comp_n / raw_n.where(raw_n > 0, 1)
-                    ).round(6),
+                    # NULL text -> NULL bytes (no text is not 0 bytes of
+                    # text); empty text -> raw 0 / header-only zlib
+                    "raw_bytes": raw_n.astype("Int64").mask(isnull),
+                    "zlib_bytes": comp_n.astype("Int64").mask(isnull),
+                    # raw_bytes == 0 (NULL or empty) -> NULL ratio: 'no
+                    # content' must not masquerade as the corpus-max
+                    # "maximally incompressible" signal in the
+                    # high-entropy filter tail (ADVICE r11)
+                    "compression_ratio": (comp_n / raw_n.where(raw_n > 0))
+                    .round(6)
+                    .astype("Float64"),
                 }
             )
 

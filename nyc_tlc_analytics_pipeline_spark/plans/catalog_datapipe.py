@@ -12548,3 +12548,47 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — soft dedup in PRODUCTION mode (MinHash-LSH pair source)
+# ---------------------------------------------------------------------------
+
+
+def _q186_oracle() -> str:
+    """q176's repeat-discount arithmetic replayed over the MINHASH pair
+    set (q176's oracle tail verbatim from ``sym`` on) — the q137/q144
+    production-twin pattern applied to the one pair consumer that was
+    still registered exact-only (VERDICT r11 item 1)."""
+    tail = _Q176_ORACLE.split("sym AS (", 1)[1]
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTES},\n"
+        + _minhash_pair_ctes(_Q25_THRESHOLD)
+        + ",\npairs AS (SELECT doc_a, doc_b FROM mpairs),\nsym AS ("
+        + tail
+    )
+
+
+@register(
+    "q186_soft_dedup_minhash",
+    _q186_oracle(),
+    "q176's soft dedup (delta^(j-1) repeat discounting over near-dup "
+    "clusters) in its PRODUCTION mode: the MinHash-LSH pair source "
+    "(banded md5-signature buckets, exact Jaccard verified on "
+    "candidates only — the shape that survives 100 TB) feeding the "
+    "same alternating-star closure, copy-rank window and per-language "
+    "token pricing.  Fully hash-checked: the md5 MinHash chain is "
+    "byte-identical cross-engine (q28/q137/q144 precedent), so the "
+    "oracle replays banding, candidate generation, exact verification, "
+    "the recursive closure and the discount arithmetic.  MinHash pairs "
+    "are a subset of exact pairs at the same threshold, so soft_tokens "
+    "here upper-bounds q176's — the pytest twin asserts that ordering "
+    "and value-equality on shared clusters.",
+    operators=("dedup-soft", "dedup-minhash-lsh", "graph-cc", "W2", "A3"),
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return dedup.soft_dedup_report(docs, pairs, delta=_Q176_DELTA)

@@ -1585,8 +1585,9 @@ def test_segment_family_null_group_and_null_text_distinction(spark):
 
 def test_compression_quality_matches_python_zlib(spark):
     """Kernel output equals a direct python zlib computation, repetitive
-    text compresses far below shuffled-vocab text, and empty/null text
-    is safe (ratio over max(raw,1))."""
+    text compresses far below shuffled-vocab text, and NULL/empty text
+    gets a NULL ratio (not a fake 'maximally incompressible' ~8.0) with
+    NULL vs empty distinguished in raw_bytes (ADVICE r11)."""
     import zlib
 
     from nyc_tlc_analytics_pipeline_spark.operators import text as text_ops
@@ -1599,14 +1600,20 @@ def test_compression_quality_matches_python_zlib(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r for r in text_ops.compression_quality(df).collect()}
-    for i, t in rows:
-        raw = (t or "").encode()
+    for i, t in rows[:2]:
+        raw = t.encode()
         assert got[i].raw_bytes == len(raw)
         assert got[i].zlib_bytes == len(zlib.compress(raw, 6))
-        want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
         assert got[i].compression_ratio == want
-    assert got[3].raw_bytes == 0 and got[4].raw_bytes == 0
-    assert got[3].compression_ratio > 1  # header-only overhead on empty
+    # empty text: 0 raw bytes, header-only zlib bytes, NULL ratio
+    assert got[3].raw_bytes == 0
+    assert got[3].zlib_bytes == len(zlib.compress(b"", 6))
+    assert got[3].compression_ratio is None
+    # NULL text: everything NULL — 'no text' is not '0 bytes of text'
+    assert got[4].raw_bytes is None
+    assert got[4].zlib_bytes is None
+    assert got[4].compression_ratio is None
     assert got[1].compression_ratio < 0.5  # repeated sentence compresses
     assert got[2].compression_ratio < got[1].compression_ratio  # templated
 

@@ -196,6 +196,41 @@ def test_pack_contiguous_offsets(spark):
     assert got2 == {1: (0, 0), 2: (0, 200)}  # second doc STARTS in pack 0
 
 
+def test_pack_contiguous_two_pass_splits_one_giant_stream(spark):
+    """A SINGLE stream far larger than one range partition must (a) pack
+    with exactly the sequential cumulative offsets and (b) plan a range
+    shuffle, not a stream-keyed hash window — the ADVICE-r11 fix: no
+    task ever windows a whole stream."""
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("only").alias("stream"),
+        col("id").alias("ord"),
+        (col("id") % 7 + 1).alias("n"),
+    ).repartition(16)
+    out = packing.pack_contiguous(df, "stream", "ord", "n", 97)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    rows = {r["ord"]: (r["pack_id"], r["pack_offset"]) for r in out.collect()}
+    assert len(rows) == n
+    start = 0
+    for i in range(n):
+        assert rows[i] == (start // 97, start % 97), i
+        start += i % 7 + 1
+
+
+def test_pack_contiguous_null_stream_group_survives(spark):
+    """NULL is a legal stream key (the old window form grouped it);
+    the broadcast offset join must be null-safe, not silently drop."""
+    df = spark.createDataFrame(
+        [(None, 1, 50), (None, 2, 50), ("s", 1, 10)],
+        "stream string, ord long, n long",
+    )
+    rows = packing.pack_contiguous(df, "stream", "ord", "n", 64).collect()
+    assert len(rows) == 3
+    got = {(r["stream"], r["ord"]): r["pack_offset"] for r in rows}
+    assert got == {(None, 1): 0, (None, 2): 50, ("s", 1): 0}
+
+
 def test_pack_greedy_input_schema_not_mutated(spark):
     df = spark.createDataFrame([("s", 1, 10)], "stream string, ord long, n long")
     before = [f.name for f in df.schema.fields]
