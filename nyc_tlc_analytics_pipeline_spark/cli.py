@@ -375,6 +375,32 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--stages", type=int, default=4)
     cr.add_argument("--salt", default="curr")
 
+    cu2 = sub.add_parser(
+        "curate-e2e",
+        help="END-TO-END corpus curation: rules gate -> perplexity "
+        "filter -> near-dup keep-best dedup -> segment-level dedup -> "
+        "benchmark decontamination -> curriculum-packed training "
+        "shards, resume-journaled per stage (curate.CurateJob; the "
+        "run-e2e contract applied to the training-data tier)",
+    )
+    cu2.add_argument("--docs", required=True, help="corpus documents parquet")
+    cu2.add_argument("--out", required=True, help="output root dir")
+    cu2.add_argument(
+        "--bench", default=None, help="optional benchmark parquet to decontaminate against"
+    )
+    cu2.add_argument("--ppl-cutoff", type=float, default=3.41)
+    cu2.add_argument(
+        "--pair-source", default="minhash", choices=("minhash", "jaccard")
+    )
+    cu2.add_argument("--threshold", type=float, default=0.5)
+    cu2.add_argument("--seg-len", type=int, default=8)
+    cu2.add_argument("--stages", type=int, default=4)
+    cu2.add_argument("--budget", type=int, default=512)
+    cu2.add_argument("--retries", type=int, default=2)
+    cu2.add_argument(
+        "--no-resume", action="store_true", help="discard any prior journal"
+    )
+
     args = p.parse_args(argv)
 
     if args.command == "download":
@@ -430,6 +456,28 @@ def main(argv: list[str] | None = None) -> int:
         pl.run_analytics(args.name).show(args.limit, truncate=False)
     elif args.command == "run-e2e":
         print(json.dumps(pl.run_e2e(args.landing_dir, args.zones_csv), indent=2))
+    elif args.command == "curate-e2e":
+        from .curate import CurateJob
+
+        job = CurateJob(
+            pl.spark,
+            args.docs,
+            args.out,
+            bench_path=args.bench,
+            ppl_cutoff=args.ppl_cutoff,
+            pair_source=args.pair_source,
+            threshold=args.threshold,
+            seg_len=args.seg_len,
+            n_stages=args.stages,
+            budget=args.budget,
+        )
+        print(
+            json.dumps(
+                job.run(retries=args.retries, resume=not args.no_resume),
+                indent=2,
+                sort_keys=True,
+            )
+        )
     elif args.command == "status":
         from .sources.readers import table_info
 

@@ -1,0 +1,285 @@
+"""End-to-end corpus CURATION job: rules gate → perplexity filter →
+near-dup keep-best dedup → segment-level dedup → benchmark
+decontamination → curriculum schedule → packed training shards, under
+the same per-stage retry + resume journal as :meth:`pipeline.TlcPipeline
+.run_e2e` (reference: src/orchestration/flows.py's @task(retries=2)
+wiring — here applied to the training-data tier the reference never
+had).
+
+Every stage write is an idempotent overwrite, so a killed run re-enters
+at the first unjournaled stage and converges to the same outputs; the
+funnel-attribution accounting the job emits is exactly the q132
+registered form (per-(source, stage) doc/token counts), extended with
+the post-funnel stages (segment-emptied, contaminated) so every input
+document is accounted for once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from .operators import curation, curriculum, dedup, decontam, packing
+from .pipeline import StageFailed  # shared failure type (same contract)
+from .sources.sinks import write_corpus_shards
+
+
+class CurateJob:
+    """One curation run rooted at ``out_dir``.  Stage methods are plain
+    attributes so tests can inject failures (the run_e2e test pattern:
+    ``job.stage_segment_dedup = flaky``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs_path: str,
+        out_dir: str,
+        bench_path: str | None = None,
+        ppl_cutoff: float = 3.41,
+        pair_source: str = "minhash",
+        threshold: float = 0.5,
+        seg_len: int = 8,
+        n_stages: int = 4,
+        budget: int = 512,
+        decontam_n: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.docs_path = docs_path
+        self.out_dir = out_dir
+        self.bench_path = bench_path
+        self.ppl_cutoff = float(ppl_cutoff)
+        self.pair_source = pair_source
+        self.threshold = float(threshold)
+        self.seg_len = int(seg_len)
+        self.n_stages = int(n_stages)
+        self.budget = int(budget)
+        self.decontam_n = int(decontam_n)
+
+    # -- paths ------------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    @property
+    def _state_path(self) -> str:
+        return self.path("meta/curate_state.json")
+
+    # -- journal (run_e2e's contract, standalone) --------------------------
+    def _load_state(self) -> dict:
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"stages": {}}
+
+    def _save_state(self, state: dict) -> None:
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)  # atomic: never half-written
+
+    def _run_stage(self, state: dict, name: str, fn, retries: int):
+        done = state["stages"].get(name)
+        if done and done.get("status") == "success":
+            return done["result"]
+        last: Exception | None = None
+        for attempt in range(1, retries + 2):
+            try:
+                result = fn()
+            except Exception as e:  # noqa: BLE001 — stage isolation boundary
+                last = e
+                continue
+            state["stages"][name] = {
+                "status": "success",
+                "attempts": attempt,
+                "result": result,
+            }
+            self._save_state(state)
+            return result
+        state["stages"][name] = {"status": "failed", "attempts": retries + 1}
+        self._save_state(state)
+        raise StageFailed(name, retries + 1, last)
+
+    # -- stages (each: idempotent overwrite write + JSON-sized result) -----
+    def _docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_path)
+
+    def stage_attribution(self) -> dict:
+        """q132's funnel attribution (rules / perplexity / duplicate /
+        kept per document), persisted per-doc for the later stages and
+        returned rolled up per (source, stage) — the oracle-checked
+        accounting form."""
+        attr = curation.funnel_attribution(
+            self._docs(),
+            self.ppl_cutoff,
+            pair_source=self.pair_source,
+            threshold=self.threshold,
+        )
+        attr.write.mode("overwrite").parquet(self.path("attribution"))
+        rows = (
+            self.spark.read.parquet(self.path("attribution"))
+            .groupBy("source", "stage")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .collect()
+        )
+        return {
+            f"{r['source']}/{r['stage']}": {
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+            }
+            for r in rows
+        }
+
+    def stage_segment_dedup(self) -> dict:
+        """CCNet segment-level dedup over the funnel keepers: rebuild
+        each kept document from only globally-first segments (q185's
+        writer), DROP docs emptied entirely, carry source/lang."""
+        docs = self._docs()
+        kept_ids = (
+            self.spark.read.parquet(self.path("attribution"))
+            .filter(col("stage") == "kept")
+            .select("doc_id")
+        )
+        kept = docs.join(kept_ids, "doc_id")
+        cleaned = dedup.remove_duplicated_segments(kept, seg_len=self.seg_len)
+        out = (
+            kept.select("doc_id", "source", "lang")
+            .join(cleaned, "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                col("clean_text").alias("text"),
+                col("kept_tokens").alias("n_tokens"),
+            )
+        )
+        out.filter(col("n_tokens") > 0).write.mode("overwrite").parquet(
+            self.path("clean")
+        )
+        back = self.spark.read.parquet(self.path("clean"))
+        n_kept_in = kept.count()
+        n_out = back.count()
+        toks = back.agg(F.sum("n_tokens")).head()[0] or 0
+        return {
+            "n_docs_in": n_kept_in,
+            "n_docs_out": n_out,
+            "n_emptied": n_kept_in - n_out,
+            "kept_tokens": int(toks),
+        }
+
+    def stage_decontam(self) -> dict:
+        """Benchmark n-gram decontamination (q50's gate form) of the
+        segment-cleaned pool; a run with no benchmark passes the pool
+        through unchanged (journaled as skipped=True)."""
+        pool = self.spark.read.parquet(self.path("clean"))
+        if self.bench_path is None:
+            pool.write.mode("overwrite").parquet(self.path("final"))
+            n = self.spark.read.parquet(self.path("final")).count()
+            return {"skipped": True, "n_docs_out": n, "n_removed": 0}
+        bench = self.spark.read.parquet(self.bench_path)
+        cleanp = decontam.decontaminate(pool, bench, n=self.decontam_n)
+        cleanp.write.mode("overwrite").parquet(self.path("final"))
+        n_in = pool.count()
+        n_out = self.spark.read.parquet(self.path("final")).count()
+        return {"skipped": False, "n_docs_out": n_out, "n_removed": n_in - n_out}
+
+    def stage_shards(self) -> dict:
+        """q175 curriculum schedule × q182 contiguous packing over the
+        final pool, written as stage-partitioned training shards in
+        deterministic (stage, pos, id) curriculum order."""
+        pool = self.spark.read.parquet(self.path("final"))
+        sched = curriculum.curriculum_schedule(pool, n_stages=self.n_stages)
+        streams = sched.join(
+            pool.select("doc_id", "source", "lang"), "doc_id"
+        ).select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            "stage",
+            "n_tokens",
+            F.concat(
+                col("stage").cast("string"),
+                lit(":"),
+                F.substring(col("pos"), 1, 1),
+            ).alias("stream"),
+            F.concat(
+                col("pos"), lit(":"), F.lpad(col("doc_id").cast("string"), 12, "0")
+            ).alias("ord"),
+        )
+        packed = packing.pack_contiguous(
+            streams, "stream", "ord", "n_tokens", self.budget
+        )
+        write_corpus_shards(
+            packed,
+            self.path("shards"),
+            partition_cols=("stage",),
+            order_col="ord",
+        )
+        back = self.spark.read.parquet(self.path("shards"))
+        agg = back.groupBy("stage", "stream").agg(
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("n_tokens").alias("tok"),
+        )
+        tot = agg.agg(
+            F.sum("n_packs").alias("p"), F.sum("tok").alias("t")
+        ).head()
+        n_docs = back.count()
+        return {
+            "n_docs": n_docs,
+            "n_packs": int(tot["p"] or 0),
+            "total_tokens": int(tot["t"] or 0),
+            "fill_pct": round(
+                100.0 * (tot["t"] or 0) / ((tot["p"] or 1) * self.budget), 4
+            ),
+        }
+
+    # -- driver -------------------------------------------------------------
+    _STAGES = ("attribution", "segment_dedup", "decontam", "shards")
+
+    def run(self, retries: int = 2, resume: bool = True) -> dict:
+        """Run (or resume) the whole job.  Returns the summary the CLI
+        prints: the q132-form attribution accounting extended with the
+        post-funnel stages, plus shard stats — every input document
+        lands in exactly one bucket of ``funnel``."""
+        state = self._load_state() if resume else {"stages": {}}
+        if all(
+            state["stages"].get(s, {}).get("status") == "success"
+            for s in self._STAGES
+        ):
+            state = {"stages": {}}  # previous run finished — start fresh
+        attribution = self._run_stage(
+            state, "attribution", self.stage_attribution, retries
+        )
+        seg = self._run_stage(
+            state, "segment_dedup", self.stage_segment_dedup, retries
+        )
+        dec = self._run_stage(state, "decontam", self.stage_decontam, retries)
+        shards = self._run_stage(state, "shards", self.stage_shards, retries)
+        funnel = dict(attribution)
+        # post-funnel accounting: emptied + contaminated docs leave the
+        # 'kept' bucket so the final shard count reconciles exactly
+        funnel["_post/segment_emptied"] = {
+            "n_docs": seg["n_emptied"],
+            "n_tokens": None,
+        }
+        funnel["_post/contaminated"] = {
+            "n_docs": dec["n_removed"],
+            "n_tokens": None,
+        }
+        summary = {
+            "funnel": funnel,
+            "segment_dedup": seg,
+            "decontam": dec,
+            "shards": shards,
+        }
+        with open(self.path("meta/curate_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, sort_keys=True)
+        return summary

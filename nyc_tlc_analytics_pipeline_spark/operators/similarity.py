@@ -1314,21 +1314,40 @@ def _lsh_candidates(
     )
 
 
+def _assigned_corpus(
+    corpus_plain: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """corpus_plain + ``__cid`` nearest-centroid bucket, checkpointed —
+    THE linear-in-corpus pass of every IVF audit (K cosines per row).
+    Callers evaluating several probe rules against ONE centroid set
+    must compute this once and share it (q171's r12 restructure: the
+    fixed and adaptive configs each paid their own full-corpus
+    assignment scan — the dominant term of its 6.6× at 100×)."""
+    return corpus_plain.withColumn(
+        "__cid", assign_ivf_bucket(col("__v"), centroids)
+    ).localCheckpoint(eager=False)
+
+
 def _ivf_candidates(
     corpus_plain: DataFrame,
     q: DataFrame,
     centroids: list[tuple[int, list[float]]],
     n_probe: int,
     id_col: str,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, id, __v, __qv) candidates under one centroid set —
     ivf_recall_audit's probe rule (nearest n_probe centroids as DATA,
-    6-dp-rounded ranking), extracted for before/after evaluation."""
+    6-dp-rounded ranking), extracted for before/after evaluation.
+    Pass ``assigned`` (:func:`_assigned_corpus`) to reuse one bucket-
+    assignment pass across probe rules sharing the centroid set."""
     from pyspark.sql.window import Window
 
-    corpus = corpus_plain.withColumn(
-        "__cid", assign_ivf_bucket(col("__v"), centroids)
-    ).localCheckpoint(eager=False)
+    corpus = (
+        assigned
+        if assigned is not None
+        else _assigned_corpus(corpus_plain, centroids)
+    )
     cents = corpus_plain.sparkSession.createDataFrame(
         [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
         "__ccid int, __cv array<double>",
@@ -1625,6 +1644,7 @@ def _ivf_candidates_adaptive(
     delta: float,
     max_probe: int,
     id_col: str,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, id, __v, __qv) candidates under the ADAPTIVE probe
     rule: each query probes every centroid whose 6-dp-rounded cosine is
@@ -1635,9 +1655,11 @@ def _ivf_candidates_adaptive(
     worst-case n_probe."""
     from pyspark.sql.window import Window
 
-    corpus = corpus_plain.withColumn(
-        "__cid", assign_ivf_bucket(col("__v"), centroids)
-    ).localCheckpoint(eager=False)
+    corpus = (
+        assigned
+        if assigned is not None
+        else _assigned_corpus(corpus_plain, centroids)
+    )
     cents = corpus_plain.sparkSession.createDataFrame(
         [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
         "__ccid int, __cv array<double>",
@@ -1692,12 +1714,20 @@ def ivf_adaptive_probe_report(
     )
     corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
     truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    # ONE bucket-assignment pass (K cosines over the whole corpus, the
+    # linear floor) shared by both configs — the same share-the-
+    # expensive-pass contract as the brute truth above (VERDICT r11:
+    # the per-config assignment was the bulk of q171's 6.6× at 100×)
+    assigned = _assigned_corpus(corpus_plain, centroids)
     fixed = audit_summary(
         _config_report(
             corpus_plain,
             q,
             truth,
-            _ivf_candidates(corpus_plain, q, centroids, fixed_n_probe, id_col),
+            _ivf_candidates(
+                corpus_plain, q, centroids, fixed_n_probe, id_col,
+                assigned=assigned,
+            ),
             k,
             id_col,
         ),
@@ -1710,7 +1740,8 @@ def ivf_adaptive_probe_report(
             q,
             truth,
             _ivf_candidates_adaptive(
-                corpus_plain, q, centroids, delta, max_probe, id_col
+                corpus_plain, q, centroids, delta, max_probe, id_col,
+                assigned=assigned,
             ),
             k,
             id_col,

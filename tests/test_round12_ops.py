@@ -99,3 +99,124 @@ def test_q186_registration_matches_direct_composition(spark, soft_minhash):
 
     got = {r.lang: r.asDict() for r in cd.q186(spark, SF_SMOKE).collect()}
     assert got == soft_minhash
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curate job (VERDICT r11 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _docs_parquet() -> str:
+    import os
+
+    return os.path.join(SF_SMOKE, "documents.parquet")
+
+
+def test_curate_attribution_matches_q132_oracle(spark, duck_smoke, tmp_path):
+    """The job's journaled attribution accounting IS the q132 oracle
+    form: run the job in oracle mode (exact-Jaccard pairs) and compare
+    the per-(source, stage) doc/token counts with DuckDB replaying the
+    registered q132 SQL on the same parquet."""
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    job = CurateJob(
+        spark,
+        _docs_parquet(),
+        str(tmp_path / "out"),
+        pair_source="jaccard",
+        ppl_cutoff=3.41,
+        threshold=0.5,
+    )
+    summary = job.run()
+    want = {
+        f"{src}/{stage}": {"n_docs": nd, "n_tokens": nt}
+        for src, stage, nd, nt in duck_smoke.execute(
+            QUERIES["q132_funnel_attribution"].oracle
+        ).fetchall()
+    }
+    got = {k: v for k, v in summary["funnel"].items() if not k.startswith("_post/")}
+    assert got == want
+    # every input document is accounted for exactly once in the funnel
+    n_docs = duck_smoke.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(v["n_docs"] for v in got.values()) == n_docs
+    # and the shard output reconciles with the post-funnel stages
+    n_kept = sum(v["n_docs"] for k, v in got.items() if k.endswith("/kept"))
+    assert summary["shards"]["n_docs"] == (
+        n_kept
+        - summary["segment_dedup"]["n_emptied"]
+        - summary["decontam"]["n_removed"]
+    )
+    assert summary["shards"]["n_packs"] >= 1
+    assert 0 < summary["shards"]["fill_pct"] <= 100
+
+
+def test_curate_kill_and_resume_is_idempotent(spark, tmp_path):
+    """Kill the job mid-run (decontam dies beyond retries), re-run:
+    resume must skip the completed stages (attribution journaled, not
+    re-executed) and converge to the same outputs as a clean run."""
+    import json as _json
+
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+    from nyc_tlc_analytics_pipeline_spark.pipeline import StageFailed
+
+    out = str(tmp_path / "out")
+    job = CurateJob(spark, _docs_parquet(), out)
+    real = job.stage_decontam
+
+    def dead():
+        raise RuntimeError("stage killed")
+
+    job.stage_decontam = dead
+    with pytest.raises(StageFailed) as ei:
+        job.run(retries=0)
+    assert ei.value.stage == "decontam"
+    state = _json.load(open(job._state_path))
+    assert state["stages"]["attribution"]["status"] == "success"
+    assert state["stages"]["segment_dedup"]["status"] == "success"
+    attribution_before = state["stages"]["attribution"]["result"]
+
+    job.stage_decontam = real  # "fix the bug", re-run
+    summary = job.run()
+    state = _json.load(open(job._state_path))
+    # journaled stages were NOT re-executed: one attempt, same result
+    assert state["stages"]["attribution"]["attempts"] == 1
+    assert {
+        k: v for k, v in summary["funnel"].items() if not k.startswith("_post/")
+    } == attribution_before
+
+    # a fresh no-resume run on a second dir produces the same summary
+    job2 = CurateJob(spark, _docs_parquet(), str(tmp_path / "out2"))
+    summary2 = job2.run(resume=False)
+    assert summary2 == summary
+
+
+def test_curate_cli_drive(spark, tmp_path, capsys):
+    """The CLI verb end-to-end: curate a corpus dir into training
+    shards and print the reconciling summary JSON."""
+    import json as _json
+
+    from nyc_tlc_analytics_pipeline_spark import cli
+
+    rc = cli.main(
+        [
+            "--warehouse-dir",
+            str(tmp_path / "wh"),
+            "curate-e2e",
+            "--docs",
+            _docs_parquet(),
+            "--out",
+            str(tmp_path / "out"),
+            "--stages",
+            "2",
+            "--budget",
+            "256",
+        ]
+    )
+    assert rc in (0, None)
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["shards"]["n_packs"] >= 1
+    # shards exist on disk, partitioned by curriculum stage
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "out" / "shards" / "stage=*"))
