@@ -1711,24 +1711,26 @@ def bbit_calibration(
             ),
         )
     )
-    st = shingle_table(df, id_col, text_col, n)
-    sizes = st.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    common = (
-        cands.join(st.select(col("doc").alias("doc_a"), "shingle"), "doc_a")
-        .join(st.select(col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # exact side in the ARRAY form (minhash_dedup_pairs' shape): one
+    # per-doc shingle-SET frame joined per candidate endpoint, never the
+    # exploded (doc, shingle) table — at 100× data Catalyst mis-sizes
+    # the exploded frame and BROADCASTS hundreds of millions of rows
+    # (observed OOM on the 100× fixture, r12); the array form keeps the
+    # exact check candidate-bounded with id-keyed joins only
+    per_doc = doc_shingles(df, id_col, text_col, n)
+    da = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
+    db = per_doc.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     ex = (
-        cands.join(common, ["doc_a", "doc_b"], "left")
-        .withColumn("n_common", F.coalesce(col("n_common"), lit(0)))
-        .join(sizes.select(col("doc").alias("doc_a"), col("n_sh").alias("sz_a")), "doc_a")
-        .join(sizes.select(col("doc").alias("doc_b"), col("n_sh").alias("sz_b")), "doc_b")
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             rnd(
-                col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")), 6
+                n_common
+                / (F.size("sh_a") + F.size("sh_b") - n_common),
+                6,
             ).alias("ex_j"),
         )
     )

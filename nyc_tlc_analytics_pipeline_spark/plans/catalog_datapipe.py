@@ -4343,28 +4343,21 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", rnd(agree / lit(16.0), 6).alias("est_j"))
     )
-    st = dedup.shingle_table(docs, "doc_id", "text", n=3)
-    sizes = st.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    common = (
-        cands.join(st.select(col("doc").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            st.select(col("doc").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # exact side in the ARRAY form (q167's r12 fix): per-doc shingle
+    # sets joined per candidate endpoint — the exploded (doc, shingle)
+    # join gets mis-sized and BROADCAST by Catalyst at 100× data
+    per_doc = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    da = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
+    db = per_doc.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     ex = (
-        cands.join(common, ["doc_a", "doc_b"], "left")
-        .withColumn("n_common", F.coalesce(col("n_common"), lit(0)))
-        .join(sizes.select(col("doc").alias("doc_a"), col("n_sh").alias("size_a")), "doc_a")
-        .join(sizes.select(col("doc").alias("doc_b"), col("n_sh").alias("size_b")), "doc_b")
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             rnd(
-                col("n_common")
-                / (col("size_a") + col("size_b") - col("n_common")),
+                n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
                 6,
             ).alias("ex_j"),
         )
