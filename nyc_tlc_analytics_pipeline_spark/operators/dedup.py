@@ -151,12 +151,20 @@ def jaccard_pairs(
     prefix).  ``prefix_filter=None`` (default) picks adaptively from
     Catalyst's plan statistics — file-size based, NO Spark job (an extra
     count() here would be a full scan just to pick a strategy at 100 TB):
-    below ~64 MB of input the naive self-join wins (the pruning only pays
+    below ~16 MB of input the naive self-join wins (the pruning only pays
     for its two extra shuffles + ranking pass once the df² candidate
     explosion is the dominant cost); ``False`` forces the naive plan
-    (differential baseline in tests), ``True`` forces pruning."""
+    (differential baseline in tests), ``True`` forces pruning.
+
+    The cutoff was 64 MB through r11; the r12 100×-fixture broadcast
+    audit lowered it: at a 59 MB estimate Catalyst still chose to
+    BROADCAST the exploded shingle side of the naive self-join (the
+    estimate doesn't account for the ~100× explode fan-out), the exact
+    OOM class observed on q167's old exact-verify join.  16 MB keeps the
+    naive plan for genuinely small inputs and routes the danger window
+    into the prefix branch, whose joins are aggregate-keyed."""
     if prefix_filter is None:
-        prefix_filter = _estimated_size_bytes(df) >= 64 * 1024 * 1024
+        prefix_filter = _estimated_size_bytes(df) >= 16 * 1024 * 1024
     sizes = doc_shingles(df, id_col, text_col, n).select(
         "doc", F.size("sh").alias("n_shingles")
     )
@@ -185,6 +193,14 @@ def jaccard_pairs(
 
     sh = shingle_table(df, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    # NOTHING in this branch may broadcast: it only engages at >= 16 MB
+    # of input, where dfreq (vocab-sized), the exploded prefix frames
+    # and the per-doc array frames are all data-sized — but a fixture
+    # whose PARQUET sits just under autoBroadcastJoinThreshold gets
+    # every one of them auto-broadcast, and the in-memory blow-up
+    # (explode fan-out, collect_list arrays) OOMs the exchange (r12
+    # 100x audit).  shuffle-merge hints make the plan scale-truthful.
+    dfreq = dfreq.hint("merge")
     # per-doc shingle array sorted by the global (df, shingle) order
     sorted_sh = (
         sh.join(dfreq, "shingle")
@@ -208,7 +224,7 @@ def jaccard_pairs(
     a = prefix.select(col("doc").alias("doc_a"), col("sz").alias("size_a"), "shingle")
     b = prefix.select(col("doc").alias("doc_b"), col("sz").alias("size_b"), "shingle")
     cands = (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(
             (col("doc_a") < col("doc_b"))
             & (col("size_b") >= t * col("size_a"))
@@ -225,8 +241,8 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     return (
-        cands.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        cands.join(fa.hint("merge"), "doc_a")
+        .join(fb.hint("merge"), "doc_b")
         .withColumn("n_common", inter)
         .withColumn(
             "jaccard", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))

@@ -220,3 +220,32 @@ def test_curate_cli_drive(spark, tmp_path, capsys):
     import glob as _glob
 
     assert _glob.glob(str(tmp_path / "out" / "shards" / "stage=*"))
+
+
+# ---------------------------------------------------------------------------
+# broadcast-audit fixes (the 100x fixture melt class)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_prefix_branch_never_broadcasts(spark, docs):
+    """The prefix branch only engages at >= 16 MB input, where dfreq,
+    the exploded prefix frames and the per-doc array frames are all
+    data-sized — none may be auto-broadcast just because a fixture's
+    parquet sits under autoBroadcastJoinThreshold (the r12 100x-audit
+    OOM class).  The merge hints must hold at ANY input size."""
+    out = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    # and the two modes still agree exactly
+    naive = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6) for r in out.collect()
+    }
+    assert pref == naive and len(pref) >= 5
