@@ -147,11 +147,11 @@ def main() -> int:
         if ex_hits:
             n_explode += len(ex_hits)
             for h in ex_hits:
-                print(f"EXPLODE-BROADCAST {name}: {h}")
+                print(f"EXPLODE-BROADCAST {name}: {h}", flush=True)
         if fact_hits:
             n_fact += len(fact_hits)
             for h in fact_hits:
-                print(f"fact-broadcast    {name}: {h}")
+                print(f"fact-broadcast    {name}: {h}", flush=True)
     print(
         f"\naudited {len(names)} queries at 100x: "
         f"{n_explode} explode-broadcasts, {n_fact} fact-broadcasts, {n_err} errors"
