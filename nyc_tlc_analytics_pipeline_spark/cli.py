@@ -400,6 +400,13 @@ def main(argv: list[str] | None = None) -> int:
     cu2.add_argument(
         "--no-resume", action="store_true", help="discard any prior journal"
     )
+    cu2.add_argument(
+        "--batch",
+        default=None,
+        help="incremental batch parquet: classify against the completed "
+        "run's final pool and append only novel content as a batch-"
+        "tagged increment (CurateJob.run_incremental)",
+    )
 
     args = p.parse_args(argv)
 
@@ -471,13 +478,13 @@ def main(argv: list[str] | None = None) -> int:
             n_stages=args.stages,
             budget=args.budget,
         )
-        print(
-            json.dumps(
-                job.run(retries=args.retries, resume=not args.no_resume),
-                indent=2,
-                sort_keys=True,
+        if args.batch:
+            out = job.run_incremental(
+                args.batch, retries=args.retries, resume=not args.no_resume
             )
-        )
+        else:
+            out = job.run(retries=args.retries, resume=not args.no_resume)
+        print(json.dumps(out, indent=2, sort_keys=True))
     elif args.command == "status":
         from .sources.readers import table_info
 

@@ -283,3 +283,237 @@ class CurateJob:
         with open(self.path("meta/curate_summary.json"), "w") as f:
             json.dump(summary, f, indent=2, sort_keys=True)
         return summary
+
+    # -- incremental face -----------------------------------------------
+    # The per-index incremental contract (q78/q147/q163/q180: increment
+    # cost = O(batch + matches), the standing corpus' text never
+    # re-read) applied to the whole job: classify a NEW batch against
+    # the completed run's final pool, keep only genuinely novel content,
+    # and append it as an idempotent batch-tagged increment directory.
+
+    def _inc_state_path(self, tag: str) -> str:
+        return self.path(f"meta/curate_inc_{tag}.json")
+
+    def run_incremental(
+        self,
+        batch_path: str,
+        batch_tag: str | None = None,
+        retries: int = 2,
+        resume: bool = True,
+    ) -> dict:
+        """Process one incoming batch against a COMPLETED curate run:
+
+        1. ``inc_gate`` — rules gate + perplexity filter on the batch,
+           then MinHash-LSH classification against the standing pool
+           (``incremental_minhash_classify``): ``dup_vs_corpus`` and
+           later in-batch copies drop; per-document attribution
+           (rules / perplexity / duplicate_batch / duplicate_corpus /
+           kept) persists next to the batch increment.
+        2. ``inc_segment`` — rebuild survivors from only the segments
+           the standing corpus hasn't seen (incremental segment
+           classify vs the standing index), dropping emptied docs.
+        3. ``inc_decontam`` — benchmark gate (skip without a bench).
+        4. ``inc_append`` — write the surviving docs to
+           ``increments/<tag>/`` (idempotent overwrite: the tag is the
+           md5 of the batch path unless given, so a crashed re-run
+           converges instead of double-appending).
+
+        Same journal semantics as :meth:`run`, per batch tag."""
+        import hashlib
+
+        from .operators import curation as _curation  # noqa: F401 (doc link)
+        from .operators import lm, rules, text as text_ops
+
+        tag = batch_tag or hashlib.md5(batch_path.encode()).hexdigest()[:12]
+        state_path = self._inc_state_path(tag)
+
+        def load_state() -> dict:
+            try:
+                with open(state_path) as f:
+                    return json.load(f)
+            except (OSError, ValueError):
+                return {"stages": {}}
+
+        state = load_state() if resume else {"stages": {}}
+        stages = ("inc_gate", "inc_segment", "inc_decontam", "inc_append")
+        if all(
+            state["stages"].get(s, {}).get("status") == "success"
+            for s in stages
+        ):
+            state = {"stages": {}}
+        # reuse the main journal machinery against the per-batch path
+        orig = self._state_path
+
+        def save(st: dict) -> None:
+            os.makedirs(os.path.dirname(state_path), exist_ok=True)
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(st, f)
+            os.replace(tmp, state_path)
+
+        self._save_state = save  # type: ignore[method-assign]  # per-batch journal
+        try:
+            batch = self.spark.read.parquet(batch_path)
+            standing = self.spark.read.parquet(self.path("final"))
+
+            def inc_gate() -> dict:
+                tk = batch.withColumn("__tk", text_ops.tokens("text"))
+                gated = (
+                    rules.apply_rules(tk, "text", toks="__tk")
+                    .filter(col("rules_pass"))
+                    .select(
+                        "doc_id", "source", "lang", "text",
+                        F.size("__tk").cast("long").alias("n_tokens"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                # score against the STANDING pool's model (the CCNet
+                # fixed-model shape): a small batch must not be judged
+                # by its own 4-document statistics
+                scored = lm.doc_bigram_perplexity(
+                    gated, ["doc_id"], "text",
+                    stats=lm.corpus_bigram_stats(standing),
+                ).select(
+                    "doc_id",
+                    F.round(col("log_ppl") + F.lit(1e-9), 6).alias("log_ppl"),
+                )
+                kept = gated.join(
+                    scored.filter(col("log_ppl") <= self.ppl_cutoff).select(
+                        "doc_id"
+                    ),
+                    "doc_id",
+                )
+                classified = dedup.incremental_minhash_classify(
+                    kept, standing.select("doc_id", "text"),
+                    "doc_id", "text", threshold=self.threshold,
+                )
+                attr = (
+                    batch.select("doc_id", "source")
+                    .join(
+                        gated.select("doc_id", F.lit(1).alias("__g")),
+                        "doc_id",
+                        "left",
+                    )
+                    .join(scored, "doc_id", "left")
+                    .join(
+                        classified.select("doc_id", "status"), "doc_id", "left"
+                    )
+                    .withColumn(
+                        "stage",
+                        F.when(col("__g").isNull(), "rules")
+                        .when(
+                            col("log_ppl").isNull()
+                            | (col("log_ppl") > self.ppl_cutoff),
+                            "perplexity",
+                        )
+                        .when(col("status") == "dup_vs_corpus", "duplicate_corpus")
+                        .when(col("status") == "dup_in_batch", "duplicate_batch")
+                        .otherwise("kept"),
+                    )
+                    .select("doc_id", "source", "stage")
+                )
+                attr.write.mode("overwrite").parquet(
+                    self.path(f"increments/{tag}_attribution")
+                )
+                classified.filter(col("status") == "new").select(
+                    "doc_id", "source", "lang", "text", "n_tokens"
+                ).write.mode("overwrite").parquet(
+                    self.path(f"increments/{tag}_gated")
+                )
+                rows = (
+                    self.spark.read.parquet(
+                        self.path(f"increments/{tag}_attribution")
+                    )
+                    .groupBy("stage")
+                    .count()
+                    .collect()
+                )
+                return {r["stage"]: r["count"] for r in rows}
+
+            def inc_segment() -> dict:
+                pool = self.spark.read.parquet(
+                    self.path(f"increments/{tag}_gated")
+                )
+                idx = dedup.segment_index_table(
+                    standing, "doc_id", "text", self.seg_len
+                )
+                segs = dedup.incremental_segment_classify(
+                    pool, idx, "doc_id", "text", self.seg_len, group_col=None
+                )
+                kept_segs = segs.filter(col("status") == "new")
+                rebuilt = kept_segs.groupBy("doc_id").agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("seg_idx", "seg_text")
+                                )
+                            ),
+                            lambda s: s["seg_text"],
+                        ),
+                        " ",
+                    ).alias("text"),
+                    F.sum("seg_tokens").cast("long").alias("n_tokens"),
+                )
+                out = (
+                    pool.select("doc_id", "source", "lang")
+                    .join(rebuilt, "doc_id")
+                    .filter(col("n_tokens") > 0)
+                )
+                out.write.mode("overwrite").parquet(
+                    self.path(f"increments/{tag}_clean")
+                )
+                n_in = pool.count()
+                n_out = self.spark.read.parquet(
+                    self.path(f"increments/{tag}_clean")
+                ).count()
+                return {"n_docs_in": n_in, "n_docs_out": n_out,
+                        "n_emptied_or_dupseg": n_in - n_out}
+
+            def inc_decontam() -> dict:
+                pool = self.spark.read.parquet(
+                    self.path(f"increments/{tag}_clean")
+                )
+                if self.bench_path is None:
+                    pool.write.mode("overwrite").parquet(
+                        self.path(f"increments/{tag}")
+                    )
+                    return {"skipped": True, "n_removed": 0}
+                bench = self.spark.read.parquet(self.bench_path)
+                cleanp = decontam.decontaminate(
+                    pool, bench, n=self.decontam_n
+                )
+                cleanp.write.mode("overwrite").parquet(
+                    self.path(f"increments/{tag}")
+                )
+                n_out = self.spark.read.parquet(
+                    self.path(f"increments/{tag}")
+                ).count()
+                return {
+                    "skipped": False,
+                    "n_removed": pool.count() - n_out,
+                }
+
+            def inc_append() -> dict:
+                inc = self.spark.read.parquet(self.path(f"increments/{tag}"))
+                n = inc.count()
+                toks = inc.agg(F.sum("n_tokens")).head()[0] or 0
+                return {"n_docs_appended": n, "tokens_appended": int(toks)}
+
+            gate = self._run_stage(state, "inc_gate", inc_gate, retries)
+            seg = self._run_stage(state, "inc_segment", inc_segment, retries)
+            dec = self._run_stage(state, "inc_decontam", inc_decontam, retries)
+            app = self._run_stage(state, "inc_append", inc_append, retries)
+            summary = {
+                "tag": tag,
+                "gate": gate,
+                "segment": seg,
+                "decontam": dec,
+                "appended": app,
+            }
+            with open(self.path(f"meta/curate_inc_{tag}_summary.json"), "w") as f:
+                json.dump(summary, f, indent=2, sort_keys=True)
+            return summary
+        finally:
+            self._save_state = type(self)._save_state.__get__(self)  # type: ignore[method-assign]
+            _ = orig  # the main journal path is untouched throughout

@@ -249,3 +249,62 @@ def test_jaccard_prefix_branch_never_broadcasts(spark, docs):
         (r.doc_a, r.doc_b): round(r.jaccard, 6) for r in out.collect()
     }
     assert pref == naive and len(pref) >= 5
+
+
+def test_curate_incremental_batch(spark, tmp_path):
+    """The incremental face: after a completed run, a batch containing
+    (a) exact copies of standing docs, (b) genuinely new docs, and
+    (c) an in-batch duplicate pair classifies each correctly, appends
+    only novel content, and a re-run of the same batch is a journaled
+    no-op with identical outputs (idempotent increments)."""
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+
+    out = str(tmp_path / "out")
+    job = CurateJob(spark, _docs_parquet(), out)
+    job.run()
+    final = spark.read.parquet(job.path("final"))
+    # build the batch from two standing docs (verbatim copies) + two
+    # fresh docs (one duplicated in-batch, shingle-disjoint vocab)
+    standing_rows = final.orderBy("doc_id").limit(5).collect()
+    # novel text = 20-token chunks of three OTHER standing docs glued
+    # together: its token transitions are in-model (passes the standing
+    # LM filter) but its 3-gram shingle overlap with any single parent
+    # is far below the 0.5 near-dup threshold
+    novel = " ".join(
+        standing_rows[2]["text"].split()[:20]
+        + standing_rows[3]["text"].split()[20:40]
+        + standing_rows[4]["text"].split()[:20]
+    )
+    batch_rows = [
+        (900001, standing_rows[0]["source"], standing_rows[0]["lang"],
+         standing_rows[0]["text"]),
+        (900002, standing_rows[1]["source"], standing_rows[1]["lang"],
+         standing_rows[1]["text"]),
+        (900003, "web", "en", novel),
+        (900004, "web", "en", novel),  # in-batch dup of 900003
+    ]
+    bpath = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        batch_rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(bpath)
+
+    summary = job.run_incremental(bpath, batch_tag="b1")
+    gate = summary["gate"]
+    assert gate.get("duplicate_corpus", 0) == 2
+    assert gate.get("duplicate_batch", 0) == 1
+    assert gate.get("kept", 0) == 1
+    inc = spark.read.parquet(job.path("increments/b1"))
+    assert inc.count() == summary["appended"]["n_docs_appended"] == 1
+    assert inc.head()["doc_id"] == 900003
+
+    # idempotent: same batch tag again -> journaled, identical output
+    again = job.run_incremental(bpath, batch_tag="b1")
+    # a completed journal restarts fresh but every stage overwrite
+    # converges to the same state
+    assert again["appended"] == summary["appended"]
+    assert spark.read.parquet(job.path("increments/b1")).count() == 1
+    # and the MAIN run's journal was never touched by the batch journal
+    import json as _json
+
+    main_state = _json.load(open(job._state_path))
+    assert set(main_state["stages"]) == set(CurateJob._STAGES)
