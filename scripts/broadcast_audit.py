@@ -71,13 +71,16 @@ def audit_plan(plan: str) -> tuple[list[str], list[str]]:
             continue
         sub = _subtree(lines, i)
         text = "\n".join(sub)
-        # explode of a LITERAL array is a constant fan-out (q60's ±1
-        # length-band probes), not the data-dependent blow-up class —
-        # only flag explodes of computed columns
-        data_explodes = [
-            m for m in re.findall(r"Generate explode(?:_outer)?\(([^)]*)", text)
-            if not m.startswith("[")
-        ]
+        # only an explode of a data-built ARRAY COLUMN (a bare column
+        # reference like `explode(sh#13)`) is the data-dependent
+        # blow-up class; `explode([...])` literals (q60's ±1 bands) and
+        # `explode(array(expr, ...))` constant-width fan-outs (the
+        # multiprobe bucket sets over pinned panels, q160/q164) are
+        # bounded by construction
+        data_explodes = re.findall(
+            r"Generate explode(?:_outer)?\([a-zA-Z_][a-zA-Z0-9_]*#\d+[,)]",
+            text,
+        )
         if data_explodes and not any(s in text for s in SHRINKERS):
             # an aggregate between explode and exchange bounds the build
             # side (q91's ≤m-row bloom bit table); only the UNaggregated
