@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
-from .operators import curation, curriculum, dedup, decontam, packing
+from .operators import curation, curriculum, dedup, decontam, lm, packing
 from .pipeline import StageFailed  # shared failure type (same contract)
 from .sources.sinks import write_corpus_shards
 
@@ -75,14 +75,26 @@ class CurateJob:
         except (OSError, ValueError):
             return {"stages": {}}
 
-    def _save_state(self, state: dict) -> None:
-        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
-        tmp = self._state_path + ".tmp"
+    def _save_state(self, state: dict, state_path: str | None = None) -> None:
+        # state_path routes per-batch incremental journals; the default
+        # is the main run's journal.  Explicit parameter, NOT an
+        # instance-attribute method swap — two concurrent faces on one
+        # job instance each write their own journal (ADVICE r12).
+        path = state_path or self._state_path
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
-        os.replace(tmp, self._state_path)  # atomic: never half-written
+        os.replace(tmp, path)  # atomic: never half-written
 
-    def _run_stage(self, state: dict, name: str, fn, retries: int):
+    def _run_stage(
+        self,
+        state: dict,
+        name: str,
+        fn,
+        retries: int,
+        state_path: str | None = None,
+    ):
         done = state["stages"].get(name)
         if done and done.get("status") == "success":
             return done["result"]
@@ -98,10 +110,10 @@ class CurateJob:
                 "attempts": attempt,
                 "result": result,
             }
-            self._save_state(state)
+            self._save_state(state, state_path)
             return result
         state["stages"][name] = {"status": "failed", "attempts": retries + 1}
-        self._save_state(state)
+        self._save_state(state, state_path)
         raise StageFailed(name, retries + 1, last)
 
     # -- stages (each: idempotent overwrite write + JSON-sized result) -----
@@ -241,8 +253,38 @@ class CurateJob:
             ),
         }
 
+    def stage_index(self) -> dict:
+        """Persist the standing-corpus INDEX artifacts every later
+        increment classifies against — the q147/q163/q180 persisted-
+        index economics applied at job level (VERDICT r12 item 3's
+        scale shape): the MinHash band table, the segment-hash index
+        and the bigram-LM stats are built ONCE here, so an increment's
+        cost is O(batch + matches) instead of re-deriving three
+        O(standing) artifacts per batch."""
+        final = self.spark.read.parquet(self.path("final"))
+        dedup.lsh_band_table(final, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(self.path("index/lsh_bands"))
+        dedup.segment_index_table(
+            final, "doc_id", "text", self.seg_len
+        ).write.mode("overwrite").parquet(self.path("index/segments"))
+        lm.corpus_bigram_stats(final).write.mode("overwrite").parquet(
+            self.path("index/bigram_stats")
+        )
+        return {
+            "n_bands": self.spark.read.parquet(
+                self.path("index/lsh_bands")
+            ).count(),
+            "n_segment_hashes": self.spark.read.parquet(
+                self.path("index/segments")
+            ).count(),
+            "n_model_bigrams": self.spark.read.parquet(
+                self.path("index/bigram_stats")
+            ).count(),
+        }
+
     # -- driver -------------------------------------------------------------
-    _STAGES = ("attribution", "segment_dedup", "decontam", "shards")
+    _STAGES = ("attribution", "segment_dedup", "decontam", "shards", "index")
 
     def run(self, retries: int = 2, resume: bool = True) -> dict:
         """Run (or resume) the whole job.  Returns the summary the CLI
@@ -263,6 +305,7 @@ class CurateJob:
         )
         dec = self._run_stage(state, "decontam", self.stage_decontam, retries)
         shards = self._run_stage(state, "shards", self.stage_shards, retries)
+        idx = self._run_stage(state, "index", self.stage_index, retries)
         funnel = dict(attribution)
         # post-funnel accounting: emptied + contaminated docs leave the
         # 'kept' bucket so the final shard count reconciles exactly
@@ -279,6 +322,7 @@ class CurateJob:
             "segment_dedup": seg,
             "decontam": dec,
             "shards": shards,
+            "index": idx,
         }
         with open(self.path("meta/curate_summary.json"), "w") as f:
             json.dump(summary, f, indent=2, sort_keys=True)
@@ -293,6 +337,89 @@ class CurateJob:
 
     def _inc_state_path(self, tag: str) -> str:
         return self.path(f"meta/curate_inc_{tag}.json")
+
+    _INC_AUX_SUFFIXES = (
+        "_attribution", "_gated", "_clean", "_bands", "_segidx",
+    )
+
+    def _standing_pool(self, exclude_tag: str | None = None) -> DataFrame:
+        """The corpus an incoming batch is classified against: the base
+        run's ``final`` pool plus every COMPLETED increment (its
+        ``increments/<tag>`` dir carries parquet's ``_SUCCESS`` marker),
+        excluding the in-flight tag.  Without folding prior increments
+        in, a second batch repeating batch 1's novel content would be
+        'new' again and appended twice (ADVICE r12).  The union is a
+        metadata-only plan over already-written parquet — the standing
+        corpus text is still never re-written, only re-scanned by the
+        O(batch + matches) incremental classifiers."""
+        pool = self.spark.read.parquet(self.path("final")).select(
+            "doc_id", "text"
+        )
+        inc_root = self.path("increments")
+        try:
+            names = sorted(os.listdir(inc_root))
+        except OSError:
+            names = []
+        for name in names:
+            if name == exclude_tag or name.endswith(self._INC_AUX_SUFFIXES):
+                continue
+            d = os.path.join(inc_root, name)
+            if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+                continue  # crashed/partial increment: not standing yet
+            pool = pool.unionByName(
+                self.spark.read.parquet(d).select("doc_id", "text")
+            )
+        return pool
+
+    def _completed_inc_tags(self, exclude_tag: str | None = None) -> list[str]:
+        try:
+            names = sorted(os.listdir(self.path("increments")))
+        except OSError:
+            return []
+        return [
+            n
+            for n in names
+            if n != exclude_tag
+            and not n.endswith(self._INC_AUX_SUFFIXES)
+            and os.path.isfile(self.path(f"increments/{n}/_SUCCESS"))
+        ]
+
+    def _standing_indexes(self, exclude_tag: str | None = None):
+        """The PERSISTED standing-index artifacts an increment classifies
+        against (``stage_index`` wrote the base; ``inc_append`` appends a
+        per-tag slice for each completed increment):
+
+        - ``lm_stats`` — the base pool's bigram model, deliberately FIXED
+          (the CCNet reference-model posture: batches are judged by the
+          curated base corpus, not by a drifting union);
+        - ``standing_bands`` — base band table ∪ completed increments'
+          band slices (band signatures are per-doc, so union is exact);
+        - ``seg_index`` — base segment index ∪ per-increment slices
+          (each slice indexes the increment's text AS APPENDED — the
+          rebuilt doc's own segment grid, i.e. what a future batch must
+          be compared against; a rare boundary-shifted rebuild can
+          re-produce a hash the base index already holds, which only
+          double-marks that segment dup_vs_corpus — never resurrects it).
+
+        Returns ``(None, None, None)`` for runs completed before the
+        index stage existed — callers fall back to deriving the
+        artifacts from the standing pool (the legacy O(standing) path).
+        """
+        if not os.path.isfile(
+            os.path.join(self.path("index/lsh_bands"), "_SUCCESS")
+        ):
+            return None, None, None
+        stats = self.spark.read.parquet(self.path("index/bigram_stats"))
+        bands = self.spark.read.parquet(self.path("index/lsh_bands"))
+        segs = self.spark.read.parquet(self.path("index/segments"))
+        for t in self._completed_inc_tags(exclude_tag):
+            bp = self.path(f"increments/{t}_bands")
+            sp = self.path(f"increments/{t}_segidx")
+            if os.path.isfile(os.path.join(bp, "_SUCCESS")):
+                bands = bands.unionByName(self.spark.read.parquet(bp))
+            if os.path.isfile(os.path.join(sp, "_SUCCESS")):
+                segs = segs.unionByName(self.spark.read.parquet(sp))
+        return stats, bands, segs
 
     def run_incremental(
         self,
@@ -321,8 +448,7 @@ class CurateJob:
         Same journal semantics as :meth:`run`, per batch tag."""
         import hashlib
 
-        from .operators import curation as _curation  # noqa: F401 (doc link)
-        from .operators import lm, rules, text as text_ops
+        from .operators import curation as _curation
 
         tag = batch_tag or hashlib.md5(batch_path.encode()).hexdigest()[:12]
         state_path = self._inc_state_path(tag)
@@ -341,179 +467,158 @@ class CurateJob:
             for s in stages
         ):
             state = {"stages": {}}
-        # reuse the main journal machinery against the per-batch path
-        orig = self._state_path
+        batch = self.spark.read.parquet(batch_path)
+        # The standing pool an increment classifies against is the
+        # base run's `final` UNIONED with every already-completed
+        # increment (excluding this tag): without the union, batch 2
+        # repeating batch 1's novel content is classified 'new'
+        # again and appended twice, violating the append-only-novel
+        # contract for multi-batch use (ADVICE r12).
+        standing = self._standing_pool(exclude_tag=tag)
+        # persisted index artifacts (stage_index + per-increment slices):
+        # the standing pool's TEXT above is scanned only for candidate
+        # verification (left-semi pruned); bands / segment hashes / the
+        # LM model come from disk, so the increment is O(batch+matches).
+        # All-None on legacy runs → the stages derive them from the pool.
+        lm_stats, standing_bands, seg_index = self._standing_indexes(
+            exclude_tag=tag
+        )
 
-        def save(st: dict) -> None:
-            os.makedirs(os.path.dirname(state_path), exist_ok=True)
-            tmp = state_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(st, f)
-            os.replace(tmp, state_path)
-
-        self._save_state = save  # type: ignore[method-assign]  # per-batch journal
-        try:
-            batch = self.spark.read.parquet(batch_path)
-            standing = self.spark.read.parquet(self.path("final"))
-
-            def inc_gate() -> dict:
-                tk = batch.withColumn("__tk", text_ops.tokens("text"))
-                gated = (
-                    rules.apply_rules(tk, "text", toks="__tk")
-                    .filter(col("rules_pass"))
-                    .select(
-                        "doc_id", "source", "lang", "text",
-                        F.size("__tk").cast("long").alias("n_tokens"),
-                    )
-                    .localCheckpoint(eager=False)
-                )
-                # score against the STANDING pool's model (the CCNet
-                # fixed-model shape): a small batch must not be judged
-                # by its own 4-document statistics
-                scored = lm.doc_bigram_perplexity(
-                    gated, ["doc_id"], "text",
-                    stats=lm.corpus_bigram_stats(standing),
-                ).select(
-                    "doc_id",
-                    F.round(col("log_ppl") + F.lit(1e-9), 6).alias("log_ppl"),
-                )
-                kept = gated.join(
-                    scored.filter(col("log_ppl") <= self.ppl_cutoff).select(
-                        "doc_id"
-                    ),
-                    "doc_id",
-                )
-                classified = dedup.incremental_minhash_classify(
-                    kept, standing.select("doc_id", "text"),
-                    "doc_id", "text", threshold=self.threshold,
-                )
-                attr = (
-                    batch.select("doc_id", "source")
-                    .join(
-                        gated.select("doc_id", F.lit(1).alias("__g")),
-                        "doc_id",
-                        "left",
-                    )
-                    .join(scored, "doc_id", "left")
-                    .join(
-                        classified.select("doc_id", "status"), "doc_id", "left"
-                    )
-                    .withColumn(
-                        "stage",
-                        F.when(col("__g").isNull(), "rules")
-                        .when(
-                            col("log_ppl").isNull()
-                            | (col("log_ppl") > self.ppl_cutoff),
-                            "perplexity",
-                        )
-                        .when(col("status") == "dup_vs_corpus", "duplicate_corpus")
-                        .when(col("status") == "dup_in_batch", "duplicate_batch")
-                        .otherwise("kept"),
-                    )
-                    .select("doc_id", "source", "stage")
-                )
-                attr.write.mode("overwrite").parquet(
+        def inc_gate() -> dict:
+            # ONE implementation shared with the registered conformance
+            # query (q187): rules gate + perplexity vs the STANDING
+            # pool's model (the CCNet fixed-model shape — a small batch
+            # must not be judged by its own 4-document statistics) +
+            # incremental MinHash classification, all inside
+            # curation.incremental_gate_attribution so job and oracle
+            # can never drift (the q132 pattern).
+            attr, classified = _curation.incremental_gate_attribution(
+                batch, standing, self.ppl_cutoff, threshold=self.threshold,
+                lm_stats=lm_stats, standing_bands=standing_bands,
+            )
+            attr.write.mode("overwrite").parquet(
+                self.path(f"increments/{tag}_attribution")
+            )
+            classified.filter(col("status") == "new").select(
+                "doc_id", "source", "lang", "text", "n_tokens"
+            ).write.mode("overwrite").parquet(
+                self.path(f"increments/{tag}_gated")
+            )
+            rows = (
+                self.spark.read.parquet(
                     self.path(f"increments/{tag}_attribution")
                 )
-                classified.filter(col("status") == "new").select(
-                    "doc_id", "source", "lang", "text", "n_tokens"
-                ).write.mode("overwrite").parquet(
-                    self.path(f"increments/{tag}_gated")
-                )
-                rows = (
-                    self.spark.read.parquet(
-                        self.path(f"increments/{tag}_attribution")
-                    )
-                    .groupBy("stage")
-                    .count()
-                    .collect()
-                )
-                return {r["stage"]: r["count"] for r in rows}
+                .groupBy("stage")
+                .count()
+                .collect()
+            )
+            return {r["stage"]: r["count"] for r in rows}
 
-            def inc_segment() -> dict:
-                pool = self.spark.read.parquet(
-                    self.path(f"increments/{tag}_gated")
-                )
-                idx = dedup.segment_index_table(
+        def inc_segment() -> dict:
+            pool = self.spark.read.parquet(
+                self.path(f"increments/{tag}_gated")
+            )
+            idx = (
+                seg_index
+                if seg_index is not None
+                else dedup.segment_index_table(
                     standing, "doc_id", "text", self.seg_len
                 )
-                segs = dedup.incremental_segment_classify(
-                    pool, idx, "doc_id", "text", self.seg_len, group_col=None
-                )
-                kept_segs = segs.filter(col("status") == "new")
-                rebuilt = kept_segs.groupBy("doc_id").agg(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("seg_idx", "seg_text")
-                                )
-                            ),
-                            lambda s: s["seg_text"],
+            )
+            segs = dedup.incremental_segment_classify(
+                pool, idx, "doc_id", "text", self.seg_len, group_col=None
+            )
+            kept_segs = segs.filter(col("status") == "new")
+            rebuilt = kept_segs.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("seg_idx", "seg_text")
+                            )
                         ),
-                        " ",
-                    ).alias("text"),
-                    F.sum("seg_tokens").cast("long").alias("n_tokens"),
-                )
-                out = (
-                    pool.select("doc_id", "source", "lang")
-                    .join(rebuilt, "doc_id")
-                    .filter(col("n_tokens") > 0)
-                )
-                out.write.mode("overwrite").parquet(
-                    self.path(f"increments/{tag}_clean")
-                )
-                n_in = pool.count()
-                n_out = self.spark.read.parquet(
-                    self.path(f"increments/{tag}_clean")
-                ).count()
-                return {"n_docs_in": n_in, "n_docs_out": n_out,
-                        "n_emptied_or_dupseg": n_in - n_out}
+                        lambda s: s["seg_text"],
+                    ),
+                    " ",
+                ).alias("text"),
+                F.sum("seg_tokens").cast("long").alias("n_tokens"),
+            )
+            out = (
+                pool.select("doc_id", "source", "lang")
+                .join(rebuilt, "doc_id")
+                .filter(col("n_tokens") > 0)
+            )
+            out.write.mode("overwrite").parquet(
+                self.path(f"increments/{tag}_clean")
+            )
+            n_in = pool.count()
+            n_out = self.spark.read.parquet(
+                self.path(f"increments/{tag}_clean")
+            ).count()
+            return {"n_docs_in": n_in, "n_docs_out": n_out,
+                    "n_emptied_or_dupseg": n_in - n_out}
 
-            def inc_decontam() -> dict:
-                pool = self.spark.read.parquet(
-                    self.path(f"increments/{tag}_clean")
-                )
-                if self.bench_path is None:
-                    pool.write.mode("overwrite").parquet(
-                        self.path(f"increments/{tag}")
-                    )
-                    return {"skipped": True, "n_removed": 0}
-                bench = self.spark.read.parquet(self.bench_path)
-                cleanp = decontam.decontaminate(
-                    pool, bench, n=self.decontam_n
-                )
-                cleanp.write.mode("overwrite").parquet(
+        def inc_decontam() -> dict:
+            pool = self.spark.read.parquet(
+                self.path(f"increments/{tag}_clean")
+            )
+            if self.bench_path is None:
+                pool.write.mode("overwrite").parquet(
                     self.path(f"increments/{tag}")
                 )
-                n_out = self.spark.read.parquet(
-                    self.path(f"increments/{tag}")
-                ).count()
-                return {
-                    "skipped": False,
-                    "n_removed": pool.count() - n_out,
-                }
-
-            def inc_append() -> dict:
-                inc = self.spark.read.parquet(self.path(f"increments/{tag}"))
-                n = inc.count()
-                toks = inc.agg(F.sum("n_tokens")).head()[0] or 0
-                return {"n_docs_appended": n, "tokens_appended": int(toks)}
-
-            gate = self._run_stage(state, "inc_gate", inc_gate, retries)
-            seg = self._run_stage(state, "inc_segment", inc_segment, retries)
-            dec = self._run_stage(state, "inc_decontam", inc_decontam, retries)
-            app = self._run_stage(state, "inc_append", inc_append, retries)
-            summary = {
-                "tag": tag,
-                "gate": gate,
-                "segment": seg,
-                "decontam": dec,
-                "appended": app,
+                return {"skipped": True, "n_removed": 0}
+            bench = self.spark.read.parquet(self.bench_path)
+            cleanp = decontam.decontaminate(
+                pool, bench, n=self.decontam_n
+            )
+            cleanp.write.mode("overwrite").parquet(
+                self.path(f"increments/{tag}")
+            )
+            n_out = self.spark.read.parquet(
+                self.path(f"increments/{tag}")
+            ).count()
+            return {
+                "skipped": False,
+                "n_removed": pool.count() - n_out,
             }
-            with open(self.path(f"meta/curate_inc_{tag}_summary.json"), "w") as f:
-                json.dump(summary, f, indent=2, sort_keys=True)
-            return summary
-        finally:
-            self._save_state = type(self)._save_state.__get__(self)  # type: ignore[method-assign]
-            _ = orig  # the main journal path is untouched throughout
+
+        def inc_append() -> dict:
+            inc = self.spark.read.parquet(self.path(f"increments/{tag}"))
+            if lm_stats is not None:
+                # maintain the standing indexes: this tag's band slice
+                # (signatures of the text AS APPENDED) and segment-hash
+                # slice, so the NEXT batch classifies against
+                # base ∪ increments without re-deriving either.
+                # Idempotent per-tag overwrites, like every inc write.
+                dedup.lsh_band_table(inc, "doc_id", "text").write.mode(
+                    "overwrite"
+                ).parquet(self.path(f"increments/{tag}_bands"))
+                dedup.segment_index_table(
+                    inc, "doc_id", "text", self.seg_len
+                ).write.mode("overwrite").parquet(
+                    self.path(f"increments/{tag}_segidx")
+                )
+            n = inc.count()
+            toks = inc.agg(F.sum("n_tokens")).head()[0] or 0
+            return {"n_docs_appended": n, "tokens_appended": int(toks)}
+
+        gate = self._run_stage(state, "inc_gate", inc_gate, retries, state_path)
+        seg = self._run_stage(
+            state, "inc_segment", inc_segment, retries, state_path
+        )
+        dec = self._run_stage(
+            state, "inc_decontam", inc_decontam, retries, state_path
+        )
+        app = self._run_stage(
+            state, "inc_append", inc_append, retries, state_path
+        )
+        summary = {
+            "tag": tag,
+            "gate": gate,
+            "segment": seg,
+            "decontam": dec,
+            "appended": app,
+        }
+        with open(self.path(f"meta/curate_inc_{tag}_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, sort_keys=True)
+        return summary

@@ -142,3 +142,105 @@ def funnel_attribution(
         )
         .drop("__g", "__k")
     )
+
+
+def incremental_gate_attribution(
+    batch: DataFrame,
+    standing: DataFrame,
+    ppl_cutoff: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_mode: str = "md5",
+    lm_stats: DataFrame | None = None,
+    standing_bands: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The INCREMENTAL face of :func:`funnel_attribution` — classify an
+    incoming batch against a fixed standing corpus and charge every
+    batch document to the stage that removed it:
+
+    - ``rules`` — failed the in-row rule battery;
+    - ``perplexity`` — unscored (no bigram of the doc appears in the
+      standing model: the inner stats join drops it) or over the
+      cutoff, against the STANDING pool's bigram model (CCNet's fixed
+      reference-model posture — a 4-document batch must not be judged
+      by its own statistics);
+    - ``duplicate_corpus`` / ``duplicate_batch`` / ``kept`` — the
+      verified MinHash-LSH classification of
+      :func:`dedup.incremental_minhash_classify` (candidates from one
+      (band, bucket) equi-join vs the standing index, exact-Jaccard
+      verify on candidates only: O(batch + matches), never
+      O(standing)).
+
+    Returns ``(attr, classified)``: ``attr`` is one row per batch doc —
+    (id, group, n_tokens, stage); ``classified`` is the gate-surviving
+    pool with its ``status`` column and every batch column preserved,
+    so a caller (``CurateJob.run_incremental``) appends
+    ``status == 'new'`` directly.  This function IS the job's gate —
+    the registered conformance query (q187) and ``run_incremental``
+    share it, so the oracle-checked accounting and the production job
+    can never drift (the q132 pattern)."""
+    tk = batch.withColumn("__tk", text.tokens(text_col))
+    gated = (
+        rules.apply_rules(tk, text_col, toks="__tk")
+        .filter(col("rules_pass"))
+        .select(*batch.columns, F.size("__tk").cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    scored = (
+        lm.doc_bigram_perplexity(
+            gated, [id_col], text_col,
+            # persisted model table when the caller has one (CurateJob's
+            # index/bigram_stats); derived from the standing pool here
+            # (the conformance-query form, q187)
+            stats=(
+                lm_stats
+                if lm_stats is not None
+                else lm.corpus_bigram_stats(standing, text_col)
+            ),
+        )
+        .select(id_col, rnd(col("log_ppl"), 6).alias("log_ppl"))
+        # batch-sized; checkpointed because the standing-model bigram
+        # join behind it is the gate's most expensive lineage and FIVE
+        # consumers sit downstream (kept feeds four plan branches inside
+        # incremental_minhash_classify, attr joins scored once more) —
+        # unchecked, each re-runs the stats build (measured 4.7 s × 4
+        # at sf0.01)
+        .localCheckpoint(eager=False)
+    )
+    kept = gated.join(
+        scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
+        id_col,
+    ).localCheckpoint(eager=False)
+    classified = dedup.incremental_minhash_classify(
+        kept, standing.select(id_col, text_col), id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        hash_mode=hash_mode, standing_bands=standing_bands,
+    )
+    attr = (
+        batch.select(
+            id_col, group_col, text.token_count(text_col).alias("n_tokens")
+        )
+        .join(gated.select(id_col, lit(1).alias("__g")), id_col, "left")
+        .join(scored, id_col, "left")
+        .join(classified.select(id_col, "status"), id_col, "left")
+        .withColumn(
+            "stage",
+            F.when(col("__g").isNull(), "rules")
+            .when(
+                col("log_ppl").isNull()
+                | (col("log_ppl") > lit(float(ppl_cutoff))),
+                "perplexity",
+            )
+            .when(col("status") == "dup_vs_corpus", "duplicate_corpus")
+            .when(col("status") == "dup_in_batch", "duplicate_batch")
+            .otherwise("kept"),
+        )
+        .select(id_col, group_col, "n_tokens", "stage")
+    )
+    return attr, classified

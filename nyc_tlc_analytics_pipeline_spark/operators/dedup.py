@@ -2044,6 +2044,24 @@ def incremental_segment_classify(
     w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
     ranked = segs.withColumn("__rn", F.row_number().over(w))
     hit = index.select(col("seg_hash").alias("__h"), lit(True).alias("__in_corpus"))
+    if _estimated_size_bytes(batch) <= 32 * 1024 * 1024:
+        # Batch ≪ index (the refresh contract): a LEFT join can only
+        # broadcast its RIGHT side, so the naive form sort-merge
+        # SHUFFLES the whole standing index per increment.  Instead,
+        # two batch-side broadcasts: (1) stream-scan the index once
+        # against the broadcast batch-hash set (left-semi, no index
+        # shuffle, hash column pruned at the parquet scan), (2) mark
+        # the batch with the ≤|batch|-sized intersection broadcast
+        # back.  The distinct on the intersection also makes duplicate
+        # index hashes (possible across per-increment slices) harmless.
+        bh = ranked.select("__h").distinct()
+        matched = (
+            hit.select("__h")
+            .join(F.broadcast(bh), "__h", "left_semi")
+            .distinct()
+            .withColumn("__in_corpus", lit(True))
+        )
+        hit = F.broadcast(matched)
     return (
         ranked.join(hit, "__h", "left")
         .withColumn(

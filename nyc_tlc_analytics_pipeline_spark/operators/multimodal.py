@@ -399,7 +399,12 @@ def sample_video_frames_stub(every_ms: int = 1000, fake: bool = False):
             for _, row in pdf.iterrows():
                 if row["kind"] != "video" or row["content"] is None:
                     continue
-                if _IMAGEIO is not None:  # real codec when available
+                # fake=True is a CONTRACT (deterministic digest frames
+                # for non-container payloads), not a fallback: it must
+                # hold even when imageio IS importable, else merely
+                # installing the media extra feeds fake payloads to the
+                # real decoder which raises mid-task (ADVICE r12).
+                if not fake and _IMAGEIO is not None:
                     for i, ts, digest in _real_video_frames(
                         bytes(row["content"]), every_ms
                     ):

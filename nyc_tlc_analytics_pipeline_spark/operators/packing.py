@@ -61,8 +61,16 @@ def pack_contiguous(
     — SPLITS across range partitions instead of concentrating into a
     single window task; no task ever holds more than one partition's
     slice of any stream (ADVICE r11 on q182)."""
-    part = df.repartitionByRange(col(stream_col), col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(col(stream_col), col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        # Checkpoint BEFORE branching (the similarity._assigned_corpus
+        # pattern): both consumers (the offset aggregate and the main
+        # frame) read one materialized range shuffle instead of two
+        # independent ones, so __pid is assigned exactly once —
+        # correctness no longer rides on RangePartitioner's seeded
+        # bounds sampling agreeing across replays (ADVICE r12).
+        .localCheckpoint(eager=False)
     )
     local_cum = F.sum(tokens_col).over(
         Window.partitionBy("__pid", stream_col).orderBy(order_col)

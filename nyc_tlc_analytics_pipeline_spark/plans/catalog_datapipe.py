@@ -12585,3 +12585,187 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
     ).select("doc_a", "doc_b")
     return dedup.soft_dedup_report(docs, pairs, delta=_Q176_DELTA)
+
+
+# ---------------------------------------------------------------------------
+# q187 — incremental-curation GATE accounting: run_incremental's batch
+# classification (rules / perplexity / duplicate_corpus / duplicate_batch /
+# kept) as an oracle-checked conformance query (VERDICT r12 item 8 — the
+# q132 treatment for the incremental face; the Spark side and
+# CurateJob.run_incremental share ONE implementation,
+# curation.incremental_gate_attribution)
+# ---------------------------------------------------------------------------
+
+
+def _q187_oracle() -> str:
+    """DuckDB replay of the incremental gate on the q147 split (batch =
+    doc_id%3=0, standing = the rest): the q122 rule battery on the
+    batch only; bigram log-perplexity scored against the STANDING
+    pool's add-1 model with INNER-join semantics (a batch doc none of
+    whose bigrams appear in the standing model is unscored → stage
+    'perplexity', mirroring ``lm.doc_bigram_perplexity(stats=...)``);
+    then q147's banded-MinHash candidate generation + exact-Jaccard
+    verification restricted to gate survivors, with dup_vs_corpus
+    taking precedence over dup_in_batch (keep-first on the smaller
+    id)."""
+    from ..operators import rules as R
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, text,
+           string_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+gated AS (
+    SELECT doc_id, text, tk
+    FROM base
+    WHERE doc_id % 3 = 0
+      AND NOT (len(tk) < {R.MIN_TOKENS} OR len(tk) > {R.MAX_TOKENS})
+      AND 1.0 * list_sum(list_transform(tk, x -> length(x)))
+          / nullif(len(tk), 0) BETWEEN {R.MEAN_LEN_LO} AND {R.MEAN_LEN_HI}
+      AND 1.0 * len(list_filter(tk, x -> regexp_matches(x, '[^0-9\\s[:punct:]]')))
+          / nullif(len(tk), 0) >= {R.ALPHA_MIN}
+      AND coalesce(1.0 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+          / nullif(length(text), 0), 0) <= {R.SYMBOL_MAX}
+      AND 1.0 - 1.0 * len(list_distinct(tk)) / nullif(len(tk), 0) <= {R.REPEAT_MAX}
+      AND 2.0 * list_max(list_transform(list_distinct(
+                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])),
+            g -> len(list_filter(
+                list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]),
+                x -> x = g)))) / nullif(len(tk), 0) <= {R.TOP_BIGRAM_MAX}
+),
+sbig AS (
+    -- the STANDING pool's bigram model (full pool, ungated: the job
+    -- scores batches against the corpus it already accepted)
+    SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+    FROM base WHERE doc_id % 3 <> 0 AND len(tk) >= 2
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM sbig GROUP BY bigram),
+cp AS (
+    SELECT split_part(bigram, ' ', 1) AS prev, count(*) AS cprev
+    FROM sbig GROUP BY prev
+),
+vocab AS (
+    SELECT count(DISTINCT t) AS V
+    FROM (SELECT unnest(tk) AS t FROM base WHERE doc_id % 3 <> 0)
+),
+bbig AS (
+    SELECT doc_id, len(tk) - 1 AS nb,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+    FROM gated WHERE len(tk) >= 2
+),
+scored AS (
+    -- INNER join: bigrams unseen in the standing model contribute no
+    -- term but still count in nb (Spark computes nb before the join)
+    SELECT b.doc_id,
+           round(-sum(ln((c2.c2 + 1.0) / (cp.cprev + 1.0 * vocab.V))) / b.nb
+                 + 1e-9, 6) AS log_ppl
+    FROM bbig b
+    JOIN c2 USING (bigram)
+    JOIN cp ON split_part(b.bigram, ' ', 1) = cp.prev
+    CROSS JOIN vocab
+    GROUP BY b.doc_id, b.nb
+),
+survivors AS (
+    SELECT g.doc_id FROM gated g JOIN scored s USING (doc_id)
+    WHERE s.log_ppl <= {_Q122_PPL}
+),
+{_SHINGLE_CTES},
+{_MINHASH_BANDED_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS bd, s.doc_id AS sd
+    FROM banded a
+    JOIN banded s ON a.b = s.b AND a.bucket = s.bucket
+    WHERE a.doc_id IN (SELECT doc_id FROM survivors) AND s.doc_id % 3 <> 0
+),
+bcand AS (
+    SELECT DISTINCT a.doc_id AS da, s.doc_id AS db
+    FROM banded a
+    JOIN banded s ON a.b = s.b AND a.bucket = s.bucket
+    WHERE a.doc_id IN (SELECT doc_id FROM survivors)
+      AND s.doc_id IN (SELECT doc_id FROM survivors)
+      AND a.doc_id < s.doc_id
+),
+docsh AS (
+    SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+),
+vcross AS (
+    SELECT DISTINCT bd
+    FROM cand
+    JOIN docsh a ON bd = a.doc_id
+    JOIN docsh s ON sd = s.doc_id
+    WHERE 1.0 * len(list_intersect(a.shset, s.shset))
+          / (len(a.shset) + len(s.shset) - len(list_intersect(a.shset, s.shset)))
+          >= {_Q25_THRESHOLD}
+),
+vbatch AS (
+    SELECT DISTINCT db
+    FROM bcand
+    JOIN docsh a ON da = a.doc_id
+    JOIN docsh s ON db = s.doc_id
+    WHERE 1.0 * len(list_intersect(a.shset, s.shset))
+          / (len(a.shset) + len(s.shset) - len(list_intersect(a.shset, s.shset)))
+          >= {_Q25_THRESHOLD}
+),
+attr AS (
+    SELECT d.source,
+           len(string_split_regex(lower(d.text), '\\s+')) AS n_tokens,
+           CASE WHEN g.doc_id IS NULL THEN 'rules'
+                WHEN s.log_ppl IS NULL OR s.log_ppl > {_Q122_PPL}
+                    THEN 'perplexity'
+                WHEN vc.bd IS NOT NULL THEN 'duplicate_corpus'
+                WHEN vb.db IS NOT NULL THEN 'duplicate_batch'
+                ELSE 'kept' END AS stage
+    FROM documents d
+    LEFT JOIN gated g ON d.doc_id = g.doc_id
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    LEFT JOIN vcross vc ON d.doc_id = vc.bd
+    LEFT JOIN vbatch vb ON d.doc_id = vb.db
+    WHERE d.doc_id % 3 = 0
+)
+SELECT source, stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM attr
+GROUP BY source, stage
+ORDER BY source, stage
+"""
+
+
+@register(
+    "q187_incremental_gate_attribution",
+    _q187_oracle(),
+    "The incremental-curation gate's accounting as a conformance query "
+    "— q132's funnel attribution applied to CurateJob.run_incremental's "
+    "batch face on the q147 split (batch = doc_id%3=0 vs the standing "
+    "rest): every batch document charged to rules / perplexity (scored "
+    "against the STANDING pool's bigram model, the CCNet fixed-model "
+    "posture) / duplicate_corpus / duplicate_batch / kept, per source "
+    "with token mass.  The Spark side IS the job's gate — "
+    "curation.incremental_gate_attribution is called by run_incremental "
+    "verbatim — so the oracle gate covers the production job's "
+    "classification arithmetic, not a lookalike.  Fully hash-checked: "
+    "the oracle replays the rule battery, the inner-join add-1 bigram "
+    "scoring and the banded md5 MinHash chain (q147 precedent).",
+    operators=("funnel-attribution", "dedup-incremental",
+               "dedup-minhash-lsh", "rules", "lm-bigram", "A4"),
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(col("doc_id") % 3 == 0)
+    standing = docs.filter(col("doc_id") % 3 != 0)
+    attr, _ = curation.incremental_gate_attribution(
+        batch, standing, _Q122_PPL, threshold=_Q25_THRESHOLD
+    )
+    return (
+        attr.groupBy("source", "stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "stage")
+    )

@@ -208,8 +208,15 @@ def test_pack_contiguous_two_pass_splits_one_giant_stream(spark):
         (col("id") % 7 + 1).alias("n"),
     ).repartition(16)
     out = packing.pack_contiguous(df, "stream", "ord", "n", 97)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    rows_plan = out._jdf.queryExecution().executedPlan().toString()
+    # the range shuffle now lives BEHIND the branch-point localCheckpoint
+    # (one materialization, ADVICE r12), so downstream the plan reads the
+    # checkpointed RDD: no second range shuffle may appear, and the
+    # cumulate window must be keyed by (__pid, stream) — per-partition
+    # slices, never a whole-stream task
+    assert rows_plan.lower().count("rangepartitioning") == 0
+    assert "Scan ExistingRDD" in rows_plan
+    assert "windowspecdefinition(__pid" in rows_plan
     rows = {r["ord"]: (r["pack_id"], r["pack_offset"]) for r in out.collect()}
     assert len(rows) == n
     start = 0
