@@ -146,11 +146,30 @@ def kmeans_fit(
     cents = [list(r.v) for r in vecs.orderBy("vid").limit(k).collect()]
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
-        assigned = assign_clusters(vecs, cents, impl=impl)
+        if impl == "arrow":
+            # per-batch partial (count, sum-vector) inside the Arrow
+            # kernel: the update shuffle carries batches × k × dim rows
+            # instead of N × dim exploded elements — the map-side
+            # combine Lloyd needs, done where the distance matmul
+            # already holds the batch (q64 cost cut, VERDICT r12
+            # item 6).  sum-of-partials vs the direct avg is an FP
+            # re-association ~1e-15 under the 1e-9 rounding nudge —
+            # the _assign_clusters_arrow precedent.
+            upd = _centroid_partials_arrow(vecs, cents).select(
+                "cid", "n", F.posexplode("sums").alias("pos", "x")
+            )
+            agg = upd.groupBy("cid", "pos").agg(
+                rnd(F.sum("x") / F.sum("n"), ROUND_DECIMALS).alias("m")
+            )
+        else:
+            assigned = assign_clusters(vecs, cents, impl=impl)
+            agg = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(rnd(F.avg("x"), ROUND_DECIMALS).alias("m"))
+            )
         new_rows = collect_bounded(
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(rnd(F.avg("x"), ROUND_DECIMALS).alias("m")),
+            agg,
             # k×dim rows — bounded by the MODEL size, not the data; a
             # ragged vec column (mixed dims) is the misuse that breaks it
             k * max(dim, 1),
@@ -160,6 +179,45 @@ def kmeans_fit(
         for r in new_rows:
             cents[r.cid][r.pos] = r.m
     return assign_clusters(vecs, cents, impl=impl), cents
+
+
+def _centroid_partials_arrow(
+    vecs: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """One Lloyd update's map side: per Arrow batch, assign each vector
+    to its nearest centroid (the `_assign_clusters_arrow` distance
+    matmul and rounded-argmin, verbatim) and emit one (cid, n, sums)
+    partial per cluster present in the batch — model-sized output, so
+    the following (cid, pos) aggregate shuffles O(batches × k × dim)
+    rows no matter how large N grows."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cc = (cmat * cmat).sum(axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            vv = (V * V).sum(axis=1)
+            d2 = np.maximum(vv[:, None] - 2.0 * (V @ cmat.T) + cc[None, :], 0.0)
+            d2 = np.round(d2 + 1e-9, ROUND_DECIMALS)
+            cid = d2.argmin(axis=1)
+            n = np.bincount(cid, minlength=len(cmat))
+            sums = np.zeros_like(cmat)
+            np.add.at(sums, cid, V)  # scatter-add: one pass, any k
+            present = np.nonzero(n)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": present.astype("int64"),
+                    "n": n[present].astype("int64"),
+                    "sums": [sums[c].tolist() for c in present],
+                }
+            )
+
+    return vecs.mapInPandas(kernel, "cid long, n long, sums array<double>")
 
 
 def kmeans_summary(
@@ -268,6 +326,8 @@ def semdedup_pairs(
         )
     else:
         assigned = assigned.withColumn("__sub", lit(0).cast("long"))
+    if impl == "arrow":
+        return _semdedup_pairs_arrow(assigned, float(threshold))
     # pre-normalize ONCE per vector (N × dim work) so the pair join does a
     # single dot product per candidate instead of dot + two norms (the
     # array lambdas are interpreted, so per-pair work is the cost driver —
@@ -300,3 +360,71 @@ def semdedup_pairs(
             "cos_sim",
         )
     )
+
+
+def _semdedup_pairs_arrow(
+    assigned: DataFrame, threshold: float, block: int = 1024
+) -> DataFrame:
+    """Arrow-batched within-bucket pair kernel (see :func:`semdedup_pairs`
+    ``impl="arrow"``): one ``applyInPandas`` group per (cid, __sub)
+    bucket, cosine of every in-bucket pair via ONE numpy matmul instead
+    of per-pair interpreted fold lambdas — the same documented
+    exception, same 1e-9-nudged rounding, as ``_assign_clusters_arrow``
+    (measured: the expression join's rounded dot costs ~4 µs/element;
+    the matmul is ~100× cheaper per pair and its summation-order drift
+    ~1e-15 sits eight orders under the rounding nudge).  Memory is
+    O(block × bucket) per task — bucket size is bounded by the caller's
+    ``max_cluster_size`` subdivision, which is exactly why that cap
+    exists.  The pinned-equality test (`tests/test_graph.py` /
+    round-13 ops) holds both impls to identical rounded output."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in assigned.schema.fields
+    )["vid"]
+    out_schema = (
+        f"cluster_id long, doc_a {id_type}, doc_b {id_type}, cos_sim double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        ids = pdf["vid"].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = np.nan  # zero vector: cosine undefined → drop
+        V = V / nrm[:, None]
+        cid = int(pdf["cid"].iloc[0])
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = np.round(V[s:e] @ V[s:].T + 1e-9, ROUND_DECIMALS)
+            li, lj = np.nonzero(S >= threshold)
+            # rows are V[s:e], columns V[s:]: global i = s+li, j = s+lj,
+            # so the strict upper triangle is simply lj > li
+            keep = lj > li
+            li, lj = li[keep], lj[keep]
+            out_a.append(ids[s + li])
+            out_b.append(ids[s + lj])
+            out_s.append(S[li, lj])
+        a = (
+            np.concatenate(out_a)
+            if out_a
+            else np.array([], dtype=ids.dtype)
+        )
+        b = (
+            np.concatenate(out_b)
+            if out_b
+            else np.array([], dtype=ids.dtype)
+        )
+        s_ = (
+            np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
+        )
+        return pd.DataFrame(
+            {"cluster_id": cid, "doc_a": a, "doc_b": b, "cos_sim": s_}
+        )
+
+    return assigned.groupBy("cid", "__sub").applyInPandas(kernel, out_schema)
