@@ -525,28 +525,8 @@ class CurateJob:
                     standing, "doc_id", "text", self.seg_len
                 )
             )
-            segs = dedup.incremental_segment_classify(
-                pool, idx, "doc_id", "text", self.seg_len, group_col=None
-            )
-            kept_segs = segs.filter(col("status") == "new")
-            rebuilt = kept_segs.groupBy("doc_id").agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("seg_idx", "seg_text")
-                            )
-                        ),
-                        lambda s: s["seg_text"],
-                    ),
-                    " ",
-                ).alias("text"),
-                F.sum("seg_tokens").cast("long").alias("n_tokens"),
-            )
-            out = (
-                pool.select("doc_id", "source", "lang")
-                .join(rebuilt, "doc_id")
-                .filter(col("n_tokens") > 0)
+            out = _curation.rebuild_new_segments(
+                pool, idx, self.seg_len
             )
             out.write.mode("overwrite").parquet(
                 self.path(f"increments/{tag}_clean")

@@ -244,3 +244,40 @@ def incremental_gate_attribution(
         .select(id_col, group_col, "n_tokens", "stage")
     )
     return attr, classified
+
+
+def rebuild_new_segments(
+    pool: DataFrame,
+    index: DataFrame,
+    seg_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild each pool document from only the segments a standing
+    index has NOT seen (CCNet segment dedup, incremental form): classify
+    the pool's segment occurrences against the index
+    (:func:`dedup.incremental_segment_classify` — O(batch + matches)),
+    keep the 'new' ones, reassemble them in segment order, and DROP
+    documents emptied entirely.  Every non-text pool column passes
+    through; the output carries the rebuilt ``text`` and recomputed
+    ``n_tokens``.  Shared by ``CurateJob.run_incremental``'s
+    inc_segment stage and the streaming curation face so the two can
+    never drift."""
+    segs = dedup.incremental_segment_classify(
+        pool, index, id_col, text_col, seg_len, group_col=None
+    )
+    kept = segs.filter(col("status") == "new")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.sum("seg_tokens").cast("long").alias("n_tokens"),
+    )
+    others = [c for c in pool.columns if c not in (text_col, "n_tokens")]
+    return (
+        pool.select(*others).join(rebuilt, id_col).filter(col("n_tokens") > 0)
+    )

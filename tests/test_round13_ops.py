@@ -166,3 +166,111 @@ def test_q187_conservation(spark):
     assert stages <= {
         "rules", "perplexity", "duplicate_corpus", "duplicate_batch", "kept"
     }
+
+
+def test_streaming_curate_matches_sequential_batches(spark, tmp_path):
+    """The streaming curation face == the sequential run_incremental
+    chain on the same ordered batches: identical per-doc stage
+    attribution, identical appended-doc sets, and a same-checkpoint
+    re-run is a no-op (manifest idempotency tags)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+    from nyc_tlc_analytics_pipeline_spark.sources.manifest import ManifestTable
+    from nyc_tlc_analytics_pipeline_spark.streaming.curate import (
+        run_streaming_curate,
+    )
+
+    docs_path = os.path.join(SF_SMOKE, "documents.parquet")
+    base_out = str(tmp_path / "base")
+    CurateJob(spark, docs_path, base_out).run()
+    final = spark.read.parquet(os.path.join(base_out, "final"))
+    rows = final.orderBy("doc_id").limit(8).collect()
+
+    def splice(a, b, c):
+        # off the 8-token segment grid (see the multi-batch test)
+        return " ".join(
+            rows[a]["text"].split()[3:23]
+            + rows[b]["text"].split()[23:43]
+            + rows[c]["text"].split()[3:23]
+        )
+
+    novel1, novel2 = splice(2, 3, 4), splice(5, 6, 7)
+    batches = [
+        [(930001, rows[0]["source"], rows[0]["lang"], rows[0]["text"]),
+         (930002, "web", "en", novel1)],
+        [(940001, "web", "en", novel1),   # dup of batch 1's survivor
+         (940002, "web", "en", novel2)],
+    ]
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    bpaths = []
+    for k, rows_k in enumerate(batches):
+        tmp = str(tmp_path / f"__tmp{k}")
+        spark.createDataFrame(rows_k, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src, f"{k:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + k * 10, time.time() + k * 10))
+        bpaths.append(tmp)
+
+    attr_p, docs_p = str(tmp_path / "attr"), str(tmp_path / "store")
+    bands_p, segs_p = str(tmp_path / "bands"), str(tmp_path / "segs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_streaming_curate(
+            stream, base_out, attr_p, docs_p, bands_p, segs_p, ckpt
+        )
+
+    run()
+    got_attr = {
+        r.doc_id: r.stage for r in ManifestTable(spark, attr_p).read().collect()
+    }
+    got_docs = {
+        r.doc_id for r in ManifestTable(spark, docs_p).read().collect()
+    }
+
+    # sequential twin on a COPY of the completed base run
+    seq_out = str(tmp_path / "seq")
+    shutil.copytree(base_out, seq_out)
+    sjob = CurateJob(spark, docs_path, seq_out)
+    for k, bp in enumerate(bpaths):
+        sjob.run_incremental(bp, batch_tag=f"b{k}")
+    want_attr = {}
+    for k in range(len(batches)):
+        for r in spark.read.parquet(
+            os.path.join(seq_out, f"increments/b{k}_attribution")
+        ).collect():
+            want_attr[r.doc_id] = r.stage
+    want_docs = set()
+    for k in range(len(batches)):
+        for r in spark.read.parquet(
+            os.path.join(seq_out, f"increments/b{k}")
+        ).collect():
+            want_docs.add(r.doc_id)
+
+    assert got_attr == want_attr
+    assert got_docs == want_docs
+    assert got_attr[930001] == "duplicate_corpus"
+    assert got_attr[930002] == "kept"
+    assert got_attr[940001] == "duplicate_corpus"  # vs batch 1's survivor
+    assert got_attr[940002] == "kept"
+
+    # replay with the same checkpoint: availableNow finds nothing new
+    n_before = ManifestTable(spark, docs_p).read().count()
+    run()
+    assert ManifestTable(spark, docs_p).read().count() == n_before
