@@ -1647,8 +1647,15 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = docs.filter(col("doc_id") % 50 == 0)
     clean = decontam.decontaminate(pool, bench, n=4, toks_col="tk")
+    # checkpoint the id-sized post-decontam frame: mixture_sample reads
+    # its input TWICE (quota aggregate + windowed main) and packing a
+    # third time — without this the gram-explode semi join re-executes
+    # per consumer (measured ~3.3 s each at sf0.1, the funnel's top cost)
+    curated = clean.select(
+        "doc_id", "lang", F.size("tk").alias("n_tokens")
+    ).localCheckpoint(eager=False)
     sampled = sampling.mixture_sample(
-        clean.select("doc_id", "lang", F.size("tk").alias("n_tokens")),
+        curated,
         "lang",
         _Q55_WEIGHTS,
         "doc_id",
@@ -3979,7 +3986,15 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(decontam.word_ngrams("text", _Q91_N)).alias("g"),
     )
-    bench = grams.filter(col("doc_id") % 50 == 0).select("g").distinct()
+    # the bench gram set is read by TWO consumers (bloom build + the
+    # exact-hit join) and each would re-run the corpus gram explode —
+    # checkpoint the small distinct set once (2% of docs, distinct grams)
+    bench = (
+        grams.filter(col("doc_id") % 50 == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probe = (
         grams.filter(col("doc_id") % 50 != 0).select("source", "g").distinct()
     )
