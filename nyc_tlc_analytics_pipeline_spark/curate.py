@@ -451,6 +451,14 @@ class CurateJob:
         from .operators import curation as _curation
 
         tag = batch_tag or hashlib.md5(batch_path.encode()).hexdigest()[:12]
+        if tag.endswith(self._INC_AUX_SUFFIXES):
+            # aux dirs live beside increments/<tag> as <tag>_bands etc.;
+            # a user tag ending in an aux suffix would be misread as a
+            # sibling increment's aux dir and silently excluded from the
+            # standing pool
+            raise ValueError(
+                f"batch_tag must not end with {self._INC_AUX_SUFFIXES}"
+            )
         state_path = self._inc_state_path(tag)
 
         def load_state() -> dict:

@@ -252,6 +252,7 @@ def rebuild_new_segments(
     seg_len: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    small_batch: bool | None = None,
 ) -> DataFrame:
     """Rebuild each pool document from only the segments a standing
     index has NOT seen (CCNet segment dedup, incremental form): classify
@@ -264,7 +265,8 @@ def rebuild_new_segments(
     inc_segment stage and the streaming curation face so the two can
     never drift."""
     segs = dedup.incremental_segment_classify(
-        pool, index, id_col, text_col, seg_len, group_col=None
+        pool, index, id_col, text_col, seg_len, group_col=None,
+        small_batch=small_batch,
     )
     kept = segs.filter(col("status") == "new")
     rebuilt = kept.groupBy(id_col).agg(

@@ -2027,6 +2027,7 @@ def incremental_segment_classify(
     text_col: str = "text",
     seg_len: int = 8,
     group_col: str | None = "lang",
+    small_batch: bool | None = None,
 ) -> DataFrame:
     """Classify every segment occurrence of a NEW batch against a
     standing segment index: ``dup_vs_corpus`` (hash already indexed),
@@ -2044,7 +2045,12 @@ def incremental_segment_classify(
     w = Window.partitionBy("__h").orderBy(col(id_col), col("seg_idx"))
     ranked = segs.withColumn("__rn", F.row_number().over(w))
     hit = index.select(col("seg_hash").alias("__h"), lit(True).alias("__in_corpus"))
-    if _estimated_size_bytes(batch) <= 32 * 1024 * 1024:
+    if small_batch is None:
+        # checkpointed inputs (the streaming face pins micro-batches)
+        # have no optimizer estimate and would fall back to 'huge' —
+        # callers that KNOW the batch is small pass small_batch=True
+        small_batch = _estimated_size_bytes(batch) <= 32 * 1024 * 1024
+    if small_batch:
         # Batch ≪ index (the refresh contract): a LEFT join can only
         # broadcast its RIGHT side, so the naive form sort-merge
         # SHUFFLES the whole standing index per increment.  Instead,

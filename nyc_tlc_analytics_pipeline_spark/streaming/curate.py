@@ -114,7 +114,10 @@ def run_streaming_curate(
             .localCheckpoint(eager=True)
         )
         rebuilt = curation.rebuild_new_segments(
-            gated_new, seg_index, seg_len
+            # small_batch=True: the pinned micro-batch has no optimizer
+            # estimate (LogicalRDD) and would fall back to the
+            # index-shuffling join despite being micro-batch-sized
+            gated_new, seg_index, seg_len, small_batch=True
         ).localCheckpoint(eager=True)
 
         attr_t.append(attr.withColumn("__batch_id", lit(batch_id)), tag=tag)
