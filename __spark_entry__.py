@@ -176,7 +176,7 @@ _SWEEP_COST = {
     "q145_logreg_training": 2.00,
     "q146_quantized_cosine_topk": 0.62,
     "q147_incremental_minhash": 3.86,
-    "q187_incremental_gate_attribution": 16.0,
+    "q187_incremental_gate_attribution": 9.0,
     "q148_kneser_ney_perplexity": 1.78,
     "q149_binary_rerank_topk": 0.85,
     "q150_ivf_quantized_topk": 3.46,

@@ -949,7 +949,12 @@ def incremental_minhash_classify(
     ``minhash_dedup_pairs``.
     """
     rows_per_band = num_hashes // bands
-    b_bands = lsh_band_table(batch, id_col, text_col, n, num_hashes, bands, hash_mode)
+    # batch-sized, consumed by THREE plan branches (cross-corpus
+    # candidates + both sides of the in-batch self-join) — pin it so
+    # the 16-hash signature chain runs once
+    b_bands = lsh_band_table(
+        batch, id_col, text_col, n, num_hashes, bands, hash_mode
+    ).localCheckpoint(eager=False)
     if standing_bands is None:
         standing_bands = lsh_band_table(
             standing, id_col, text_col, n, num_hashes, bands, hash_mode
@@ -963,7 +968,10 @@ def incremental_minhash_classify(
         .select("bd", "sd")
         .distinct()
     )
-    bsh = doc_shingles(batch, id_col, text_col, n)
+    # batch-sized shingle sets, consumed by vcross + both vbatch sides
+    bsh = doc_shingles(batch, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     sd_ids = cand.select(col("sd").alias(id_col)).distinct()
     ssh = doc_shingles(standing.join(sd_ids, id_col, "left_semi"), id_col, text_col, n)
     inter = F.size(F.array_intersect(col("sh_b"), col("sh_s")))
@@ -975,11 +983,35 @@ def incremental_minhash_classify(
         .select(col("bd").alias("__vs"))
         .distinct()
     )
-    vbatch = (
-        minhash_dedup_pairs(
-            batch, id_col, text_col, n, num_hashes, bands, threshold, hash_mode
+    # in-batch pairs REUSE the batch band table and shingle sets already
+    # built above instead of calling minhash_dedup_pairs (which would
+    # re-run the 16-hash signature chain over the batch): a band-table
+    # self-join on (band, bucket) is the same candidate set as the
+    # signature-slice join — both pair docs agreeing on a full band —
+    # and the exact-Jaccard verify is the same array form on `bsh`.
+    bcand = (
+        b_bands.select(col("doc").alias("__da"), "band", "bucket")
+        .join(
+            b_bands.select(col("doc").alias("__db"), "band", "bucket"),
+            ["band", "bucket"],
         )
-        .select(col("doc_b").alias("__vb"))
+        .filter(col("__da") < col("__db"))
+        .select("__da", "__db")
+        .distinct()
+    )
+    inter_b = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
+    union_b = F.size(col("sh_a")) + F.size(col("sh_b")) - inter_b
+    vbatch = (
+        bcand.join(
+            bsh.select(col("doc").alias("__da"), col("sh").alias("sh_a")),
+            "__da",
+        )
+        .join(
+            bsh.select(col("doc").alias("__db"), col("sh").alias("sh_b")),
+            "__db",
+        )
+        .filter(inter_b / union_b >= threshold)
+        .select(col("__db").alias("__vb"))
         .distinct()
     )
     return (
