@@ -274,3 +274,41 @@ def test_streaming_curate_matches_sequential_batches(spark, tmp_path):
     n_before = ManifestTable(spark, docs_p).read().count()
     run()
     assert ManifestTable(spark, docs_p).read().count() == n_before
+
+
+def test_semdedup_arrow_equals_expr_string_ids(spark):
+    """The Arrow matmul pair kernel and the expression join produce
+    identical rounded output — including STRING ids (the kernel derives
+    the output id type from the input schema) and singleton buckets
+    (empty kernel frames must still type-convert)."""
+    import random
+
+    from nyc_tlc_analytics_pipeline_spark.operators import cluster
+
+    random.seed(5)
+    rows = [
+        (f"doc-{i:03d}", [random.random() for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    kw = dict(
+        k=4, iters=2, threshold=0.2, max_cluster_size=16, n_planes=8, seed=1
+    )
+    a = sorted(
+        (r.cluster_id, r.doc_a, r.doc_b, r.cos_sim)
+        for r in cluster.semdedup_pairs(df, "vec_id", "embedding", **kw).collect()
+    )
+    e = sorted(
+        (r.cluster_id, r.doc_a, r.doc_b, r.cos_sim)
+        for r in cluster.semdedup_pairs(
+            df, "vec_id", "embedding", impl="expr", **kw
+        ).collect()
+    )
+    assert a == e and len(a) > 0
+    tiny = spark.createDataFrame(rows[:3], "vec_id string, embedding array<double>")
+    assert (
+        cluster.semdedup_pairs(
+            tiny, "vec_id", "embedding", k=2, iters=1, threshold=0.99
+        ).count()
+        >= 0
+    )
