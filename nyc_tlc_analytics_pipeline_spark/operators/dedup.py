@@ -279,7 +279,19 @@ def minhash_signatures(
     the LSH bands derived from it) is oracle-checkable end-to-end.
     ``hash_mode="xxhash64"`` is the cheaper JVM-only path (array<long>)
     when cross-engine verification isn't needed."""
-    sh = shingle_table(df, id_col, text_col, n)
+    return _signatures_from_shingles(
+        doc_shingles(df, id_col, text_col, n), num_hashes, hash_mode
+    )
+
+
+def _signatures_from_shingles(
+    per_doc: DataFrame, num_hashes: int = 16, hash_mode: str = "md5"
+) -> DataFrame:
+    """The signature aggregate over an existing (doc, sh) shingle frame —
+    split out so pipelines that also need the shingle sets for exact
+    verification (``minhash_dedup_pairs``) shingle ONCE and share the
+    frame instead of re-tokenizing per consumer."""
+    sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
     if hash_mode == "md5":
         mins = [
             F.min(
@@ -374,9 +386,14 @@ def minhash_dedup_pairs(
     is the whole point of LSH: candidate generation is the banded
     signature join; verification cost is |candidates|, not |corpus|²."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+    # shingle ONCE: the signature chain and BOTH exact-verify sides read
+    # the same pinned (doc, sh) frame — unchecked, the tokenize+shingle
+    # projection re-ran three times (sigs + a-side + b-side)
+    per_doc = doc_shingles(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    sigs = _signatures_from_shingles(per_doc, num_hashes, hash_mode)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    per_doc = doc_shingles(df, id_col, text_col, n)
     a = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
     b = per_doc.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
