@@ -69,9 +69,15 @@ def curation_funnel_stages(
         .select(id_col, text_col, F.size("__tk").alias("n_tokens"))
         .localCheckpoint(eager=False)
     )
-    scored = lm.doc_bigram_perplexity(
-        gated, [id_col], text_col, stats=lm_stats
-    ).withColumn("log_ppl", rnd(col("log_ppl"), 6))
+    scored = (
+        lm.doc_bigram_perplexity(gated, [id_col], text_col, stats=lm_stats)
+        .withColumn("log_ppl", rnd(col("log_ppl"), 6))
+        # id-sized, but its lineage is the corpus bigram join — and it
+        # feeds BOTH the kept filter (whose pair/keep-best consumers fan
+        # out further) and the attribution left-join; pin it so the
+        # bigram stats build runs once per funnel
+        .localCheckpoint(eager=False)
+    )
     kept = gated.join(
         scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
         id_col,
