@@ -165,11 +165,15 @@ def jaccard_pairs(
     into the prefix branch, whose joins are aggregate-keyed."""
     if prefix_filter is None:
         prefix_filter = _estimated_size_bytes(df) >= 16 * 1024 * 1024
-    sizes = doc_shingles(df, id_col, text_col, n).select(
-        "doc", F.size("sh").alias("n_shingles")
+    # shingle ONCE: sizes + both self-join sides (+ dfreq/sorted in the
+    # prefix branch) all read the pinned (doc, sh) frame — unchecked,
+    # the tokenize+shingle projection re-ran up to four times
+    per_doc = doc_shingles(df, id_col, text_col, n).localCheckpoint(
+        eager=False
     )
+    sizes = per_doc.select("doc", F.size("sh").alias("n_shingles"))
     if not prefix_filter:
-        sh = shingle_table(df, id_col, text_col, n)
+        sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
         a = sh.select(col("doc").alias("doc_a"), "shingle")
         b = sh.select(col("doc").alias("doc_b"), "shingle")
         inter = (
@@ -191,7 +195,7 @@ def jaccard_pairs(
             .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
         )
 
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
     # NOTHING in this branch may broadcast: it only engages at >= 16 MB
     # of input, where dfreq (vocab-sized), the exploded prefix frames
