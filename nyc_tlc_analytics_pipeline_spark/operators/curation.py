@@ -74,9 +74,10 @@ def curation_funnel_stages(
         .withColumn("log_ppl", rnd(col("log_ppl"), 6))
         # id-sized, but its lineage is the corpus bigram join — and it
         # feeds BOTH the kept filter (whose pair/keep-best consumers fan
-        # out further) and the attribution left-join; pin it so the
-        # bigram stats build runs once per funnel
-        .localCheckpoint(eager=False)
+        # out further) and the attribution left-join; persist (lazy, the
+        # builder stays plan-only) so the bigram stats build runs once
+        # per funnel
+        .persist()
     )
     kept = gated.join(
         scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
@@ -196,7 +197,7 @@ def incremental_gate_attribution(
         rules.apply_rules(tk, text_col, toks="__tk")
         .filter(col("rules_pass"))
         .select(*batch.columns, F.size("__tk").cast("long").alias("n_tokens"))
-        .localCheckpoint(eager=False)
+        .persist()  # lazy: the q187 builder stays plan-only
     )
     scored = (
         lm.doc_bigram_perplexity(
@@ -211,18 +212,18 @@ def incremental_gate_attribution(
             ),
         )
         .select(id_col, rnd(col("log_ppl"), 6).alias("log_ppl"))
-        # batch-sized; checkpointed because the standing-model bigram
-        # join behind it is the gate's most expensive lineage and FIVE
+        # batch-sized; pinned because the standing-model bigram join
+        # behind it is the gate's most expensive lineage and FIVE
         # consumers sit downstream (kept feeds four plan branches inside
         # incremental_minhash_classify, attr joins scored once more) —
         # unchecked, each re-runs the stats build (measured 4.7 s × 4
-        # at sf0.01)
-        .localCheckpoint(eager=False)
+        # at sf0.01); persist keeps the builder plan-only
+        .persist()
     )
     kept = gated.join(
         scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
         id_col,
-    ).localCheckpoint(eager=False)
+    ).persist()
     classified = dedup.incremental_minhash_classify(
         kept, standing.select(id_col, text_col), id_col, text_col,
         n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,

@@ -166,11 +166,14 @@ def jaccard_pairs(
     if prefix_filter is None:
         prefix_filter = _estimated_size_bytes(df) >= 16 * 1024 * 1024
     # shingle ONCE: sizes + both self-join sides (+ dfreq/sorted in the
-    # prefix branch) all read the pinned (doc, sh) frame — unchecked,
-    # the tokenize+shingle projection re-ran up to four times
-    per_doc = doc_shingles(df, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    # prefix branch) all read the shared (doc, sh) frame — unchecked,
+    # the tokenize+shingle projection re-ran up to four times.  persist()
+    # (not localCheckpoint) because THIS builder is contractually
+    # plan-only — the strategy probe must not launch a job at build time
+    # (test_jaccard_strategy_probe_runs_no_spark_job), and on this Spark
+    # build even a lazy localCheckpoint fires one; the cache manager
+    # computes the persisted frame once at first action instead.
+    per_doc = doc_shingles(df, id_col, text_col, n).persist()
     sizes = per_doc.select("doc", F.size("sh").alias("n_shingles"))
     if not prefix_filter:
         sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
@@ -391,11 +394,12 @@ def minhash_dedup_pairs(
     signature join; verification cost is |candidates|, not |corpus|²."""
     rows_per_band = num_hashes // bands
     # shingle ONCE: the signature chain and BOTH exact-verify sides read
-    # the same pinned (doc, sh) frame — unchecked, the tokenize+shingle
-    # projection re-ran three times (sigs + a-side + b-side)
-    per_doc = doc_shingles(df, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    # the same shared (doc, sh) frame — unchecked, the tokenize+shingle
+    # projection re-ran three times (sigs + a-side + b-side).  persist()
+    # keeps the builder plan-only (lazy localCheckpoint fires a job at
+    # build time on this Spark build); compute-once happens at first
+    # action via the cache manager.
+    per_doc = doc_shingles(df, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(per_doc, num_hashes, hash_mode)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
@@ -975,7 +979,7 @@ def incremental_minhash_classify(
     # the 16-hash signature chain runs once
     b_bands = lsh_band_table(
         batch, id_col, text_col, n, num_hashes, bands, hash_mode
-    ).localCheckpoint(eager=False)
+    ).persist()
     if standing_bands is None:
         standing_bands = lsh_band_table(
             standing, id_col, text_col, n, num_hashes, bands, hash_mode
@@ -990,9 +994,7 @@ def incremental_minhash_classify(
         .distinct()
     )
     # batch-sized shingle sets, consumed by vcross + both vbatch sides
-    bsh = doc_shingles(batch, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    bsh = doc_shingles(batch, id_col, text_col, n).persist()
     sd_ids = cand.select(col("sd").alias(id_col)).distinct()
     ssh = doc_shingles(standing.join(sd_ids, id_col, "left_semi"), id_col, text_col, n)
     inter = F.size(F.array_intersect(col("sh_b"), col("sh_s")))
