@@ -24,200 +24,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Measured warm per-query sweep cost (seconds, Spark+oracle, sf0.01
-# local[8], scripts/sweep.py — re-measured from the round-11 full
-# sweep (final: 185/185 ok in 344 s); q67's figure includes the session-warmup
-# tax it deliberately absorbs as the pinned first query).  Used ONLY
-# for scoreboard-aware ordering below; missing entries default to 1.0s.
-_SWEEP_COST = {
-    "q01_top_nations_by_revenue": 0.55,
-    "q02_hourly_event_patterns": 0.46,
-    "q03_market_share_trends": 0.47,
-    "q04_price_percentiles": 0.83,
-    "q05_brand_pricing": 0.69,
-    "q06_nation_pair_flows": 1.09,
-    "q07_weekend_vs_weekday": 0.35,
-    "q08_event_type_share": 0.30,
-    "q09_semi_join_suppliers": 0.56,
-    "q10_orders_without_items": 0.40,
-    "q11_type_metrics_by_hour": 0.37,
-    "q12_before_after_pricing": 0.56,
-    "q13_nation_year_dispersion": 1.11,
-    "q14_nation_share_vs_global": 0.94,
-    "q15_active_customers_monthly": 0.70,
-    "q16_unified_fact_union": 0.60,
-    "q17_date_spine_coverage": 0.75,
-    "q18_user_value_vs_avg": 0.52,
-    "q19_sessionization": 0.63,
-    "q20_daily_tumbling_windows": 0.52,
-    "q21_json_props_metrics": 0.47,
-    "q22_doc_token_stats": 0.65,
-    "q23_lang_id": 0.95,
-    "q24_fingerprint_dedup": 0.56,
-    "q25_ngram_jaccard_pairs": 1.45,
-    "q26_cosine_topk": 0.52,
-    "q27_embedding_norms": 0.48,
-    "q28_minhash_lsh_pairs": 1.62,
-    "q29_simhash_near_pairs": 1.73,
-    "q30_ann_lsh_topk": 0.99,
-    "q31_ivf_ann_topk": 2.34,
-    "q32_global_quality_checks": 0.27,
-    "q33_priority_pivot": 0.46,
-    "q34_customer_cohort_setops": 0.79,
-    "q35_keep_first_dedup": 0.36,
-    "q36_doc_quality_scores": 0.57,
-    "q37_sliding_windows": 0.71,
-    "q38_asof_join": 0.70,
-    "q39_range_join": 0.67,
-    "q40_rollup_revenue": 0.83,
-    "q41_bpe_token_counts": 0.47,
-    "q42_rolling_hash_fingerprint": 0.69,
-    "q43_embedding_near_dups": 1.12,
-    "q44_customer_rank_per_nation": 0.74,
-    "q45_cube_qty": 0.50,
-    "q46_dedup_clusters": 3.02,
-    "q47_deterministic_sampling": 0.43,
-    "q48_curation_funnel": 3.77,
-    "q49_quality_rule_battery": 1.04,
-    "q50_benchmark_decontamination": 1.18,
-    "q51_sequence_packing": 0.88,
-    "q52_mixture_sampling": 0.56,
-    "q53_pii_scrub": 0.64,
-    "q54_hll_cardinality": 0.92,
-    "q55_curation_funnel_v2": 2.82,
-    "q56_unigram_lm_scoring": 1.53,
-    "q57_bm25_retrieval": 1.29,
-    "q58_ngram_heavy_hitters": 1.00,
-    "q59_incremental_gold_merge": 1.08,
-    "q60_edit_distance_near_dups": 0.74,
-    "q61_source_health_dashboard": 1.14,
-    "q62_kmeans_clusters": 2.39,
-    "q63_nation_pagerank": 2.60,
-    "q64_semdedup_pairs": 3.29,
-    "q65_tfidf_lang_terms": 1.59,
-    "q66_countmin_frequencies": 1.09,
-    "q67_weighted_sample": 5.56,
-    "q68_duplicated_spans": 1.57,
-    "q69_zipf_fit": 0.51,
-    "q70_column_profile": 0.92,
-    "q71_event_funnel": 0.79,
-    "q72_retention_cohorts": 0.78,
-    "q73_grouping_sets": 0.46,
-    "q74_coverage_sample": 0.87,
-    "q75_span_removal": 1.57,
-    "q76_span_decontamination": 1.21,
-    "q77_leakage_safe_splits": 2.84,
-    "q78_incremental_refresh": 1.29,
-    "q79_quality_classifier": 0.71,
-    "q80_temperature_mixture": 1.21,
-    "q81_calendar_reconciliation": 0.69,
-    "q82_top_sources_nested": 0.56,
-    "q83_length_deciles": 0.62,
-    "q84_rolling_7day_peak": 1.45,
-    "q85_chunking_overlap": 0.74,
-    "q86_winsorized_stats": 0.85,
-    "q87_scd2_intervals": 0.56,
-    "q88_embedding_standardize": 0.90,
-    "q89_skew_diagnostics": 0.70,
-    "q90_regression_aggregates": 0.49,
-    "q91_bloom_prefilter": 2.47,
-    "q92_interval_overlap_join": 0.65,
-    "q93_classifier_calibration": 0.71,
-    "q94_map_column_pipeline": 0.57,
-    "q95_minhash_calibration": 2.16,
-    "q96_token_budget_threshold": 0.94,
-    "q97_sliding_window_hll": 0.92,
-    "q98_label_propagation": 3.29,
-    "q99_containment_pairs": 1.93,
-    "q100_mom_growth": 0.38,
-    "q101_mad_outliers": 0.98,
-    "q102_event_pmi": 0.85,
-    "q103_event_transitions": 0.71,
-    "q104_interarrival_histogram": 0.70,
-    "q105_token_drift_js": 1.07,
-    "q106_lexical_diversity": 0.95,
-    "q107_lang_similarity_matrix": 1.15,
-    "q108_snapshot_novelty": 1.24,
-    "q109_duplication_profile": 0.59,
-    "q110_sliding_hll_audit": 1.00,
-    "q111_dsir_selection": 1.37,
-    "q112_gapfill_forward": 0.72,
-    "q113_cdc_chunk_dedup": 1.21,
-    "q114_canonical_keep_best": 4.92,
-    "q115_zorder_layout": 0.76,
-    "q116_serpentine_shards": 0.92,
-    "q117_bigram_perplexity": 2.15,
-    "q118_margin_mining": 2.06,
-    "q119_bpe_train": 3.74,
-    "q120_bpe_encode": 3.08,
-    "q121_epoch_allocation": 0.87,
-    "q122_curation_funnel_v3": 12.45,
-    "q123_psi_drift": 1.21,
-    "q124_hill_tail_index": 0.51,
-    "q125_rendezvous_sharding": 0.76,
-    "q126_power_iteration_pca": 3.74,
-    "q127_vocab_coverage": 1.67,
-    "q128_seasonal_anomalies": 1.20,
-    "q129_markov_stationary": 9.97,
-    "q130_wilson_source_gate": 0.71,
-    "q131_ht_estimation": 0.50,
-    "q132_funnel_attribution": 12.93,
-    "q133_counterfactual_leakage": 3.05,
-    "q134_deflated_second_pc": 6.07,
-    "q135_feature_hashing_calibration": 1.96,
-    "q136_dedup_threshold_curve": 1.63,
-    "q137_keep_best_minhash": 3.56,
-    "q138_heldout_perplexity": 1.26,
-    "q139_funnel_attribution_minhash": 9.28,
-    "q140_threshold_curve_minhash": 2.35,
-    "q141_feature_hash_calib_minhash": 2.11,
-    "q142_margin_mining_auto": 2.69,
-    "q143_counterfactual_leakage_minhash": 3.51,
-    "q144_dedup_clusters_minhash": 2.86,
-    "q145_logreg_training": 2.00,
-    "q146_quantized_cosine_topk": 0.62,
-    "q147_incremental_minhash": 3.86,
-    "q187_incremental_gate_attribution": 9.0,
-    "q148_kneser_ney_perplexity": 1.78,
-    "q149_binary_rerank_topk": 0.85,
-    "q150_ivf_quantized_topk": 3.46,
-    "q151_neardup_triangles": 6.86,
-    "q152_neyman_stratified_sample": 0.89,
-    "q153_cms_join_cardinality": 1.51,
-    "q154_hll_key_overlap": 1.06,
-    "q155_k_anonymity_audit": 0.59,
-    "q156_quantile_sketch": 2.04,
-    "q157_kneser_ney_vocab_capped": 2.30,
-    "q158_semantic_decontamination": 1.07,
-    "q159_hybrid_rrf_retrieval": 2.19,
-    "q160_lsh_recall_audit": 3.18,
-    "q161_near_dup_gate_audit": 2.27,
-    "q162_ivf_recall_audit": 3.99,
-    "q163_incremental_embedding": 3.18,
-    "q164_recall_remediation": 30.44,
-    "q165_ivf_staleness": 7.32,
-    "q166_asof_directions": 4.63,
-    "q167_bbit_minwise_calibration": 13.40,
-    "q168_truncation_recall_ladder": 12.30,
-    "q169_padding_efficiency_curve": 9.30,
-    "q170_contamination_union_gate": 9.40,
-    "q171_adaptive_ivf_probe": 25.70,
-    "q172_hard_negative_mining": 19.20,
-    "q173_contamination_delta": 11.30,
-    # late-round-11 ops tier, measured in one warm local[8] sweep
-    # (q174's first-slot warmup tax discounted)
-    "q174_segment_dedup": 3.00,
-    "q175_curriculum_schedule": 4.80,
-    "q176_soft_dedup_value": 5.50,
-    "q177_shuffle_order_audit": 2.10,
-    "q178_shard_balance_audit": 4.50,
-    "q179_ingestion_control_chart": 1.00,
-    "q180_incremental_segment_dedup": 1.80,
-    "q181_corpus_drift_psi": 2.00,
-    "q182_curriculum_packed_shards": 4.10,
-    "q183_embedding_contract_audit": 1.40,
-    "q184_session_transcripts": 2.50,
-    "q185_segment_removal_effect": 4.20,
-}
+# local[8]) — READ from the committed artifact scripts/sweep_times.json,
+# which a full `python scripts/sweep.py` run regenerates (it writes
+# /tmp/sweep_times.json; the round ritual copies it here).  No
+# hand-typed numbers (VERDICT r13 item 7).  Used ONLY for
+# scoreboard-aware ordering below; missing entries default to 1.0s.
+import json as _json
+import os as _os
+
+try:
+    with open(
+        _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "scripts",
+            "sweep_times.json",
+        )
+    ) as _f:
+        _SWEEP_COST = {
+            k: float(v) for k, v in _json.load(_f)["times"].items()
+        }
+except (OSError, ValueError, KeyError):
+    _SWEEP_COST = {}
 
 
 # One sub-second query registered ahead of everything: the first query

@@ -183,6 +183,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # per-query calibration samples taken BETWEEN timed windows: twice
+    # (r13 anchor-pair run 2, the driver's r13 bench) gate-passing
+    # ENDPOINT calibrations bracketed a contended middle and the total
+    # moved 37–150% with no code change — the endpoints are blind to
+    # mid-run load (VERDICT r13 item 2).  Each query's entry is the
+    # probe measured right after its warm run, so a reader can see
+    # WHICH timings a load burst actually touched, and the anchor gate
+    # rejects on the mid-run MAX, not the endpoints.
+    mid_cal: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name].build(spark, sf_dir).collect()
@@ -203,6 +212,8 @@ def main() -> None:
         QUERIES[name].build(spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
         _quiesce(spark)
+        # outside both timed windows; ~0.2 s per query at idle
+        mid_cal[name] = round(host_calibration(), 4)
 
     # ingest/standardize throughput: generate yellow-shaped rows with pure
     # Spark expressions, run the full standardize+dedup transform, count.
@@ -270,6 +281,11 @@ def main() -> None:
         # delta a regression (BENCH_SCALING.md round-9 note)
         "calibration": round(host_calibration(), 4),
         "calibration_pre": calibration_pre,
+        # per-query mid-run load samples + their max: the anchor gate
+        # (scripts/bench_anchor.sh) accepts a run only if the WHOLE
+        # window stayed idle, not just its endpoints
+        "queries_calibration": mid_cal,
+        "calibration_mid_max": max(mid_cal.values()) if mid_cal else None,
     }
     if scale > 1:
         result["scale_copies"] = scale

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from .core.pins import release_pins
 from .operators import curation, curriculum, dedup, decontam, lm, packing
 from .pipeline import StageFailed  # shared failure type (same contract)
 from .sources.sinks import write_corpus_shards
@@ -105,6 +106,15 @@ class CurateJob:
             except Exception as e:  # noqa: BLE001 — stage isolation boundary
                 last = e
                 continue
+            finally:
+                # stages hand off through parquet, so every frame pinned
+                # inside this stage (funnel/gate pins in
+                # operators.curation and operators.dedup) is dead once
+                # the stage's write lands — release here so a multi-
+                # stage (or multi-batch) job's cached-block high-water
+                # stays one-stage-sized (ADVICE r13: pins were never
+                # unpersisted and accumulated for the session lifetime)
+                release_pins()
             state["stages"][name] = {
                 "status": "success",
                 "attempts": attempt,
@@ -415,10 +425,26 @@ class CurateJob:
         for t in self._completed_inc_tags(exclude_tag):
             bp = self.path(f"increments/{t}_bands")
             sp = self.path(f"increments/{t}_segidx")
-            if os.path.isfile(os.path.join(bp, "_SUCCESS")):
-                bands = bands.unionByName(self.spark.read.parquet(bp))
-            if os.path.isfile(os.path.join(sp, "_SUCCESS")):
-                segs = segs.unionByName(self.spark.read.parquet(sp))
+            # Self-heal a completed increment whose slices are missing
+            # (crash between inc_decontam's _SUCCESS and inc_append's
+            # slice writes, with the tag never resumed; or an increment
+            # that predates stage_index).  _standing_pool counts the tag
+            # as standing, so skipping it here would let duplicates of
+            # its docs classify 'new' and append twice (ADVICE r13).
+            # Deriving the slice from increments/<tag> and WRITING it
+            # back is O(that increment) once, then free forever.
+            if not os.path.isfile(os.path.join(bp, "_SUCCESS")):
+                inc = self.spark.read.parquet(self.path(f"increments/{t}"))
+                dedup.lsh_band_table(inc, "doc_id", "text").write.mode(
+                    "overwrite"
+                ).parquet(bp)
+            bands = bands.unionByName(self.spark.read.parquet(bp))
+            if not os.path.isfile(os.path.join(sp, "_SUCCESS")):
+                inc = self.spark.read.parquet(self.path(f"increments/{t}"))
+                dedup.segment_index_table(
+                    inc, "doc_id", "text", self.seg_len
+                ).write.mode("overwrite").parquet(sp)
+            segs = segs.unionByName(self.spark.read.parquet(sp))
         return stats, bands, segs
 
     def run_incremental(
@@ -487,10 +513,19 @@ class CurateJob:
         # the standing pool's TEXT above is scanned only for candidate
         # verification (left-semi pruned); bands / segment hashes / the
         # LM model come from disk, so the increment is O(batch+matches).
-        # All-None on legacy runs → the stages derive them from the pool.
+        # All-None on legacy runs → bands/segments are derived from the
+        # pool; the LM model is still fixed on the base `final` below.
         lm_stats, standing_bands, seg_index = self._standing_indexes(
             exclude_tag=tag
         )
+        if lm_stats is None:
+            # Legacy run (no persisted index): still FIX the reference
+            # model on the base `final` pool, not the drifting
+            # final ∪ increments union — both paths must judge a batch
+            # by the same CCNet reference-model posture (ADVICE r13).
+            lm_stats = lm.corpus_bigram_stats(
+                self.spark.read.parquet(self.path("final"))
+            )
 
         def inc_gate() -> dict:
             # ONE implementation shared with the registered conformance
@@ -572,7 +607,7 @@ class CurateJob:
 
         def inc_append() -> dict:
             inc = self.spark.read.parquet(self.path(f"increments/{tag}"))
-            if lm_stats is not None:
+            if standing_bands is not None:
                 # maintain the standing indexes: this tag's band slice
                 # (signatures of the text AS APPENDED) and segment-hash
                 # slice, so the NEXT batch classifies against

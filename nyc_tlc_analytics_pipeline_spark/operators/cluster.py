@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from ..core.guards import collect_bounded
+from ..core.pins import pin
 from ..functions.scalar import rnd
 
 ROUND_DECIMALS = 6
@@ -139,10 +140,10 @@ def kmeans_fit(
     vecs = df.select(
         col(id_col).alias("vid"), col(vec_col).cast("array<double>").alias("v")
     )
-    # materialize once: every Lloyd sweep (and the caller's downstream
-    # joins) re-scan the vectors; without this the source scan + cast
-    # lineage re-executes 2+iters times
-    vecs = vecs.localCheckpoint(eager=False)
+    # pin once (core.pins rule): every Lloyd sweep (and the caller's
+    # downstream joins) re-scan the vectors; without this the source
+    # scan + cast lineage re-executes 2+iters times
+    vecs = pin(vecs)
     cents = [list(r.v) for r in vecs.orderBy("vid").limit(k).collect()]
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
@@ -334,10 +335,10 @@ def semdedup_pairs(
     # this is a 3× cut on the quadratic term)
     nrm = F.nullif(norm(col("v")), lit(0.0))
     unit = assigned.withColumn("vn", F.transform(col("v"), lambda x: x / nrm))
-    # materialize once: the self-join would otherwise recompute the whole
-    # assignment + normalization + sub-bucket lineage for EACH side (the
-    # assignment is map-only, so no exchange reuse applies)
-    unit = unit.localCheckpoint(eager=False)
+    # pin once (core.pins rule): the self-join would otherwise recompute
+    # the whole assignment + normalization + sub-bucket lineage for EACH
+    # side (the assignment is map-only, so no exchange reuse applies)
+    unit = pin(unit)
     a = unit.select(
         col("cid"), col("__sub"), col("vid").alias("doc_a"), col("vn").alias("va")
     )

@@ -16,9 +16,10 @@ operators so every stage keeps its individual scale posture:
 The funnel runs once; both consumers reuse its stage frames: q122-style
 shard building consumes the keepers, q132-style attribution left-joins
 the stage frames back onto the full corpus so every document is charged
-to the stage that removed it.  The gated pool is localCheckpointed
-because three stages (scoring, dedup, attribution) would otherwise each
-re-run the rule battery.
+to the stage that removed it.  The gated pool is pinned (``core.pins`` —
+lazy persist, released by the job-shaped caller) because three stages
+(scoring, dedup, attribution) would otherwise each re-run the rule
+battery.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import pin
 from ..functions.scalar import rnd
 from . import dedup, lm, rules, text
 
@@ -63,21 +65,21 @@ def curation_funnel_stages(
     MinHash-LSH default, ``pair_source="jaccard"`` for the exact
     oracle-gated mode, or any precomputed ``pairs=``."""
     tk = docs.withColumn("__tk", text.tokens(text_col))
-    gated = (
+    # pin (lazy persist, core.pins rule): three stages (scoring, dedup,
+    # attribution) consume the gated pool; localCheckpoint here fired a
+    # job at build time, breaking the plan-only builder contract
+    gated = pin(
         rules.apply_rules(tk, text_col, toks="__tk")
         .filter(col("rules_pass"))
         .select(id_col, text_col, F.size("__tk").alias("n_tokens"))
-        .localCheckpoint(eager=False)
     )
-    scored = (
+    scored = pin(
         lm.doc_bigram_perplexity(gated, [id_col], text_col, stats=lm_stats)
         .withColumn("log_ppl", rnd(col("log_ppl"), 6))
         # id-sized, but its lineage is the corpus bigram join — and it
         # feeds BOTH the kept filter (whose pair/keep-best consumers fan
-        # out further) and the attribution left-join; persist (lazy, the
-        # builder stays plan-only) so the bigram stats build runs once
-        # per funnel
-        .persist()
+        # out further) and the attribution left-join; pin so the bigram
+        # stats build runs once per funnel
     )
     kept = gated.join(
         scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
@@ -193,13 +195,12 @@ def incremental_gate_attribution(
     share it, so the oracle-checked accounting and the production job
     can never drift (the q132 pattern)."""
     tk = batch.withColumn("__tk", text.tokens(text_col))
-    gated = (
+    gated = pin(  # lazy: the q187 builder stays plan-only
         rules.apply_rules(tk, text_col, toks="__tk")
         .filter(col("rules_pass"))
         .select(*batch.columns, F.size("__tk").cast("long").alias("n_tokens"))
-        .persist()  # lazy: the q187 builder stays plan-only
     )
-    scored = (
+    scored = pin(
         lm.doc_bigram_perplexity(
             gated, [id_col], text_col,
             # persisted model table when the caller has one (CurateJob's
@@ -217,13 +218,12 @@ def incremental_gate_attribution(
         # consumers sit downstream (kept feeds four plan branches inside
         # incremental_minhash_classify, attr joins scored once more) —
         # unchecked, each re-runs the stats build (measured 4.7 s × 4
-        # at sf0.01); persist keeps the builder plan-only
-        .persist()
+        # at sf0.01); pin keeps the builder plan-only
     )
-    kept = gated.join(
+    kept = pin(gated.join(
         scored.filter(col("log_ppl") <= lit(float(ppl_cutoff))).select(id_col),
         id_col,
-    ).persist()
+    ))
     classified = dedup.incremental_minhash_classify(
         kept, standing.select(id_col, text_col), id_col, text_col,
         n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,

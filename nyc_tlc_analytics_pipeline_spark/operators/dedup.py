@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import pin
 from .text import fingerprint, tokens
 
 
@@ -167,13 +168,14 @@ def jaccard_pairs(
         prefix_filter = _estimated_size_bytes(df) >= 16 * 1024 * 1024
     # shingle ONCE: sizes + both self-join sides (+ dfreq/sorted in the
     # prefix branch) all read the shared (doc, sh) frame — unchecked,
-    # the tokenize+shingle projection re-ran up to four times.  persist()
-    # (not localCheckpoint) because THIS builder is contractually
-    # plan-only — the strategy probe must not launch a job at build time
+    # the tokenize+shingle projection re-ran up to four times.  pin()
+    # (core.pins: lazy persist, NOT localCheckpoint) because THIS
+    # builder is contractually plan-only — the strategy probe must not
+    # launch a job at build time
     # (test_jaccard_strategy_probe_runs_no_spark_job), and on this Spark
     # build even a lazy localCheckpoint fires one; the cache manager
-    # computes the persisted frame once at first action instead.
-    per_doc = doc_shingles(df, id_col, text_col, n).persist()
+    # computes the pinned frame once at first action instead.
+    per_doc = pin(doc_shingles(df, id_col, text_col, n))
     sizes = per_doc.select("doc", F.size("sh").alias("n_shingles"))
     if not prefix_filter:
         sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
@@ -395,11 +397,10 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     # shingle ONCE: the signature chain and BOTH exact-verify sides read
     # the same shared (doc, sh) frame — unchecked, the tokenize+shingle
-    # projection re-ran three times (sigs + a-side + b-side).  persist()
-    # keeps the builder plan-only (lazy localCheckpoint fires a job at
-    # build time on this Spark build); compute-once happens at first
-    # action via the cache manager.
-    per_doc = doc_shingles(df, id_col, text_col, n).persist()
+    # projection re-ran three times (sigs + a-side + b-side).  pin()
+    # keeps the builder plan-only (core.pins rule); compute-once happens
+    # at first action via the cache manager.
+    per_doc = pin(doc_shingles(df, id_col, text_col, n))
     sigs = _signatures_from_shingles(per_doc, num_hashes, hash_mode)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     a = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
@@ -712,10 +713,10 @@ def duplicated_span_stats(
         f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {n}))))"
     )
     pos = toks.select("doc", F.explode_outer(F.expr(gram_expr)).alias("gram"))
-    # materialize once: pos feeds two consumers (doc-frequency and the
-    # flagged semi-join probe) and the tokenize+explode lineage is the
-    # dominant cost (same fix as semdedup_pairs)
-    pos = pos.localCheckpoint(eager=False)
+    # pin once (core.pins rule): pos feeds two consumers (doc-frequency
+    # and the flagged semi-join probe) and the tokenize+explode lineage
+    # is the dominant cost (same fix as semdedup_pairs)
+    pos = pin(pos)
     dup_grams = (
         pos.groupBy("gram")
         .agg(F.count_distinct("doc").alias("gram_docs"))
@@ -779,7 +780,7 @@ def remove_duplicated_spans(
     """
     keep_cols = keep_cols or []
     toks = tokenized_frame(df, id_col, text_col, keep_cols)
-    pos = position_grams(toks, n).localCheckpoint(eager=False)
+    pos = pin(position_grams(toks, n))
     dup_grams = (
         pos.groupBy("gram")
         .agg(F.count_distinct("doc").alias("gram_docs"))
@@ -977,9 +978,9 @@ def incremental_minhash_classify(
     # batch-sized, consumed by THREE plan branches (cross-corpus
     # candidates + both sides of the in-batch self-join) — pin it so
     # the 16-hash signature chain runs once
-    b_bands = lsh_band_table(
+    b_bands = pin(lsh_band_table(
         batch, id_col, text_col, n, num_hashes, bands, hash_mode
-    ).persist()
+    ))
     if standing_bands is None:
         standing_bands = lsh_band_table(
             standing, id_col, text_col, n, num_hashes, bands, hash_mode
@@ -994,7 +995,7 @@ def incremental_minhash_classify(
         .distinct()
     )
     # batch-sized shingle sets, consumed by vcross + both vbatch sides
-    bsh = doc_shingles(batch, id_col, text_col, n).persist()
+    bsh = pin(doc_shingles(batch, id_col, text_col, n))
     sd_ids = cand.select(col("sd").alias(id_col)).distinct()
     ssh = doc_shingles(standing.join(sd_ids, id_col, "left_semi"), id_col, text_col, n)
     inter = F.size(F.array_intersect(col("sh_b"), col("sh_s")))
@@ -1429,7 +1430,7 @@ def dedup_threshold_curve(
         hash_mode=hash_mode,
     ).select(
         "doc_a", "doc_b", F.round(col("jaccard") + lit(1e-9), 6).alias("j")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     th = df.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
@@ -2123,6 +2124,16 @@ def incremental_segment_classify(
             .withColumn("__in_corpus", lit(True))
         )
         hit = F.broadcast(matched)
+    else:
+        # Same one-row-per-segment guarantee as the small-batch path's
+        # intersection distinct: the standing index may hold a hash in
+        # several per-increment slices (base ∪ slices union), and a
+        # plain left join would emit one row per slice occurrence,
+        # double-counting dup_vs_corpus downstream (ADVICE r13).  The
+        # dedup keys the same shuffle the join needs, so AQE coalesces
+        # it into the join exchange rather than adding a second pass
+        # over the batch side.
+        hit = hit.dropDuplicates(["__h"])
     return (
         ranked.join(hit, "__h", "left")
         .withColumn(

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import pin
+
 
 def pack_contiguous(
     df: DataFrame,
@@ -64,13 +66,17 @@ def pack_contiguous(
     part = (
         df.repartitionByRange(col(stream_col), col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        # Checkpoint BEFORE branching (the similarity._assigned_corpus
-        # pattern): both consumers (the offset aggregate and the main
-        # frame) read one materialized range shuffle instead of two
-        # independent ones, so __pid is assigned exactly once —
-        # correctness no longer rides on RangePartitioner's seeded
-        # bounds sampling agreeing across replays (ADVICE r12).
-        .localCheckpoint(eager=False)
+        # Pin BEFORE branching (core.pins rule): both consumers (the
+        # offset aggregate and the main frame) read the one cached range
+        # shuffle instead of two independent ones, so __pid is assigned
+        # exactly once — correctness no longer rides on
+        # RangePartitioner's seeded bounds sampling agreeing across
+        # replays (ADVICE r12).  A lazy persist keeps that guarantee
+        # (both branches resolve to the same InMemoryRelation, and a
+        # recompute of an evicted block replays the SAME materialized
+        # shuffle output) while keeping the builder plan-only — the
+        # prior localCheckpoint(eager=False) fired a job at build time.
+        .transform(pin)
     )
     local_cum = F.sum(tokens_col).over(
         Window.partitionBy("__pid", stream_col).orderBy(order_col)
@@ -210,7 +216,7 @@ def padding_efficiency_curve(
     :func:`~.layout.global_row_number` (range shuffle — never a
     single-partition window), the total count rides a broadcast 1-row
     frame, and each B's report is a |B|-row aggregate over the SAME
-    ranked frame (localCheckpoint) — no re-scan per rung.  Returns one
+    ranked frame (pinned once, core.pins) — no re-scan per rung.  Returns one
     row per B: (n_buckets, n_docs, useful_tokens, padded_tokens,
     waste_pct), waste_pct = 100·(padded − useful)/padded at 4 dp."""
     from ..functions.scalar import rnd
@@ -222,7 +228,7 @@ def padding_efficiency_curve(
     )
     ranked = global_row_number(
         lens, [col("__len"), col("__id")], rank_col="__rank"
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     total = ranked.agg(F.count("*").cast("long").alias("__n"))
     parts = []
     for nb in bucket_counts:

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import pin
+
 
 def hash_fraction(key: Column | str, salt: str = "") -> Column:
     """Deterministic U[0,1) from a key: first 32 bits of md5(salt || key)
@@ -165,7 +167,7 @@ def counterfactual_leakage_report(
     default — a leakage audit of a 100 TB corpus has to run at the same
     scale as the split itself; exact Jaccard is the oracle-gated mode.
 
-    Scale shape: the pair frame is localCheckpointed once (it feeds the
+    Scale shape: the pair frame is pinned once (it feeds the
     closure, two split joins, and the audit aggregate), split assignment
     is a map-side hash, and each mode is one pair-keyed join + a 1-row
     aggregate."""
@@ -175,7 +177,7 @@ def counterfactual_leakage_report(
     p = dedup.near_dup_pairs(
         docs, id_col, text_col, pairs=pairs, pair_source=pair_source,
         n=n, threshold=threshold, num_hashes=num_hashes, bands=bands,
-    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    ).select("doc_a", "doc_b").transform(pin)
     cl = leakage_safe_splits(
         docs.select(id_col, text_col), id_col, text_col, weights,
         salt=salt, pairs=p,

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import pin
 from ..functions.scalar import rnd
 
 
@@ -887,9 +888,7 @@ def hashed_cosine_calibration(
     min_hashed_cosine) sorted by bucket."""
     from . import dedup, text as T
 
-    hv = T.feature_hash_vectors(docs, id_col, text_col, dim).localCheckpoint(
-        eager=False
-    )
+    hv = pin(T.feature_hash_vectors(docs, id_col, text_col, dim))
     nrm = hv.groupBy(id_col).agg(
         F.sqrt(F.sum(col("val") * col("val"))).alias("n")
     )
@@ -1149,7 +1148,8 @@ def ivf_recall_audit(
     (query_id, n_candidates, n_truth, n_hits, recall)."""
     from pyspark.sql.window import Window
 
-    # localCheckpoint cuts the assignment expression out of the join
+    # localCheckpoint (sanctioned lineage SEVER, core.pins rule — not a
+    # mere shared-frame pin) cuts the assignment expression out of the join
     # lineage: with the K-cosine argmax inline, the equi-join on __cid
     # sends constraint inference over a giant derived key into heap
     # blowup.  Deployment-true too — production probes a PERSISTED
@@ -1325,6 +1325,11 @@ def _assigned_corpus(
     assignment scan — the dominant term of its 6.6× at 100×)."""
     return corpus_plain.withColumn(
         "__cid", assign_ivf_bucket(col("__v"), centroids)
+        # sanctioned lineage SEVER (core.pins rule): the K-cosine argmax
+        # expression must leave the join lineage entirely or constraint
+        # inference over the derived __cid key blows the optimizer heap
+        # (the q62 centroid-frame lesson) — a persist pin is not enough
+        # when the plan is built BEFORE the cache substitution runs
     ).localCheckpoint(eager=False)
 
 
@@ -1432,9 +1437,9 @@ def lsh_remediation_report(
         col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
     corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
-    # localCheckpoint: the truth list feeds every config's report —
+    # pin (core.pins rule): the truth list feeds every config's report —
     # without it the |panel| x |corpus| brute pass re-executes per branch
-    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    truth = pin(_brute_truth(corpus_plain, q, k, id_col))
     parts = [
         audit_summary(
             _config_report(
@@ -1476,7 +1481,7 @@ def ivf_remediation_report(
         col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
     corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
-    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    truth = pin(_brute_truth(corpus_plain, q, k, id_col))
     parts = [
         audit_summary(
             _config_report(
@@ -1605,7 +1610,7 @@ def truncation_recall_audit(
     commits to a prefix width.
 
     Cost shape: the audits' contract — a fixed, fail-closed query panel;
-    ONE full-dim brute pass for truth (localCheckpoint, shared by every
+    ONE full-dim brute pass for truth (pinned, shared by every
     rung) plus one corpus scan per rung; per-query top-k in the
     two-stage partition-local form."""
     _audit_panel_check(queries)
@@ -1613,7 +1618,7 @@ def truncation_recall_audit(
         col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
     corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
-    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    truth = pin(_brute_truth(corpus_plain, q, k, id_col))
     parts = []
     for d in dims:
         scored = (
@@ -1713,7 +1718,7 @@ def ivf_adaptive_probe_report(
         col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
     )
     corpus_plain = df.select(col(id_col), as_double_array(vec_col).alias("__v"))
-    truth = _brute_truth(corpus_plain, q, k, id_col).localCheckpoint(eager=False)
+    truth = pin(_brute_truth(corpus_plain, q, k, id_col))
     # ONE bucket-assignment pass (K cosines over the whole corpus, the
     # linear floor) shared by both configs — the same share-the-
     # expensive-pass contract as the brute truth above (VERDICT r11:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import pin
 from ..operators import dedup, similarity, text
 from ..sources.testdata import load_table, load_table_parallel
 from ..functions.scalar import rnd
@@ -1003,13 +1004,13 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph, sampling
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    # materialize the gated frame once: it feeds the shingle explode of
-    # the pair join, the canonical semi-join, and the final aggregate —
-    # each would otherwise re-evaluate the quality-score expression tree
-    kept = (
+    # pin the gated frame once (core.pins rule): it feeds the shingle
+    # explode of the pair join, the canonical semi-join, and the final
+    # aggregate — each would otherwise re-evaluate the quality-score
+    # expression tree
+    kept = pin(
         docs.withColumn("quality", rnd(text.quality_score("text"), 6))
         .filter(col("quality") >= 0.5)
-        .localCheckpoint(eager=False)
     )
     pairs = dedup.jaccard_pairs(
         kept, "doc_id", "text", n=3, threshold=_Q25_THRESHOLD
@@ -1640,20 +1641,19 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus in three stages (was 24% of the headline bench)
     tk = docs.withColumn("tk", T.tokens("text"))
     gated = rules.filter_by_rules(tk, "text", toks="tk")
-    pool = (
+    pool = pin(
         gated.filter(col("doc_id") % 50 != 0)
         .select("doc_id", "lang", "tk")
-        .localCheckpoint(eager=False)
     )
     bench = docs.filter(col("doc_id") % 50 == 0)
     clean = decontam.decontaminate(pool, bench, n=4, toks_col="tk")
-    # checkpoint the id-sized post-decontam frame: mixture_sample reads
-    # its input TWICE (quota aggregate + windowed main) and packing a
-    # third time — without this the gram-explode semi join re-executes
-    # per consumer (measured ~3.3 s each at sf0.1, the funnel's top cost)
-    curated = clean.select(
+    # pin the id-sized post-decontam frame: mixture_sample reads its
+    # input TWICE (quota aggregate + windowed main) and packing a third
+    # time — without this the gram-explode semi join re-executes per
+    # consumer (measured ~3.3 s each at sf0.1, the funnel's top cost)
+    curated = pin(clean.select(
         "doc_id", "lang", F.size("tk").alias("n_tokens")
-    ).localCheckpoint(eager=False)
+    ))
     sampled = sampling.mixture_sample(
         curated,
         "lang",
@@ -3988,12 +3988,11 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the bench gram set is read by TWO consumers (bloom build + the
     # exact-hit join) and each would re-run the corpus gram explode —
-    # checkpoint the small distinct set once (2% of docs, distinct grams)
-    bench = (
+    # pin the small distinct set once (2% of docs, distinct grams)
+    bench = pin(
         grams.filter(col("doc_id") % 50 == 0)
         .select("g")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     probe = (
         grams.filter(col("doc_id") % 50 != 0).select("source", "g").distinct()
@@ -10677,7 +10676,7 @@ ORDER BY family, config
     "v − mean at the 6-dp grain, scoring untouched) restores pruning; "
     "RE-SEED with data-aware difference planes (translation-invariant, "
     "md5-sampled pairs) prices the alternative.  Each family's configs "
-    "share ONE brute-truth pass (localCheckpoint).  Oracle replays "
+    "share ONE brute-truth pass (pinned).  Oracle replays "
     "both drift transforms, the k-means trajectory, the mean, the "
     "derived planes, all eight candidate rules, and the recall "
     "arithmetic at the 6-dp grain.",
@@ -10705,7 +10704,7 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(embedding, CAST((i + 6) % 64 + 1 AS INT)))"
             ).alias("embedding"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     perm_panel = perm.filter(
         (col("vec_id") >= _Q164_OFF)
         & (col("vec_id") % 25 == 0)
@@ -10718,7 +10717,7 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
             (col("vec_id") + _Q164_OFF).alias("vec_id"),
             F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     cone_panel = cone.filter(
         (col("vec_id") >= _Q164_OFF)
         & (col("vec_id") % 25 == 0)
@@ -11022,7 +11021,7 @@ ORDER BY family, config
     "this report prices each rung's recall cost before a corpus "
     "commits to a prefix width.  d=64 is the built-in sanity rung "
     "(recall 1.0 by construction).  One fail-closed fixed panel, ONE "
-    "shared full-dim truth pass (localCheckpoint), one corpus scan per "
+    "shared full-dim truth pass (pinned), one corpus scan per "
     "rung, two-stage per-query top-k.  Oracle replays the slices, all "
     "rank lists at the 6-dp grain, and the ladder report.",
     operators=("sim-ann-truncation", "audit-recall", "sim-quantized", "W2"),
@@ -11087,7 +11086,7 @@ ORDER BY n_buckets
     "come from the two-pass global_row_number (range shuffle, never a "
     "single-partition window), the total count rides a broadcast 1-row "
     "frame, and every rung aggregates the SAME ranked frame "
-    "(localCheckpoint) — no re-scan per B.  Oracle replays the capped "
+    "(pinned) — no re-scan per B.  Oracle replays the capped "
     "lengths, the rank bucketing, and the waste arithmetic.",
     operators=("packing-buckets", "layout-rank", "A10", "S15"),
 )

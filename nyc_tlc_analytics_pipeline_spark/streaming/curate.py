@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import releasing
 from ..operators import curation, dedup
 from ..sources.manifest import ManifestTable
 
@@ -73,6 +74,11 @@ def run_streaming_curate(
     def base(name: str) -> str:
         return os.path.join(base_dir, name)
 
+    # releasing(): the gate pins (gated/scored/kept in
+    # incremental_gate_attribution) are re-created per micro-batch —
+    # without release a long-running query accumulates one cache-entry
+    # set per batch (ADVICE r13)
+    @releasing
     def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..core.pins import releasing
 from ..operators import dedup
 from ..sources.manifest import ManifestTable
 
@@ -52,6 +53,7 @@ def run_streaming_near_dup(
     index, the only thing future batches probe."""
     spark = doc_stream.sparkSession
 
+    @releasing  # drop the dedup pins (core.pins) after each micro-batch
     def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -175,6 +177,7 @@ def run_streaming_embedding_near_dup(
     filtered to strictly earlier batches."""
     spark = vec_stream.sparkSession
 
+    @releasing  # drop the dedup pins (core.pins) after each micro-batch
     def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -256,6 +259,7 @@ def run_streaming_ivf_ingest(
 
     spark = vec_stream.sparkSession
 
+    @releasing  # drop the dedup pins (core.pins) after each micro-batch
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -302,6 +306,7 @@ def run_streaming_segment_dedup(
     replay can never classify a batch against its own appends."""
     spark = doc_stream.sparkSession
 
+    @releasing  # drop the dedup pins (core.pins) after each micro-batch
     def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return

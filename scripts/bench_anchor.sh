@@ -5,7 +5,10 @@
 #
 # Polls the single-thread md5 calibration every 2 minutes; runs
 # bench.py only when the host measures <= 0.245 s; accepts a run only
-# if BOTH calibration_pre and calibration (post) are <= 0.25 s.
+# if the MID-RUN calibration max (bench.py samples the probe between
+# every query's timed windows — VERDICT r13 item 2: twice, endpoint
+# calibrations gate-passed while a contended middle moved the total
+# 37-150%) AND both endpoints are <= 0.25 s.
 # Two accepted runs = an anchor pair.  Idle band for this host:
 # warm_total 26.4-28.9 s (r9/r11 anchors, calibration ~0.20-0.22).
 #
@@ -31,10 +34,19 @@ PYEOF
 import json, sys
 try:
     d = json.loads(open(sys.argv[1]).read().strip().splitlines()[-1])
-    ok = d.get("calibration_pre", 9) <= 0.25 and d.get("calibration", 9) <= 0.25
+    mid = d.get("calibration_mid_max")
+    ok = (
+        d.get("calibration_pre", 9) <= 0.25
+        and d.get("calibration", 9) <= 0.25
+        # mid-run gate: every between-query probe must stay idle; a
+        # missing field (old bench.py) fails the gate rather than
+        # silently reverting to endpoint-only acceptance
+        and mid is not None
+        and mid <= 0.25
+    )
     print(1 if ok and d.get("warm_total", -1) > 0 else 0)
     print(f"pre={d.get('calibration_pre')} post={d.get('calibration')} "
-          f"warm={d.get('warm_total')}", file=sys.stderr)
+          f"mid_max={mid} warm={d.get('warm_total')}", file=sys.stderr)
 except Exception:
     print(0)
 PYEOF

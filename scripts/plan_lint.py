@@ -43,6 +43,10 @@ GLOBAL_WINDOW_OK = {
     "q127_vocab_coverage",  # cumulative walk over the distinct-freq histogram
     "q152_neyman_stratified_sample",  # Σ N_h·S_h normalizer over the |strata| frame (q52 posture)
     "q159_hybrid_rrf_retrieval",  # rank windows over the two pool-sized TakeOrdered lists (q69/q124 posture)
+    "q169_padding_efficiency_curve",  # q116's offsets window — newly VISIBLE
+    # to the lint in r14: the builder's localCheckpoint became a lazy
+    # pin (core.pins), so the cached plan (with the bounded
+    # |partitions|-row offsets window inside) now prints in explain
     "q175_curriculum_schedule",  # q116's offsets window (two-pass global rank)
     "q177_shuffle_order_audit",  # q116's offsets window (two-pass global rank)
     "q182_curriculum_packed_shards",  # q175's offsets window (schedule stage)

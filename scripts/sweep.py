@@ -37,10 +37,28 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    from nyc_tlc_analytics_pipeline_spark.core.pins import release_pins
+
+    def storage_mb() -> float:
+        # driver+executor storage memory actually used by cached blocks
+        # (local mode: one executor row), via the status-store API
+        try:
+            mems = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+            it = mems.iterator()
+            used = 0
+            while it.hasNext():
+                kv = it.next()
+                total, free = kv._2()._1(), kv._2()._2()
+                used += total - free
+            return round(used / 1e6, 1)
+        except Exception:
+            return -1.0
+
     qs, osql = e.queries(), e.oracle_sql()
     names = [n for n in qs if not ONLY or any(f in n for f in ONLY)]
     t_all = time.time()
     fails, times = [], {}
+    storage_hw = 0.0
     for name in names:
         t0 = time.time()
         try:
@@ -70,6 +88,11 @@ def main() -> int:
             status = f"ERROR {type(ex).__name__}: {ex}"[:200]
         dt = time.time() - t0
         times[name] = round(dt, 2)
+        storage_hw = max(storage_hw, storage_mb())
+        # release per query (core.pins rule): a full catalog sweep in
+        # one session must keep its cached-block high-water one-query-
+        # sized instead of accumulating 187 queries' pins (ADVICE r13)
+        release_pins()
         if status not in ("ok", "rows-only"):
             fails.append((name, status))
         print(f"{name:45s} {dt:6.2f}s  {status}", flush=True)
@@ -77,6 +100,11 @@ def main() -> int:
     print(f"\ntotal {total:.1f}s over {len(names)} queries")
     slow = sorted(times.items(), key=lambda kv: -kv[1])[:8]
     print("slowest:", json.dumps(dict(slow)))
+    print(f"storage high-water: {storage_hw} MB (released per query)")
+    with open("/tmp/sweep_times.json", "w") as f:
+        json.dump(
+            {"sf": SF, "times": times, "storage_hw_mb": storage_hw}, f
+        )
     if fails:
         print("FAILURES:", fails)
         return 1

@@ -99,10 +99,16 @@ def test_pack_contiguous_single_range_shuffle(spark):
         start = r["pack_id"] * 100 + r["pack_offset"]
         assert start == seen.get(r["stream"], 0)
         seen[r["stream"]] = start + r["toks"]
-    # plan: the localCheckpoint collapses the branch point — at most
-    # one rangepartitioning exchange may appear in the executed plan
+    # plan: the branch-point pin (core.pins, r14 — formerly a
+    # localCheckpoint) collapses the branch point onto ONE cached range
+    # shuffle; the plan text prints the cached plan (with its own
+    # exchanges) beneath every InMemoryTableScan, so count range
+    # exchanges OUTSIDE cached subtrees — the post-pin plan adds none
+    from .plan_text import count_outside_cache
+
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.lower().count("rangepartitioning") <= 1
+    assert count_outside_cache(plan, "rangepartitioning") == 0
+    assert plan.count("InMemoryTableScan") >= 2  # both consumers read it
 
 
 def test_video_fake_contract_holds_with_codec(spark):

@@ -209,14 +209,21 @@ def test_pack_contiguous_two_pass_splits_one_giant_stream(spark):
     ).repartition(16)
     out = packing.pack_contiguous(df, "stream", "ord", "n", 97)
     rows_plan = out._jdf.queryExecution().executedPlan().toString()
-    # the range shuffle now lives BEHIND the branch-point localCheckpoint
-    # (one materialization, ADVICE r12), so downstream the plan reads the
-    # checkpointed RDD: no second range shuffle may appear, and the
-    # cumulate window must be keyed by (__pid, stream) — per-partition
-    # slices, never a whole-stream task
-    assert rows_plan.lower().count("rangepartitioning") == 0
-    assert "Scan ExistingRDD" in rows_plan
+    # the range shuffle now lives BEHIND the branch-point pin (ONE
+    # cached materialization, ADVICE r12 / core.pins): both consumers
+    # (offset aggregate + main frame) must read the InMemoryRelation —
+    # the plan text prints the cached plan (with its range exchange)
+    # under each InMemoryTableScan, so assert the cache reads rather
+    # than a zero-exchange string count — and the cumulate window must
+    # be keyed by (__pid, stream): per-partition slices, never a
+    # whole-stream task
+    assert rows_plan.count("InMemoryTableScan") >= 2
     assert "windowspecdefinition(__pid" in rows_plan
+    # every printed rangepartitioning sits inside a printed copy of the
+    # ONE cached plan — the post-pin plan itself adds no range exchange
+    from .plan_text import count_outside_cache
+
+    assert count_outside_cache(rows_plan, "rangepartitioning") == 0
     rows = {r["ord"]: (r["pack_id"], r["pack_offset"]) for r in out.collect()}
     assert len(rows) == n
     start = 0
