@@ -153,6 +153,7 @@ def main() -> None:
     # near-identical end-calibration was the host slowing mid-window)
     calibration_pre = round(host_calibration(), 4)
 
+    from nyc_tlc_analytics_pipeline_spark.core.pins import release_pins
     from nyc_tlc_analytics_pipeline_spark.core.session import build_session
     from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
 
@@ -174,6 +175,17 @@ def main() -> None:
         names = [n for n in names if any(f in n for f in only)]
 
     def _quiesce(s) -> None:
+        # drop every pin the previous timed window registered BEFORE the
+        # next window starts: persist() pins are matched by logical plan
+        # in Spark's CacheManager, so without this a query's warm run
+        # (and any later query sharing a subtree) would read the cold
+        # run's cached intermediates instead of computing from parquet —
+        # the round-14 pin unification (75dd30a) silently changed warm
+        # semantics vs the r9–r13 localCheckpoint pins, which never
+        # cross-matched between builds.  Every timed window now computes
+        # the full query from the parquet inputs, same as every prior
+        # round (measurement-bug fix, OPTIMIZATION_r14.md).
+        release_pins()
         s.sparkContext._jvm.System.gc()
         time.sleep(0.7)
 

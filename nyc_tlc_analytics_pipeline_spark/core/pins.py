@@ -37,10 +37,12 @@ one cache entry set per batch, ADVICE r13), and ``scripts/sweep.py``
 releases per query so a full catalog sweep's storage-memory high-water
 stays one-query-sized.  ``release_pins`` only drops cache entries —
 lineage is intact, so a late consumer recomputes instead of breaking.
-Sessions that skip release (``bench.py``: cross-query cache reuse is
-part of the measured warm path, and the session exits after one suite)
-fall back to LRU eviction + MEMORY_AND_DISK spill, now an explicit
-choice rather than an accident.
+``bench.py`` releases between every timed window so each measurement
+computes the full query from the parquet inputs (cache-manager plan
+matching would otherwise let a warm run — or a later query sharing a
+subtree — read the previous window's cached intermediates).  Sessions
+that skip release fall back to LRU eviction + MEMORY_AND_DISK spill,
+now an explicit choice rather than an accident.
 """
 
 from __future__ import annotations

@@ -301,6 +301,13 @@ def semdedup_pairs(
         n = df.count()
         k = max(2, min(_AUTO_K_CAP, -(-n // max(1, target_cluster_size))))
     assigned, cents = kmeans_fit(df, id_col, vec_col, k, iters, impl=impl)
+    # pin (core.pins rule): the final assignment is consumed by TWO
+    # branches — the per-cluster size aggregate (subdivision depths) and
+    # the pair join itself.  The assignment is a map-only Arrow kernel,
+    # so no exchange reuse applies; without the pin the N×k distance
+    # matmul (and its two Python-boundary crossings) runs once per
+    # consumer (measured: 2 ArrowEvalPython passes in the q64 plan).
+    assigned = pin(assigned)
     # empty input: no centroids to derive a plane dim from, and nothing
     # to pair — skip the subdivision branch; the joins below are empty
     if max_cluster_size is not None and max_cluster_size > 0 and cents:

@@ -140,13 +140,42 @@ def rule_flags(
     }
 
 
+RULE_FLAG_NAMES = (
+    "bad_length",
+    "bad_mean_len",
+    "bad_alpha",
+    "bad_symbols",
+    "bad_repetition",
+    "bad_top_bigram",
+)
+
+
 def apply_rules(
     df: DataFrame,
     text_col: str = "text",
     toks: Column | str | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Attach per-rule violation flags and the overall ``rules_pass``
-    verdict.  Map-only: fused into the scan, no shuffle, no Python."""
+    verdict.  Map-only either way: no shuffle, one corpus pass.
+
+    - ``impl="expr"`` (default): pure column expressions.  The battery
+      fuses into the scan, but the array rules run as INTERPRETED
+      higher-order lambdas (array_sort/aggregate/filter are not
+      codegen'd), ~0.2–0.4 s each per corpus pass at sf0.1 — measured
+      as 58% of the q55 funnel (BENCH_SCALING.md round-14 stage table).
+    - ``impl="arrow"``: one ``mapInArrow`` kernel computes all six
+      flags per batch with vectorized pyarrow/numpy (dictionary-encode
+      the flattened token child array once, then O(tokens) segment
+      arithmetic) — the documented Arrow-kernel exception (guide §4.2,
+      the ``cluster.py`` precedent).  Value-identical to the expr form
+      including null propagation and float comparison order
+      (equality-pinned in tests/test_rules_packing.py); every ratio is
+      a single IEEE division of exact integer counts, so there is no
+      FP-association drift between the two impls.
+    """
+    if impl == "arrow" and isinstance(text_col, str):
+        return _apply_rules_arrow(df, text_col, toks)
     flags = rule_flags(text_col, toks)
     out = df.withColumns(flags)
     verdict = None
@@ -156,10 +185,176 @@ def apply_rules(
     return out.withColumn("rules_pass", ~verdict)
 
 
+#: ASCII punctuation, exactly Java's non-UNICODE_CHARACTER_CLASS
+#: ``\p{Punct}`` (0x21-0x2F, 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E) — re2
+#: character-class form for the Arrow kernel
+_PUNCT_RE2 = r"[!-/:-@\[-`{-~]"
+#: a character that makes a token "alphabetic": anything outside
+#: digits / ASCII punct / Java ``\s`` (= [ \t\n\x0B\f\r]); mirrors
+#: ``alpha_token_fraction``'s ``[^0-9\p{Punct}\s]`` rlike exactly
+_ALPHA_RE2 = r"[^0-9!-/:-@\[-`{-~ \t\n\x0B\f\r]"
+
+
+def _apply_rules_arrow(
+    df: DataFrame, text_col: str, toks: Column | str | None
+) -> DataFrame:
+    """Arrow-batched rule battery (see :func:`apply_rules` ``impl="arrow"``).
+
+    Tokenization stays in the JVM (``text.tokens`` — regex-split parity
+    with the oracle is the JVM expression's contract); the kernel
+    consumes the token LIST column zero-copy (child values + offsets),
+    dictionary-encodes the flattened tokens ONCE (C++), and derives all
+    six per-document statistics from integer segment arithmetic:
+
+    - token count / mean length: cumsum of ``utf8_length`` over offsets;
+    - alpha fraction: cumsum of one vectorized re2 match over tokens;
+    - symbol ratio: ``count_substring_regex`` over the raw text column;
+    - distinct fraction / top-bigram: per-segment ``np.unique`` on the
+      dictionary codes (bigram = code[i]·V + code[i+1]; tokens cannot
+      contain whitespace, so code-pair identity == joined-string
+      identity).
+
+    Null parity with the expression form: null text/tokens yield null
+    flags (except ``bad_symbols``, whose ``coalesce(..., 0.0)`` makes it
+    False), and ``rules_pass`` follows three-valued OR.
+    """
+    from . import text as _text
+
+    tmp_tk = None
+    if toks is None:
+        tmp_tk = "__rules_tk"
+        df = df.withColumn(tmp_tk, _text.tokens(text_col))
+        tk_name = tmp_tk
+    elif isinstance(toks, str):
+        tk_name = toks
+    else:
+        tmp_tk = "__rules_tk"
+        df = df.withColumn(tmp_tk, toks)
+        tk_name = tmp_tk
+
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = (
+        in_fields
+        + ", "
+        + ", ".join(f"{n} boolean" for n in RULE_FLAG_NAMES)
+        + ", rules_pass boolean"
+    )
+    min_t, max_t = MIN_TOKENS, MAX_TOKENS
+    len_lo, len_hi = MEAN_LEN_LO, MEAN_LEN_HI
+    alpha_min, sym_max = ALPHA_MIN, SYMBOL_MAX
+    rep_max, bigram_max = REPEAT_MAX, TOP_BIGRAM_MAX
+    text_name, tk = text_col, tk_name
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            m = rb.num_rows
+            if m == 0:
+                continue
+            lst = rb.column(rb.schema.get_field_index(tk))
+            if isinstance(lst, pa.ChunkedArray):  # defensive; batches are flat
+                lst = lst.combine_chunks()
+            txt = rb.column(rb.schema.get_field_index(text_name))
+            tk_valid = lst.is_valid().to_numpy(zero_copy_only=False)
+            off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = lst.values
+            # one C++ pass each over the flattened tokens
+            tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            tok_alpha = pc.match_substring_regex(flat, _ALPHA_RE2).to_numpy(
+                zero_copy_only=False
+            )
+            codes_arr = pc.dictionary_encode(flat)
+            codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vocab = np.int64(len(codes_arr.dictionary))
+            cs_len = np.concatenate(
+                ([0], np.cumsum(tok_len.astype(np.int64)))
+            )
+            cs_alpha = np.concatenate(
+                ([0], np.cumsum(tok_alpha.astype(np.int64)))
+            )
+            # symbol ratio inputs (raw text column)
+            txt_valid = txt.is_valid().to_numpy(zero_copy_only=False)
+            n_sym = pc.count_substring_regex(txt, _PUNCT_RE2).to_numpy(
+                zero_copy_only=False
+            )
+            n_chr = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+
+            cols = {n: np.empty(m, dtype=object) for n in RULE_FLAG_NAMES}
+            rpass = np.empty(m, dtype=object)
+            for i in range(m):
+                # bad_symbols: coalesce(ratio, 0.0) > max — False on null
+                if txt_valid[i] and int(n_chr[i]) > 0:
+                    f_sym = (float(n_sym[i]) / float(n_chr[i])) > sym_max
+                else:
+                    f_sym = False
+                if not tk_valid[i]:
+                    # expr-path parity under legacy sizeOfNull (ansi
+                    # off): size(null) = -1, so bad_length is TRUE,
+                    # alpha = -1/-1 = 1.0 (False), repetition
+                    # 1.0 - (-1/-1) = 0.0 (False), top-bigram
+                    # 0/-1 = -0.0 (False); only mean_len stays null
+                    f_len, f_mean = True, None
+                    f_alpha = f_rep = f_big = False
+                else:
+                    # offsets are ABSOLUTE indices into lst.values (the
+                    # raw child), even for sliced arrays — verified
+                    s, e = int(off[i]), int(off[i + 1])
+                    n = e - s
+                    f_len = bool(n < min_t or n > max_t)
+                    if n == 0:
+                        f_mean = f_alpha = f_rep = f_big = None
+                    else:
+                        mean_len = (cs_len[e] - cs_len[s]) / n
+                        f_mean = not (len_lo <= mean_len <= len_hi)
+                        f_alpha = bool(
+                            ((cs_alpha[e] - cs_alpha[s]) / n) < alpha_min
+                        )
+                        seg = codes[s:e]
+                        f_rep = bool(
+                            (1.0 - (np.unique(seg).size / n)) > rep_max
+                        )
+                        if n >= 2:
+                            bg = seg[:-1] * vocab + seg[1:]
+                            mx = int(np.unique(bg, return_counts=True)[1].max())
+                        else:
+                            mx = 0
+                        f_big = bool(((mx * 2.0) / n) > bigram_max)
+                flags = (f_len, f_mean, f_alpha, f_sym, f_rep, f_big)
+                for nm, v in zip(RULE_FLAG_NAMES, flags):
+                    cols[nm][i] = v
+                # rules_pass = NOT (f1 OR ... OR f6), three-valued
+                if any(v is True for v in flags):
+                    rpass[i] = False
+                elif any(v is None for v in flags):
+                    rpass[i] = None
+                else:
+                    rpass[i] = True
+            arrays = list(rb.columns) + [
+                pa.array(cols[n], type=pa.bool_()) for n in RULE_FLAG_NAMES
+            ] + [pa.array(rpass, type=pa.bool_())]
+            names = list(rb.schema.names) + list(RULE_FLAG_NAMES) + [
+                "rules_pass"
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    out = df.mapInArrow(kernel, out_schema)
+    if tmp_tk is not None:
+        out = out.drop(tmp_tk)
+    return out
+
+
 def filter_by_rules(
     df: DataFrame,
     text_col: str = "text",
     toks: Column | str | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Keep only rule-passing documents (the curation gate form)."""
-    return apply_rules(df, text_col, toks).filter(col("rules_pass"))
+    return apply_rules(df, text_col, toks, impl=impl).filter(col("rules_pass"))

@@ -260,19 +260,25 @@ def bloom_probe(
 ) -> DataFrame:
     """Tag each probe row with ``bloom_hit`` (all k positions set — may
     include false positives, never false negatives).  Distributed form:
-    explode probe positions, inner-join the ≤m-row set-bit table
-    (broadcast — a Bloom filter is small by construction), count matched
-    positions per probe row == k.  No driver-side bitmask, no UDF."""
+    explode probe positions, LEFT-join the ≤m-row set-bit table
+    (broadcast — a Bloom filter is small by construction), then regroup
+    to one row per probe with ``count(matched) == k``.  No driver-side
+    bitmask, no UDF — and the probe lineage is consumed exactly ONCE
+    (the earlier inner-join + join-back form re-executed the whole
+    probe-side plan — scan, explode, distinct — a second time for the
+    join's left input; measured as q91's doubled corpus subtree).
+    Probe rows are keyed by their full column tuple, so duplicate probe
+    rows collapse to one output row — every in-repo consumer probes a
+    distinct frame (q91 probes distinct (source, gram) pairs)."""
     probe_pos = probes.select(
         "*", F.explode(bloom_positions(col(key), m, k, salt)).alias("pos")
     )
-    matched = probe_pos.join(F.broadcast(bloom), "pos").groupBy(
-        *probes.columns
-    ).agg(F.count("*").alias("n_matched"))
     return (
-        probes.join(matched, probes.columns, "left")
-        .withColumn("bloom_hit", F.coalesce(col("n_matched"), lit(0)) == k)
-        .drop("n_matched")
+        probe_pos.join(
+            F.broadcast(bloom.withColumn("__set", lit(1))), "pos", "left"
+        )
+        .groupBy(*probes.columns)
+        .agg((F.count("__set") == k).alias("bloom_hit"))
     )
 
 

@@ -75,6 +75,94 @@ def test_filter_by_rules_keeps_only_passing(spark):
     assert [r["doc_id"] for r in kept] == [1]
 
 
+def _rules_parity_frame(spark, sf_docs=None):
+    """Adversarial corpus for the arrow==expr equality pin: threshold
+    edges, CJK, null text, empty-ish docs, punctuation storms."""
+    rows = [
+        (1, " ".join(f"word{i}" for i in range(40))),          # clean pass
+        (2, "only three tokens"),                               # bad_length
+        (3, " ".join(["spam"] * 50)),                           # repetition + bigram
+        (4, " ".join([f"w{i}" for i in range(30)] + ["!?#"] * 10)),  # symbols
+        (5, " ".join(str(i) for i in range(1000, 1040))),       # alpha
+        (6, " ".join(f"的是{i}字" for i in range(40))),          # CJK passes
+        (7, " ".join("x" * 30 + str(i) for i in range(40))),    # mean len hi
+        (8, None),                                              # null text
+        (9, ""),                                                # '' -> [''] token
+        (10, "   "),                                            # ws-only -> ['','']-ish
+        (11, " ".join(["ab"] * 10 + [f"t{i}" for i in range(15)])),  # 25 toks, edge ratios
+        # exact-threshold mean length: 40 tokens of length exactly 2
+        (12, " ".join(["ab"] * 20 + [f"c{i}" for i in range(10, 30)])),
+        # top-bigram exactly at the 0.1 boundary: 40 tokens, max bigram count 2
+        (13, " ".join([f"u{i} v{i}" for i in range(19)] + ["u1 v1"])),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rules_arrow_impl_matches_expr(spark):
+    """The mapInArrow battery must be value-identical to the expression
+    battery — per-flag, including nulls and rules_pass 3VL."""
+    df = _rules_parity_frame(spark)
+    cols = ["doc_id", *rules.RULE_FLAG_NAMES, "rules_pass"]
+    a = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in rules.apply_rules(df, "text", impl="arrow").select(*cols).collect()
+    }
+    e = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in rules.apply_rules(df, "text", impl="expr").select(*cols).collect()
+    }
+    assert a == e
+
+
+def test_rules_arrow_impl_matches_expr_with_precomputed_toks(spark):
+    """Same pin through the q55/curation shape: tokens precomputed as a
+    column, extra passthrough columns preserved."""
+    from nyc_tlc_analytics_pipeline_spark.operators import text as T
+
+    df = _rules_parity_frame(spark).withColumn("tk", T.tokens("text")).withColumn(
+        "lang", F.lit("en")
+    )
+    cols = ["doc_id", "lang", *rules.RULE_FLAG_NAMES, "rules_pass"]
+    a = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in rules.apply_rules(df, "text", toks="tk", impl="arrow")
+        .select(*cols)
+        .collect()
+    }
+    e = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in rules.apply_rules(df, "text", toks="tk", impl="expr")
+        .select(*cols)
+        .collect()
+    }
+    assert a == e
+    # the token column itself must round-trip the kernel unchanged
+    tk_a = rules.apply_rules(df, "text", toks="tk", impl="arrow").select(
+        "doc_id", "tk"
+    ).collect()
+    tk_e = df.select("doc_id", "tk").collect()
+    assert sorted(map(tuple, tk_a)) == sorted(map(tuple, tk_e))
+
+
+def test_rules_arrow_impl_matches_expr_on_corpus(spark):
+    """Full-corpus equality at the smoke SF — the production pin."""
+    from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cols = ["doc_id", *rules.RULE_FLAG_NAMES, "rules_pass"]
+    a = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_rules(docs, "text", impl="arrow").select(*cols).collect()
+    )
+    e = sorted(
+        tuple(r[c] for c in cols)
+        for r in rules.apply_rules(docs, "text", impl="expr").select(*cols).collect()
+    )
+    assert a == e
+
+
 # -- decontam -------------------------------------------------------------
 
 
