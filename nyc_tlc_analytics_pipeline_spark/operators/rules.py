@@ -286,59 +286,116 @@ def _apply_rules_arrow(
             )
             n_chr = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
 
-            cols = {n: np.empty(m, dtype=object) for n in RULE_FLAG_NAMES}
-            rpass = np.empty(m, dtype=object)
-            for i in range(m):
-                # bad_symbols: coalesce(ratio, 0.0) > max — False on null
-                if txt_valid[i] and int(n_chr[i]) > 0:
-                    f_sym = (float(n_sym[i]) / float(n_chr[i])) > sym_max
-                else:
-                    f_sym = False
-                if not tk_valid[i]:
-                    # expr-path parity under legacy sizeOfNull (ansi
-                    # off): size(null) = -1, so bad_length is TRUE,
-                    # alpha = -1/-1 = 1.0 (False), repetition
-                    # 1.0 - (-1/-1) = 0.0 (False), top-bigram
-                    # 0/-1 = -0.0 (False); only mean_len stays null
-                    f_len, f_mean = True, None
-                    f_alpha = f_rep = f_big = False
-                else:
-                    # offsets are ABSOLUTE indices into lst.values (the
-                    # raw child), even for sliced arrays — verified
-                    s, e = int(off[i]), int(off[i + 1])
-                    n = e - s
-                    f_len = bool(n < min_t or n > max_t)
-                    if n == 0:
-                        f_mean = f_alpha = f_rep = f_big = None
+            # ---- fully vectorized per-row flags (no Python row loop) ----
+            # offsets are ABSOLUTE indices into lst.values (the raw
+            # child), even for sliced arrays — verified.  n per row:
+            n = off[1:] - off[:-1]
+            # null rows contribute nothing; their offset span is not
+            # guaranteed empty, so gather segments through an explicit
+            # index (contiguity across rows is then irrelevant)
+            n_eff = np.where(tk_valid, n, 0).astype(np.int64)
+            nonempty = tk_valid & (n > 0)
+            # segment sums from the cumsums at the row boundaries —
+            # same integer sums, same single IEEE division as the
+            # scalar form (parity-critical)
+            seg_len = cs_len[off[1:]] - cs_len[off[:-1]]
+            seg_alpha = cs_alpha[off[1:]] - cs_alpha[off[:-1]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean_len = seg_len / n
+                alpha_frac = seg_alpha / n
+                sym_ratio = n_sym.astype(np.float64) / n_chr.astype(
+                    np.float64
+                )
+
+            # bad_symbols: coalesce(ratio, 0.0) > max — False on null
+            f_sym = np.where(
+                txt_valid & (n_chr > 0), sym_ratio > sym_max, False
+            )
+            # expr-path parity under legacy sizeOfNull (ansi off):
+            # size(null) = -1, so bad_length is TRUE on null tokens,
+            # alpha = -1/-1 = 1.0 (False), repetition 0.0 (False),
+            # top-bigram -0.0 (False); only mean_len stays null
+            f_len = np.where(tk_valid, (n < min_t) | (n > max_t), True)
+            f_mean = np.where(
+                nonempty, ~((mean_len >= len_lo) & (mean_len <= len_hi)), False
+            )
+            f_alpha = np.where(nonempty, alpha_frac < alpha_min, False)
+
+            # distinct / top-bigram counts over ALL rows at once: gather
+            # every valid row's codes behind a row-id, then one global
+            # np.unique per statistic
+            starts = off[:-1]
+            cum = np.concatenate(([0], np.cumsum(n_eff)))
+            total = int(cum[-1])
+            gather = np.repeat(starts, n_eff) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum[:-1], n_eff)
+            )
+            codes_g = codes[gather]
+            row_ids = np.repeat(np.arange(m, dtype=np.int64), n_eff)
+            drow = np.zeros(m, dtype=np.int64)
+            mx = np.zeros(m, dtype=np.int64)
+            if total:
+                uniq_rows = np.unique(row_ids * vocab + codes_g) // vocab
+                drow += np.bincount(uniq_rows, minlength=m)
+                within = row_ids[1:] == row_ids[:-1]
+                if within.any():
+                    r = row_ids[1:][within]
+                    bg = codes_g[:-1][within] * vocab + codes_g[1:][within]
+                    # keyed unique needs m·vocab² < 2^63; fall back to a
+                    # lexsorted pair unique for pathological vocabularies
+                    if vocab > 0 and m * vocab * vocab < (1 << 62):
+                        uk, cnt = np.unique(
+                            r * (vocab * vocab) + bg, return_counts=True
+                        )
+                        rows_u = uk // (vocab * vocab)
                     else:
-                        mean_len = (cs_len[e] - cs_len[s]) / n
-                        f_mean = not (len_lo <= mean_len <= len_hi)
-                        f_alpha = bool(
-                            ((cs_alpha[e] - cs_alpha[s]) / n) < alpha_min
+                        order = np.lexsort((bg, r))
+                        rs, bs = r[order], bg[order]
+                        new = np.concatenate(
+                            ([True], (rs[1:] != rs[:-1]) | (bs[1:] != bs[:-1]))
                         )
-                        seg = codes[s:e]
-                        f_rep = bool(
-                            (1.0 - (np.unique(seg).size / n)) > rep_max
-                        )
-                        if n >= 2:
-                            bg = seg[:-1] * vocab + seg[1:]
-                            mx = int(np.unique(bg, return_counts=True)[1].max())
-                        else:
-                            mx = 0
-                        f_big = bool(((mx * 2.0) / n) > bigram_max)
-                flags = (f_len, f_mean, f_alpha, f_sym, f_rep, f_big)
-                for nm, v in zip(RULE_FLAG_NAMES, flags):
-                    cols[nm][i] = v
-                # rules_pass = NOT (f1 OR ... OR f6), three-valued
-                if any(v is True for v in flags):
-                    rpass[i] = False
-                elif any(v is None for v in flags):
-                    rpass[i] = None
-                else:
-                    rpass[i] = True
+                        idx = np.flatnonzero(new)
+                        cnt = np.diff(np.concatenate((idx, [len(rs)])))
+                        rows_u = rs[idx]
+                    np.maximum.at(mx, rows_u, cnt)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f_rep = np.where(nonempty, (1.0 - drow / n) > rep_max, False)
+                f_big = np.where(nonempty, (mx * 2.0) / n > bigram_max, False)
+
+            # null masks: mean is null when tokens are null OR empty;
+            # the other array stats only when non-null-but-empty
+            null_mean = ~nonempty
+            null_stats = tk_valid & (n == 0)
+            # rules_pass = NOT (f1 OR ... OR f6), three-valued OR
+            any_true = (
+                f_len
+                | (f_mean & ~null_mean)
+                | (f_alpha & ~null_stats)
+                | f_sym
+                | (f_rep & ~null_stats)
+                | (f_big & ~null_stats)
+            )
+            any_null = null_mean | null_stats
+            rp_null = ~any_true & any_null
+            rp = ~any_true
+
+            def _b(values, mask=None):
+                return pa.array(
+                    values.astype(bool),
+                    type=pa.bool_(),
+                    mask=None if mask is None else mask.astype(bool),
+                )
+
             arrays = list(rb.columns) + [
-                pa.array(cols[n], type=pa.bool_()) for n in RULE_FLAG_NAMES
-            ] + [pa.array(rpass, type=pa.bool_())]
+                _b(f_len),
+                _b(f_mean, null_mean),
+                _b(f_alpha, null_stats),
+                _b(f_sym),
+                _b(f_rep, null_stats),
+                _b(f_big, null_stats),
+                _b(rp, rp_null),
+            ]
             names = list(rb.schema.names) + list(RULE_FLAG_NAMES) + [
                 "rules_pass"
             ]
