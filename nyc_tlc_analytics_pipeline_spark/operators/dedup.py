@@ -713,14 +713,23 @@ def duplicated_span_stats(
         f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {n}))))"
     )
     pos = toks.select("doc", F.explode_outer(F.expr(gram_expr)).alias("gram"))
-    # pin once (core.pins rule): pos feeds two consumers (doc-frequency
-    # and the flagged semi-join probe) and the tokenize+explode lineage
-    # is the dominant cost (same fix as semdedup_pairs)
-    pos = pin(pos)
+    # ONE gram-keyed exchange for the whole operator (guide §2.4): both
+    # consumers of the position table — the doc-frequency aggregate and
+    # the probe side of the semi-join — need it hash-partitioned by
+    # gram, so shuffle it once BELOW the pin; the cached frame reports
+    # that partitioning and both the groupBy and the join plan with
+    # zero further exchanges of the position table (r14 measurement:
+    # the two independent gram-shuffles were the dominant q68 cost, not
+    # the interpreted gram-hash lambda, which is ~0.15 s/corpus pass)
+    pos = pin(pos.repartition("gram"))
+    # ≥2 distinct docs ⟺ min(doc) ≠ max(doc): a plain min/max hash
+    # aggregate with map-side partials, instead of count_distinct's
+    # expand + double aggregate (guide §2.3 — aggregate before you
+    # shuffle; the distinct machinery shuffled (gram, doc) pairs)
     dup_grams = (
         pos.groupBy("gram")
-        .agg(F.count_distinct("doc").alias("gram_docs"))
-        .filter(col("gram_docs") >= 2)
+        .agg((F.min("doc") != F.max("doc")).alias("__dup"))
+        .filter(col("__dup"))
         .select("gram")
     )
     flagged = pos.join(dup_grams, "gram", "left_semi").groupBy("doc").agg(
@@ -780,13 +789,24 @@ def remove_duplicated_spans(
     """
     keep_cols = keep_cols or []
     toks = tokenized_frame(df, id_col, text_col, keep_cols)
-    pos = pin(position_grams(toks, n))
-    dup_grams = (
-        pos.groupBy("gram")
-        .agg(F.count_distinct("doc").alias("gram_docs"))
-        .filter(col("gram_docs") >= min_df)
-        .select("gram")
-    )
+    # one gram-keyed exchange shared by the aggregate and the semi-join
+    # probe (guide §2.4) — see duplicated_span_stats for the measurement
+    pos = pin(position_grams(toks, n).repartition("gram"))
+    if min_df == 2:
+        # ≥2 distinct docs ⟺ min ≠ max — no count_distinct expand
+        dup_grams = (
+            pos.groupBy("gram")
+            .agg((F.min("doc") != F.max("doc")).alias("__dup"))
+            .filter(col("__dup"))
+            .select("gram")
+        )
+    else:
+        dup_grams = (
+            pos.groupBy("gram")
+            .agg(F.count_distinct("doc").alias("gram_docs"))
+            .filter(col("gram_docs") >= min_df)
+            .select("gram")
+        )
     starts = (
         pos.join(dup_grams, "gram", "left_semi")
         .groupBy("doc")
