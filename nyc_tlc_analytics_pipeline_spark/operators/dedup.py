@@ -242,11 +242,17 @@ def jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # verify on xxhash64'd shingle sets (same trade as
+    # minhash_dedup_pairs: the doc-keyed verify joins shuffle full
+    # per-doc arrays — 8-byte elements instead of shingle strings;
+    # n_common identical absent a 64-bit collision).  sz was computed
+    # on the string array and is unaffected.
+    hashed_sorted = F.transform(col("sh_sorted"), lambda s: F.xxhash64(s))
     fa = sorted_sh.select(
-        col("doc").alias("doc_a"), col("sh_sorted").alias("sh_a"), col("sz").alias("size_a")
+        col("doc").alias("doc_a"), hashed_sorted.alias("sh_a"), col("sz").alias("size_a")
     )
     fb = sorted_sh.select(
-        col("doc").alias("doc_b"), col("sh_sorted").alias("sh_b"), col("sz").alias("size_b")
+        col("doc").alias("doc_b"), hashed_sorted.alias("sh_b"), col("sz").alias("size_b")
     )
     inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     return (
@@ -400,11 +406,24 @@ def minhash_dedup_pairs(
     # projection re-ran three times (sigs + a-side + b-side).  pin()
     # keeps the builder plan-only (core.pins rule); compute-once happens
     # at first action via the cache manager.
-    per_doc = pin(doc_shingles(df, id_col, text_col, n))
+    # verify on xxhash64'd shingle sets: the two doc-keyed joins below
+    # shuffle every candidate doc's full shingle array, and an 8-byte
+    # element is ~3× narrower than the shingle string (guide §2.3 /
+    # §8 — move hashes, not payloads).  Intersection/union sizes are
+    # identical absent a 64-bit collision — the documented trade the
+    # position-gram operators already make — and the md5 SIGNATURE
+    # chain is untouched (its hex strings are the oracle-checked
+    # contract).  The hashed column lives INSIDE the pinned frame so
+    # the transform runs once at cache fill, not once per join side.
+    per_doc = pin(
+        doc_shingles(df, id_col, text_col, n).withColumn(
+            "sh_h", F.transform(col("sh"), lambda s: F.xxhash64(s))
+        )
+    )
     sigs = _signatures_from_shingles(per_doc, num_hashes, hash_mode)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    a = per_doc.select(col("doc").alias("doc_a"), col("sh").alias("sh_a"))
-    b = per_doc.select(col("doc").alias("doc_b"), col("sh").alias("sh_b"))
+    a = per_doc.select(col("doc").alias("doc_a"), col("sh_h").alias("sh_a"))
+    b = per_doc.select(col("doc").alias("doc_b"), col("sh_h").alias("sh_b"))
     inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     union = F.size(col("sh_a")) + F.size(col("sh_b")) - inter
     return (
@@ -1185,11 +1204,14 @@ def containment_pairs(
         )
         .distinct()
     )
+    # verify on xxhash64'd shingle sets (see jaccard_pairs — narrower
+    # verify-join shuffles, n_common identical absent a 64-bit collision)
+    hashed_sorted = F.transform(col("sh_sorted"), lambda s: F.xxhash64(s))
     fa = sorted_sh.select(
-        col("doc").alias("doc_a"), col("sh_sorted").alias("sh_a"), col("sz").alias("size_a")
+        col("doc").alias("doc_a"), hashed_sorted.alias("sh_a"), col("sz").alias("size_a")
     )
     fb = sorted_sh.select(
-        col("doc").alias("doc_b"), col("sh_sorted").alias("sh_b"), col("sz").alias("size_b")
+        col("doc").alias("doc_b"), hashed_sorted.alias("sh_b"), col("sz").alias("size_b")
     )
     return (
         cands.join(fa, "doc_a")
