@@ -12,9 +12,22 @@
 # Two accepted runs = an anchor pair.  Idle band for this host:
 # warm_total 26.4-28.9 s (r9/r11 anchors, calibration ~0.20-0.22).
 #
+# Round-14 findings (bench_runs/r14/, BENCH_SCALING.md):
+# 1. The single-thread md5 probe is BLIND to multi-core co-tenant
+#    load: an accepted run (all probes <= 0.234) measured warm 42.2 s
+#    with ingest at 392k rows/s (idle band ~900k), while a rejected
+#    run (one 0.2587 probe) measured 30.5 s at 753k.  Read every
+#    anchor's ingest_rows_per_sec as the free 32-core canary before
+#    trusting its warm total; the genuinely idle accepted run of the
+#    pair shows both signals clean (27.9 s, ingest 895k).
+# 2. Every attempt is now RETAINED (attempts/att_<ts>.json), accepted
+#    or not: rejected runs are evidence too, and the per-query MIN
+#    over all attempts (scripts/bench_min.py) is the defensible
+#    estimator of unloaded cost under one-sided noise.
+#
 #   bash scripts/bench_anchor.sh /tmp/anchors
 OUT=${1:-/tmp/anchors}
-mkdir -p "$OUT"
+mkdir -p "$OUT" "$OUT/attempts"
 GOOD=0
 for i in $(seq 1 200); do
   CAL=$(python - <<'PYEOF'
@@ -30,6 +43,8 @@ PYEOF
   if [ "$(python -c "print(1 if $CAL <= 0.245 else 0)")" = "1" ]; then
     F="$OUT/anchor_$((GOOD+1)).json"
     python bench.py > "$F" 2>"${F%.json}.err"
+    # retain the attempt whether or not the gate accepts it
+    cp "$F" "$OUT/attempts/att_$(date +%Y%m%d_%H%M%S).json" 2>/dev/null
     ACCEPT=$(python - "$F" <<'PYEOF'
 import json, sys
 try:
