@@ -19,9 +19,18 @@ while the BENCHMARK side is tiny (thousands of eval examples):
 - contaminated doc ids come out of a distinct on (doc_id), which
   shuffles only the (tiny) matching subset.
 
-Hashing the grams (md5/xxhash64) before the join would shrink the
-broadcast further at equal semantics; kept as plain strings here so the
-DuckDB oracle is a literal re-statement.
+The document-level gate (:func:`flag_contaminated` /
+:func:`decontaminate`) joins on ``xxhash64`` gram VALUES rather than
+gram strings (r15, guide §2.3 — narrower join keys): a 4-gram string is
+~25-30 bytes while the hash is 8, so the broadcast hash relation, the
+corpus-side explode payload and the probe comparisons all shrink ~3×.
+Flag results are identical absent a 64-bit hash collision between a
+corpus gram and a DIFFERENT benchmark gram — the same documented trade
+the position-gram span operators (``dedup.position_grams``) and the r14
+hashed-verify joins already make; the oracle checks stay green because
+collisions at test scale are ~0 (and any collision only ever flags a
+strict superset — false positives, never false negatives — matching
+the Bloom-style decontam posture of production pipelines).
 """
 
 from __future__ import annotations
@@ -71,10 +80,42 @@ def word_ngrams(
     )
 
 
+def word_ngram_hashes(
+    text_col: Column | str, n: int, toks: Column | None = None
+) -> Column:
+    """Distinct ``xxhash64`` values of the word n-grams of
+    :func:`word_ngrams` — the 8-byte join-key form (guide §2.3): the
+    hash is applied INSIDE the gram transform, so the ~25-30-byte gram
+    strings never become array elements, explode payloads or join keys;
+    only longs do.  ``array_distinct`` over the hashes equals distinct
+    over the strings absent a 64-bit collision (module docstring)."""
+    if toks is None:
+        toks = text.tokens(text_col)
+    k = F.size(toks)
+    n_grams = F.greatest(k - lit(n - 1), lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(lit(1), n_grams),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, lit(n)))),
+        )
+    )
+
+
 def benchmark_grams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """The benchmark's distinct n-gram set (small; broadcast at the join)."""
     return (
         bench.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def benchmark_gram_hashes(
+    bench: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """The benchmark's distinct gram-HASH set (8-byte rows; ~3× smaller
+    broadcast than the string form of :func:`benchmark_grams`)."""
+    return (
+        bench.select(F.explode(word_ngram_hashes(text_col, n)).alias("gram"))
         .distinct()
     )
 
@@ -89,19 +130,25 @@ def flag_contaminated(
 ) -> DataFrame:
     """Ids of corpus documents sharing ≥ 1 word n-gram with the benchmark.
 
-    The corpus is exploded to (id, gram) and semi-joined against the
-    broadcast benchmark gram set — corpus rows never shuffle.
-    ``toks_col``: optional pre-computed token-array column on the CORPUS
-    side (tokenize-once pipelines; the tiny benchmark side always
-    tokenizes from ``text_col``).  The gram set broadcasts while the
-    benchmark's size estimate stays under the cap; beyond it the semi
-    join takes a gram-keyed sort-merge instead of OOMing executors."""
-    grams = _bench_side(bench)(benchmark_grams(bench, n, text_col))
+    The corpus is exploded to (id, gram-hash) and semi-joined against
+    the broadcast benchmark gram-hash set — corpus rows never shuffle,
+    and both the explode payload and the broadcast probe carry 8-byte
+    ``xxhash64`` values instead of gram strings (module docstring: flag
+    set identical absent a 64-bit collision, and any collision only
+    over-flags).  ``toks_col``: optional pre-computed token-array column
+    on the CORPUS side (tokenize-once pipelines; the tiny benchmark side
+    always tokenizes from ``text_col``).  The gram set broadcasts while
+    the benchmark's size estimate stays under the cap; beyond it the
+    semi join takes a gram-keyed sort-merge instead of OOMing
+    executors."""
+    grams = _bench_side(bench)(benchmark_gram_hashes(bench, n, text_col))
     corpus_toks = col(toks_col) if toks_col is not None else None
     return (
         corpus.select(
             col(id_col),
-            F.explode(word_ngrams(text_col, n, toks=corpus_toks)).alias("gram"),
+            F.explode(word_ngram_hashes(text_col, n, toks=corpus_toks)).alias(
+                "gram"
+            ),
         )
         .join(grams, "gram", "left_semi")
         .select(id_col)

@@ -175,10 +175,24 @@ def jaccard_pairs(
     # (test_jaccard_strategy_probe_runs_no_spark_job), and on this Spark
     # build even a lazy localCheckpoint fires one; the cache manager
     # computes the pinned frame once at first action instead.
-    per_doc = pin(doc_shingles(df, id_col, text_col, n))
+    # every downstream join/groupBy keys on xxhash64'd shingles (8-byte
+    # longs) instead of shingle strings (r15, guide §2.3 — narrower keys
+    # through EVERY exchange, extending the r14 hashed-verify trade to
+    # candidate generation): document-frequency ranking, the prefix
+    # self-join and the exact verify all produce identical results
+    # absent a 64-bit collision, and the global (df, hash) prefix order
+    # is a valid total order, so the Bayardo prefix-filter guarantee —
+    # every pair with J >= t shares a prefix element — holds unchanged.
+    # The hashed column lives INSIDE the pin so it is computed once at
+    # cache fill.
+    per_doc = pin(
+        doc_shingles(df, id_col, text_col, n).withColumn(
+            "sh_h", F.transform(col("sh"), lambda s: F.xxhash64(s))
+        )
+    )
     sizes = per_doc.select("doc", F.size("sh").alias("n_shingles"))
     if not prefix_filter:
-        sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
+        sh = per_doc.select("doc", F.explode_outer("sh_h").alias("shingle"))
         a = sh.select(col("doc").alias("doc_a"), "shingle")
         b = sh.select(col("doc").alias("doc_b"), "shingle")
         inter = (
@@ -200,7 +214,7 @@ def jaccard_pairs(
             .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
         )
 
-    sh = per_doc.select("doc", F.explode_outer("sh").alias("shingle"))
+    sh = per_doc.select("doc", F.explode_outer("sh_h").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
     # NOTHING in this branch may broadcast: it only engages at >= 16 MB
     # of input, where dfreq (vocab-sized), the exploded prefix frames
@@ -242,17 +256,17 @@ def jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify on xxhash64'd shingle sets (same trade as
+    # verify on the hashed shingle sets (same trade as
     # minhash_dedup_pairs: the doc-keyed verify joins shuffle full
     # per-doc arrays — 8-byte elements instead of shingle strings;
-    # n_common identical absent a 64-bit collision).  sz was computed
-    # on the string array and is unaffected.
-    hashed_sorted = F.transform(col("sh_sorted"), lambda s: F.xxhash64(s))
+    # n_common identical absent a 64-bit collision).  sh_sorted is
+    # already the hashed form, so no re-hash projection is needed; sz
+    # counts array elements and is unaffected by hashing.
     fa = sorted_sh.select(
-        col("doc").alias("doc_a"), hashed_sorted.alias("sh_a"), col("sz").alias("size_a")
+        col("doc").alias("doc_a"), col("sh_sorted").alias("sh_a"), col("sz").alias("size_a")
     )
     fb = sorted_sh.select(
-        col("doc").alias("doc_b"), hashed_sorted.alias("sh_b"), col("sz").alias("size_b")
+        col("doc").alias("doc_b"), col("sh_sorted").alias("sh_b"), col("sz").alias("size_b")
     )
     inter = F.size(F.array_intersect(col("sh_a"), col("sh_b")))
     return (
@@ -363,6 +377,42 @@ def banded_buckets(
     ).select("doc", col("bb.band").alias("band"), col("bb.bucket").alias("bucket"))
 
 
+def banded_bucket_keys(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc, bb) band-bucket table in the 8-byte JOIN-KEY form:
+    ``bb = xxhash64(band, band-slice-csv)`` — one long instead of the
+    (band int, 32-hex-char md5) pair of :func:`banded_buckets` (which
+    stays the PERSISTABLE index contract for the incremental operators).
+    A row here is 16 bytes vs ~50, so the candidate self-join's two
+    shuffles carry ~3× fewer bytes (guide §2.3); bucket membership is
+    identical absent a 64-bit collision between two DIFFERENT
+    (band, slice) keys, and any collision only merges two buckets —
+    extra candidate pairs, which exact verification rejects (the
+    module's standard documented trade, here with zero effect on
+    verified outputs)."""
+    return signatures.select(
+        "doc",
+        F.explode_outer(  # outer: skip InferFiltersFromGenerate re-evaluation
+            F.transform(
+                F.sequence(lit(0), lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -370,14 +420,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and emit pairs sharing any band bucket.
 
-    Bucket key = (band index, md5 of the band slice) → equi-join on the
-    bucket key; distinct pairs. Probability a pair with Jaccard s collides:
-    1 − (1 − s^rows)^bands (the standard S-curve)."""
-    banded = banded_buckets(signatures, bands, rows_per_band)
-    a = banded.select(col("doc").alias("doc_a"), "band", "bucket")
-    b = banded.select(col("doc").alias("doc_b"), "band", "bucket")
+    Bucket key = xxhash64(band index, band slice csv) → equi-join on
+    the 8-byte key (``banded_bucket_keys``; same buckets as the md5
+    ``banded_buckets`` index absent a 64-bit collision).  Probability a
+    pair with Jaccard s collides: 1 − (1 − s^rows)^bands (the standard
+    S-curve)."""
+    banded = banded_bucket_keys(signatures, bands, rows_per_band)
+    a = banded.select(col("doc").alias("doc_a"), "bb")
+    b = banded.select(col("doc").alias("doc_b"), "bb")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, "bb")
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

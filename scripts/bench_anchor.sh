@@ -58,10 +58,18 @@ try:
         # silently reverting to endpoint-only acceptance
         and mid is not None
         and mid <= 0.25
+        # 32-core canary (VERDICT r14 item 7 / round-14 finding 1: the
+        # single-thread md5 probe is blind to multi-core co-tenant
+        # load): reject when the in-run ingest leg measures below 70%
+        # of the committed idle band (~895-941k rows/s on this host —
+        # the gate-accepted-but-contended 42.2 s run read 392k).  A
+        # missing field (old bench.py) fails the gate.
+        and (d.get("ingest_rows_per_sec") or 0) >= 630000
     )
     print(1 if ok and d.get("warm_total", -1) > 0 else 0)
     print(f"pre={d.get('calibration_pre')} post={d.get('calibration')} "
-          f"mid_max={mid} warm={d.get('warm_total')}", file=sys.stderr)
+          f"mid_max={mid} ingest={d.get('ingest_rows_per_sec')} "
+          f"warm={d.get('warm_total')}", file=sys.stderr)
 except Exception:
     print(0)
 PYEOF
@@ -70,6 +78,10 @@ PYEOF
     if [ "$ACCEPT" = "1" ]; then
       GOOD=$((GOOD+1))
       [ "$GOOD" -ge 2 ] && break
+    else
+      # a rejected run must never sit at an accepted-looking anchor_N
+      # path (ADVICE r14): the attempts/ copy above is its evidence
+      rm -f "$F"
     fi
   fi
   sleep 120

@@ -15,9 +15,11 @@ ever ADDS time), with every run's calibrations kept as provenance.
 Usage:
     python scripts/bench_min.py /tmp/anchors_r14s2/attempts/*.json
 
-Prints one JSON line: per-query min cold/warm (with the source file of
-each min), min-total (sum of per-query warm mins), plus the per-run
-summary table (warm_total, endpoints, mid-max, ingest) for provenance.
+Prints one JSON line: per-query cold and warm minimums (with the source
+file of each min), min-total (sum of per-query warm mins), plus the
+per-run summary table (warm_total, endpoints, mid-max, ingest) for
+provenance.  Paths are emitted relative to the current directory so
+committed aggregates stay portable across checkouts.
 This is a REPORTING tool over honest runs — every input run computed
 every query from parquet under the bench.py protocol; nothing here
 re-times or caches anything.
@@ -26,7 +28,17 @@ re-times or caches anything.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+
+def _rel(path: str | None) -> str | None:
+    """Repo-portable provenance paths (ADVICE r14): relative when the
+    file sits under the current directory, unchanged otherwise."""
+    if path is None:
+        return None
+    rp = os.path.relpath(path)
+    return path if rp.startswith("..") else rp
 
 
 def main() -> int:
@@ -53,18 +65,25 @@ def main() -> int:
         best_w = min(
             ((d["queries_warm"][q], f) for f, d in runs if q in d["queries_warm"]),
         )
+        # tolerate runs with queries_warm but no queries key (ADVICE r14:
+        # one malformed attempt must not abort the whole aggregation)
         best_c = min(
-            ((d["queries"].get(q), f) for f, d in runs if d["queries"].get(q) is not None),
+            (
+                (d.get("queries", {}).get(q), f)
+                for f, d in runs
+                if d.get("queries", {}).get(q) is not None
+            ),
             default=(None, None),
         )
         out_q[q] = {
             "warm_min": best_w[0],
             "warm_src": best_w[1],
             "cold_min": best_c[0],
+            "cold_src": best_c[1],
         }
     summary = [
         {
-            "file": f,
+            "file": _rel(f),
             "warm_total": d.get("warm_total"),
             "cold_total": d.get("value"),
             "calibration_pre": d.get("calibration_pre"),
@@ -82,7 +101,9 @@ def main() -> int:
                     sum(v["warm_min"] for v in out_q.values()), 3
                 ),
                 "queries_warm_min": {q: v["warm_min"] for q, v in out_q.items()},
-                "warm_min_sources": {q: v["warm_src"] for q, v in out_q.items()},
+                "warm_min_sources": {q: _rel(v["warm_src"]) for q, v in out_q.items()},
+                "queries_cold_min": {q: v["cold_min"] for q, v in out_q.items()},
+                "cold_min_sources": {q: _rel(v["cold_src"]) for q, v in out_q.items()},
                 "runs": summary,
             }
         )
