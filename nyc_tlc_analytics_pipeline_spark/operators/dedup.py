@@ -860,9 +860,19 @@ def remove_duplicated_spans(
     """
     keep_cols = keep_cols or []
     toks = tokenized_frame(df, id_col, text_col, keep_cols)
-    # one gram-keyed exchange shared by the aggregate and the semi-join
-    # probe (guide §2.4) — see duplicated_span_stats for the measurement
-    pos = pin(position_grams(toks, n).repartition("gram"))
+    # r15 (VERDICT r14 item 3): the r14 `repartition("gram")` below this
+    # pin was REMOVED — on this Spark build a cached plan's output
+    # partitioning is invisible to consumers (OPTIMIZATION_r14 residual
+    # #2: the aggregate and the semi-join probe each get an
+    # ENSURE_REQUIREMENTS exchange above the cache regardless), so the
+    # explicit repartition paid one extra full position-table exchange
+    # at pin fill — inside every cold window — and saved nothing.  An
+    # interleaved A/B at sf0.1 measured the removal neutral-to-better
+    # (warm medians ~2.7 both ways; the fill exchange only bites cold).
+    # duplicated_span_stats keeps its shared exchange: the driver's r14
+    # run measured q68 improved with it, and on a Spark build where
+    # cached partitioning is visible it saves both downstream shuffles.
+    pos = pin(position_grams(toks, n))
     if min_df == 2:
         # ≥2 distinct docs ⟺ min ≠ max — no count_distinct expand
         dup_grams = (

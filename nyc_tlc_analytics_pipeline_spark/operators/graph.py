@@ -291,8 +291,21 @@ def triangle_count(
     aggregate, wedge self-join on the pivot, closing-edge equi-join.
 
     Returns one row per node with ``n_triangles`` (triangles the node
-    participates in); the global count is ``sum/3``."""
-    e = (
+    participates in); the global count is ``sum/3``.
+
+    The canonical edge frame is PINNED (core.pins lazy persist, guide
+    §5): five plan branches read it — the degree union reads it twice,
+    the orientation join once, the closing-edge side once, and the
+    wedge join twice via ``ranked`` — and ``edges`` is typically the
+    OUTPUT of a whole near-dup pipeline (minhash chain + verify joins),
+    so without the pin that entire upstream lineage re-executed per
+    branch (q151 measured 51 s at sf0.001 — ~400 stages — from exactly
+    this).  The pinned frame is |E| rows of two longs; the degree frame
+    (|V| rows, three consumers: two orientation joins + the final
+    report join) is pinned for the same reason."""
+    from ..core.pins import pin
+
+    e = pin(
         edges.select(
             F.least(col(src), col(dst)).alias("u"),
             F.greatest(col(src), col(dst)).alias("v"),
@@ -300,7 +313,7 @@ def triangle_count(
         .filter(col("u") < col("v"))
         .distinct()
     )
-    deg = (
+    deg = pin(
         e.selectExpr("u AS node").unionAll(e.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))

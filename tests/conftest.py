@@ -43,6 +43,65 @@ def duck_smoke():
     con.close()
 
 
+@pytest.fixture(scope="session")
+def curate_base(spark, tmp_path_factory):
+    """(docs_path, out_dir) of ONE completed default-parameter CurateJob
+    over the SF_SMOKE documents.
+
+    Five tests exercised INCREMENTAL/recovery behavior on top of "a
+    completed base run" and each paid the full ~30-50 s base pipeline
+    again (~3 min of the suite; part of VERDICT r14 item 2's truncation
+    budget).  The base run is identical in every one of them — only the
+    increments differ — so it runs once here; consumers take
+    ``curate_job_copy`` below for a private mutable copy."""
+    import os
+
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+
+    docs = os.path.join(SF_SMOKE, "documents.parquet")
+    out = str(tmp_path_factory.mktemp("curate_base") / "out")
+    CurateJob(spark, docs, out).run()
+    return docs, out
+
+
+@pytest.fixture()
+def curate_job_copy(curate_base, tmp_path, spark):
+    """A fresh CurateJob over a PRIVATE copy of the completed base run
+    (output dirs are a few MB at SF_SMOKE, so the copy is ~instant).
+    Mutations — incremental appends, slice deletions, journal edits —
+    never couple tests."""
+    import shutil
+
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+
+    docs, out = curate_base
+    dst = str(tmp_path / "out")
+    shutil.copytree(out, dst)
+    return CurateJob(spark, docs, dst)
+
+
+@pytest.fixture(scope="session")
+def catalog_plans(spark):
+    """name -> (executedPlan, optimizedPlan) strings for EVERY catalog
+    query at SF_SMOKE, built in ONE pass.
+
+    The two catalog-wide plan audits (plan-lint anti-patterns and the
+    cartesian gate) each cost a full 187-query planning sweep (~170 s
+    apiece — the top two entries of the suite's duration profile, and
+    the proximate cause of the driver-side pytest truncation in
+    VERIFY_r14).  Planning is driver-side and launches no jobs, so one
+    shared pass serves both tests byte-identically; pin registrations
+    made while building are NOT released mid-pass, matching the
+    behavior both tests had when they looped the catalog themselves."""
+    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
+
+    out = {}
+    for name, spec in QUERIES.items():
+        qe = spec.build(spark, SF_SMOKE)._jdf.queryExecution()
+        out[name] = (qe.executedPlan().toString(), qe.optimizedPlan().toString())
+    return out
+
+
 def _strict_cell(v):
     """Dtype-tagged canonical cell value.
 
@@ -124,11 +183,30 @@ def _native_key(rows, columns):
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
-    spark_pdf = spark_df.toPandas()
-    spark_native = [tuple(r) for r in spark_df.collect()]
-    cur = duck_con.execute(oracle_sql_text)
-    duck_native = cur.fetchall()
-    duck_pdf = duck_con.execute(oracle_sql_text).fetchdf()
+    # The four fetches are unchanged (toPandas + collect on the Spark
+    # side for the dtype-tagged and NULL/NaN-exact keys; fetchall +
+    # fetchdf on the DuckDB side) but OVERLAPPED: the two Spark actions
+    # run as concurrent jobs (guide §2.6 — the scheduler interleaves
+    # them) and the DuckDB thread runs beside them (each engine's calls
+    # stay serialized within its own thread).  This halves the parity
+    # suite's per-test wall-clock without weakening any comparison —
+    # part of VERDICT r14 item 2 (the suite outgrew the driver budget).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _duck():
+        cur = duck_con.execute(oracle_sql_text)
+        native = cur.fetchall()
+        desc = [d[0] for d in cur.description]
+        pdf = duck_con.execute(oracle_sql_text).fetchdf()
+        return native, desc, pdf
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_pdf = pool.submit(spark_df.toPandas)
+        f_nat = pool.submit(lambda: [tuple(r) for r in spark_df.collect()])
+        f_duck = pool.submit(_duck)
+        spark_pdf = f_pdf.result()
+        spark_native = f_nat.result()
+        duck_native, duck_desc, duck_pdf = f_duck.result()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"duck={sorted(duck_pdf.columns)}"
@@ -145,7 +223,7 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql_text, name=""):
     mismatches = [(a, b) for a, b in zip(sk, dk) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
     snk = _native_key(spark_native, list(spark_df.columns))
-    dnk = _native_key(duck_native, [d[0] for d in cur.description])
+    dnk = _native_key(duck_native, duck_desc)
     native_mismatches = [(a, b) for a, b in zip(snk, dnk) if a != b]
     assert not native_mismatches, (
         f"{name}: native (NULL/NaN-exact) value mismatches: "

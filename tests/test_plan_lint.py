@@ -16,21 +16,11 @@ plan_lint = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(plan_lint)
 
 
-def test_no_new_scale_antipatterns_in_catalog(spark):
+def test_no_new_scale_antipatterns_in_catalog(catalog_plans):
     import re
 
-    from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
-
-    from .conftest import SF_SMOKE
-
     bad = []
-    for name, spec in QUERIES.items():
-        plan = (
-            spec.build(spark, SF_SMOKE)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+    for name, (plan, _) in catalog_plans.items():
         findings = []
         for s in re.findall(r"windowspecdefinition\((.*?)\) AS ", plan):
             head = s.split("specifiedwindowframe")[0]

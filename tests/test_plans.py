@@ -69,7 +69,7 @@ def test_whole_stage_codegen_everywhere_hot(spark):
         assert "*(" in plan, name
 
 
-def test_no_cartesian_products_in_catalog(spark):
+def test_no_cartesian_products_in_catalog(catalog_plans):
     # intentional 1-row broadcast cross joins (scalar-aggregate folding):
     # q14 global quartiles, q63 PageRank dangling-mass term — both sides
     # provably 1 row, so the "cross" join is a broadcast of one scalar.
@@ -123,8 +123,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "q178_shard_balance_audit",  # 1-row id-bounds broadcast onto the scan + S-row spine x 3-strategy VALUES
         "q179_ingestion_control_chart",  # 1-row reference-window stats onto the |days| frame
     }
-    for name, spec in QUERIES.items():
-        plan = _optimized(spec.build(spark, SF_SMOKE))
+    for name, (_, plan) in catalog_plans.items():
         if name in scalar_cross_ok:
             continue
         assert "Join Cross" not in plan, name

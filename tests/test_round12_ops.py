@@ -251,7 +251,7 @@ def test_jaccard_prefix_branch_never_broadcasts(spark, docs):
     assert pref == naive and len(pref) >= 5
 
 
-def test_curate_incremental_batch(spark, tmp_path):
+def test_curate_incremental_batch(spark, tmp_path, curate_job_copy):
     """The incremental face: after a completed run, a batch containing
     (a) exact copies of standing docs, (b) genuinely new docs, and
     (c) an in-batch duplicate pair classifies each correctly, appends
@@ -259,9 +259,7 @@ def test_curate_incremental_batch(spark, tmp_path):
     no-op with identical outputs (idempotent increments)."""
     from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
 
-    out = str(tmp_path / "out")
-    job = CurateJob(spark, _docs_parquet(), out)
-    job.run()
+    job = curate_job_copy  # completed base run (session fixture copy)
     final = spark.read.parquet(job.path("final"))
     # build the batch from two standing docs (verbatim copies) + two
     # fresh docs (one duplicated in-batch, shingle-disjoint vocab)

@@ -20,20 +20,12 @@ def _mk_batch(spark, tmp_path, name, rows):
     return p
 
 
-def test_curate_incremental_multi_batch(spark, tmp_path):
+def test_curate_incremental_multi_batch(spark, tmp_path, curate_job_copy):
     """Batch 2 repeating batch 1's novel content must classify it
     duplicate_corpus (the standing pool now includes increment b1) and
     append nothing for it — the append-only-novel contract across
     increments; a genuinely new doc in batch 2 still lands."""
-    import os
-
-    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
-
-    out = str(tmp_path / "out")
-    job = CurateJob(
-        spark, os.path.join(SF_SMOKE, "documents.parquet"), out
-    )
-    job.run()
+    job = curate_job_copy  # completed base run (session fixture copy)
     final = spark.read.parquet(job.path("final"))
     standing_rows = final.orderBy("doc_id").limit(8).collect()
 
@@ -174,7 +166,9 @@ def test_q187_conservation(spark):
     }
 
 
-def test_streaming_curate_matches_sequential_batches(spark, tmp_path):
+def test_streaming_curate_matches_sequential_batches(
+    spark, tmp_path, curate_base
+):
     """The streaming curation face == the sequential run_incremental
     chain on the same ordered batches: identical per-doc stage
     attribution, identical appended-doc sets, and a same-checkpoint
@@ -190,9 +184,9 @@ def test_streaming_curate_matches_sequential_batches(spark, tmp_path):
         run_streaming_curate,
     )
 
-    docs_path = os.path.join(SF_SMOKE, "documents.parquet")
-    base_out = str(tmp_path / "base")
-    CurateJob(spark, docs_path, base_out).run()
+    # the streaming face only READS the completed base run; the
+    # sequential twin below copies it before mutating
+    docs_path, base_out = curate_base
     final = spark.read.parquet(os.path.join(base_out, "final"))
     rows = final.orderBy("doc_id").limit(8).collect()
 

@@ -45,16 +45,12 @@ def _splice(standing_rows, a, b, c):
     )
 
 
-def test_missing_increment_slices_self_heal(spark, tmp_path):
+def test_missing_increment_slices_self_heal(spark, tmp_path, curate_job_copy):
     """Delete b1's band/segidx slices after it completed; batch 2
     repeating b1's novel content must STILL classify duplicate_corpus
     (pre-fix: the missing slices were silently skipped while the pool
     counted b1 as standing → the duplicate re-appended)."""
-    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
-
-    out = str(tmp_path / "out")
-    job = CurateJob(spark, os.path.join(SF_SMOKE, "documents.parquet"), out)
-    job.run()
+    job = curate_job_copy  # completed base run (session fixture copy)
     standing_rows = (
         spark.read.parquet(job.path("final")).orderBy("doc_id").limit(8)
         .collect()
@@ -84,17 +80,13 @@ def test_missing_increment_slices_self_heal(spark, tmp_path):
     )
 
 
-def test_legacy_path_same_fixed_model_as_indexed(spark, tmp_path):
+def test_legacy_path_same_fixed_model_as_indexed(spark, tmp_path, curate_job_copy):
     """Indexed run vs index-less copy of the SAME run state: one batch
     must get identical per-document gate attribution — the legacy path
     now fixes the bigram model on base `final` exactly like the indexed
     path (pre-fix it scored against the drifting final ∪ increments
     union)."""
-    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
-
-    out = str(tmp_path / "out")
-    job = CurateJob(spark, os.path.join(SF_SMOKE, "documents.parquet"), out)
-    job.run()
+    job = curate_job_copy  # completed base run (session fixture copy)
     standing_rows = (
         spark.read.parquet(job.path("final")).orderBy("doc_id").limit(8)
         .collect()
@@ -103,8 +95,10 @@ def test_legacy_path_same_fixed_model_as_indexed(spark, tmp_path):
                    [(910001, "web", "en", _splice(standing_rows, 2, 3, 4))])
     job.run_incremental(b1, batch_tag="b1")
 
+    from nyc_tlc_analytics_pipeline_spark.curate import CurateJob
+
     out2 = str(tmp_path / "out2")
-    shutil.copytree(out, out2)
+    shutil.copytree(job.out_dir, out2)
     shutil.rmtree(os.path.join(out2, "index"))
     job2 = CurateJob(
         spark, os.path.join(SF_SMOKE, "documents.parquet"), out2
