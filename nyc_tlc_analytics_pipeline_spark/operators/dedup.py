@@ -76,9 +76,14 @@ def shingles(text_col: str, n: int = 3) -> Column:
 def parallelize_input(df: DataFrame) -> DataFrame:
     """Guarantee enough splits for expression-heavy map stages: a small
     single-row-group parquet source arrives as ONE partition and would
-    serialize the whole stage onto one core.  No-op on well-split input."""
+    serialize the whole stage onto one core.  No-op on well-split input.
+    The split probe is memoized per (session, analyzed plan) —
+    core.nparts — because the raw ``df.rdd.getNumPartitions()`` costs a
+    plan→RDD conversion per call (~0.1–0.3 s of driver time)."""
+    from ..core.nparts import plan_num_partitions
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if plan_num_partitions(df) < max(2, target // 2):
         df = df.repartition(target)
     return df
 

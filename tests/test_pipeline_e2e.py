@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from .conftest import full_tier
+
 from nyc_tlc_analytics_pipeline_spark.core.config import PipelineConfig
 from nyc_tlc_analytics_pipeline_spark.pipeline import TlcPipeline
 
@@ -205,6 +207,7 @@ def test_manifest_bronze_is_default_e2e(spark, landing, tmp_path):
     assert "source_file" in p.raw("yellow").columns
 
 
+@full_tier
 def test_partition_bronze_opt_in_e2e(spark, landing, tmp_path):
     """The partition layout stays available as the single-writer,
     zero-metadata escape hatch."""

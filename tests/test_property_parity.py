@@ -17,6 +17,7 @@ from datetime import datetime, timedelta
 
 import duckdb
 import pytest
+from .conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -37,7 +38,7 @@ money = st.decimals(
 ).map(float)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(finite_doubles, min_size=1, max_size=50))
 def test_nudged_round_agrees_across_engines(spark, values):
     from nyc_tlc_analytics_pipeline_spark.functions.scalar import rnd
@@ -80,7 +81,7 @@ def yellow_rows(draw):
     }
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(yellow_rows(), min_size=1, max_size=30))
 def test_standardize_formulas_match_duckdb_for_arbitrary_rows(spark, rows):
     import pandas as pd

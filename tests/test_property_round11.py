@@ -6,6 +6,7 @@ per-key event times."""
 
 from __future__ import annotations
 
+from .conftest import prop_examples
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -31,7 +32,7 @@ def _py_est(pa: int, pb: int, k: int, b: int) -> float:
     return (matches / k - r) / (1.0 - r)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(rows=_sigs, b=st.sampled_from([1, 2, 3]))
 def test_bbit_pack_and_estimate_match_python_twin(spark, rows, b):
     """Spark's packed longs and pairwise estimates equal an independent
@@ -96,7 +97,7 @@ _events = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(lrows=_events, rrows=_events)
 def test_asof_time_reversal_duality(spark, lrows, rrows):
     """forward(left, right) == backward(−left, −right): negating every
@@ -147,7 +148,7 @@ _words = st.lists(
 _corpus = st.lists(st.tuples(_words), min_size=1, max_size=6)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(rows=_corpus, seg_len=st.sampled_from([1, 3, 8]))
 def test_segment_table_reconstruction_property(spark, rows, seg_len):
     """For ANY corpus and segment width: concatenating a document's
@@ -171,7 +172,7 @@ def test_segment_table_reconstruction_property(spark, rows, seg_len):
         assert all(w == seg_len for w in widths[:-1])
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(rows=_corpus)
 def test_segment_dedup_conservation_property(spark, rows):
     """Keep-first conservation on ANY corpus: total kept tokens (total −
@@ -207,7 +208,7 @@ def test_segment_dedup_conservation_property(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(
     weights=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
     s=st.sampled_from([2, 4, 8]),

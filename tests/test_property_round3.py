@@ -6,6 +6,7 @@ test_property_parity.py)."""
 
 from __future__ import annotations
 
+from .conftest import prop_examples
 from hypothesis import given, settings, strategies as st
 
 from nyc_tlc_analytics_pipeline_spark.operators import packing, redact, sketch
@@ -16,7 +17,7 @@ from nyc_tlc_analytics_pipeline_spark.operators import packing, redact, sketch
 sizes_strategy = st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=prop_examples(15), deadline=None)
 @given(sizes=sizes_strategy, budget=st.integers(min_value=8, max_value=300))
 def test_pack_greedy_property(spark, sizes, budget):
     df = spark.createDataFrame(
@@ -51,7 +52,7 @@ pii_fragments = st.sampled_from(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(parts=st.lists(pii_fragments, min_size=1, max_size=6))
 def test_redact_idempotent(spark, parts):
     """redact(redact(x)) == redact(x): placeholders must never re-match
@@ -65,7 +66,7 @@ def test_redact_idempotent(spark, parts):
 
 # -- HLL merge: associative + idempotent over random shard splits ---------
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(
     cuts=st.lists(st.integers(min_value=0, max_value=2000), min_size=2, max_size=4),
     data=st.data(),

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+from .conftest import prop_examples
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -21,7 +22,7 @@ token_corpus = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(corpus=token_corpus)
 def test_cms_upper_bounds_every_count(spark, corpus):
     """CMS estimate ≥ exact count for EVERY key, on any corpus — the
@@ -51,7 +52,7 @@ weights_strategy = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(weights=weights_strategy, k=st.integers(min_value=1, max_value=30))
 def test_weighted_sample_size_and_membership(spark, weights, k):
     """|sample| = min(k, n); rows come from the input; repartitioning
@@ -80,7 +81,7 @@ profile_rows = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(rows=profile_rows)
 def test_profile_matches_python_reference(spark, rows):
     df = spark.createDataFrame(rows, "a int, s string")

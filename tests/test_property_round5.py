@@ -6,6 +6,7 @@ property suites)."""
 
 from __future__ import annotations
 
+from .conftest import prop_examples
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
@@ -24,7 +25,7 @@ docs = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=prop_examples(10), deadline=None)
 @given(corpus=docs, stride=st.integers(min_value=1, max_value=64))
 def test_chunk_starts_cover_every_token_position(spark, corpus, stride):
     """Every token index lands in at least one [start, start+stride)
@@ -49,7 +50,7 @@ def test_chunk_starts_cover_every_token_position(spark, corpus, stride):
         assert covered == set(range(n))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(
     members=st.sets(
         st.text(alphabet="xyz01", min_size=1, max_size=6), min_size=1, max_size=60
@@ -72,7 +73,7 @@ def test_bloom_has_no_false_negatives_ever(spark, members, probes):
         assert tagged[p] is True
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(
     values=st.lists(
         st.floats(
@@ -102,7 +103,7 @@ def test_winsorized_mean_lies_within_cutpoints(spark, values):
     assert r.lo - 1e-9 <= r.m <= r.hi + 1e-9
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(
     corpus=st.lists(
         st.lists(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 
+from .conftest import prop_examples
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
@@ -29,7 +30,7 @@ def _deinterleave(z: int, n_dims: int, bits: int) -> list[int]:
     return out
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(
     pts=st.lists(
         st.tuples(
@@ -54,7 +55,7 @@ def test_zorder_key_is_invertible_3d(spark, pts):
 # global_row_number: a permutation, layout-independent
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(
     sizes=st.lists(
         st.integers(min_value=0, max_value=50), min_size=1, max_size=80
@@ -80,7 +81,7 @@ def test_global_row_number_is_a_permutation(spark, sizes, nparts):
 # serpentine_shards: exhaustive, near-balanced
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(
     sizes=st.lists(
         st.integers(min_value=1, max_value=1000), min_size=1, max_size=120
@@ -112,7 +113,7 @@ def _hrw(key: int, n: int, salt: str = "hrw") -> int:
     return digs.index(best)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(
     keys=st.lists(
         st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80
@@ -140,7 +141,7 @@ def test_rendezvous_matches_python_model_and_hrw_property(spark, keys, n):
 # epoch_allocation: invariants under arbitrary counts/weights/budgets
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(
     counts=st.lists(
         st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8

@@ -4,6 +4,7 @@ planted fixture."""
 
 from __future__ import annotations
 
+from .conftest import prop_examples, full_tier
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -18,7 +19,7 @@ _corpus = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(corpus=_corpus)
 def test_minhash_pairs_subset_of_exact_any_corpus(spark, corpus):
     """Both sources verify candidates with exact Jaccard, so MinHash
@@ -84,7 +85,7 @@ def _bpe_reference(words: dict[str, int], n_merges: int):
     return out
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(
     corpus=st.lists(
         st.lists(
@@ -118,7 +119,7 @@ def test_bpe_trainer_matches_python_reference(spark, corpus):
         assert abs(sg - se) < 1e-9
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(
     model=st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=10),
@@ -177,7 +178,8 @@ def test_heldout_perplexity_matches_python_reference(spark, model, evals):
         assert abs(ppl - ref_ppl(toks)) < 1e-9
 
 
-@settings(max_examples=5, deadline=None)
+@full_tier
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(corpus=_corpus)
 def test_threshold_curve_monotone_any_corpus(spark, corpus):
     """The savings curve is monotone non-increasing in the threshold in

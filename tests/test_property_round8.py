@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+from .conftest import prop_examples, full_tier
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -27,7 +28,7 @@ _vecs = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(rows=_feat_rows)
 def test_logreg_trajectory_matches_reference_any_frame(spark, rows):
     """The distributed trainer reproduces the pure-Python GD trajectory
@@ -47,7 +48,7 @@ def test_logreg_trajectory_matches_reference_any_frame(spark, rows):
         assert abs(g["loss"] - e["loss"]) <= 2e-6
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(vecs=_vecs)
 def test_quantization_reconstruction_bound_any_vectors(spark, vecs):
     """For every component: |x − code·scale| ≤ scale/2 (+ nudge), codes
@@ -77,7 +78,7 @@ def test_quantization_reconstruction_bound_any_vectors(spark, vecs):
         assert r.err is None or r.err <= 0.5 + 1e-6
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(vecs=_vecs)
 def test_sign_code_hamming_equals_direct_bit_diff(spark, vecs):
     """hamming(codes(a), codes(b)) == #components where sign(a) differs
@@ -108,7 +109,8 @@ _texts = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None)
+@full_tier
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(model=_texts, evals=_texts)
 def test_kneser_ney_matches_reference_any_corpus(spark, model, evals):
     from nyc_tlc_analytics_pipeline_spark.operators import lm
@@ -130,7 +132,8 @@ def test_kneser_ney_matches_reference_any_corpus(spark, model, evals):
         assert math.isclose(got[i][2], lp, abs_tol=1e-9)
 
 
-@settings(max_examples=4, deadline=None)
+@full_tier
+@settings(max_examples=prop_examples(4), deadline=None)
 @given(texts=_texts)
 def test_incremental_classify_partitions_and_matches_full_pairs(spark, texts):
     """On any corpus: statuses partition the batch, and dup_vs_corpus
@@ -163,7 +166,7 @@ def test_incremental_classify_partitions_and_matches_full_pairs(spark, texts):
 _keys = st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=prop_examples(5), deadline=None)
 @given(ka=_keys, kb=_keys)
 def test_cms_join_estimate_bounds_any_multisets(spark, ka, kb):
     """On ANY pair of key multisets: estimate ≥ true join size, and a

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+from .conftest import prop_examples
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -34,7 +35,7 @@ def _py_bucket(value: float, precision: int = 2, s: int = sketch.QHIST_SUBBITS) 
     return -lo if v < 0 else lo
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(vals=_vals)
 def test_qhist_bucket_rule_matches_python_twin(spark, vals):
     """Every Spark-computed bucket equals the independent integer
@@ -51,7 +52,7 @@ def test_qhist_bucket_rule_matches_python_twin(spark, vals):
     assert got == set(ref.items())
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=prop_examples(8), deadline=None)
 @given(vals=_vals, pivot=st.floats(min_value=-1e5, max_value=1e5))
 def test_qhist_merge_equals_whole_any_split(spark, vals, pivot):
     """Sum-merging the partials of ANY two-way split equals the
@@ -69,7 +70,7 @@ def test_qhist_merge_equals_whole_any_split(spark, vals, pivot):
     assert merged == whole
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(vals=_vals)
 def test_qhist_quantile_within_one_bucket_of_order_statistic(spark, vals):
     """The sketch's ACTUAL guarantee, asserted for arbitrary inputs:

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from .conftest import full_tier
+
 import tests.conftest as C
 from nyc_tlc_analytics_pipeline_spark.operators import dedup, sampling
 from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
@@ -328,6 +330,7 @@ def _write_vec_batches(spark, emb, src, n_files=3):
     return slices
 
 
+@full_tier
 def test_streaming_embedding_near_dup_matches_sequential(spark, tmp_path):
     """Draining the vector directory through the streaming semantic
     ingest equals the sequential batch chain over the same slices, the
@@ -882,6 +885,7 @@ def test_curriculum_single_stage_degenerates_to_corpus(spark):
 # ---------------------------------------------------------------------------
 
 
+@full_tier
 def test_soft_dedup_python_reference(spark):
     """Hand-built clusters: discount weights, cluster counts and the
     three token prices match an explicit python replay."""

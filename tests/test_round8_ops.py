@@ -13,7 +13,7 @@ from pyspark.sql.functions import col, lit
 from nyc_tlc_analytics_pipeline_spark.operators import dedup, similarity, train
 from nyc_tlc_analytics_pipeline_spark.sources.testdata import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, full_tier
 
 
 # ---------------------------------------------------------------------------
@@ -396,6 +396,7 @@ def _write_doc_batches(spark, docs, src, n_files=3):
     return slices
 
 
+@full_tier
 def test_streaming_near_dup_matches_sequential_batches(spark, docs, tmp_path):
     """Draining the doc directory through the streaming near-dup ingest
     equals the sequential batch chain (classify each slice against the
