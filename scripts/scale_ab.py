@@ -79,7 +79,11 @@ def main() -> None:
 
     from bench import host_calibration
 
-    from nyc_tlc_analytics_pipeline_spark.core.pins import release_pins
+    try:
+        from nyc_tlc_analytics_pipeline_spark.core.pins import release_pins
+    except ImportError:  # r13 code tree: no pin registry yet
+        def release_pins():
+            return 0
     from nyc_tlc_analytics_pipeline_spark.core.session import build_session
     from nyc_tlc_analytics_pipeline_spark.plans.catalog import QUERIES
 
@@ -91,6 +95,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            # single plain-text log: Spark 4 defaults to a rolling
+            # zstd-compressed directory, which the parser below skips
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     cal_pre = round(host_calibration(), 4)
@@ -100,7 +108,12 @@ def main() -> None:
     ]
 
     def quiesce() -> None:
+        # honest-recompute warm on BOTH code trees: drop every cached
+        # entry (r14+ pins register persist() frames; r13's persist()
+        # frames are cache-manager entries too) so each timed window
+        # computes from the scaled parquet
         release_pins()
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.7)
 
